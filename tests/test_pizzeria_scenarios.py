@@ -1,0 +1,50 @@
+"""Scenario parity tests against the hand-derived golden output
+(FIXTURES.md §4, reference scripts/load_dims.sql seed)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.pizzeria import enriched_orders, order_joining_view
+from tests.fixtures_pizzeria import GOLDEN_ENRICHED, load_pizzeria
+
+
+def _check_golden(rows):
+    assert len(rows) == len(GOLDEN_ENRICHED)
+    for r in rows:
+        client, table, pizzas = GOLDEN_ENRICHED[r["order_id"]]
+        assert r["client_name"] == client
+        assert r["table_name"] == table
+        got = sorted((p["pizza"], p["price"]) for p in json.loads(r["pizzas"]))
+        assert got == sorted(pizzas), f"order {r['order_id']}: {got}"
+
+
+def test_flagship_enriched_orders(spark):
+    t = load_pizzeria(spark)
+    out = enriched_orders(t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"])
+    _check_golden(out.collect())
+
+
+def test_flagship_hour_filter(spark):
+    """Half-open window (20:00, 21:00] keeps orders {1, 5}; (21:00, 22:00]
+    keeps {2, 3, 4} (reference load_dims.sql:52-57)."""
+    t = load_pizzeria(spark)
+    lo, hi = F.lit("2023-09-23 20:00:00").cast("timestamp"), F.lit("2023-09-23 21:00:00").cast("timestamp")
+    ids = {r["order_id"] for r in enriched_orders(
+        t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"], lo, hi).collect()}
+    assert ids == {1, 5}
+    lo2, hi2 = hi, F.lit("2023-09-23 22:00:00").cast("timestamp")
+    ids2 = {r["order_id"] for r in enriched_orders(
+        t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"], lo2, hi2).collect()}
+    assert ids2 == {2, 3, 4}
+
+
+def test_view_scenario_matches_flagship(spark):
+    """Scenario 2 (view + projection/filter) computes the same document as
+    scenario 1 — the reference's own golden-oracle equivalence (SURVEY §5)."""
+    t = load_pizzeria(spark)
+    view = order_joining_view(t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"])
+    projected = view.select("order_id", "client_name", "table_name", F.col("json_agg").alias("pizzas"))
+    _check_golden(projected.collect())
