@@ -1,0 +1,286 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, all shuffle-disciplined for 100 TB inputs:
+
+- exact:          hash group-by on the dedup key (one shuffle, map-side combine)
+- ngram-jaccard:  exact near-dup via inverted shingle index (equi-join on
+                  shingle — no cross join ever materializes)
+- minhash-LSH:    approximate near-dup; banded signatures bucket candidates,
+                  then exact-jaccard verification. The scale path: candidate
+                  generation cost is O(docs x bands), independent of corpus
+                  pair count.
+- embedding:      cosine-threshold pairs (exact; LSH/IVF variants live in
+                  operators/similarity.py)
+
+Every function returns DataFrames; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import word_shingles
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine
+
+MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne: (a*h + b) stays < 2^62
+
+
+def exact_dedup(df: DataFrame, keys: str | list[str], tiebreak: str) -> DataFrame:
+    """Keep one row per exact key: the one with the smallest ``tiebreak``
+    (deterministic, unlike ``dropDuplicates``). One shuffle with map-side
+    partial ``min_by``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    return (
+        df.groupBy(*keys)
+        .agg(F.min_by(F.struct(*payload), F.col(tiebreak)).alias("__keep"))
+        .select(*keys, *[F.col(f"__keep.{c}").alias(c) for c in payload])
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs by n-gram (word-shingle) Jaccard.
+
+    Inverted-index formulation: explode distinct shingles, self-equi-join on
+    the shingle (hash join — pairs sharing nothing never meet), count shared
+    shingles per pair, then jaccard = shared / (|A| + |B| - shared).
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    (stop-shingle guard: a shingle shared by k docs contributes k^2 join
+    rows). Leave None for exactness on small corpora; set at scale.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
+    inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
+    if max_df is not None:
+        df_counts = inv.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
+        inv = inv.join(df_counts.select("__s"), "__s")
+    a = inv.select(F.col("__id").alias("id_a"), F.col("__size").alias("sa"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), F.col("__size").alias("sb"), "__s")
+    shared = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count("*").alias("__shared"))
+    )
+    jac = F.col("__shared") / (F.col("sa") + F.col("sb") - F.col("__shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _hash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p. Plain LCG expansion of the seed so the
+    family is reproducible without RNG state."""
+    params = []
+    s = seed
+    for _ in range(num_perm):
+        s = (s * 1103515245 + 12345) % MINHASH_PRIME
+        a = 1 + (s % (MINHASH_PRIME - 1))
+        s = (s * 1103515245 + 12345) % MINHASH_PRIME
+        b = s % MINHASH_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(text_col: Column | str, n: int = 5, num_perm: int = 128, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint> of length num_perm) of a text's
+    n-word shingle set. Shingles hash through xxhash64 -> [0, p) and each
+    permutation takes min((a*h + b) mod p) — whole expression JVM-side."""
+    return minhash_signature_from_shingles(word_shingles(text_col, n), num_perm, seed)
+
+
+def _perm_min(hashes: Column, a: int, b: int) -> Column:
+    return F.array_min(F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(MINHASH_PRIME))))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-duplicate pairs: MinHash + banded LSH + exact
+    verification.
+
+    bands=64 x rows=2 gives P(candidate | jaccard=s) = 1-(1-s^2)^64 —
+    ~1-2e-19 at s=0.7, so recall at the default threshold is effectively 1
+    while candidate generation stays linear in corpus size. Candidates are
+    then verified with exact Jaccard on the shingle sets, so reported pairs
+    are never false positives.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    sh = (
+        df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+        .withColumn("__sig", minhash_signature_from_shingles("__sh", num_perm, seed))
+    )
+    banded = sh.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("__sig", b * rows_per_band + 1, rows_per_band)).alias("bhash"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.bhash")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bhash"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.select("__id", "__sh")
+    verified = (
+        cand.join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sha", "__shb"))
+                / F.size(F.array_union("__sha", "__shb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_signature_from_shingles(shingles_col: Column | str, num_perm: int = 128, seed: int = 42) -> Column:
+    """Signature from a precomputed shingle-array column (avoids
+    re-shingling when the caller already has the sets)."""
+    col = F.col(shingles_col) if isinstance(shingles_col, str) else shingles_col
+    hashes = F.transform(col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    return F.array(*[_perm_min(hashes, a, b) for a, b in _hash_params(num_perm, seed)])
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact cosine-threshold near-duplicate pairs over an embedding column.
+
+    Brute-force O(n^2/2) — the correctness baseline. At scale use the
+    LSH-bucketed variant (operators/similarity.bucketed_cosine_pairs) which
+    only compares within hyperplane-hash buckets.
+    Returns (id_a, id_b, cos) with id_a < id_b, round(cos,6) >= threshold.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine("__va", "__vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def simhash_bits(text_col: Column | str, nbits: int = 32) -> Column:
+    """SimHash over whitespace tokens, returned as an array<int> of bits
+    (index j = bit j). Bit source: bit j of (md5(token) mod 2^nbits),
+    extracted arithmetically — the identical formula is expressible in the
+    DuckDB oracle (conv/md5 both exist there).
+
+    bit_j(doc) = 1 if sum over tokens of (2*bit_j(tok) - 1) > 0.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import tokens
+
+    toks = tokens(text_col)
+    # 64-bit int from the first 15 hex chars of md5 (fits in bigint), mod 2^nbits
+    # hash each token ONCE (md5 hex -> bigint), then derive all bit sums
+    hashed = F.transform(
+        toks,
+        lambda t: F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"), F.lit(2 ** nbits)),
+    )
+
+    def bit_total(j: int) -> Column:
+        contrib = F.transform(hashed, lambda h: (F.shiftright(h, j) % 2) * 2 - 1)
+        return F.aggregate(contrib, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+    bits = [F.when(bit_total(j) > 0, F.lit(1)).otherwise(F.lit(0)) for j in range(nbits)]
+    return F.array(*bits)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    nbits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocked by splitting the signature into ``bands`` segments: any pair
+    within distance max_hamming < bands shares at least one identical
+    segment (pigeonhole), so candidates come from an equi-join on
+    (segment index, segment value) — never a cross join.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for exact pigeonhole blocking")
+    seg = nbits // bands
+    sh = df.select(F.col(id_col).alias("__id"), simhash_bits(text_col, nbits).alias("__bits"))
+    blocked = sh.select(
+        "__id",
+        "__bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("seg"), F.slice("__bits", b * seg + 1, seg).alias("segbits")),
+            )
+        ).alias("__s"),
+    ).select("__id", "__bits", "__s.seg", "__s.segbits")
+    cand = (
+        blocked.alias("x")
+        .join(blocked.alias("y"), ["seg", "segbits"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.__bits").alias("__ba"),
+            F.col("y.__bits").alias("__bb"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with("__ba", "__bb", lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,182 @@
+"""Join operators beyond Spark's built-ins (SURVEY §2.4).
+
+The reference exercises: multi-way equi-joins (J1, Catalyst-native),
+array UNNEST joins (J3), processing-time lookup joins (J4), event-time
+AS-OF temporal joins (J5) and interval joins (J6). J1 is plain
+``df.join``; the rest live here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def unnest_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    array_col: str,
+    dim_key: str,
+    fact_cols: list[str] | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """``CROSS JOIN UNNEST(fact.array_col)`` + equi-join to ``dim``
+    (reference flink-applications/01-basic-jdbc.json:30, J3).
+
+    Multiset-preserving: duplicate array elements produce duplicate output
+    rows. This is the scalable rewrite of the PG ``= ANY(array)`` theta
+    join (J2) — the reference itself performs the same rewrite for Flink
+    (README.md:144). explode keeps the fact's partitioning; the dim side
+    broadcasts, so no shuffle is introduced at any scale.
+    """
+    cols = fact_cols or [c for c in fact.columns if c != array_col]
+    exploded = fact.select(*cols, F.explode(array_col).alias("__elem"))
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return exploded.join(d, exploded["__elem"] == d[dim_key]).drop("__elem")
+
+
+def lookup_join(
+    stream: DataFrame,
+    lookup: DataFrame,
+    on: Column | str | list[str],
+    how: str = "inner",
+    proctime_col: str | None = "proctime",
+) -> DataFrame:
+    """Processing-time lookup join — Flink ``JOIN t FOR SYSTEM_TIME AS OF
+    t.proctime ON key`` (reference flink-applications/03-flink-cdc-jdbc.json:18).
+
+    Spark realization: a stream-static join. Structured Streaming
+    re-evaluates the static side every micro-batch, which IS
+    "current state of the lookup table at processing time" — at per-batch
+    rather than per-row granularity. The reference documents the same
+    consistency window for its per-row lookups (README.md:268-301); ours is
+    per-batch-snapshot, strictly more consistent within a batch.
+
+    Works identically on batch DataFrames (one "batch" = the whole input).
+    """
+    out = stream.join(lookup, on=on, how=how)
+    if proctime_col:
+        out = out.withColumn(proctime_col, F.current_timestamp())
+    return out
+
+
+def asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    fact_ts: str,
+    dim_ts: str,
+    how: str = "left",
+    dedup_dim_versions: bool = True,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Event-time temporal join — Flink ``JOIN dim FOR SYSTEM_TIME AS OF
+    fact.ts ON key`` (reference flink-applications/06-flink-cdc-temporal-join.json:30):
+    each fact row joins the dim **version valid at the fact's event time**
+    (latest dim row with ``dim_ts <= fact_ts`` per key).
+
+    Batch implementation (SURVEY §2.4 J5 strategy (a)): union the fact and
+    dim changelog, one window over (key, ts) carrying the last non-null dim
+    image forward. Exactly ONE shuffle (hash on key) + an in-partition sort —
+    no O(n*versions) range join blowup, so it survives 100x fact growth;
+    hot keys are handled by AQE skew splitting on the window's shuffle.
+
+    ``tolerance``: optional max staleness (e.g. "1 hour") — dim versions
+    older than ``fact_ts - tolerance`` do not match (merge_asof-style).
+    Output: all fact columns + dim's non-key/non-ts columns (NULL when no
+    version exists and ``how='left'``; rows dropped when ``how='inner'``).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dim_payload = [c for c in dim.columns if c not in keys and c != dim_ts]
+
+    # Tag and align the two sides on a common layout:
+    #   (keys..., __ts, __is_fact, __dim struct, fact columns...)
+    dim_side = dim.select(
+        *keys,
+        F.col(dim_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__is_fact"),
+        F.struct(*[F.col(c) for c in dim_payload]).alias("__dim"),
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact.columns],
+    )
+    if dedup_dim_versions:
+        # multiple dim rows at the same (key, ts): keep one deterministic
+        # winner (max struct) — mirrors "latest version at that instant".
+        dim_side = dim_side.groupBy(*keys, "__ts", "__is_fact").agg(
+            F.max("__dim").alias("__dim"),
+            *[F.first(f"__f_{c}").alias(f"__f_{c}") for c in fact.columns],
+        )
+    fact_side = fact.select(
+        *keys,
+        F.col(fact_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__is_fact"),
+        F.lit(None).cast(dim_side.schema["__dim"].dataType).alias("__dim"),
+        *[F.col(c).alias(f"__f_{c}") for c in fact.columns],
+    )
+    unioned = dim_side.unionByName(fact_side)
+
+    # dim rows sort before fact rows at equal ts (__is_fact 0 < 1), giving
+    # inclusive AS-OF semantics (version effective AT fact_ts matches).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc_nulls_first(), F.col("__is_fact").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__version", F.last("__dim", ignorenulls=True).over(w))
+    if tolerance is not None:
+        w_ts = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc_nulls_first(), F.col("__is_fact").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = carried.withColumn(
+            "__version_ts",
+            F.last(F.when(F.col("__is_fact") == 0, F.col("__ts")), ignorenulls=True).over(w_ts),
+        ).withColumn(
+            "__version",
+            F.when(
+                F.col("__version_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
+                F.col("__version"),
+            ),
+        )
+
+    matched = F.col("__is_fact") == 1
+    if how == "inner":
+        matched = matched & F.col("__version").isNotNull()
+    return carried.filter(matched).select(
+        *[F.col(f"__f_{c}").alias(c) for c in fact.columns],
+        *[F.col(f"__version.{c}").alias(c) for c in dim_payload],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Event-time interval join (reference README.md:539, J6):
+    match rows with ``right_ts BETWEEN left_ts - lower AND left_ts + upper``
+    on the same key.
+
+    Batch: an equi-join on key plus a range predicate — Catalyst executes
+    hash-join-then-filter, one shuffle per side. In streaming both sides
+    need watermarks; Structured Streaming's stream-stream join supports the
+    same predicate shape natively.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = cond & (
+        F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lower}")
+    ) & (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    )
+    return l.join(r, cond, how)

@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas functions.
+
+The Spark-side machinery (schemas, mapInPandas batching, partition
+discipline) is real and tested; the actual media decoding is stubbed
+behind ``DECODERS`` because codec libraries aren't in this container —
+swap in PIL/ffmpeg implementations by registering a decoder. The
+deterministic fake decoder lets tests assert the full pipeline shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decoder registry: mime prefix -> bytes -> dict of features
+DECODERS: dict[str, Callable[[bytes], dict]] = {}
+
+
+def real_image_decode(payload: bytes) -> dict:
+    """Placeholder for a real decoder (PIL.Image.open(BytesIO(payload))).
+    Media libs are not in this container."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def fake_image_decode(payload: bytes) -> dict:
+    """Deterministic fake: derives pseudo-dimensions from the payload so
+    the distributed plumbing (schema, batching, partitioning) is testable
+    without codecs."""
+    h = len(payload)
+    return {"width": 64 + h % 512, "height": 64 + (h * 31) % 512, "n_bytes": h}
+
+
+DECODERS["image/fake"] = fake_image_decode
+DECODERS["image/png"] = real_image_decode
+DECODERS["image/jpeg"] = real_image_decode
+
+
+def attach_binary_payload(df: DataFrame, source_col: str, mime: str = "image/fake") -> DataFrame:
+    """Model a multimodal asset: binary payload + typed metadata struct.
+    (In production the payload column arrives from parquet/lance/tar
+    shards; here it is synthesized from an existing column.)"""
+    return df.withColumn("payload", F.encode(F.col(source_col).cast("string"), "utf-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(F.col("payload")).alias("n_bytes"),
+        ),
+    )
+
+
+def extract_image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str = "media_meta.mime",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas`` (Arrow batches, one
+    Python worker per partition — scales with executors; no shuffle).
+
+    Output schema: id columns + (width int, height int, n_bytes long).
+    """
+    id_list = list(id_cols)
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_list]
+        + ["width int", "height int", "n_bytes long"]
+    )
+    mime_field = mime_col.split(".")[-1]
+    narrow = df.select(*id_list, F.col(payload_col).alias("__payload"), F.col(mime_col).alias("__mime"))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, mime in zip(pdf["__payload"], pdf["__mime"]):
+                decoder = DECODERS.get(mime)
+                if decoder is None:
+                    raise ValueError(f"no decoder registered for {mime!r}")
+                feats.append(decoder(bytes(payload)))
+            out = pdf[id_list].copy()
+            out["width"] = [f["width"] for f in feats]
+            out["height"] = [f["height"] for f in feats]
+            out["n_bytes"] = [f["n_bytes"] for f in feats]
+            yield out
+
+    return narrow.mapInPandas(_decode, schema=schema)

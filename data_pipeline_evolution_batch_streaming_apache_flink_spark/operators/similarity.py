@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``            exact brute-force top-k (correctness baseline)
+- ``ivf_cosine_topk``        IVF: k-means coarse quantizer, probe nearest
+                             cells only — the 100 TB path (scan cost drops
+                             by ~n_cells/n_probe)
+- ``bucketed_cosine_pairs``  random-hyperplane LSH bucketing for pair
+                             generation without a cross join
+
+All distance math is JVM-side (functions/vectors.py); k-means fitting uses
+Spark ML (distributed, seeded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot, norm
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k nearest corpus rows per query by cosine similarity.
+
+    Broadcast the (small) query side against the corpus so the corpus is
+    scanned once with no shuffle; ranking shuffles only (query_id, k) rows.
+    Scores are rounded to 6 decimals with corpus-id tiebreak so ranking is
+    reproducible across engines. Returns (query_id, corpus_id, cos, rank).
+    """
+    q = F.broadcast(queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")))
+    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv"))
+    scored = q.join(c, F.lit(True) if include_self else F.col("qid") != F.col("cid"))
+    scored = scored.withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
+    )
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means partitions the corpus
+    into cells; each query only scans its ``n_probe`` nearest cells.
+
+    The index build is one ML fit + one corpus pass (cell assignment);
+    at scale the assignment is written out partitioned by cell so probes
+    are partition-pruned scans. Returns (query_id, corpus_id, cos, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("cid", "__cv", "__cell")
+
+    # Literal centroid table (n_cells x dim doubles — tiny, broadcast).
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "cell int, centroid array<double>",
+        )
+    )
+
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
+    # nearest n_probe cells per query (query x n_cells — tiny cross join)
+    qcells = (
+        q.crossJoin(cent_df)
+        .withColumn("__d", cosine("__qv", "centroid"))
+        .withColumn("__r", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("__d").desc())))
+        .filter(F.col("__r") <= n_probe)
+        .select("qid", "__qv", F.col("cell").alias("__cell"))
+    )
+    scored = (
+        qcells.join(assigned, "__cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
+    )
+
+
+def bucketed_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: rows hash to a sign-pattern
+    bucket per table; only same-bucket pairs are compared, then verified
+    with exact cosine. Recall rises with n_tables; precision is exact
+    (verification step). Returns (id_a, id_b, cos)."""
+    import random
+
+    dim_row = df.select(F.size(vec_col).alias("d")).head()
+    dim = dim_row["d"]
+    rng = random.Random(seed)
+    tables = []
+    for t in range(n_tables):
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+        sig = None
+        for i, p in enumerate(planes):
+            bit = (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) > 0).cast("int") * (2 ** i)
+            sig = bit if sig is None else sig + bit
+        tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    hashed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.explode(F.array(*tables)).alias("__h"),
+    ).select("__id", "__v", "__h.tbl", "__h.bucket")
+    cand = (
+        hashed.alias("x")
+        .join(hashed.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
+                F.col("x.__v").alias("__va"), F.col("y.__v").alias("__vb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine("__va", "__vb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,83 @@
+"""Join operator tests (SURVEY §2.4 J3-J6) + changelog compaction (W5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import (
+    asof_join,
+    interval_join,
+    latest_per_key,
+    lookup_join,
+    unnest_join,
+)
+
+TS = dt.datetime
+
+
+def test_unnest_join_multiset(spark):
+    fact = spark.createDataFrame([(1, [10, 10, 20])], "id int, arr array<int>")
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], "k int, v string")
+    rows = unnest_join(fact, dim, "arr", "k").orderBy("k").collect()
+    assert [(r["id"], r["k"], r["v"]) for r in rows] == [(1, 10, "a"), (1, 10, "a"), (1, 20, "b")]
+
+
+def test_lookup_join_batch(spark):
+    stream = spark.createDataFrame([(1, 100), (2, 999)], "id int, key int")
+    lookup = spark.createDataFrame([(100, "x")], "key int, val string")
+    rows = lookup_join(stream, lookup, "key", how="left").orderBy("id").collect()
+    assert rows[0]["val"] == "x" and rows[1]["val"] is None
+    assert "proctime" in rows[0].asDict()
+
+
+def test_asof_join_versions(spark):
+    """Each fact row joins the dim version valid at its event time
+    (Flink FOR SYSTEM_TIME AS OF, reference 06-flink-cdc-temporal-join.json:30)."""
+    dim = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0), "v1"),
+         (1, TS(2024, 1, 1, 12, 0), "v2"),
+         (2, TS(2024, 1, 1, 11, 0), "w1")],
+        "k int, ts timestamp, val string",
+    )
+    fact = spark.createDataFrame(
+        [(101, 1, TS(2024, 1, 1, 9, 0)),    # before any version -> NULL
+         (102, 1, TS(2024, 1, 1, 10, 0)),   # exactly at v1 -> v1 (inclusive)
+         (103, 1, TS(2024, 1, 1, 11, 59)),  # between -> v1
+         (104, 1, TS(2024, 1, 1, 12, 0)),   # exactly at v2 -> v2
+         (105, 2, TS(2024, 1, 1, 23, 0)),   # latest of key 2 -> w1
+         (106, 3, TS(2024, 1, 1, 10, 0))],  # key never in dim -> NULL
+        "fid int, k int, fts timestamp",
+    )
+    got = {r["fid"]: r["val"] for r in asof_join(fact, dim, "k", "fts", "ts").collect()}
+    assert got == {101: None, 102: "v1", 103: "v1", 104: "v2", 105: "w1", 106: None}
+
+    inner = {r["fid"] for r in asof_join(fact, dim, "k", "fts", "ts", how="inner").collect()}
+    assert inner == {102, 103, 104, 105}
+
+
+def test_asof_join_tolerance(spark):
+    dim = spark.createDataFrame([(1, TS(2024, 1, 1, 0, 0), "old")], "k int, ts timestamp, val string")
+    fact = spark.createDataFrame([(9, 1, TS(2024, 1, 1, 5, 0))], "fid int, k int, fts timestamp")
+    assert asof_join(fact, dim, "k", "fts", "ts").collect()[0]["val"] == "old"
+    assert asof_join(fact, dim, "k", "fts", "ts", tolerance="1 hour").collect()[0]["val"] is None
+
+
+def test_interval_join(spark):
+    left = spark.createDataFrame([(1, 1, TS(2024, 1, 1, 10, 0))], "lid int, k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(11, 1, TS(2024, 1, 1, 9, 58)), (12, 1, TS(2024, 1, 1, 10, 4)), (13, 1, TS(2024, 1, 1, 10, 30))],
+        "rid int, k int, rts timestamp",
+    )
+    rows = interval_join(left, right, "k", "lts", "rts", "5 minutes", "5 minutes").collect()
+    assert sorted(r["rid"] for r in rows) == [11, 12]
+
+
+def test_latest_per_key_with_tombstones(spark):
+    log = spark.createDataFrame(
+        [(1, 1, "c", "a"), (1, 2, "u", "b"), (2, 3, "c", "x"), (2, 4, "d", None), (3, 5, "c", "z")],
+        "k int, seq long, op string, v string",
+    )
+    rows = {r["k"]: r["v"] for r in latest_per_key(log, "k", "seq", op_col="op").collect()}
+    assert rows == {1: "b", 3: "z"}  # key 2 deleted by tombstone

@@ -1,0 +1,102 @@
+"""Tests for the training-data-pipeline operators: dedup, similarity
+search, text analysis, multimodal plumbing (build plan v6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import dedup as D
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import similarity as S
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_image_features,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "a", 10), (2, "a", 10), (3, "b", 20)], "id int, txt string, x int")
+    rows = D.exact_dedup(df, "txt", tiebreak="id").orderBy("txt").collect()
+    assert [(r["txt"], r["id"]) for r in rows] == [("a", 1), ("b", 3)]
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    """LSH(verified) must find the same >=0.7 pairs as the exact
+    inverted-index jaccard on this corpus (recall ~1 by band design)."""
+    exact = {(r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.7).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 5, 0.7).collect()}
+    assert lsh == exact
+    assert len(exact) > 0  # corpus contains seeded near-dups
+
+
+def test_embedding_cosine_pairs(emb):
+    pairs = D.embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    assert all(r["cos"] >= 0.4 and r["id_a"] < r["id_b"] for r in pairs)
+    assert len(pairs) > 0
+
+
+def test_cosine_topk_self_neighbor(emb):
+    """With include_self=True every query's rank-1 neighbor is itself (cos=1)."""
+    q = emb.filter(F.col("vec_id") < 3)
+    top = S.cosine_topk(q, emb, "vec_id", "vec_id", k=3, include_self=True).collect()
+    r1 = {r["vec_id_q"]: (r["vec_id_c"], r["cos"]) for r in top if r["rank"] == 1}
+    assert r1 == {0: (0, 1.0), 1: (1, 1.0), 2: (2, 1.0)}
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    """IVF with generous probes recovers most exact neighbors."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["vec_id_q"], r["vec_id_c"]) for r in S.cosine_topk(q, emb, "vec_id", "vec_id", k=3).collect()}
+    approx = {(r["vec_id_q"], r["vec_id_c"])
+              for r in S.ivf_cosine_topk(q, emb, "vec_id", "vec_id", k=3, n_cells=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
+
+
+def test_bucketed_cosine_recall(emb):
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in S.bucketed_cosine_pairs(emb, "vec_id", "embedding", 0.45, n_planes=6, n_tables=12).collect()}
+    assert lsh <= exact  # verification step: no false positives
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.7
+
+
+def test_simhash_pairs(docs):
+    pairs = D.simhash_pairs(docs, "doc_id", "text", nbits=32, max_hamming=3, bands=4).collect()
+    assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in pairs)
+    # seeded near-dups should collide in simhash space too
+    assert len(pairs) > 0
+
+
+def test_analyze_documents(docs):
+    out = analyze_documents(docs).collect()
+    assert len(out) == docs.count()
+    r = out[0]
+    assert r["n_tokens"] > 0 and 0.0 <= r["quality"] <= 1.0
+    assert 0 <= r["fingerprint"] < 2147483647
+    assert r["lang_pred"] in {"en", "es", "fr", "de", "zh", "und"}
+
+
+def test_multimodal_pipeline(docs):
+    with_bin = attach_binary_payload(docs.limit(50), "text", mime="image/fake")
+    feats = extract_image_features(with_bin, id_cols=("doc_id",)).collect()
+    assert len(feats) == 50
+    assert all(f["width"] >= 64 and f["height"] >= 64 and f["n_bytes"] > 0 for f in feats)
+
+
+def test_multimodal_real_decoder_stubbed(docs):
+    with_bin = attach_binary_payload(docs.limit(1), "text", mime="image/png")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_image_features(with_bin, id_cols=("doc_id",)).collect()
