@@ -1,0 +1,111 @@
+"""Upsert sinks — the reference's ``upsert-kafka`` materialization
+(SURVEY §2.1 S7): keyed latest-row-per-key changelog with delete
+tombstones, written from ``foreachBatch``.
+
+- :class:`ParquetUpsertSink` — files-as-state upsert for tests/local runs:
+  every micro-batch appends with its epoch id; the *current state* is a
+  distributed compaction (latest_per_key over key + (epoch, order)). No
+  driver-side state, so it scales like any parquet table.
+- :func:`write_upsert_kafka` — the production path: per-batch compaction,
+  JSON key/value, tombstones as null values. Requires the Kafka connector
+  jars; import/config is validated lazily so environments without Kafka
+  can still use everything else.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+
+
+class ParquetUpsertSink:
+    """Keyed upsert sink backed by an append-only parquet log.
+
+    Use ``foreach_batch`` as the ``writeStream.foreachBatch`` callback;
+    ``current_state`` returns the compacted table (latest row per key,
+    tombstones applied) computed distributively at read time — the same
+    read-time-compaction model a compacted Kafka topic gives the reference.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: str | list[str],
+        order_by: str | list[str],
+        op_col: str | None = None,
+    ):
+        self.path = path
+        self.keys = [keys] if isinstance(keys, str) else list(keys)
+        self.order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+        self.op_col = op_col
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.withColumn("__epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(self.path)
+        )
+
+    def current_state(self, spark: SparkSession) -> DataFrame:
+        log = spark.read.parquet(self.path)
+        ordering = ["__epoch", *self.order_by]
+        return latest_per_key(log, self.keys, ordering, op_col=self.op_col).drop("__epoch")
+
+
+def write_upsert_kafka(
+    batch_df: DataFrame,
+    keys: str | list[str],
+    order_by: str | list[str],
+    topic: str,
+    bootstrap_servers: str,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("d", "delete", "D"),
+) -> None:
+    """foreachBatch body for an upsert-kafka sink (reference
+    flink-applications/01-basic-jdbc.json:26: JSON key+value keyed by PK).
+
+    Compacts the batch to latest-per-key, serializes key and value as JSON,
+    emits tombstones (null value) for keys whose final op is a delete, and
+    writes to the compacted topic. Call from
+    ``writeStream.foreachBatch(lambda df, eid: write_upsert_kafka(df, ...))``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes: they become tombstones
+    key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
+    payload_cols = [c for c in compacted.columns if c not in keys]
+    value_json = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    if op_col is not None:
+        value_json = F.when(F.col(op_col).isin(*delete_ops), F.lit(None)).otherwise(value_json)
+    (
+        compacted.select(key_json.alias("key"), value_json.alias("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def run_stream_to_upsert_parquet(
+    stream_df: DataFrame,
+    keys: str | list[str],
+    order_by: str | list[str],
+    op_col: str | None = None,
+    base_dir: str | None = None,
+) -> tuple[ParquetUpsertSink, "object"]:
+    """Start an availableNow streaming query into a fresh ParquetUpsertSink.
+    Returns (sink, query); caller awaits termination then reads
+    ``sink.current_state``. Test/batch-replay helper."""
+    base = base_dir or os.path.join("/tmp", f"dpe_upsert_{uuid.uuid4().hex}")
+    sink = ParquetUpsertSink(os.path.join(base, "data"), keys, order_by, op_col)
+    query = (
+        stream_df.writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return sink, query

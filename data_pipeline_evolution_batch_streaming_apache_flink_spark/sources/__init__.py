@@ -1,0 +1,7 @@
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import (
+    debezium_envelope_schema,
+    decode_debezium,
+    decode_logical_message,
+)
+
+__all__ = ["debezium_envelope_schema", "decode_debezium", "decode_logical_message"]

@@ -1,0 +1,133 @@
+"""Debezium change-event envelope reader — the engine's CDC ingestion
+(SURVEY §2.1 S3/S4/S5).
+
+The reference consumes Debezium JSON two ways:
+
+- ``debezium-json`` Kafka format: Flink auto-extracts the ``after`` image
+  and changelog op (reference flink-applications/03-kafka-cdc-flink-jdbc.json:8,
+  06-flink-cdc-temporal-join.json:4-22). ``decode_debezium`` replicates
+  that: ``from_json`` against the full envelope schema, then
+  after-image (before-image for deletes) + ``op`` + ``source.ts_ms`` as
+  the event-time metadata column.
+- scenario 5's logical-decoding message envelope
+  (flink-applications/05-kafka-logical-msg-flink.json:4): nested
+  ``message.content`` carrying base64 JSON. ``decode_logical_message``
+  handles the FROM_BASE64 + JSON_VALUE extraction chain (README.md:400-411).
+
+Both work identically on batch and streaming DataFrames — the input is
+just a string column of JSON (from Kafka ``value``, files, or a test
+fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import from_base64_str, json_value
+
+#: Debezium ``source`` block (reference 05-kafka-logical-msg-flink.json:4).
+SOURCE_SCHEMA = T.StructType([
+    T.StructField("version", T.StringType()),
+    T.StructField("connector", T.StringType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("snapshot", T.StringType()),
+    T.StructField("db", T.StringType()),
+    T.StructField("sequence", T.StringType()),
+    T.StructField("schema", T.StringType()),
+    T.StructField("table", T.StringType()),
+    T.StructField("txId", T.LongType()),
+    T.StructField("lsn", T.LongType()),
+    T.StructField("xmin", T.LongType()),
+])
+
+
+def debezium_envelope_schema(row_schema: T.StructType | str) -> T.StructType:
+    """Full change-event envelope for a table with the given row schema."""
+    if isinstance(row_schema, str):
+        row_schema = T.StructType.fromDDL(row_schema)
+    return T.StructType([
+        T.StructField("before", row_schema),
+        T.StructField("after", row_schema),
+        T.StructField("source", SOURCE_SCHEMA),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ])
+
+
+def decode_debezium(
+    df: DataFrame,
+    row_schema: T.StructType | str,
+    value_col: str = "value",
+    event_time_col: str | None = "event_time",
+) -> DataFrame:
+    """Decode a column of Debezium-JSON change events into changelog rows.
+
+    Output: the row image (``after`` for c/u/r, ``before`` for d — possible
+    because of REPLICA IDENTITY FULL, reference scripts/load_dims.sql:59-63),
+    plus ``op``, ``ts_ms``, ``txId``, ``lsn`` and the event-time metadata
+    column (``value.source.timestamp`` in Flink DDL terms, reference
+    06-flink-cdc-temporal-join.json:8).
+    """
+    schema = debezium_envelope_schema(row_schema)
+    parsed = df.withColumn("__env", F.from_json(F.col(value_col).cast("string"), schema))
+    image = F.when(F.col("__env.op") == "d", F.col("__env.before")).otherwise(F.col("__env.after"))
+    out = parsed.withColumn("__img", image).select(
+        "__img.*",
+        F.col("__env.op").alias("op"),
+        F.col("__env.ts_ms").alias("ts_ms"),
+        F.col("__env.source.txId").alias("txId"),
+        F.col("__env.source.lsn").alias("lsn"),
+        *(
+            [F.timestamp_millis(F.col("__env.source.ts_ms")).alias(event_time_col)]
+            if event_time_col
+            else []
+        ),
+    )
+    return out
+
+
+#: scenario-5 message envelope (flink-applications/05-kafka-logical-msg-flink.json:4)
+LOGICAL_MSG_SCHEMA = T.StructType([
+    T.StructField("op", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("source", SOURCE_SCHEMA),
+    T.StructField(
+        "message",
+        T.StructType([
+            T.StructField("prefix", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]),
+    ),
+])
+
+
+def decode_logical_message(
+    df: DataFrame,
+    value_col: str = "value",
+    fields: dict[str, tuple[str, str | None]] | None = None,
+) -> DataFrame:
+    """Scenario-5 pipeline: parse the logical-decoding envelope, base64-
+    decode ``message.content`` and JSON-path-extract the payload fields
+    (reference statement flink-applications/05-kafka-logical-msg-flink.json:14,
+    README.md:404-411).
+
+    ``fields`` maps output column -> (json path, cast type or None); default
+    mirrors the reference's order-document extraction.
+    """
+    fields = fields or {
+        "order_id": ("$.order_id", "int"),
+        "client_name": ("$.client_name", None),
+        "table_name": ("$.table_name", None),
+        "pizzas": ("$.pizzas", None),
+    }
+    parsed = df.withColumn("__env", F.from_json(F.col(value_col).cast("string"), LOGICAL_MSG_SCHEMA))
+    doc = from_base64_str(F.col("__env.message.content"))
+    return parsed.select(
+        F.col("__env.op").alias("op"),
+        F.col("__env.ts_ms").alias("ts_ms"),
+        F.col("__env.source.txId").alias("txId"),
+        *[json_value(doc, path, cast).alias(name) for name, (path, cast) in fields.items()],
+    )
