@@ -1,0 +1,71 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line with per-query
+wall seconds.
+
+Each query is fully materialized through the noop sink (count() would
+let Spark prune projections). The JVM/session warmup runs a trivial
+job first so query timings measure the plans, not interpreter startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import data_pipeline_evolution_batch_streaming_apache_flink_spark as eng
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scenario-parity pipeline + one representative of each
+# operator family that matters at scale. array_membership_join is excluded
+# by design: its scale path IS unnest_join (SURVEY §2.4 J2 -> J3 rewrite).
+BENCH_QUERIES = (
+    "enriched_orders",
+    "pricing_summary",
+    "region_revenue",
+    "unnest_join",
+    "asof_join",
+    "interval_join",
+    "changelog_compaction",
+    "debezium_pipeline",
+    "logical_decoding",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "text_analysis",
+    "token_histogram",
+)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = eng.get_spark("dpe-bench", cpus=cpus)
+    # warm up the JVM + parquet footer caches outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = suite.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "suite_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import word_shingles
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import dot, norm
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne: (a*h + b) stays < 2^62
 
@@ -40,7 +41,7 @@ def exact_dedup(df: DataFrame, keys: str | list[str], tiebreak: str) -> DataFram
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+    return fan_out(df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh")))
 
 
 def ngram_jaccard_pairs(
@@ -134,9 +135,8 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    sh = (
-        df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
-        .withColumn("__sig", minhash_signature_from_shingles("__sh", num_perm, seed))
+    sh = _shingled(df, id_col, text_col, n).withColumn(
+        "__sig", minhash_signature_from_shingles("__sh", num_perm, seed)
     )
     banded = sh.select(
         "__id",
@@ -194,13 +194,20 @@ def embedding_cosine_pairs(
     Brute-force O(n^2/2) — the correctness baseline. At scale use the
     LSH-bucketed variant (operators/similarity.bucketed_cosine_pairs) which
     only compares within hyperplane-hash buckets.
+
+    Norms are computed ONCE per vector before the pair join (bit-identical
+    to per-pair norms — same fold, same operands — at 1/3 the flops), and
+    the left side is fanned out so pair scoring uses every core.
     Returns (id_a, id_b, cos) with id_a < id_b, round(cos,6) >= threshold.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
+        "__n", norm("__v")
+    )
+    a = fan_out(v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")))
+    b = F.broadcast(v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine("__va", "__vb"), 6))
+        .withColumn("cos", F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -251,7 +258,9 @@ def simhash_pairs(
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for exact pigeonhole blocking")
     seg = nbits // bands
-    sh = df.select(F.col(id_col).alias("__id"), simhash_bits(text_col, nbits).alias("__bits"))
+    sh = fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
+        "__id", simhash_bits("__t", nbits).alias("__bits")
+    )
     blocked = sh.select(
         "__id",
         "__bits",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot, norm
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 
 def cosine_topk(
@@ -33,13 +34,20 @@ def cosine_topk(
 
     Broadcast the (small) query side against the corpus so the corpus is
     scanned once with no shuffle; ranking shuffles only (query_id, k) rows.
-    Scores are rounded to 6 decimals with corpus-id tiebreak so ranking is
-    reproducible across engines. Returns (query_id, corpus_id, cos, rank).
+    Norms are precomputed once per side (bit-identical to per-pair norms,
+    1/3 the flops). Scores are rounded to 6 decimals with corpus-id
+    tiebreak so ranking is reproducible across engines.
+    Returns (query_id, corpus_id, cos, rank).
     """
-    q = F.broadcast(queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")))
-    c = corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv"))
+    q = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv"))
+        .withColumn("__qn", norm("__qv"))
+    )
+    c = fan_out(corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv"))).withColumn(
+        "__cn", norm("__cv")
+    )
     scored = q.join(c, F.lit(True) if include_self else F.col("qid") != F.col("cid"))
-    scored = scored.withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+    scored = scored.withColumn("cos", F.round(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), 6))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -133,12 +141,11 @@ def bucketed_cosine_pairs(
         planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
         sig = None
         for i, p in enumerate(planes):
-            bit = (dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) > 0).cast("int") * (2 ** i)
+            bit = (dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int") * (2 ** i)
             sig = bit if sig is None else sig + bit
         tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-    hashed = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        F.explode(F.array(*tables)).alias("__h"),
+    hashed = fan_out(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))).select(
+        "__id", "__v", F.explode(F.array(*tables)).alias("__h")
     ).select("__id", "__v", "__h.tbl", "__h.bucket")
     cand = (
         hashed.alias("x")

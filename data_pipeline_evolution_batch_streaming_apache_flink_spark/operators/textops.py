@@ -8,11 +8,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 
 def analyze_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One-pass text profile: token counts, language ID, quality score,
-    rolling-hash fingerprint. All codegen'd scalar expressions."""
+    rolling-hash fingerprint. All codegen'd scalar expressions; input is
+    fanned out so the per-char fingerprint fold uses every core."""
+    df = fan_out(df)
     return df.select(
         F.col(id_col),
         TXT.token_count(text_col).alias("n_tokens"),

@@ -1,0 +1,669 @@
+"""Driver-facing query suite: one entry per implemented operator family
+(SURVEY.md §2), each with a DuckDB-oracle SQL twin.
+
+Every query is a callable ``(spark, sf_dir) -> DataFrame`` over the
+driver's parquet tables (region nation customer supplier part orders
+lineitem events documents embeddings). The matching ``ORACLE[name]`` is
+ANSI-ish SQL DuckDB runs on the same files; the driver hash-compares
+values with columns sorted by name, so both sides alias every computed
+column identically.
+
+Cross-engine determinism rules used throughout (verified empirically):
+
+- money/double aggregates: ``sum(cast(floor(x*100) as bigint))`` — the
+  double multiply+floor is identical IEEE arithmetic in both engines and
+  the bigint sum is exact, so hashes match bit-for-bit. (Raw double sums
+  are shuffle-order-dependent; decimal casts differ in rounding mode.)
+- double -> int casts always go through ``floor`` (DuckDB CAST rounds,
+  Spark truncates).
+- JSON aggregation arrays are sorted (SURVEY §7.3 item 5) and the oracle
+  rebuilds the exact byte layout with ``string_agg(json_object(...)
+  ORDER BY ...)``.
+- vector math is a left-to-right double fold on both sides (functions/
+  vectors.py ||| list_reduce(list_prepend(0.0, ...))) — bit-identical.
+- similarity scores are rounded to 6dp before thresholding/ranking on
+  both sides so order is reproducible.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import data_pipeline_evolution_batch_streaming_apache_flink_spark.functions as FN
+from data_pipeline_evolution_batch_streaming_apache_flink_spark import tune_for_oracle
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import (
+    asof_join,
+    interval_join,
+    lookup_join,
+    unnest_join,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_image_features,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import (
+    bucketed_cosine_pairs,
+    cosine_topk,
+    ivf_cosine_topk,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, token_histogram
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium, decode_logical_message
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    tune_for_oracle(spark)
+    return {n: read_parquet(spark, f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def _cents(col: str) -> F.Column:
+    """Exact cross-engine money aggregate unit: floor(x*100) as bigint."""
+    return F.floor(F.col(col) * 100).cast("bigint")
+
+
+def _millis(col: str) -> F.Column:
+    """unix_millis tolerant of TIMESTAMP_NTZ inputs (parquet micros
+    without tz): cast through session-UTC TIMESTAMP first."""
+    return F.unix_millis(F.col(col).cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# Relational / scenario-parity queries (SURVEY §2.2-§2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 multi-key hash agg with partial (map-side) combine — TPC-H Q1 shape."""
+    t = load_tables(spark, sf, ("lineitem",))
+    li = t["lineitem"].filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+        F.sum(
+            F.floor((F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) * 100).cast("bigint")
+        ).alias("sum_disc_cents"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_enriched_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship scenario-1 analogue (reference flink-applications/
+    01-basic-jdbc.json:30): array build -> UNNEST join (J3, multiset) ->
+    multi-way equi-join (J1) -> hourly-ceil time window (P3/T2) ->
+    group-by + JSON array aggregation (A1-A3)."""
+    t = load_tables(spark, sf, ("lineitem", "part", "orders", "customer"))
+    now = F.lit("2000-01-01 00:30:00").cast("timestamp")
+    hi = FN.ceil_to_hour(now)
+    lo = hi - F.expr("INTERVAL 4 YEARS")
+    order_parts = t["lineitem"].groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("partkeys"))
+    exploded = unnest_join(
+        order_parts, t["part"].select("p_partkey", "p_name", "p_retailprice"), "partkeys", "p_partkey"
+    )
+    j = (
+        exploded.join(t["orders"], exploded["l_orderkey"] == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter((F.col("o_orderdate") > lo) & (F.col("o_orderdate") <= hi))
+    )
+    item = FN.json_object(part=F.col("p_name"), price=F.floor("p_retailprice").cast("int"))
+    return j.groupBy(
+        F.col("o_orderkey").alias("order_id"), F.col("c_name").alias("client_name")
+    ).agg(FN.json_arrayagg(item).alias("parts"))
+
+
+def q_view_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Scenario-2 shape (P1 aliasing + P3 range filter + P6 cast)."""
+    t = load_tables(spark, sf, ("orders",))
+    return t["orders"].filter(
+        (F.col("o_orderdate") > F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1998-01-01").cast("timestamp"))
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.floor("o_totalprice").cast("int").alias("total_int"),
+        F.col("o_orderpriority").cast("string").alias("priority"),
+    )
+
+
+def q_time_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """T1-T6: ceil-to-hour, trunc, hour extract, interval arithmetic,
+    epoch-millis round trip."""
+    t = load_tables(spark, sf, ("events",))
+    return t["events"].select(
+        "event_id",
+        FN.ceil_to_hour("ts").alias("ts_ceil"),
+        FN.floor_to_hour("ts").alias("ts_floor"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts_minus_1h"),
+        FN.to_timestamp_ltz_millis(_millis("ts")).alias("ts_ms_roundtrip"),
+    )
+
+
+def q_hourly_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A5/W4: tumbling-hour session counts (scripts/datagen.py analogue)."""
+    t = load_tables(spark, sf, ("events",))
+    return t["events"].groupBy(
+        FN.floor_to_hour("ts").alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n_events"))
+
+
+def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: multi-way equi-join chain region-nation-customer-orders + agg."""
+    t = load_tables(spark, sf, ("region", "nation", "customer", "orders"))
+    j = (
+        t["region"]
+        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+def q_supplier_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """J1 over the supplier dimension path."""
+    t = load_tables(spark, sf, ("region", "nation", "supplier"))
+    j = (
+        t["region"]
+        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t["supplier"], F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(_cents("s_acctbal")).alias("acctbal_cents"),
+    )
+
+
+def q_array_membership_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J2: PG ``id = ANY(array)`` theta-join semantics (set membership)."""
+    t = load_tables(spark, sf, ("lineitem", "part"))
+    sets_ = t["lineitem"].groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("partkeys"))
+    j = sets_.join(F.broadcast(t["part"]), F.expr("array_contains(partkeys, p_partkey)"))
+    return j.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.count("*").alias("n_parts"),
+        F.sum(_cents("p_retailprice")).alias("parts_cents"),
+    )
+
+
+def q_unnest_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J3: CROSS JOIN UNNEST, multiset-preserving (duplicate elements kept)."""
+    t = load_tables(spark, sf, ("lineitem", "part"))
+    lists_ = t["lineitem"].groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("partkeys"))
+    j = unnest_join(lists_, t["part"].select("p_partkey", "p_retailprice"), "partkeys", "p_partkey")
+    return j.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.count("*").alias("n_items"),
+        F.sum(_cents("p_retailprice")).alias("items_cents"),
+    )
+
+
+def q_lookup_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J4: processing-time lookup join (stream-static in streaming; the
+    batch twin is the same plan). proctime column excluded — wall-clock
+    is not oracle-comparable."""
+    t = load_tables(spark, sf, ("events", "customer"))
+    j = lookup_join(
+        t["events"],
+        F.broadcast(t["customer"].select("c_custkey", "c_name", "c_mktsegment")),
+        on=F.col("user_id") == F.col("c_custkey"),
+        proctime_col=None,
+    )
+    return j.select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J5: event-time AS-OF join — each order joined to the latest
+    same-customer order version at-or-before its date (self-temporal)."""
+    t = load_tables(spark, sf, ("orders",))
+    dim = t["orders"].select("o_custkey", "o_orderdate", "o_totalprice")
+    fact = t["orders"].select("o_orderkey", "o_custkey", "o_orderdate")
+    res = asof_join(fact, dim, key="o_custkey", fact_ts="o_orderdate", dim_ts="o_orderdate")
+    return res.select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.col("o_totalprice").alias("asof_price")
+    )
+
+
+def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """J6: event-time interval join — clicks within ±5 min of each error."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"]
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("click_ts"))
+    j = interval_join(err, clk, "user_id", "err_ts", "click_ts", "5 MINUTES", "5 MINUTES")
+    return j.groupBy("err_id").agg(F.count("*").alias("n_clicks"))
+
+
+def q_changelog_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """W5/S7 core: compact a changelog to latest-row-per-key (events as a
+    keyed changelog ordered by ts, event_id)."""
+    t = load_tables(spark, sf, ("events",))
+    return latest_per_key(t["events"], "user_id", ["ts", "event_id"])
+
+
+def q_debezium_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """S4+W5+T5 end-to-end: synthesize Debezium-JSON change events from the
+    events table, decode the envelope (after/before images, op, source
+    metadata), then apply tombstone-aware upsert compaction."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"]
+    row = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.floor("value").cast("int").alias("val"),
+    )
+    op = (
+        F.when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "signup", "c")
+        .otherwise("u")
+    )
+    env = F.to_json(
+        F.struct(
+            F.when(op == "d", row).alias("before"),
+            F.when(op != "d", row).alias("after"),
+            F.struct(
+                _millis("ts").alias("ts_ms"),
+                F.col("event_id").alias("txId"),
+                F.col("event_id").alias("lsn"),
+            ).alias("source"),
+            op.alias("op"),
+            _millis("ts").alias("ts_ms"),
+        )
+    )
+    raw = ev.select(env.alias("value"))
+    decoded = decode_debezium(raw, "event_id bigint, user_id bigint, event_type string, val int")
+    return latest_per_key(decoded, "user_id", ["ts_ms", "event_id"], op_col="op")
+
+
+def q_logical_decoding(spark: SparkSession, sf: str) -> DataFrame:
+    """Scenario 5 (S5+F1-F4): logical-decoding message envelope with
+    base64 JSON payload, decoded via FROM_BASE64 + JSON_VALUE chain."""
+    t = load_tables(spark, sf, ("orders", "customer"))
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("c_name").alias("client_name"),
+            F.floor("o_totalprice").cast("int").alias("total"),
+        )
+    )
+    env = F.to_json(
+        F.struct(
+            F.lit("m").alias("op"),
+            _millis("o_orderdate").alias("ts_ms"),
+            F.struct(
+                _millis("o_orderdate").alias("ts_ms"),
+                F.col("o_orderkey").alias("txId"),
+                F.col("o_orderkey").alias("lsn"),
+            ).alias("source"),
+            F.struct(F.lit("order").alias("prefix"), F.base64(doc.cast("binary")).alias("content")).alias("message"),
+        )
+    )
+    raw = j.select(env.alias("value"))
+    return decode_logical_message(
+        raw,
+        fields={
+            "order_id": ("$.order_id", "int"),
+            "client_name": ("$.client_name", None),
+            "total": ("$.total", "int"),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("documents",))
+    return exact_dedup(t["documents"], "text", "doc_id")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("documents",))
+    return ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracle note: with bands=64 x rows=2 the candidate-miss probability
+    at jaccard>=0.5 is (1-0.25)^64 ≈ 1e-8, and every candidate is verified
+    with exact Jaccard — so the exact-Jaccard SQL is a valid oracle."""
+    t = load_tables(spark, sf, ("documents",))
+    return minhash_lsh_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("documents",))
+    return simhash_pairs(t["documents"], "doc_id", "text", nbits=32, max_hamming=3, bands=4)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("embeddings",))
+    return embedding_cosine_pairs(t["embeddings"], "vec_id", "embedding", threshold=0.45)
+
+
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("embeddings",))
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return cosine_topk(queries, t["embeddings"], "vec_id", "vec_id", k=5)
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate (IVF probes a subset of cells) — rows-only check."""
+    t = load_tables(spark, sf, ("embeddings",))
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return ivf_cosine_topk(queries, t["embeddings"], "vec_id", "vec_id", k=5, n_cells=8, n_probe=2)
+
+
+def q_similarity_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate recall (hyperplane LSH) — rows-only check."""
+    t = load_tables(spark, sf, ("embeddings",))
+    return bucketed_cosine_pairs(t["embeddings"], "vec_id", "embedding", threshold=0.45)
+
+
+def q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("documents",))
+    return analyze_documents(t["documents"])
+
+
+def q_token_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, ("documents",))
+    return token_histogram(t["documents"], top_n=20)
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing with the deterministic fake decoder (real
+    codecs stubbed; see operators/multimodal.py). The fake decoder is a
+    pure function of payload length, so it has an exact SQL oracle."""
+    t = load_tables(spark, sf, ("documents",))
+    with_payload = attach_binary_payload(t["documents"], "text")
+    return extract_image_features(with_payload)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "enriched_orders": q_enriched_orders,
+    "view_projection": q_view_projection,
+    "time_functions": q_time_functions,
+    "hourly_counts": q_hourly_counts,
+    "region_revenue": q_region_revenue,
+    "supplier_stats": q_supplier_stats,
+    "array_membership_join": q_array_membership_join,
+    "unnest_join": q_unnest_join,
+    "lookup_join": q_lookup_join,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "changelog_compaction": q_changelog_compaction,
+    "debezium_pipeline": q_debezium_pipeline,
+    "logical_decoding": q_logical_decoding,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "similarity_topk": q_similarity_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_lsh_pairs": q_similarity_lsh_pairs,
+    "text_analysis": q_text_analysis,
+    "token_histogram": q_token_histogram,
+    "multimodal_features": q_multimodal_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL twins
+# ---------------------------------------------------------------------------
+
+_SHINGLE_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {nm1}, 1) + 1),
+                                      i -> array_to_string(list_slice(toks, i, i + {nm1}), ' '))) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+),
+inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, count(*) AS shared
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(shared / (sa + sb - shared), 6) AS jaccard
+FROM pairs WHERE round(shared / (sa + sb - shared), 6) >= {threshold}
+"""
+
+_COSINE_CTE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])), (x, y) -> x + y))),
+      6) AS cos
+  FROM v a JOIN v b ON {join_cond}
+)
+"""
+
+_LANG_SCORE = "len(list_filter(toks, t -> list_contains({markers}, t)))"
+
+_LANG_STRUCTS = ", ".join(
+    "{'score': " + _LANG_SCORE.format(markers=str(list(TXT.LANG_MARKERS[lang]))) + ", 'lang': '" + lang + "'}"
+    for lang in sorted(TXT.LANG_MARKERS)
+)
+
+ORACLE: dict[str, str] = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "enriched_orders": """
+        WITH bounds AS (
+          SELECT CASE WHEN date_trunc('hour', t) = t THEN t
+                      ELSE date_trunc('hour', t) + INTERVAL 1 HOUR END AS hi
+          FROM (SELECT TIMESTAMP '2000-01-01 00:30:00' AS t)
+        ),
+        items AS (
+          SELECT o.o_orderkey AS order_id, c.c_name AS client_name,
+                 p.p_name AS part, CAST(floor(p.p_retailprice) AS INT) AS price
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey, bounds b
+          WHERE o.o_orderdate > b.hi - INTERVAL 4 YEAR AND o.o_orderdate <= b.hi
+        )
+        SELECT order_id, client_name,
+               '[' || string_agg(json_object('part', part, 'price', price)::VARCHAR, ',' ORDER BY part, price) || ']' AS parts
+        FROM items GROUP BY order_id, client_name
+    """,
+    "view_projection": """
+        SELECT o_orderkey AS order_id, o_orderstatus AS status,
+               CAST(floor(o_totalprice) AS INT) AS total_int,
+               o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderdate > TIMESTAMP '1997-01-01' AND o_orderdate <= TIMESTAMP '1998-01-01'
+    """,
+    "time_functions": """
+        SELECT event_id,
+               CASE WHEN date_trunc('hour', ts) = ts THEN ts
+                    ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS ts_ceil,
+               date_trunc('hour', ts) AS ts_floor,
+               CAST(hour(ts) AS INT) AS hour_of_day,
+               ts - INTERVAL 1 HOUR AS ts_minus_1h,
+               make_timestamp(epoch_ms(ts) * 1000) AS ts_ms_roundtrip
+        FROM events
+    """,
+    "hourly_counts": """
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "region_revenue": """
+        SELECT r_name AS region, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        GROUP BY r_name
+    """,
+    "supplier_stats": """
+        SELECT r_name AS region, count(*) AS n_suppliers,
+               CAST(sum(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN supplier ON n_nationkey = s_nationkey
+        GROUP BY r_name
+    """,
+    "array_membership_join": """
+        SELECT l_orderkey AS order_id, count(*) AS n_parts,
+               CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS parts_cents
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) d
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY l_orderkey
+    """,
+    "unnest_join": """
+        SELECT l_orderkey AS order_id, count(*) AS n_items,
+               CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS items_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_orderkey
+    """,
+    "lookup_join": """
+        SELECT event_id, user_id, event_type, c_name, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+    """,
+    "asof_join": """
+        WITH dim AS (
+          SELECT o_custkey AS k, o_orderdate AS t, max(o_totalprice) AS v
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT f.o_orderkey, f.o_custkey, f.o_orderdate, d.v AS asof_price
+        FROM orders f ASOF LEFT JOIN dim d
+          ON f.o_custkey = d.k AND f.o_orderdate >= d.t
+    """,
+    "interval_join": """
+        SELECT e.event_id AS err_id, count(*) AS n_clicks
+        FROM events e JOIN events c
+          ON e.user_id = c.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts + INTERVAL 5 MINUTE
+        GROUP BY 1
+    """,
+    "changelog_compaction": """
+        SELECT user_id, event_id, ts, event_type, value, props
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "debezium_pipeline": """
+        SELECT user_id, event_id, event_type, CAST(floor(value) AS INT) AS val,
+               op, ts_ms, txId, lsn, make_timestamp(ts_ms * 1000) AS event_time
+        FROM (
+          SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ts_ms,
+                 event_id AS txId, event_id AS lsn,
+                 CASE WHEN event_type = 'error' THEN 'd'
+                      WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op
+          FROM events
+          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+        ) WHERE op <> 'd'
+    """,
+    "logical_decoding": """
+        SELECT 'm' AS op, epoch_ms(o_orderdate) AS ts_ms, o_orderkey AS txId,
+               CAST(o_orderkey AS INT) AS order_id, c_name AS client_name,
+               CAST(floor(o_totalprice) AS INT) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "dedup_exact": """
+        SELECT text, doc_id, lang, source, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    "dedup_ngram_jaccard": _SHINGLE_JACCARD.format(nm1=2, threshold=0.3),
+    "dedup_minhash_lsh": _SHINGLE_JACCARD.format(nm1=2, threshold=0.5),
+    "dedup_simhash": r"""
+        WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        h AS (SELECT doc_id, list_transform(toks, t -> ('0x' || substring(md5(t), 1, 15))::BIGINT % 4294967296) AS hs FROM tok),
+        bits AS (
+          SELECT doc_id,
+                 list_transform(range(0, 32), j ->
+                   CASE WHEN list_sum(list_transform(hs, v -> ((v >> j) & 1) * 2 - 1)) > 0 THEN 1 ELSE 0 END) AS b
+          FROM h
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                 CAST(list_sum(list_transform(range(1, 33), i -> abs(x.b[i] - y.b[i]))) AS INT) AS hamming
+          FROM bits x JOIN bits y ON x.doc_id < y.doc_id
+        ) WHERE hamming <= 3
+    """,
+    "dedup_embedding_cosine": _COSINE_CTE.format(join_cond="a.vec_id < b.vec_id")
+    + "SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45",
+    "similarity_topk": _COSINE_CTE.format(join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id")
+    + """
+        SELECT id_a AS vec_id_q, id_b AS vec_id_c, cos, CAST(rank AS INT) AS rank FROM (
+          SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    "text_analysis": r"""
+        WITH tok AS (
+          SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, text, toks,
+                 len(toks) AS n_tok,
+                 len(list_distinct(toks)) AS n_dtok,
+                 list_aggregate([__LANG_STRUCTS__], 'max') AS best
+          FROM tok
+        )
+        SELECT doc_id,
+               CAST(n_tok AS INT) AS n_tokens,
+               CAST(n_dtok AS INT) AS n_distinct_tokens,
+               CAST(length(text) AS INT) AS n_chars_measured,
+               CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+               round(((CAST(n_dtok AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0)
+                      + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                      + least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)) / 3.0, 6) AS quality,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(string_split(text, ''), c -> CAST(coalesce(ascii(c), 0) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+        FROM scored
+    """.replace("[__LANG_STRUCTS__]", "[" + _LANG_STRUCTS + "]"),
+    "token_histogram": r"""
+        SELECT token, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+        ) GROUP BY token
+        ORDER BY freq DESC, token ASC
+        LIMIT 20
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+               CAST(64 + (octet_length(encode(text)) * 31) % 512 AS INT) AS height,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    # similarity_ivf_topk / similarity_lsh_pairs: approximate operators —
+    # intentionally no SQL oracle (driver records rows-only checks).
+}

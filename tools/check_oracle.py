@@ -1,0 +1,119 @@
+"""Local mirror of the driver's correctness harness.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it
+to its ``oracle_sql()`` twin on DuckDB: row count, column-name set, and
+an order-insensitive value hash (columns sorted by name, rows sorted by
+their canonical string form). Prints per-query MATCH / MISMATCH /
+ROWS_ONLY and exits non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+import data_pipeline_evolution_batch_streaming_apache_flink_spark as eng
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon_rows = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for r in canon_rows:
+        h.update(r.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = eng.get_spark("check-oracle", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name:28s} SPARK_ERROR {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:28s} ROWS_ONLY  rows={len(srows)}  ({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"{'':28s} ^ warning: 0 rows")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            print(f"{name:28s} ORACLE_ERROR {str(e).splitlines()[0][:160]}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rows spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sh, dh = table_hash(scols, srows), table_hash(dcols, drows)
+            if sh != dh:
+                sset = {tuple(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i])) for r in srows}
+                dset = {tuple(canon(r[i]) for i in sorted(range(len(dcols)), key=lambda i: dcols[i])) for r in drows}
+                ex_s = list(sset - dset)[:2]
+                ex_d = list(dset - sset)[:2]
+                problems.append(f"hash spark_only={ex_s} duck_only={ex_d}")
+        if problems:
+            print(f"{name:28s} MISMATCH   {'; '.join(problems)[:500]}")
+            failures += 1
+        else:
+            print(f"{name:28s} MATCH      rows={len(srows)}  ({time.time()-t0:.1f}s)")
+
+    print(f"\n{'FAIL' if failures else 'OK'}: {failures} failing")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
