@@ -1,0 +1,189 @@
+"""Stateful streaming operators (SURVEY §2.4 J5/J7, §2.8).
+
+Two constructs the reference needs that Structured Streaming lacks as
+built-ins:
+
+- :func:`streaming_asof_join` — the event-time temporal join of scenario 6
+  (``JOIN dim FOR SYSTEM_TIME AS OF fact.event_time ON key``, reference
+  flink-applications/06-flink-cdc-temporal-join.json:30). Versioned dim
+  state per key; facts buffer until the watermark passes their event time
+  (emission gated exactly like Flink's temporal join, README.md:526-534).
+- :func:`txid_complete_transactions` — the transaction-consistency pattern
+  described at reference README.md:547-559: hold CDC events keyed by
+  Debezium ``txId`` and release them only when the whole transaction has
+  arrived.
+
+Both are ``applyInPandasWithState`` operators: state lives in the state
+store (RocksDB/HDFS-backed at scale, partitioned by key — no driver
+state), compute is Arrow-batched. Everything else streaming-shaped
+(stream-static lookup joins, windowed aggs, watermarks, upsert sinks) is
+native Spark surface — see operators/joins.py, sinks/, tables.py.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _ms(v) -> int:
+    """pandas timestamp-ish -> epoch millis (truncating)."""
+    return pd.Timestamp(v).value // 1_000_000
+
+
+def streaming_asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    fact_ts: str,
+    dim_ts: str,
+    delay: str = "0 seconds",
+    how: str = "left",
+) -> DataFrame:
+    """Event-time AS-OF join on streaming inputs.
+
+    Semantics match the batch ``operators.joins.asof_join``: each fact row
+    joins the latest dim version with ``dim_ts <= fact_ts`` (inclusive) on
+    the same key. A fact emits only once the watermark passes its event
+    time — at that point no dim version at-or-before it can still arrive,
+    so results are final (append mode; no retractions needed).
+
+    Mechanics: both inputs are aligned onto one changelog, watermarked,
+    and grouped by key into ``applyInPandasWithState``. Per-key state is
+    (dim version list, pending fact list); an event-time timeout re-fires
+    idle keys so buffered facts drain when the watermark advances without
+    new data. Old versions are pruned to the single latest one at-or-below
+    the emission frontier, bounding state per key. The reference's
+    idle-source stall (README.md:526-544) applies: the union's watermark
+    is the min across inputs, so an idle input stalls emission — same
+    mitigation (heartbeats) as documented there. Rows arriving later than
+    the watermark are dropped by Spark before the operator (one-batch-lag
+    filter) — the reference's late-data semantics (W6, README.md:268-301).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dim_payload = [c for c in dim.columns if c not in keys and c != dim_ts]
+    fact_cols = list(fact.columns)
+
+    out_fields = [fact.schema[c] for c in fact_cols] + [
+        T.StructField(c, dim.schema[c].dataType, True) for c in dim_payload
+    ]
+    out_schema = T.StructType(out_fields)
+
+    f_side = fact.select(
+        *keys,
+        F.col(fact_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__is_fact"),
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
+        *[F.lit(None).cast(dim.schema[c].dataType).alias(f"__d_{c}") for c in dim_payload],
+    )
+    d_side = dim.select(
+        *keys,
+        F.col(dim_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__is_fact"),
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
+        *[F.col(c).alias(f"__d_{c}") for c in dim_payload],
+    )
+    unioned = f_side.unionByName(d_side).withWatermark("__ts", delay)
+
+    n_fact = len(fact_cols)
+    inner = how == "inner"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        dims, facts = pickle.loads(state.get[0]) if state.exists else ([], [])
+        for pdf in pdfs:
+            for d in pdf.to_dict(orient="records"):
+                ts_ms = _ms(d["__ts"])
+                if d["__is_fact"] == 1:
+                    facts.append((ts_ms, tuple(d[f"__f_{c}"] for c in fact_cols)))
+                else:
+                    dims.append((ts_ms, tuple(d[f"__d_{c}"] for c in dim_payload)))
+        wm = state.getCurrentWatermarkMs()
+        dims.sort(key=lambda x: x[0])
+        ready = [fx for fx in facts if fx[0] <= wm]
+        pending = [fx for fx in facts if fx[0] > wm]
+
+        out_rows = []
+        for fts, fvals in sorted(ready, key=lambda x: x[0]):
+            version = None
+            for dts, dvals in dims:
+                if dts <= fts:
+                    version = dvals
+                else:
+                    break
+            if version is None:
+                if inner:
+                    continue
+                version = tuple(None for _ in dim_payload)
+            out_rows.append(fvals + version)
+
+        # prune: keep the latest version at-or-below the frontier plus all
+        # newer ones — older versions can never match a future fact.
+        frontier = min([wm] + [fx[0] for fx in pending])
+        older = [i for i, (dts, _) in enumerate(dims) if dts <= frontier]
+        if len(older) > 1:
+            dims = dims[older[-1]:]
+
+        if pending or dims:
+            state.update((pickle.dumps((dims, pending)),))
+            if pending:
+                state.setTimeoutTimestamp(max(min(fx[0] for fx in pending), wm + 1))
+        else:
+            state.remove()
+
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=fact_cols + dim_payload)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, "state binary", "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def txid_complete_transactions(
+    df: DataFrame,
+    txid_col: str = "txId",
+    count_col: str = "event_count",
+    timeout: str | None = "10 minutes",
+) -> DataFrame:
+    """Release rows only when their whole transaction has arrived
+    (reference README.md:547-559: group CDC events by Debezium txId +
+    expected event count, emit complete transactions atomically).
+
+    Keyed by ``txid_col``; every row carries the transaction's expected
+    size in ``count_col``. Incomplete transactions are discarded after
+    ``timeout`` processing time (None = keep waiting forever — unbounded
+    state, the reference's own "possibly large state" caveat).
+    """
+    out_schema = df.schema
+    cols = list(df.columns)
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pickle.loads(state.get[0]) if state.exists else []
+        expected = None
+        for pdf in pdfs:
+            for d in pdf.to_dict(orient="records"):
+                expected = d[count_col]
+                rows.append(tuple(d[c] for c in cols))
+        if expected is None and rows:
+            expected = rows[0][cols.index(count_col)]
+        if expected is not None and len(rows) >= expected:
+            state.remove()
+            yield pd.DataFrame(rows, columns=cols)
+        else:
+            state.update((pickle.dumps(rows),))
+            if timeout:
+                state.setTimeoutDuration(timeout)
+
+    return df.groupBy(txid_col).applyInPandasWithState(
+        fn, out_schema, "state binary", "append", timeout_conf
+    )

@@ -1,0 +1,240 @@
+"""Streaming-construct tests (SURVEY §2.8, §2.4 J5/J7 streaming).
+
+Strategy per SURVEY §5: file-fed change-event fixtures replayed with
+maxFilesPerTrigger=1 + availableNow, so watermarks advance across real
+micro-batches; final sink state is compared against the batch oracle
+computed from the same rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import asof_join, lookup_join
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import ParquetUpsertSink
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import (
+    streaming_asof_join,
+    txid_complete_transactions,
+)
+
+
+def _write_batches(dirpath: str, batches: list[list[dict]]) -> None:
+    """One file per intended micro-batch, with strictly increasing mtimes:
+    the file source orders by modification time, and same-second ties make
+    later-written files (with later event times) process first — which
+    turns earlier files into late data the watermark then drops."""
+    os.makedirs(dirpath, exist_ok=True)
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = os.path.join(dirpath, f"batch_{i:03d}.json")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def _run_available_now(stream_df, tmp_path, name):
+    out_dir = str(tmp_path / f"{name}_out")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return out_dir
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Scenario-6 core: streaming temporal join == batch as-of join on the
+    same changelog (the batch 'view' is the golden oracle, SURVEY §5)."""
+    dim_rows = [
+        {"k": 1, "dts": "2024-01-01 10:00:00", "price": 5},
+        {"k": 1, "dts": "2024-01-01 10:02:00", "price": 7},
+        {"k": 2, "dts": "2024-01-01 10:01:00", "price": 9},
+    ]
+    fact_rows = [
+        {"k": 1, "fid": 100, "fts": "2024-01-01 10:00:30"},  # -> price 5
+        {"k": 1, "fid": 101, "fts": "2024-01-01 10:02:00"},  # inclusive -> 7
+        {"k": 2, "fid": 102, "fts": "2024-01-01 10:00:30"},  # before any dim -> null
+        {"k": 2, "fid": 103, "fts": "2024-01-01 10:03:00"},  # -> 9
+        {"k": 3, "fid": 104, "fts": "2024-01-01 10:01:00"},  # keyless dim -> null
+    ]
+    heartbeat = {"k": 99, "fid": 999, "fts": "2024-01-01 12:00:00"}
+
+    dim_dir = str(tmp_path / "dim_in")
+    fact_dir = str(tmp_path / "fact_in")
+    # interleave across files so several micro-batches run
+    _write_batches(dim_dir, [dim_rows[:1], dim_rows[1:]])
+    _write_batches(fact_dir, [fact_rows[:2], fact_rows[2:], [heartbeat]])
+
+    dim_stream = json_file_stream(spark, dim_dir, "k int, dts timestamp, price int")
+    fact_stream = json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp")
+
+    joined = streaming_asof_join(
+        fact_stream, dim_stream, key="k", fact_ts="fts", dim_ts="dts", how="left"
+    )
+    out_dir = _run_available_now(joined, tmp_path, "asof")
+    got = {
+        (r["fid"], r["price"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["fid"] != 999
+    }
+
+    dim_b = spark.createDataFrame(
+        [(r["k"], r["dts"], r["price"]) for r in dim_rows], "k int, dts string, price int"
+    ).withColumn("dts", F.to_timestamp("dts"))
+    fact_b = spark.createDataFrame(
+        [(r["k"], r["fid"], r["fts"]) for r in fact_rows], "k int, fid int, fts string"
+    ).withColumn("fts", F.to_timestamp("fts"))
+    expected = {
+        (r["fid"], r["price"])
+        for r in asof_join(fact_b, dim_b, key="k", fact_ts="fts", dim_ts="dts", how="left")
+        .select("fid", "price")
+        .collect()
+    }
+    assert got == expected
+    assert got == {(100, 5), (101, 7), (102, None), (103, 9), (104, None)}
+
+
+def test_streaming_asof_inner_drops_unmatched(spark, tmp_path):
+    dim_dir = str(tmp_path / "d2")
+    fact_dir = str(tmp_path / "f2")
+    _write_batches(dim_dir, [[{"k": 1, "dts": "2024-01-01 10:00:00", "price": 5}]])
+    _write_batches(
+        fact_dir,
+        [
+            [{"k": 1, "fid": 1, "fts": "2024-01-01 09:59:00"}],
+            [{"k": 1, "fid": 2, "fts": "2024-01-01 10:30:00"}],
+            [{"k": 9, "fid": 99, "fts": "2024-01-01 12:00:00"}],  # heartbeat
+        ],
+    )
+    joined = streaming_asof_join(
+        json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp"),
+        json_file_stream(spark, dim_dir, "k int, dts timestamp, price int"),
+        key="k", fact_ts="fts", dim_ts="dts", how="inner",
+    )
+    out_dir = _run_available_now(joined, tmp_path, "asof_inner")
+    got = {(r["fid"], r["price"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(2, 5)}  # fid 1 precedes all versions; 99 unmatched+inner
+
+
+def test_txid_complete_transactions(spark, tmp_path):
+    """J7: only transactions whose full event set arrived are released."""
+    in_dir = str(tmp_path / "tx_in")
+    _write_batches(
+        in_dir,
+        [
+            [
+                {"txId": 1, "event_count": 2, "payload": "a"},
+                {"txId": 2, "event_count": 2, "payload": "x"},
+            ],
+            [{"txId": 1, "event_count": 2, "payload": "b"}],
+            # txId 2's second event never arrives
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "txId long, event_count long, payload string")
+    gated = txid_complete_transactions(stream, "txId", "event_count", timeout=None)
+    out_dir = _run_available_now(gated, tmp_path, "txid")
+    got = {(r["txId"], r["payload"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "a"), (1, "b")}
+
+
+def test_stream_static_lookup_join(spark, tmp_path):
+    """J4: stream-static join = per-micro-batch lookup of current state."""
+    in_dir = str(tmp_path / "lk_in")
+    _write_batches(
+        in_dir,
+        [
+            [{"order_id": 1, "client_id": 10}],
+            [{"order_id": 2, "client_id": 20}, {"order_id": 3, "client_id": 99}],
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "order_id int, client_id int")
+    clients = spark.createDataFrame([(10, "ann"), (20, "bob")], "client_id int, client_name string")
+    joined = lookup_join(stream, clients, on="client_id", how="inner", proctime_col=None)
+    out_dir = _run_available_now(joined, tmp_path, "lookup")
+    got = {(r["order_id"], r["client_name"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "ann"), (2, "bob")}  # 99 has no current version
+
+
+def test_streaming_upsert_sink_with_cdc(spark, tmp_path):
+    """Scenario 4 end-to-end: Debezium envelopes -> decode -> upsert sink;
+    final state = latest per key with tombstones applied (W5/S7)."""
+    def env(op, eid, key, name, ts_ms):
+        img = {"id": key, "name": name, "seq": eid}
+        return {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "op": op,
+            "ts_ms": ts_ms,
+            "source": {"ts_ms": ts_ms, "txId": eid, "lsn": eid},
+        }
+
+    in_dir = str(tmp_path / "cdc_in")
+    _write_batches(
+        in_dir,
+        [
+            [env("c", 1, 1, "one", 1000), env("c", 2, 2, "two", 1000)],
+            [env("u", 3, 1, "one-v2", 2000), env("c", 4, 3, "three", 2000)],
+            [env("d", 5, 2, "two", 3000)],
+        ],
+    )
+    img = "struct<id:int, name:string, seq:long>"
+    stream = json_file_stream(
+        spark, in_dir,
+        f"before {img}, after {img}, op string, ts_ms long, source struct<ts_ms:long, txId:long, lsn:long>",
+    )
+    # re-serialize to a raw value column so the real decoder runs end-to-end
+    raw = stream.select(F.to_json(F.struct("*")).alias("value"))
+
+    decoded = decode_debezium(raw, "id int, name string, seq long")
+
+    sink = ParquetUpsertSink(str(tmp_path / "sink_data"), keys="id", order_by=["ts_ms", "seq"], op_col="op")
+    q = (
+        decoded.writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "sink_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    state = {(r["id"], r["name"]) for r in sink.current_state(spark).select("id", "name").collect()}
+    assert state == {(1, "one-v2"), (3, "three")}  # key 2 tombstoned
+
+
+def test_streaming_hourly_counts_watermarked(spark, tmp_path):
+    """W1/W4/A5: watermarked tumbling-window count in append mode."""
+    in_dir = str(tmp_path / "win_in")
+    _write_batches(
+        in_dir,
+        [
+            [
+                {"user": "u1", "ts": "2024-01-01 10:05:00"},
+                {"user": "u1", "ts": "2024-01-01 10:55:00"},
+                {"user": "u2", "ts": "2024-01-01 10:30:00"},
+            ],
+            [{"user": "u1", "ts": "2024-01-01 12:10:00"}],  # advances watermark past hour 10
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "user string, ts timestamp")
+    counts = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("user"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour"), "user", "n")
+    )
+    out_dir = _run_available_now(counts, tmp_path, "win")
+    got = {(str(r["hour"]), r["user"], r["n"]) for r in spark.read.parquet(out_dir).collect()}
+    assert ("2024-01-01 10:00:00", "u1", 2) in got
+    assert ("2024-01-01 10:00:00", "u2", 1) in got
