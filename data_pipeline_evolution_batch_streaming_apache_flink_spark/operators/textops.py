@@ -31,7 +31,8 @@ def token_histogram(df: DataFrame, text_col: str = "text", top_n: int | None = N
     """Corpus-wide token frequency (explode + count; one shuffle with
     map-side combine). ``top_n`` limits output after ranking."""
     counts = (
-        df.select(F.explode(TXT.tokens(text_col)).alias("token"))
+        fan_out(df.select(F.col(text_col)))
+        .select(F.explode(TXT.tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )

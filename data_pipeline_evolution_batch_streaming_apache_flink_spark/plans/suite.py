@@ -59,6 +59,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
     ivf_cosine_topk,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, token_histogram
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium, decode_logical_message
 
@@ -111,7 +112,11 @@ def q_enriched_orders(spark: SparkSession, sf: str) -> DataFrame:
     now = F.lit("2000-01-01 00:30:00").cast("timestamp")
     hi = FN.ceil_to_hour(now)
     lo = hi - F.expr("INTERVAL 4 YEARS")
-    order_parts = t["lineitem"].groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("partkeys"))
+    order_parts = (
+        fan_out(t["lineitem"].select("l_orderkey", "l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("partkeys"))
+    )
     exploded = unnest_join(
         order_parts, t["part"].select("p_partkey", "p_name", "p_retailprice"), "partkeys", "p_partkey"
     )
@@ -263,7 +268,7 @@ def q_debezium_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     events table, decode the envelope (after/before images, op, source
     metadata), then apply tombstone-aware upsert compaction."""
     t = load_tables(spark, sf, ("events",))
-    ev = t["events"]
+    ev = fan_out(t["events"])  # JSON envelope build is compute-heavy: parallelize before projecting
     row = F.struct(
         F.col("event_id"), F.col("user_id"), F.col("event_type"),
         F.floor("value").cast("int").alias("val"),
@@ -295,7 +300,9 @@ def q_logical_decoding(spark: SparkSession, sf: str) -> DataFrame:
     """Scenario 5 (S5+F1-F4): logical-decoding message envelope with
     base64 JSON payload, decoded via FROM_BASE64 + JSON_VALUE chain."""
     t = load_tables(spark, sf, ("orders", "customer"))
-    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    # broadcast keeps the join at the orders scan's partitioning (1 for a
+    # single-row-group file) — fan out so envelope encode/decode is parallel
+    j = fan_out(t["orders"]).join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
     doc = F.to_json(
         F.struct(
             F.col("o_orderkey").alias("order_id"),
