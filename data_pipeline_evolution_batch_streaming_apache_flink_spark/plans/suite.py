@@ -333,6 +333,85 @@ def q_logical_decoding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_app_sql_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §3.1 lifecycle: an ApplicationSpec {sources, statement}
+    through the SQL entry point (temp views -> spark.sql via Catalyst) —
+    the engine-level mirror of the reference's app JSON
+    (flink-applications/01-basic-jdbc.json:2-30)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.app import ApplicationSpec, run_application
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.tables import TableSpec
+
+    t = load_tables(spark, sf, ("orders", "customer"))
+    spec = ApplicationSpec(
+        sources=[TableSpec(name="orders"), TableSpec(name="customer")],
+        statement="""
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_orders,
+                   sum(cast(floor(o_totalprice * 100) as bigint)) AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderpriority
+        """,
+    )
+    return run_application(spark, spec, dataframes=t)
+
+
+def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """ORDER BY + LIMIT (§2.7 exposed surface): global top-k via Spark's
+    TakeOrderedAndProject — no full sort materializes at any scale."""
+    t = load_tables(spark, sf, ("orders",))
+    return (
+        t["orders"]
+        .select("o_orderkey", _cents("o_totalprice").alias("price_cents"))
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (§2.7 exposed surface) over the
+    nation keys present in the customer vs supplier dimensions."""
+    t = load_tables(spark, sf, ("customer", "supplier"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("side", F.lit("both"))
+    c_only = c.subtract(s).withColumn("side", F.lit("customer_only"))  # EXCEPT (distinct)
+    s_only = s.subtract(c).withColumn("side", F.lit("supplier_only"))
+    return both.unionAll(c_only).unionAll(s_only)
+
+
+def q_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins (§2.4 exposed surface): customers with
+    at least one order vs customers with none, tagged in one relation."""
+    t = load_tables(spark, sf, ("customer", "orders"))
+    orders = t["orders"].select(F.col("o_custkey"))
+    cust = t["customer"].select("c_custkey", "c_name")
+    with_orders = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+    without = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+    return with_orders.withColumn("has_order", F.lit(1)).unionAll(
+        without.withColumn("has_order", F.lit(0))
+    )
+
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """OVER() analytic window (§2.7 exposed surface; the as-of join uses
+    the same machinery internally): top-3 orders per customer."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf, ("orders",))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey", "o_orderkey", _cents("o_totalprice").alias("price_cents"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text / multimodal)
 # ---------------------------------------------------------------------------
@@ -419,6 +498,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changelog_compaction": q_changelog_compaction,
     "debezium_pipeline": q_debezium_pipeline,
     "logical_decoding": q_logical_decoding,
+    "app_sql_pipeline": q_app_sql_pipeline,
+    "top_orders": q_top_orders,
+    "set_ops": q_set_ops,
+    "semi_anti_join": q_semi_anti_join,
+    "window_rank": q_window_rank,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -600,6 +684,50 @@ ORACLE: dict[str, str] = {
                CAST(o_orderkey AS INT) AS order_id, c_name AS client_name,
                CAST(floor(o_totalprice) AS INT) AS total
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "app_sql_pipeline": """
+        SELECT o_orderpriority AS priority, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+    """,
+    "top_orders": """
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+        ORDER BY price_cents DESC, o_orderkey ASC
+        LIMIT 25
+    """,
+    "set_ops": """
+        SELECT nationkey, 'both' AS side FROM
+          (SELECT c_nationkey AS nationkey FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'customer_only' AS side FROM
+          (SELECT c_nationkey AS nationkey FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT nationkey, 'supplier_only' AS side FROM
+          (SELECT s_nationkey AS nationkey FROM supplier
+           EXCEPT SELECT c_nationkey FROM customer)
+    """,
+    "semi_anti_join": """
+        SELECT c_custkey, c_name, 1 AS has_order FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey, c_name, 0 AS has_order FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "window_rank": """
+        SELECT o_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
     """,
     "dedup_exact": """
         SELECT text, doc_id, lang, source, n_chars FROM documents
