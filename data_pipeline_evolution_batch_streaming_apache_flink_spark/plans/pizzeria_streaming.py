@@ -1,0 +1,110 @@
+"""Scenario 6 — all-tables CDC with event-time temporal joins
+(reference ``flink-applications/06-flink-cdc-temporal-join.json``,
+``README.md:473-560``), streaming end-to-end.
+
+One unified change stream (the reference subscribes five Debezium topics;
+Spark reads them as one Kafka subscription or one envelope file stream)
+carries ``(table, op, data-json)`` rows. The incremental engine
+(``streaming.incremental``) logs them per table, advances the multi-input
+watermark, and runs the scenario-6 statement — UNNEST + four as-of joins
++ JSON aggregation — over each newly-emittable slice of orders:
+each order is enriched with the dim versions valid AT ITS EVENT TIME
+(a price change only affects later orders), and emission waits until
+every input's watermark passes the order, exactly like Flink's temporal
+join gating (``README.md:526-534``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import json_arrayagg, json_object
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import asof_join
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming.incremental import (
+    IncrementalTemporalJoin,
+    SourceSpec,
+)
+
+# Decoded-row schemas per reference scripts/load_dims.sql (+ event_time,
+# the Debezium source-timestamp metadata column of scenario 6).
+SPECS: dict[str, SourceSpec] = {
+    s.name: s
+    for s in (
+        SourceSpec("orders", "id int, table_assignment_id int, order_time timestamp, pizzas array<int>, op string, event_time timestamp", "event_time"),
+        SourceSpec("table_assignment", "id int, client_id int, table_id int, op string, event_time timestamp", "event_time"),
+        SourceSpec("clients", "id int, name string, op string, event_time timestamp", "event_time"),
+        SourceSpec("tables", "id int, name string, op string, event_time timestamp", "event_time"),
+        SourceSpec("pizzas", "id int, name string, price int, op string, event_time timestamp", "event_time"),
+    )
+}
+
+ENVELOPE_SCHEMA = "table string, op string, data string"
+
+
+def route_envelopes(batch: DataFrame) -> dict[str, DataFrame]:
+    """Split the unified (table, op, data) stream into typed per-table
+    DataFrames. Rows with unparseable/absent keys become null-keyed dim
+    versions that can never join — harmless (heartbeat pattern)."""
+    out = {}
+    for name, spec in SPECS.items():
+        out[name] = (
+            batch.filter(F.col("table") == name)
+            .select(F.from_json("data", spec.schema.replace(", op string", "")).alias("r"), F.col("op"))
+            .select("r.*", "op")
+        )
+    return out
+
+
+def enrich_orders(fact: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """The scenario-6 statement body over one emittable slice of orders:
+    UNNEST(pizzas) + AS-OF joins to table_assignment → clients → tables →
+    pizzas at the order's event time + grouped JSON aggregation."""
+    orders = fact.filter(F.col("op") != "d")
+    exploded = orders.select(
+        F.col("id").alias("order_id"),
+        "table_assignment_id",
+        "event_time",
+        F.explode("pizzas").alias("pizza_id"),
+    )
+    ta = dims["table_assignment"].select(
+        F.col("id").alias("table_assignment_id"), "client_id", "table_id",
+        F.col("event_time").alias("ta_time"),
+    )
+    j = asof_join(exploded, ta, key="table_assignment_id", fact_ts="event_time", dim_ts="ta_time")
+    cl = dims["clients"].select(
+        F.col("id").alias("client_id"), F.col("name").alias("client_name"),
+        F.col("event_time").alias("cl_time"),
+    )
+    j = asof_join(j, cl, key="client_id", fact_ts="event_time", dim_ts="cl_time")
+    tb = dims["tables"].select(
+        F.col("id").alias("table_id"), F.col("name").alias("table_name"),
+        F.col("event_time").alias("tb_time"),
+    )
+    j = asof_join(j, tb, key="table_id", fact_ts="event_time", dim_ts="tb_time")
+    pz = dims["pizzas"].select(
+        F.col("id").alias("pizza_id"), F.col("name").alias("pizza"), "price",
+        F.col("event_time").alias("pz_time"),
+    )
+    j = asof_join(j, pz, key="pizza_id", fact_ts="event_time", dim_ts="pz_time")
+    return j.groupBy("order_id", "client_name", "table_name").agg(
+        json_arrayagg(json_object(pizza=F.col("pizza"), price=F.col("price"))).alias("pizzas"),
+        F.max("event_time").alias("event_time"),
+    )
+
+
+def scenario6_engine(spark: SparkSession, base_dir: str, delay: str = "0 seconds") -> IncrementalTemporalJoin:
+    """Build the scenario-6 pipeline. Feed it the unified envelope stream
+    (``ENVELOPE_SCHEMA``) via ``run_available_now`` or use
+    ``engine.foreach_batch`` as a ``writeStream.foreachBatch`` callback."""
+    specs = dict(SPECS)
+    fact = specs.pop("orders")
+    return IncrementalTemporalJoin(
+        spark,
+        base_dir,
+        fact=fact,
+        dims=list(specs.values()),
+        enrich=enrich_orders,
+        route=route_envelopes,
+        delay=delay,
+    )

@@ -1,0 +1,179 @@
+"""Incremental multi-dimension temporal enrichment (SURVEY §3.3 —
+reference scenario 6, ``flink-applications/06-flink-cdc-temporal-join.json:30``).
+
+The reference statement chains FOUR ``FOR SYSTEM_TIME AS OF`` joins behind
+one UNNEST, gated by the watermarks of all five inputs (reference
+``README.md:526-534``). A single Structured Streaming query cannot chain
+that many stateful as-of operators (each ``applyInPandasWithState`` output
+loses its event-time watermark column for downstream stateful ops), so the
+idiomatic Spark realization is **incremental view maintenance in
+foreachBatch** — the same pattern Delta/Iceberg pipelines use:
+
+- Every micro-batch routes the unified CDC stream into per-table
+  append-only parquet logs (state lives in files, partitioned — no driver
+  state, no single-machine bound).
+- The emission frontier = ``min`` over all inputs of (cumulative max event
+  time − delay): exactly Flink's multi-input watermark. A silent input
+  stalls the frontier — the reference's idle-source behavior
+  (``README.md:526-544``); the same heartbeat mitigation applies.
+- Facts whose event time crosses the frontier since the previous batch are
+  enriched with **batch as-of joins against the dim logs** (each dim
+  version valid at the fact's event time — all such versions have
+  necessarily arrived once the frontier passed) and appended to the output
+  upsert log. Per-batch work is O(new facts × dim lookup), not O(log).
+
+At scale the logs are ordinary partitioned tables (partition by event
+date; prune old fact partitions after emission; compact dim logs to the
+latest version at-or-below the frontier — same pruning rule as the
+in-state streaming operator in ``streaming/__init__.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """One input table of the unified CDC stream.
+
+    ``schema`` is the DDL of the decoded rows; ``ts`` the event-time
+    column used for watermarking (and as-of versioning for dims).
+    """
+
+    name: str
+    schema: str
+    ts: str
+
+
+class IncrementalTemporalJoin:
+    """foreachBatch engine: route → log → frontier → as-of enrich → emit.
+
+    ``enrich(fact_df, dim_logs) -> DataFrame`` is the statement body —
+    typically a chain of ``operators.joins.asof_join`` calls plus
+    projection/agg (see ``plans.pizzeria_streaming`` for scenario 6).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        fact: SourceSpec,
+        dims: list[SourceSpec],
+        enrich: Callable[[DataFrame, dict[str, DataFrame]], DataFrame],
+        route: Callable[[DataFrame], dict[str, DataFrame]],
+        delay: str = "0 seconds",
+    ):
+        self.spark = spark
+        self.base = base_dir
+        self.fact = fact
+        self.dims = {d.name: d for d in dims}
+        self.enrich = enrich
+        self.route = route
+        self.delay_expr = f"INTERVAL {delay}"
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- log plumbing -------------------------------------------------------
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self.base, "logs", name)
+
+    def _read_log(self, spec: SourceSpec) -> DataFrame:
+        path = self._log_path(spec.name)
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], spec.schema)
+        return self.spark.read.schema(spec.schema).parquet(path)
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.base, "frontier.json")
+
+    def _load_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"max_ts": {}, "emitted_frontier": None}
+
+    def _save_meta(self, meta: dict) -> None:
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path())
+
+    # -- the micro-batch body ----------------------------------------------
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        specs = {self.fact.name: self.fact, **self.dims}
+        routed = self.route(batch_df)
+        meta = self._load_meta()
+
+        for name, rows in routed.items():
+            spec = specs[name]
+            rows = rows.persist()
+            try:
+                agg = rows.agg(F.max(F.col(spec.ts).cast("timestamp")).alias("m")).collect()[0]
+                if agg["m"] is not None:
+                    prev = meta["max_ts"].get(name)
+                    cur = agg["m"].isoformat(sep=" ")
+                    if prev is None or cur > prev:
+                        meta["max_ts"][name] = cur
+                rows.write.mode("append").parquet(self._log_path(name))
+            finally:
+                rows.unpersist()
+
+        # multi-input watermark: min over every input's cumulative max −
+        # delay. Inputs that never produced a row hold the frontier at -inf
+        # (reference idle-source stall).
+        if len(meta["max_ts"]) < len(specs):
+            self._save_meta(meta)
+            return
+        frontier_df = self.spark.createDataFrame(
+            [(v,) for v in meta["max_ts"].values()], "ts string"
+        ).select(
+            F.min(F.col("ts").cast("timestamp") - F.expr(self.delay_expr)).alias("f")
+        )
+        frontier = frontier_df.collect()[0]["f"]
+        if frontier is None:
+            self._save_meta(meta)
+            return
+        frontier_s = frontier.isoformat(sep=" ")
+        prev_frontier = meta["emitted_frontier"]
+        if prev_frontier is not None and frontier_s <= prev_frontier:
+            self._save_meta(meta)
+            return
+
+        facts = self._read_log(self.fact)
+        ts = F.col(self.fact.ts).cast("timestamp")
+        emittable = facts.filter(ts <= F.lit(frontier_s).cast("timestamp"))
+        if prev_frontier is not None:
+            emittable = emittable.filter(ts > F.lit(prev_frontier).cast("timestamp"))
+
+        dim_logs = {name: self._read_log(spec) for name, spec in self.dims.items()}
+        out = self.enrich(emittable, dim_logs)
+        out.write.mode("append").parquet(os.path.join(self.base, "out"))
+
+        meta["emitted_frontier"] = frontier_s
+        self._save_meta(meta)
+
+    # -- results ------------------------------------------------------------
+    def output(self) -> DataFrame:
+        """All emitted rows (append log). Compact downstream with
+        ``operators.changelog.latest_per_key`` for upsert semantics."""
+        path = os.path.join(self.base, "out")
+        if not os.path.isdir(path):
+            raise FileNotFoundError("no output emitted yet")
+        return self.spark.read.parquet(path)
+
+    def run_available_now(self, stream_df: DataFrame) -> None:
+        """Drain a bounded stream through the engine (tests/backfills)."""
+        q = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .option("checkpointLocation", os.path.join(self.base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)

@@ -1,0 +1,117 @@
+"""Scenario-6 end-to-end: unified CDC stream → incremental temporal
+enrichment (UNNEST + four as-of joins + JSON agg), watermark-gated.
+
+Asserts the two semantics the reference calls out:
+- versioned correctness: a pizza price change affects only orders whose
+  event time is at-or-after the change (README.md:492-515);
+- emission gating: nothing emits until EVERY input's watermark passes the
+  order (README.md:526-534) — the idle-source stall, drained by
+  heartbeats (README.md:540-544).
+"""
+
+from __future__ import annotations
+
+import json
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.pizzeria_streaming import (
+    ENVELOPE_SCHEMA,
+    scenario6_engine,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+
+
+def env(table: str, op: str, **data) -> dict:
+    return {"table": table, "op": op, "data": json.dumps(data)}
+
+
+def _batches():
+    t0 = "2024-03-01 10:00:00"
+    dims = [
+        env("clients", "c", id=1, name="ann", event_time=t0),
+        env("tables", "c", id=1, name="corner", event_time=t0),
+        env("table_assignment", "c", id=1, client_id=1, table_id=1, event_time=t0),
+        env("pizzas", "c", id=1, name="margherita", price=5, event_time=t0),
+        env("pizzas", "c", id=2, name="diavola", price=7, event_time=t0),
+    ]
+    o1 = [env("orders", "c", id=1, table_assignment_id=1,
+              order_time="2024-03-01 10:01:00", pizzas=[1, 1, 2],
+              event_time="2024-03-01 10:01:00")]
+    # price change at 10:05, then a later order that must see the NEW price
+    upd = [
+        env("pizzas", "u", id=1, name="margherita", price=6, event_time="2024-03-01 10:05:00"),
+        env("orders", "c", id=2, table_assignment_id=1,
+            order_time="2024-03-01 10:06:00", pizzas=[1],
+            event_time="2024-03-01 10:06:00"),
+    ]
+    hb = "2024-03-01 12:00:00"
+    heartbeats = [
+        env(t, "c", id=999, event_time=hb)
+        for t in ("clients", "tables", "table_assignment", "pizzas", "orders")
+    ]
+    return [dims, o1, upd, heartbeats]
+
+
+def _parsed(out_rows):
+    return {
+        r["order_id"]: sorted((p["pizza"], p["price"]) for p in json.loads(r["pizzas"]))
+        for r in out_rows
+        if r["order_id"] is not None and r["order_id"] != 999
+    }
+
+
+EXPECTED = {
+    1: sorted([("margherita", 5), ("margherita", 5), ("diavola", 7)]),
+    2: [("margherita", 6)],
+}
+
+
+def test_scenario6_batchwise_gating_and_versions(spark, tmp_path):
+    """Drive the engine batch-by-batch: no emission while any input's
+    watermark lags; both orders emit with time-correct dim versions once
+    heartbeats advance the frontier."""
+    engine = scenario6_engine(spark, str(tmp_path / "s6"))
+    batches = _batches()
+    for i, rows in enumerate(batches[:3]):
+        engine.foreach_batch(
+            spark.createDataFrame([(r["table"], r["op"], r["data"]) for r in rows], ENVELOPE_SCHEMA),
+            i,
+        )
+    # orders exist but the dims' watermarks (10:00) lag order times -> no output
+    try:
+        emitted = engine.output().count()
+    except FileNotFoundError:
+        emitted = 0
+    assert emitted == 0
+
+    engine.foreach_batch(
+        spark.createDataFrame(
+            [(r["table"], r["op"], r["data"]) for r in batches[3]], ENVELOPE_SCHEMA
+        ),
+        99,
+    )
+    got = _parsed(engine.output().collect())
+    assert got == EXPECTED
+
+
+def test_scenario6_streaming_end_to_end(spark, tmp_path):
+    """Same pipeline through a real Structured Streaming query
+    (file-replayed envelopes, availableNow, upsert compaction at read)."""
+    import os
+
+    in_dir = str(tmp_path / "s6_in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+    for i, rows in enumerate(_batches()):
+        p = os.path.join(in_dir, f"b{i:02d}.json")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    stream = json_file_stream(spark, in_dir, ENVELOPE_SCHEMA)
+    engine = scenario6_engine(spark, str(tmp_path / "s6_run"))
+    engine.run_available_now(stream)
+
+    compacted = latest_per_key(engine.output(), "order_id", ["event_time"])
+    assert _parsed(compacted.collect()) == EXPECTED
