@@ -19,8 +19,8 @@ Everything is DataFrame/Spark-SQL declarative so Catalyst handles pushdown,
 pruning, join selection, and AQE; Python only orchestrates.
 """
 
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.session import get_spark, tune_for_oracle
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.session import configure_streaming, get_spark, tune_for_oracle
 
-__all__ = ["get_spark", "tune_for_oracle"]
+__all__ = ["configure_streaming", "get_spark", "tune_for_oracle"]
 
 __version__ = "0.1.0"

@@ -47,6 +47,32 @@ def get_spark(app_name: str = "dpe-spark", cpus: int | None = None) -> SparkSess
     return spark
 
 
+def configure_streaming(
+    spark: SparkSession,
+    multiple_watermark_policy: str = "min",
+    state_store_provider: str | None = None,
+) -> SparkSession:
+    """Streaming-session knobs for the reference's multi-input semantics
+    (SURVEY §2.8 W3).
+
+    ``multiple_watermark_policy``: Spark's global watermark across several
+    watermarked inputs is the ``min`` by default — the same idle-source
+    stall Flink documents (reference README.md:526-541). ``"max"`` is the
+    engine-level analogue of Flink's ``table.exec.source.idle-timeout``
+    mitigation: an idle input no longer holds emission back (at the cost
+    of treating its late rows as late data). The heartbeat-row pattern
+    (reference README.md:540-544) works unchanged with ``"min"``.
+
+    ``state_store_provider``: at cluster scale pass the RocksDB provider
+    class to keep as-of/txid state off-heap and incrementally
+    checkpointed; the default HDFS-backed store is fine for tests.
+    """
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", multiple_watermark_policy)
+    if state_store_provider is not None:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", state_store_provider)
+    return spark
+
+
 def tune_for_oracle(spark: SparkSession) -> SparkSession:
     """Runtime-settable conf for deterministic comparison against an
     external SQL oracle (DuckDB): UTC timestamps, AQE on, Arrow on.

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the operators whose semantics
+are easy to get subtly wrong: the as-of join (inclusive bound, version
+selection, missing keys) against pandas ``merge_asof`` as an independent
+oracle, and the MinHash-LSH recall guarantee against the exact
+inverted-index Jaccard.
+
+Example counts are small because every example round-trips through Spark;
+the generators are biased toward collisions (tiny key/timestamp domains)
+so the few examples hit the interesting overlaps.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import asof_join
+
+KEYS = st.integers(min_value=0, max_value=3)
+TS = st.integers(min_value=0, max_value=20)  # minutes after a base hour
+
+BASE = pd.Timestamp("2024-01-01 00:00:00")
+
+
+def _ts(minutes: int):
+    return (BASE + pd.Timedelta(minutes=minutes)).to_pydatetime()
+
+
+dim_rows = st.lists(st.tuples(KEYS, TS, st.integers(0, 100)), min_size=0, max_size=12)
+fact_rows = st.lists(st.tuples(KEYS, TS), min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(dims=dim_rows, facts=fact_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, dims, facts):
+    """For every fact, asof_join must pick the latest dim version with
+    dim_ts <= fact_ts on the same key (inclusive) — pandas merge_asof with
+    direction='backward' computes exactly that."""
+    # de-dup dim versions at identical (key, ts): keep max value, matching
+    # the operator's documented deterministic winner.
+    dim_map = {}
+    for k, t, v in dims:
+        dim_map[(k, t)] = max(v, dim_map.get((k, t), v))
+    dim_list = [(k, _ts(t), v) for (k, t), v in sorted(dim_map.items())]
+    fact_list = [(i, k, _ts(t)) for i, (k, t) in enumerate(facts)]
+
+    fact_df = spark.createDataFrame(fact_list, "fid int, k int, fts timestamp")
+    if dim_list:
+        dim_df = spark.createDataFrame(dim_list, "k int, dts timestamp, v int")
+    else:
+        dim_df = spark.createDataFrame([], "k int, dts timestamp, v int")
+
+    got = {
+        r["fid"]: r["v"]
+        for r in asof_join(fact_df, dim_df, key="k", fact_ts="fts", dim_ts="dts").collect()
+    }
+
+    fpd = pd.DataFrame(fact_list, columns=["fid", "k", "fts"]).sort_values("fts")
+    dpd = pd.DataFrame(dim_list, columns=["k", "dts", "v"]).sort_values("dts")
+    if dpd.empty:
+        expected = {fid: None for fid in fpd["fid"]}
+    else:
+        m = pd.merge_asof(
+            fpd, dpd, left_on="fts", right_on="dts", by="k",
+            direction="backward", allow_exact_matches=True,
+        )
+        expected = {
+            int(r.fid): (None if pd.isna(r.v) else int(r.v)) for r in m.itertuples()
+        }
+    assert got == expected
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+docs = st.lists(
+    st.lists(words, min_size=1, max_size=12).map(" ".join),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=docs)
+def test_minhash_lsh_equals_exact_jaccard_at_high_threshold(spark, texts):
+    """With bands=64 x rows=2 the candidate-miss probability at
+    jaccard >= 0.5 is ~1e-8 and every candidate is verified exactly, so
+    LSH output must equal the exact inverted-index pairs."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert lsh == exact
