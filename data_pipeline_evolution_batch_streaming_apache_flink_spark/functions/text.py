@@ -27,6 +27,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenization classes (GPT-2 style, simplified to what both
+# Spark and the DuckDB oracle regex engines support identically): runs of
+# letters, runs of digits, runs of non-alphanumeric-non-space symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def regex_tokens(col: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """BPE-style pre-tokenization: extract all matches of ``pattern``
+    instead of splitting on whitespace — punctuation becomes its own
+    token, as LLM tokenizers do before merges."""
+    return F.regexp_extract_all(_c(col), F.lit(pattern), 0)
+
+
+def regex_token_count(col: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    return F.size(regex_tokens(col, pattern))
+
+
 def distinct_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col)))
 

@@ -67,7 +67,6 @@ def asof_join(
     fact_ts: str,
     dim_ts: str,
     how: str = "left",
-    dedup_dim_versions: bool = True,
     tolerance: str | None = None,
 ) -> DataFrame:
     """Event-time temporal join — Flink ``JOIN dim FOR SYSTEM_TIME AS OF
@@ -80,6 +79,10 @@ def asof_join(
     image forward. Exactly ONE shuffle (hash on key) + an in-partition sort —
     no O(n*versions) range join blowup, so it survives 100x fact growth;
     hot keys are handled by AQE skew splitting on the window's shuffle.
+    Duplicate dim versions at the same (key, ts) need no pre-aggregation
+    (that would be a second shuffle): the window ordering breaks the tie
+    by the dim image itself, so last-in-frame = max struct — the same
+    deterministic winner, folded into the one sort.
 
     ``tolerance``: optional max staleness (e.g. "1 hour") — dim versions
     older than ``fact_ts - tolerance`` do not match (merge_asof-style).
@@ -98,13 +101,6 @@ def asof_join(
         F.struct(*[F.col(c) for c in dim_payload]).alias("__dim"),
         *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact.columns],
     )
-    if dedup_dim_versions:
-        # multiple dim rows at the same (key, ts): keep one deterministic
-        # winner (max struct) — mirrors "latest version at that instant".
-        dim_side = dim_side.groupBy(*keys, "__ts", "__is_fact").agg(
-            F.max("__dim").alias("__dim"),
-            *[F.first(f"__f_{c}").alias(f"__f_{c}") for c in fact.columns],
-        )
     fact_side = fact.select(
         *keys,
         F.col(fact_ts).cast("timestamp").alias("__ts"),
@@ -115,17 +111,24 @@ def asof_join(
     unioned = dim_side.unionByName(fact_side)
 
     # dim rows sort before fact rows at equal ts (__is_fact 0 < 1), giving
-    # inclusive AS-OF semantics (version effective AT fact_ts matches).
+    # inclusive AS-OF semantics (version effective AT fact_ts matches);
+    # equal-(ts,side) dim ties order by the image, making the carried
+    # version the max struct (deterministic) without a dedup shuffle.
+    ordering = [
+        F.col("__ts").asc_nulls_first(),
+        F.col("__is_fact").asc(),
+        F.col("__dim").asc_nulls_first(),
+    ]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc_nulls_first(), F.col("__is_fact").asc())
+        .orderBy(*ordering)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__version", F.last("__dim", ignorenulls=True).over(w))
     if tolerance is not None:
         w_ts = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc_nulls_first(), F.col("__is_fact").asc())
+            .orderBy(*ordering)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = carried.withColumn(

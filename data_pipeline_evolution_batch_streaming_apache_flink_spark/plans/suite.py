@@ -473,6 +473,18 @@ def q_token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_histogram(t["documents"], top_n=20)
 
 
+def q_regex_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization (LLM-pipeline token counting): runs
+    of letters / digits / symbols as separate tokens."""
+    t = load_tables(spark, sf, ("documents",))
+    toks = TXT.regex_tokens("text")
+    return fan_out(t["documents"].select("doc_id", "text")).select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-column plumbing with the deterministic fake decoder (real
     codecs stubbed; see operators/multimodal.py). The fake decoder is a
@@ -513,6 +525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_pairs": q_similarity_lsh_pairs,
     "text_analysis": q_text_analysis,
     "token_histogram": q_token_histogram,
+    "regex_token_stats": q_regex_token_stats,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -791,6 +804,12 @@ ORACLE: dict[str, str] = {
         ) GROUP BY token
         ORDER BY freq DESC, token ASC
         LIMIT 20
+    """,
+    "regex_token_stats": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INT) AS n_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS INT) AS n_distinct_bpe_tokens
+        FROM documents
     """,
     "multimodal_features": """
         SELECT doc_id,

@@ -213,6 +213,38 @@ def test_streaming_upsert_sink_with_cdc(spark, tmp_path):
     assert state == {(1, "one-v2"), (3, "three")}  # key 2 tombstoned
 
 
+def test_streaming_interval_join(spark, tmp_path):
+    """J6 streaming: stream-stream join with watermarks + time-range
+    condition is native Structured Streaming; output must equal the batch
+    interval join over the same rows."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import interval_join
+
+    err_rows = [
+        {"user_id": 1, "err_id": 10, "err_ts": "2024-01-01 10:00:00"},
+        {"user_id": 2, "err_id": 20, "err_ts": "2024-01-01 10:30:00"},
+    ]
+    clk_rows = [
+        {"user_id": 1, "click_ts": "2024-01-01 09:58:00"},  # within -5m
+        {"user_id": 1, "click_ts": "2024-01-01 10:04:00"},  # within +5m
+        {"user_id": 1, "click_ts": "2024-01-01 10:20:00"},  # outside
+        {"user_id": 2, "click_ts": "2024-01-01 10:31:00"},  # within
+    ]
+    err_dir, clk_dir = str(tmp_path / "err_in"), str(tmp_path / "clk_in")
+    _write_batches(err_dir, [err_rows])
+    _write_batches(clk_dir, [clk_rows[:2], clk_rows[2:]])
+
+    err_s = json_file_stream(spark, err_dir, "user_id int, err_id int, err_ts timestamp").withWatermark("err_ts", "10 minutes")
+    clk_s = json_file_stream(spark, clk_dir, "user_id int, click_ts timestamp").withWatermark("click_ts", "10 minutes")
+    joined = interval_join(err_s, clk_s, "user_id", "err_ts", "click_ts", "5 MINUTES", "5 MINUTES")
+    out_dir = _run_available_now(joined.select("err_id", "click_ts"), tmp_path, "ivj")
+    got = {(r["err_id"], str(r["click_ts"])) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {
+        (10, "2024-01-01 09:58:00"),
+        (10, "2024-01-01 10:04:00"),
+        (20, "2024-01-01 10:31:00"),
+    }
+
+
 def test_streaming_hourly_counts_watermarked(spark, tmp_path):
     """W1/W4/A5: watermarked tumbling-window count in append mode."""
     in_dir = str(tmp_path / "win_in")
