@@ -37,6 +37,37 @@ def test_jdbc_options_partition_quartet_enforced():
         jdbc_options(URL, "orders", partition_column="id", num_partitions=8)
 
 
+def test_datagen_users_sessions(spark):
+    """S9: deterministic distributed generation — same inputs, same rows;
+    schemas per reference scripts/datagen.py:39,64."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.datagen import sessions, users
+
+    u = users(spark, n=50)
+    assert u.columns == ["id", "username"]
+    assert u.count() == 50
+
+    s1 = sessions(spark, n=1000, n_users=50, partitions=4)
+    s2 = sessions(spark, n=1000, n_users=50, partitions=8)
+    assert s1.columns == ["user_id", "session_time", "ip_address", "browser"]
+    # partition count must not change content (purely hash-derived rows)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    assert s1.select("user_id").distinct().count() <= 50
+
+    # the secondary pipeline's hourly aggregation runs on it
+    from pyspark.sql import functions as F
+
+    hourly = s1.groupBy(F.date_trunc("hour", "session_time").alias("hour")).count()
+    assert hourly.count() > 0
+
+
+def test_live_sessions_stream_shape(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.datagen import live_sessions_stream
+
+    stream = live_sessions_stream(spark, rows_per_second=5)
+    assert stream.isStreaming
+    assert stream.columns == ["user_id", "session_time", "ip_address", "browser"]
+
+
 def test_jdbc_readers_construct_without_driver(spark):
     """Building the reader must not require connectivity (S2 view-pushdown
     shape included: dbtable = (subquery) alias)."""
