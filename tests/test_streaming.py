@@ -213,6 +213,36 @@ def test_streaming_upsert_sink_with_cdc(spark, tmp_path):
     assert state == {(1, "one-v2"), (3, "three")}  # key 2 tombstoned
 
 
+def test_streaming_update_mode_agg_to_upsert(spark, tmp_path):
+    """A6: streaming aggregation in update mode feeding a keyed upsert
+    sink — each micro-batch emits changed groups only; the compacted sink
+    state equals the batch aggregate over all rows (the upsert-kafka
+    materialization semantics of every reference scenario)."""
+    in_dir = str(tmp_path / "agg_in")
+    _write_batches(
+        in_dir,
+        [
+            [{"user": "u1", "amount": 5}, {"user": "u2", "amount": 3}],
+            [{"user": "u1", "amount": 2}],  # u1's aggregate must update to 7
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "user string, amount long")
+    agg = stream.groupBy("user").agg(
+        F.sum("amount").alias("total"), F.count("*").alias("n")
+    )
+    sink = ParquetUpsertSink(str(tmp_path / "agg_sink"), keys="user", order_by=["n"])
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = {(r["user"], r["total"], r["n"]) for r in sink.current_state(spark).collect()}
+    assert state == {("u1", 7, 2), ("u2", 3, 1)}
+
+
 def test_streaming_interval_join(spark, tmp_path):
     """J6 streaming: stream-stream join with watermarks + time-range
     condition is native Structured Streaming; output must equal the batch
