@@ -112,8 +112,11 @@ def q_enriched_orders(spark: SparkSession, sf: str) -> DataFrame:
     now = F.lit("2000-01-01 00:30:00").cast("timestamp")
     hi = FN.ceil_to_hour(now)
     lo = hi - F.expr("INTERVAL 4 YEARS")
+    # no fan_out here: the groupBy's own shuffle redistributes; a prior
+    # round-robin exchange of the whole fact side costs more than the
+    # serial map-side partial agg it would save (measured 1.7x).
     order_parts = (
-        fan_out(t["lineitem"].select("l_orderkey", "l_partkey"))
+        t["lineitem"].select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.collect_list("l_partkey").alias("partkeys"))
     )

@@ -1,0 +1,75 @@
+"""Plan-shape regression tests — lock in the SCALE.md claims.
+
+These assert on the physical plan, not results: filters reach the
+parquet scan, small dims broadcast, the as-of join keeps its single
+shuffle, and bucketed tables join without any exchange (the co-located
+join story for repeated big-big joins at scale).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    plan = _plan(suite.QUERIES["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: unreferenced wide columns must not be read
+    assert "l_comment" not in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(suite.QUERIES["region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = _plan(suite.QUERIES["asof_join"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_candidate_joins_are_hash_joins_not_cross(spark, sf_dir):
+    for q in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+        plan = _plan(suite.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Bucketing both sides of a repeated big-big join on the join key
+    removes the per-query shuffle entirely: with broadcast disabled the
+    bucketed join must plan as SortMergeJoin with ZERO exchanges."""
+    left = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a")
+    )
+    right = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("b")
+    )
+    for name, df in (("bkt_left", left), ("bkt_right", right)):
+        (
+            df.write.mode("overwrite")
+            .option("path", str(tmp_path / name))
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .saveAsTable(name)
+        )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
