@@ -1,0 +1,81 @@
+"""Skew mitigation utilities (SURVEY §4: "skewed keys → salting or AQE").
+
+AQE's skew-join splitting handles most hot-key joins at runtime. Two
+cases it cannot fix, both solved here by deterministic salting:
+
+- :func:`two_phase_collect` — a non-algebraic aggregation
+  (``collect_list``/``collect_set``) on a hot key lands every row of
+  that key in ONE task regardless of AQE (a group cannot be split).
+  Salting the group key fans the collection over ``n_salt`` tasks and a
+  second, tiny aggregation flattens the per-salt partials.
+- :func:`salted_join` — a shuffle join where one side's hot keys
+  overwhelm single tasks and stats mislead AQE (e.g. freshly-derived
+  intermediates with no statistics). The small side replicates
+  ``n_salt`` ways; the big side salts deterministically by payload hash,
+  so the same inputs always produce the same partitioning (replayable —
+  no ``rand()``, which would break retried-task determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(cols: list[str], n_salt: int) -> Column:
+    """Deterministic per-row salt in [0, n_salt) from the payload hash.
+    xxhash64 over the non-key columns spreads a hot key's rows evenly and
+    reproducibly (task retries re-derive the same salt)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
+
+
+def two_phase_collect(
+    df: DataFrame,
+    keys: str | list[str],
+    value: str,
+    n_salt: int = 16,
+    distinct: bool = False,
+    sort: bool = True,
+) -> DataFrame:
+    """``collect_list``/``collect_set`` that survives hot keys.
+
+    Phase 1 groups by (keys, salt) — the hot key's rows split across
+    ``n_salt`` tasks; phase 2 groups by keys alone over ``n_salt`` small
+    partial arrays and flattens. Output column ``collected``; ``sort``
+    makes the array deterministic (multiset semantics preserved).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    salted = df.withColumn("__salt", _salt([value], n_salt))
+    phase1 = salted.groupBy(*keys, "__salt").agg(F.collect_list(value).alias("__part"))
+    merged = phase1.groupBy(*keys).agg(F.flatten(F.collect_list("__part")).alias("collected"))
+    col = F.col("collected")
+    if distinct:
+        col = F.array_distinct(col)
+    if sort:
+        col = F.array_sort(col)
+    return merged.withColumn("collected", col)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-safe shuffle join: the big side gets a deterministic salt,
+    the small side is replicated once per salt value, and the join runs on
+    (keys..., salt) — a hot key spreads over ``n_salt`` tasks.
+
+    Row-for-row equivalent to ``big.join(small, on, how)`` for inner and
+    left joins (the replication side must be the one whose rows may
+    duplicate — hence `small`). Cost: small side × n_salt, the standard
+    trade.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in big.columns if c not in keys] or keys
+    b = big.withColumn("__salt", _salt(payload, n_salt))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
+    )
+    return b.join(s, [*keys, "__salt"], how).drop("__salt")
