@@ -40,6 +40,24 @@ def exact_dedup(df: DataFrame, keys: str | list[str], tiebreak: str) -> DataFram
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: str | list[str],
+    watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup on a stream with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only until the
+    watermark passes it, so state is O(keys per watermark window), not
+    O(all keys ever) — the streaming twin of :func:`exact_dedup` for
+    at-least-once upstream delivery (reference W6 double-emission,
+    README.md:268-301)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if watermark_col is not None:
+        df = df.withWatermark(watermark_col, delay)
+    return df.dropDuplicatesWithinWatermark(keys)
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # fan out the raw (id, text) BEFORE shingling: the shuffle moves small
     # strings and the expensive shingle/array build runs on every core

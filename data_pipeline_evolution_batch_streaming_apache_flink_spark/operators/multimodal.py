@@ -86,3 +86,72 @@ def extract_image_features(
             yield out
 
     return narrow.mapInPandas(_decode, schema=schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Resize step: payload -> resized payload + new dims, via
+    ``mapInPandas`` (Arrow batches; no shuffle — executes where the data
+    sits). The real implementation would be PIL ``Image.resize``; the
+    deterministic stand-in truncates/pads the byte payload to the target
+    pixel count so schema, batching and size accounting are exercised."""
+    id_list = list(id_cols)
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_list]
+        + ["payload binary", "width int", "height int"]
+    )
+    narrow = df.select(*id_list, F.col(payload_col).alias("__p"))
+    n_bytes = target_w * target_h
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_list].copy()
+            out["payload"] = [
+                bytes(p)[:n_bytes].ljust(n_bytes, b"\0") for p in pdf["__p"]
+            ]
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out
+
+    return narrow.mapInPandas(_resize, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    payload_col: str = "payload",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    frame_size: int = 64,
+) -> DataFrame:
+    """Video frame sampling: one input row -> N frame rows (frame index +
+    frame payload), via ``mapInPandas`` so a single huge video never
+    materializes as one Python object per row downstream. The stand-in
+    treats the payload as ``frame_size``-byte frames and emits every
+    ``every_n``-th; a real decoder would seek keyframes (ffmpeg)."""
+    id_list = list(id_cols)
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_list]
+        + ["frame_idx int", "frame binary"]
+    )
+    narrow = df.select(*id_list, F.col(payload_col).alias("__p"))
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict(orient="records"):
+                data = bytes(rec["__p"])
+                n_frames = max(len(data) // frame_size, 1)
+                for i in range(0, n_frames, every_n):
+                    frame = data[i * frame_size : (i + 1) * frame_size]
+                    rows.append(
+                        {**{c: rec[c] for c in id_list}, "frame_idx": i, "frame": frame}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return narrow.mapInPandas(_sample, schema=schema)

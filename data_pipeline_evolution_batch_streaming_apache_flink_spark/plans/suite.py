@@ -476,6 +476,18 @@ def q_token_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return token_histogram(t["documents"], top_n=20)
 
 
+def q_skew_safe_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key-safe non-algebraic aggregation (operators/skew.py): sorted
+    partkey list per order via salted two-phase collect — must equal the
+    plain grouped list exactly."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.skew import two_phase_collect
+
+    t = load_tables(spark, sf, ("lineitem",))
+    return two_phase_collect(
+        t["lineitem"].select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey", n_salt=8
+    ).select(F.col("l_orderkey").alias("order_id"), F.col("collected").alias("partkeys"))
+
+
 def q_regex_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-ish regex pre-tokenization (LLM-pipeline token counting): runs
     of letters / digits / symbols as separate tokens."""
@@ -528,6 +540,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_pairs": q_similarity_lsh_pairs,
     "text_analysis": q_text_analysis,
     "token_histogram": q_token_histogram,
+    "skew_safe_collect": q_skew_safe_collect,
     "regex_token_stats": q_regex_token_stats,
     "multimodal_features": q_multimodal_features,
 }
@@ -807,6 +820,11 @@ ORACLE: dict[str, str] = {
         ) GROUP BY token
         ORDER BY freq DESC, token ASC
         LIMIT 20
+    """,
+    "skew_safe_collect": """
+        SELECT l_orderkey AS order_id,
+               list(l_partkey ORDER BY l_partkey) AS partkeys
+        FROM lineitem GROUP BY l_orderkey
     """,
     "regex_token_stats": r"""
         SELECT doc_id,

@@ -96,6 +96,27 @@ def test_multimodal_pipeline(docs):
     assert all(f["width"] >= 64 and f["height"] >= 64 and f["n_bytes"] > 0 for f in feats)
 
 
+def test_multimodal_resize(docs):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import attach_binary_payload, resize_images
+
+    resized = resize_images(attach_binary_payload(docs, "text"), 8, 4)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    assert all(len(bytes(r["payload"])) == 32 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 4) for r in rows)
+
+
+def test_multimodal_frame_sampling(docs):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    frames = sample_frames(attach_binary_payload(docs, "text"), every_n=2, frame_size=16)
+    pdf = frames.toPandas()
+    assert set(pdf.columns) == {"doc_id", "frame_idx", "frame"}
+    # every doc emits at least one frame; indices step by every_n
+    assert set(pdf["doc_id"]) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert all(i % 2 == 0 for i in pdf["frame_idx"])
+
+
 def test_multimodal_real_decoder_stubbed(docs):
     with_bin = attach_binary_payload(docs.limit(1), "text", mime="image/png")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException

@@ -213,6 +213,32 @@ def test_streaming_upsert_sink_with_cdc(spark, tmp_path):
     assert state == {(1, "one-v2"), (3, "three")}  # key 2 tombstoned
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exact streaming dedup: duplicate keys across micro-batches inside
+    the watermark window emit once; state is watermark-bounded."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import streaming_dedup
+
+    in_dir = str(tmp_path / "dd_in")
+    _write_batches(
+        in_dir,
+        [
+            [
+                {"k": 1, "ts": "2024-01-01 10:00:00", "v": "a"},
+                {"k": 1, "ts": "2024-01-01 10:00:05", "v": "a-dup"},
+            ],
+            [
+                {"k": 1, "ts": "2024-01-01 10:00:10", "v": "a-dup2"},
+                {"k": 2, "ts": "2024-01-01 10:00:10", "v": "b"},
+            ],
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "k int, ts timestamp, v string")
+    deduped = streaming_dedup(stream, "k", watermark_col="ts", delay="1 hour")
+    out_dir = _run_available_now(deduped, tmp_path, "dd")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
 def test_streaming_update_mode_agg_to_upsert(spark, tmp_path):
     """A6: streaming aggregation in update mode feeding a keyed upsert
     sink — each micro-batch emits changed groups only; the compacted sink
