@@ -94,6 +94,32 @@ def test_scenario6_batchwise_gating_and_versions(spark, tmp_path):
     assert got == EXPECTED
 
 
+def test_scenario6_engine_recovers_across_restart(spark, tmp_path):
+    """All engine state (per-table logs, emission frontier) lives on
+    disk: a fresh engine instance over the same base_dir must continue
+    exactly where the previous one stopped — the restart story of a
+    foreachBatch checkpointed query."""
+    base = str(tmp_path / "s6_restart")
+    batches = _batches()
+
+    first = scenario6_engine(spark, base)
+    for i, rows in enumerate(batches[:3]):
+        first.foreach_batch(
+            spark.createDataFrame([(r["table"], r["op"], r["data"]) for r in rows], ENVELOPE_SCHEMA),
+            i,
+        )
+    del first
+
+    second = scenario6_engine(spark, base)  # "restarted" process
+    second.foreach_batch(
+        spark.createDataFrame(
+            [(r["table"], r["op"], r["data"]) for r in batches[3]], ENVELOPE_SCHEMA
+        ),
+        99,
+    )
+    assert _parsed(second.output().collect()) == EXPECTED
+
+
 def test_scenario6_streaming_end_to_end(spark, tmp_path):
     """Same pipeline through a real Structured Streaming query
     (file-replayed envelopes, availableNow, upsert compaction at read)."""

@@ -213,6 +213,44 @@ def test_streaming_upsert_sink_with_cdc(spark, tmp_path):
     assert state == {(1, "one-v2"), (3, "three")}  # key 2 tombstoned
 
 
+def test_streaming_application_spec_lookup(spark, tmp_path):
+    """SURVEY §3.2 lifecycle: a {sources, statement} spec where one
+    source is a CDC stream and one a static lookup view, the statement is
+    SQL (stream-static lookup join, scenario 3), and the sink is the
+    keyed upsert materialization."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.app import ApplicationSpec, run_streaming_application
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.tables import TableSpec
+
+    in_dir = str(tmp_path / "app_in")
+    _write_batches(
+        in_dir,
+        [
+            [{"id": 1, "client_id": 10, "ts_ms": 1000}],
+            [{"id": 1, "client_id": 20, "ts_ms": 2000},  # order 1 reassigned
+             {"id": 2, "client_id": 10, "ts_ms": 2000}],
+        ],
+    )
+    orders_stream = json_file_stream(spark, in_dir, "id int, client_id int, ts_ms long")
+    clients = spark.createDataFrame([(10, "ann"), (20, "bob")], "client_id int, client_name string")
+
+    spec = ApplicationSpec(
+        sources=[TableSpec(name="orders_cdc", primary_key=("id",)), TableSpec(name="clients_lookup")],
+        statement="""
+            SELECT o.id AS order_id, o.ts_ms, c.client_name
+            FROM orders_cdc o JOIN clients_lookup c ON o.client_id = c.client_id
+        """,
+    )
+    sink, q = run_streaming_application(
+        spark, spec,
+        dataframes={"orders_cdc": orders_stream, "clients_lookup": clients},
+        sink_keys="order_id", sink_order_by=["ts_ms"],
+        checkpoint_dir=str(tmp_path / "app_run"),
+    )
+    q.awaitTermination(300)
+    state = {(r["order_id"], r["client_name"]) for r in sink.current_state(spark).collect()}
+    assert state == {(1, "bob"), (2, "ann")}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Exact streaming dedup: duplicate keys across micro-batches inside
     the watermark window emit once; state is watermark-bounded."""
