@@ -21,7 +21,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import word_shingles
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import dot, norm
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne: (a*h + b) stays < 2^62
@@ -225,26 +224,80 @@ def embedding_cosine_pairs(
     LSH-bucketed variant (operators/similarity.bucketed_cosine_pairs) which
     only compares within hyperplane-hash buckets.
 
-    Norms are computed ONCE per vector before the pair join (bit-identical
-    to per-pair norms — same fold, same operands — at 1/3 the flops), and
-    the left side is fanned out so pair scoring uses every core.
+    Execution: the table (the designated broadcast-small side of a
+    brute-force pair scan) ships to executors once; partitions of the
+    fanned-out left side score against it with numpy inside
+    ``mapInPandas``. The summation is vectorized across pairs but
+    SEQUENTIAL across dimensions — the identical left-fold IEEE order as
+    the JVM ``aggregate``/DuckDB ``list_reduce`` formulation, so scores
+    are bit-identical to the SQL-expression version (and the oracle).
+    The Arrow boundary carries only pairs within 1e-6 of the threshold;
+    the exact ``round(6) >= threshold`` filter runs JVM-side (numpy
+    rounds half-even, Spark/DuckDB half-up — never round in Python).
     Returns (id_a, id_b, cos) with id_a < id_b, round(cos,6) >= threshold.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
     raw = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    # fan out BEFORE computing norms so the fold runs on every core
-    v = fan_out(raw).withColumn("__n", norm("__v"))
-    a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"))
-    b = F.broadcast(
-        raw.withColumn("__n", norm("__v")).select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-        )
-    )
+    pdf = raw.toPandas()
+    B = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+    b_ids = pdf["__id"].to_numpy()
+    nb = _fold_norms(B)
+    bc = spark.sparkContext.broadcast((b_ids, B, nb))
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    margin = threshold - 1e-6
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, Bm, nB = bc.value
+        for p in batches:
+            if not len(p):
+                continue
+            A = np.stack(p["__v"].to_numpy()).astype(np.float64)
+            ids_a = p["__id"].to_numpy()
+            S = _fold_matmul(A, Bm)
+            cos = S / (_fold_norms(A)[:, None] * nB[None, :])
+            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= margin))
+            if len(ia):
+                yield pd.DataFrame(
+                    {"id_a": ids_a[ia], "id_b": ids_b[ib], "cos": cos[ia, ib]}
+                )
+
+    scored = fan_out(raw).mapInPandas(_pairs, schema=out_schema)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6))
+        scored.withColumn("cos", F.round("cos", 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def _fold_matmul(A, B):
+    """(n,d)x(m,d) -> (n,m) dot products with LEFT-FOLD summation order
+    over dimensions (vectorized across pairs, sequential across dims) —
+    bit-identical to ``functions.vectors.dot`` and the DuckDB oracle's
+    ``list_reduce`` fold. numpy's pairwise-summing ``@`` would differ in
+    the last ulps and flip rounded values at 6dp boundaries."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]))
+    for i in range(A.shape[1]):
+        acc += A[:, i][:, None] * B[:, i][None, :]
+    return acc
+
+
+def _fold_norms(A):
+    """Left-fold L2 norms, matching ``functions.vectors.norm``."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for i in range(A.shape[1]):
+        acc += A[:, i] * A[:, i]
+    return np.sqrt(acc)
 
 
 def simhash_bits(text_col: Column | str, nbits: int = 32) -> Column:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot, norm
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 
@@ -32,22 +32,60 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k nearest corpus rows per query by cosine similarity.
 
-    Broadcast the (small) query side against the corpus so the corpus is
-    scanned once with no shuffle; ranking shuffles only (query_id, k) rows.
-    Norms are precomputed once per side (bit-identical to per-pair norms,
-    1/3 the flops). Scores are rounded to 6 decimals with corpus-id
-    tiebreak so ranking is reproducible across engines.
+    The (small) query set ships to executors once; corpus partitions
+    score against it with numpy inside ``mapInPandas`` — the corpus (the
+    100 TB side) is scanned once with no shuffle. Summation is
+    vectorized across pairs but SEQUENTIAL across dims: the same
+    left-fold IEEE order as the JVM/DuckDB formulation, so scores are
+    bit-identical to the SQL-expression version. Each partition emits
+    only its local top-k per query (plus 2e-6-raw-score slack so rounded
+    ties survive); the exact global ranking — round to 6 decimals,
+    corpus-id tiebreak — runs JVM-side on those few rows.
     Returns (query_id, corpus_id, cos, rank).
     """
-    q = F.broadcast(
-        queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv"))
-        .withColumn("__qn", norm("__qv"))
-    )
-    c = fan_out(corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv"))).withColumn(
-        "__cn", norm("__cv")
-    )
-    scored = q.join(c, F.lit(True) if include_self else F.col("qid") != F.col("cid"))
-    scored = scored.withColumn("cos", F.round(dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")), 6))
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_matmul, _fold_norms
+
+    spark = corpus.sparkSession
+    qdf = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")).toPandas()
+    Q = np.stack(qdf["__qv"].to_numpy()).astype(np.float64)
+    q_ids = qdf["qid"].to_numpy()
+    nq = _fold_norms(Q)
+    bc = spark.sparkContext.broadcast((q_ids, Q, nq))
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"qid {qid_type}, cid {cid_type}, cos double"
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, Qm, nQ = bc.value
+        for p in batches:
+            if not len(p):
+                continue
+            C = np.stack(p["__cv"].to_numpy()).astype(np.float64)
+            ids_c = p["__cid"].to_numpy()
+            cos = _fold_matmul(Qm, C) / (nQ[:, None] * _fold_norms(C)[None, :])
+            if not include_self:
+                cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
+            frames = []
+            for qi in range(len(ids_q)):
+                row = cos[qi]
+                kth = np.partition(row, -k)[-k] if len(row) > k else -np.inf
+                keep = np.nonzero(row >= kth - 2e-6)[0]
+                keep = keep[np.isfinite(row[keep])]
+                if len(keep):
+                    frames.append(pd.DataFrame(
+                        {"qid": ids_q[qi], "cid": ids_c[keep], "cos": row[keep]}
+                    ))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    c = fan_out(corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")))
+    scored = c.mapInPandas(_score, schema=out_schema).withColumn("cos", F.round("cos", 6))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
