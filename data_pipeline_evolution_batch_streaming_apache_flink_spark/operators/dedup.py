@@ -156,29 +156,50 @@ def minhash_lsh_pairs(
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
-    # materialize the shingle-hash array in its own projection: the 128
-    # permutation mins then read the precomputed array instead of
-    # re-hashing the shingles per permutation (~2.5x on the signature
-    # stage; CollapseProject keeps multi-referenced aliases materialized).
-    hashes = F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
-    sh = (
-        _shingled(df, id_col, text_col, n)
-        .withColumn("__h", hashes)
-        .withColumn("__sig", F.array(*[_perm_min(F.col("__h"), a, b) for a, b in _hash_params(num_perm, seed)]))
-        .drop("__h")
-    )
-    banded = sh.select(
+    sh = _shingled(df, id_col, text_col, n)
+
+    # Permutation mins and band hashes run in numpy via mapInPandas: the
+    # JVM higher-order-function formulation is interpreted (CodegenFallback)
+    # and ~5x slower. Only the shingle->int hash stays JVM (xxhash64).
+    # Signatures are engine-internal — candidates are verified with exact
+    # Jaccard below, so the band-hash function needs determinism, not
+    # cross-engine parity; the (a,b) universal hash family and its recall
+    # guarantee are unchanged.
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    params = _hash_params(num_perm, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    BAND_MIX = np.int64(1_000_003)
+    # 2^31-1 keeps bh*MIX+sig < 2^52 (no int64 overflow); band-hash
+    # collisions only add false candidates, which exact verification kills.
+    BAND_MOD = np.int64(MINHASH_PRIME)
+
+    def _band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            ids, bands_out, hashes_out = [], [], []
+            for rec in p.to_dict(orient="records"):
+                h = np.asarray(rec["__h"], dtype=np.int64)[None, :]
+                sig = ((A * h + B) % MINHASH_PRIME).min(axis=1)  # (num_perm,)
+                bsig = sig.reshape(bands, rows_per_band)
+                bh = np.zeros(bands, dtype=np.int64)
+                for j in range(rows_per_band):  # polynomial rolling combine
+                    bh = (bh * BAND_MIX + bsig[:, j]) % BAND_MOD
+                ids.extend([rec["__id"]] * bands)
+                bands_out.extend(range(bands))
+                hashes_out.extend(bh.tolist())
+            if ids:
+                yield pd.DataFrame({"__id": ids, "band": bands_out, "bhash": hashes_out})
+
+    hashed = sh.select(
         "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("__sig", b * rows_per_band + 1, rows_per_band)).alias("bhash"),
-                ),
-            )
-        ).alias("__b"),
-    ).select("__id", "__b.band", "__b.bhash")
+        F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))).alias("__h"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    banded = hashed.mapInPandas(_band_rows, schema=f"__id {id_type}, band int, bhash long")
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bhash"])
