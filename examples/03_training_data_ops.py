@@ -1,0 +1,48 @@
+"""Training-data pipeline operators on the driver testdata: dedup family,
+similarity search, text analysis, multimodal plumbing.
+
+Run: python examples/03_training_data_ops.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import data_pipeline_evolution_batch_streaming_apache_flink_spark as eng
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import attach_binary_payload, extract_image_features
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import cosine_topk
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = eng.get_spark("example-llm", cpus=8)
+    docs = read_parquet(spark, f"{sf}/documents.parquet")
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+
+    print("exact dedup keeps", exact_dedup(docs, "text", "doc_id").count(), "of", docs.count(), "docs")
+    print("near-dup pairs (minhash-LSH, jaccard>=0.5):")
+    minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5).show(5)
+    print("embedding near-dup pairs (cos>=0.45):")
+    embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).show(5)
+    print("top-3 neighbors of the first 5 vectors:")
+    cosine_topk(emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id", k=3).show()
+    print("text profile:")
+    analyze_documents(docs).show(5, truncate=60)
+    print("multimodal features (fake decoder — codecs stubbed):")
+    extract_image_features(attach_binary_payload(docs, "text")).show(5)
+
+
+if __name__ == "__main__":
+    main()
