@@ -93,6 +93,61 @@ def enrich_orders(fact: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def scenario6_tws_chain(envelopes: DataFrame, delay: str = "0 seconds") -> DataFrame:
+    """Scenario 6 as ONE continuous Structured Streaming query: UNNEST +
+    four chained ``transformWithStateInPandas`` as-of joins — the direct
+    analogue of the reference's single Flink statement
+    (flink-applications/06-flink-cdc-temporal-join.json:30).
+
+    Only the first join gates on the (global, min-across-inputs)
+    watermark; the other three match immediately — see streaming/tws.py
+    for the correctness argument. Output is the append stream of enriched
+    exploded rows; the per-order JSON aggregation is a keyed compaction at
+    the sink (``foreachBatch`` + ``enrich``-style groupBy, or
+    ``operators.changelog.latest_per_key``), because stacking a streaming
+    aggregation as a fifth stateful operator adds nothing the sink-side
+    groupBy doesn't already do for an upsert-keyed topic.
+
+    Runs on any Spark 4 cluster with the RocksDB state store +
+    ``google.protobuf`` available (this container lacks protobuf — the
+    foreachBatch engine below is the locally-executable twin; both share
+    route/semantics and the scenario-6 tests' fixtures).
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming.tws import asof_join_tws
+
+    t = route_envelopes(envelopes)
+    exploded = (
+        t["orders"]
+        .filter(F.col("op") != "d")
+        .select(
+            F.col("id").alias("order_id"),
+            "table_assignment_id",
+            "event_time",
+            F.explode("pizzas").alias("pizza_id"),
+        )
+    )
+    ta = t["table_assignment"].select(
+        F.col("id").alias("table_assignment_id"), "client_id", "table_id",
+        F.col("event_time").alias("ta_time"),
+    )
+    j = asof_join_tws(exploded, ta, "table_assignment_id", "event_time", "ta_time", delay=delay)
+    cl = t["clients"].select(
+        F.col("id").alias("client_id"), F.col("name").alias("client_name"),
+        F.col("event_time").alias("cl_time"),
+    )
+    j = asof_join_tws(j, cl, "client_id", "event_time", "cl_time", delay=delay, gate=False)
+    tb = t["tables"].select(
+        F.col("id").alias("table_id"), F.col("name").alias("table_name"),
+        F.col("event_time").alias("tb_time"),
+    )
+    j = asof_join_tws(j, tb, "table_id", "event_time", "tb_time", delay=delay, gate=False)
+    pz = t["pizzas"].select(
+        F.col("id").alias("pizza_id"), F.col("name").alias("pizza"), "price",
+        F.col("event_time").alias("pz_time"),
+    )
+    return asof_join_tws(j, pz, "pizza_id", "event_time", "pz_time", delay=delay, gate=False)
+
+
 def scenario6_engine(spark: SparkSession, base_dir: str, delay: str = "0 seconds") -> IncrementalTemporalJoin:
     """Build the scenario-6 pipeline. Feed it the unified envelope stream
     (``ENVELOPE_SCHEMA``) via ``run_available_now`` or use

@@ -1,0 +1,225 @@
+"""Chainable event-time AS-OF join on ``transformWithStateInPandas``
+(Spark 4 arbitrary-state API) — SURVEY §2.4 J5 streaming strategy (b).
+
+Why this exists next to ``streaming.streaming_asof_join``
+(``applyInPandasWithState``): the older API cannot CHAIN — its output has
+no event-time column, so a second stateful operator downstream is
+rejected, which is why scenario 6 (four ``FOR SYSTEM_TIME AS OF`` joins,
+reference flink-applications/06-flink-cdc-temporal-join.json:30) runs as
+a foreachBatch engine (``streaming/incremental.py``). Spark 4's
+``transformWithStateInPandas(..., eventTimeColumnName=...)`` re-declares
+an event-time column on the OUTPUT, so stateful operators compose — one
+continuous query can chain all four temporal joins, exactly like the
+reference's single Flink statement.
+
+The chaining trick (and why it is correct):
+
+- Only the FIRST join in a chain gates facts on the watermark. Spark
+  keeps ONE global watermark per query = min over every ``withWatermark``
+  node (default ``multipleWatermarkPolicy=min``) — and every dim of every
+  downstream join is one of those nodes. So when the global watermark
+  passes a fact's event time, **every dim version at-or-before that event
+  time has already arrived at its own join operator** (anything arriving
+  later would itself be late and dropped). Downstream joins therefore
+  match incoming facts against their versioned state immediately — no
+  second buffering, no per-operator watermark races. This reproduces
+  Flink's multi-input watermark alignment (reference README.md:526-534),
+  including the idle-source stall + heartbeat mitigation (:540-544).
+- Emitted rows carry a synthetic ``__emit_ts`` event-time column set just
+  past the current watermark (original event times are ≤ the watermark,
+  which downstream late-filters would drop). The ORIGINAL fact timestamp
+  rides along as a payload column and drives version matching at every
+  hop; ``__emit_ts`` exists only to keep Spark's watermark machinery fed.
+
+State layout per key (pickled, one blob per key like the sibling
+operator): dim version list sorted by (ts, image) — same deterministic
+tie-break as the batch ``operators.joins.asof_join`` — plus, in the gated
+operator only, the pending-fact buffer. Versions older than the latest
+one at-or-below the emission frontier are pruned every batch, bounding
+state. Requires the RocksDB state store provider (see
+``session.streaming_conf``).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+
+EMIT_TS = "__emit_ts"
+
+
+def _ms(v) -> int:
+    return pd.Timestamp(v).value // 1_000_000
+
+
+class _AsOfProcessor(StatefulProcessor):
+    """Versioned-dim state + (optionally) a watermark-gated fact buffer."""
+
+    def __init__(self, fact_cols, dim_payload, gate, inner):
+        self.fact_cols = fact_cols
+        self.dim_payload = dim_payload
+        self.gate = gate
+        self.inner = inner
+        self.out_cols = fact_cols + dim_payload + [EMIT_TS]
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.state = handle.getValueState("asof", "blob binary")
+        self.handle = handle
+
+    def _load(self):
+        row = self.state.get()
+        return pickle.loads(row[0]) if row is not None else ([], [])
+
+    def _store(self, dims, facts) -> None:
+        if dims or facts:
+            self.state.update((pickle.dumps((dims, facts)),))
+        else:
+            self.state.clear()
+
+    def _match(self, ots_ms, dims):
+        version = None
+        for dts, dvals in dims:  # dims sorted ascending
+            if dts <= ots_ms:
+                version = dvals
+            else:
+                break
+        return version
+
+    def _emit(self, ready, dims, emit_ts):
+        out = []
+        for _ots, fvals in ready:
+            version = self._match(_ots, dims)
+            if version is None:
+                if self.inner:
+                    continue
+                version = tuple(None for _ in self.dim_payload)
+            out.append(fvals + version + (emit_ts,))
+        if out:
+            yield pd.DataFrame(out, columns=self.out_cols)
+
+    def _prune(self, dims, facts, wm_ms):
+        frontier = min([wm_ms] + [f[0] for f in facts])
+        older = [i for i, (dts, _) in enumerate(dims) if dts <= frontier]
+        return dims[older[-1]:] if len(older) > 1 else dims
+
+    def _flush(self, dims, facts, wm_ms):
+        """Split ready/pending at the watermark, emit ready, re-arm timer."""
+        ready = sorted((f for f in facts if f[0] <= wm_ms), key=lambda x: x[0])
+        pending = [f for f in facts if f[0] > wm_ms]
+        emit_ts = pd.Timestamp(wm_ms + 1, unit="ms")
+        yield from self._emit(ready, dims, emit_ts)
+        dims = self._prune(dims, pending, wm_ms)
+        self._store(dims, pending)
+        if pending:
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(max(min(f[0] for f in pending), wm_ms + 1))
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        dims, facts = self._load()
+        new_facts = []
+        for pdf in rows:
+            for d in pdf.to_dict(orient="records"):
+                if d["__is_fact"] == 1:
+                    new_facts.append(
+                        (_ms(d["__ots"]), tuple(d[f"__f_{c}"] for c in self.fact_cols))
+                    )
+                else:
+                    dims.append(
+                        (_ms(d["__ts"]), tuple(d[f"__d_{c}"] for c in self.dim_payload))
+                    )
+        dims.sort()
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+
+        if self.gate:
+            yield from self._flush(dims, facts + new_facts, wm_ms)
+        else:
+            # facts arrive pre-gated (ots already ≤ global watermark): all
+            # matching dim versions are in state — emit immediately. The
+            # incoming __ts (upstream's emit_ts) is already > wm; reuse the
+            # same formula so every batch's emissions share one fresh ts.
+            emit_ts = pd.Timestamp(wm_ms + 1, unit="ms")
+            ready = sorted(new_facts, key=lambda x: x[0])
+            yield from self._emit(ready, dims, emit_ts)
+            dims = self._prune(dims, [], wm_ms)
+            self._store(dims, [])
+
+    def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
+        dims, facts = self._load()
+        if not facts:
+            return
+        yield from self._flush(dims, facts, timerValues.getCurrentWatermarkInMs())
+
+    def close(self) -> None:
+        pass
+
+
+def asof_join_tws(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    fact_ts: str,
+    dim_ts: str,
+    delay: str = "0 seconds",
+    how: str = "left",
+    gate: bool = True,
+) -> DataFrame:
+    """Event-time AS-OF join, chainable: output carries ``__emit_ts`` as
+    its event-time column, so the result can feed another ``asof_join_tws``
+    (with ``gate=False``) in the SAME continuous query.
+
+    ``gate=True`` (first join of a chain): facts buffer per key until the
+    global watermark passes their event time; event-time timers drain
+    buffered facts on heartbeat-only batches. ``gate=False`` (downstream
+    joins): facts emit immediately against current versioned state — see
+    module docstring for why that is watermark-safe.
+
+    Semantics match ``operators.joins.asof_join``: latest dim version with
+    ``dim_ts <= fact_ts`` (inclusive) per key; ``how='left'`` emits
+    NULL-padded rows for version-less facts, ``'inner'`` drops them.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dim_payload = [c for c in dim.columns if c not in keys and c != dim_ts]
+    fact_cols = [c for c in fact.columns if c != EMIT_TS]
+    chained = EMIT_TS in fact.columns
+
+    f_side = fact.select(
+        *keys,
+        (F.col(EMIT_TS) if chained else F.col(fact_ts).cast("timestamp")).alias("__ts"),
+        F.col(fact_ts).cast("timestamp").alias("__ots"),
+        F.lit(1).alias("__is_fact"),
+        *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
+        *[F.lit(None).cast(dim.schema[c].dataType).alias(f"__d_{c}") for c in dim_payload],
+    )
+    d_side = dim.select(
+        *keys,
+        F.col(dim_ts).cast("timestamp").alias("__ts"),
+        F.lit(None).cast("timestamp").alias("__ots"),
+        F.lit(0).alias("__is_fact"),
+        *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
+        *[F.col(c).alias(f"__d_{c}") for c in dim_payload],
+    )
+    unioned = f_side.unionByName(d_side).withWatermark("__ts", delay)
+
+    out_schema = T.StructType(
+        [fact.schema[c] for c in fact_cols]
+        + [T.StructField(c, dim.schema[c].dataType, True) for c in dim_payload]
+        + [T.StructField(EMIT_TS, T.TimestampType(), False)]
+    )
+    return unioned.groupBy(*keys).transformWithStateInPandas(
+        _AsOfProcessor(fact_cols, dim_payload, gate, how == "inner"),
+        out_schema,
+        "append",
+        "eventTime",
+        eventTimeColumnName=EMIT_TS,
+    )
