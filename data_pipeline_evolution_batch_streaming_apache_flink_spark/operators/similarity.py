@@ -156,6 +156,175 @@ def ivf_cosine_topk(
     )
 
 
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_frac: float | None = None,
+    iters: int = 15,
+    seed: int = 42,
+):
+    """Train product-quantization codebooks: split the (L2-normalized)
+    vector into ``m`` subspaces, k-means each subspace to ``n_centroids``
+    centroids (Lloyd's, seeded, fixed iterations — deterministic).
+
+    Training runs on a driver-side SAMPLE — the standard PQ recipe (the
+    codebook needs ~100k representative rows, not the corpus): at 100 TB
+    you fit on ``sample_frac`` ≈ 1e-5 and never touch the full data.
+    Returns ``codebooks`` as a numpy array of shape (m, n_centroids, d/m).
+    """
+    import numpy as np
+
+    sampled = corpus.select(F.col(vec_col).alias("v"))
+    if sample_frac is not None:
+        sampled = sampled.sample(fraction=sample_frac, seed=seed)
+    X = np.stack(sampled.toPandas()["v"].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_centroids, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cent = sub[rng.choice(n, size=n_centroids, replace=n < n_centroids)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(n_centroids):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks, corpus_id: str, vec_col: str = "embedding") -> DataFrame:
+    """Encode each corpus vector as ``m`` uint8 codes (nearest centroid
+    per subspace of the normalized vector) packed into one BinaryType
+    column — m bytes/vector instead of 4·d: the compressed index a 100 TB
+    corpus is actually scanned from. One corpus pass, no shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        m, _, dsub = books.shape
+        for p in batches:
+            if not len(p):
+                continue
+            X = np.stack(p["__v"].to_numpy()).astype(np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(X), m), dtype=np.uint8)
+            for s in range(m):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame({"cid": p["__cid"], "code": [c.tobytes() for c in codes]})
+
+    return corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__v")).mapInPandas(
+        _enc, schema=f"cid {cid_type}, code binary"
+    )
+
+
+def pq_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    refine: int = 4,
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization approximate top-k by cosine.
+
+    Pipeline: fit codebooks on a sample → encode corpus to m-byte codes →
+    ADC scan (each query precomputes an m×K lookup table of partial dot
+    products against its normalized subvectors; corpus codes score via
+    table lookups — no float vectors read) → keep ``refine·k`` candidates
+    per query → ONE exact-cosine re-rank join on just those rows.
+
+    Scale shape: the heavy scan touches only the code column (m bytes/row,
+    vs 4·d for IVF/brute force), stays shuffle-free with per-partition
+    candidate pruning, and the exact re-rank is a broadcast-size join.
+    Returns (query_id, corpus_id, cos, rank) with exact cosine scores —
+    approximation affects only which rows reach the re-rank (recall),
+    never the reported values.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    books = pq_fit_codebooks(
+        corpus, vec_col=vec_col, m=m, n_centroids=n_centroids,
+        sample_frac=sample_frac, seed=seed,
+    )
+    encoded = pq_encode(corpus, books, corpus_id, vec_col=vec_col)
+
+    qdf = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv")).toPandas()
+    Q = np.stack(qdf["__qv"].to_numpy()).astype(np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    dsub = Q.shape[1] // m
+    # per-query ADC tables: lut[q, s, c] = <q_sub_s, centroid_c_of_s>
+    lut = np.einsum("qsd,scd->qsc", Q.reshape(len(Q), m, dsub), books)
+    bc = spark.sparkContext.broadcast((qdf["qid"].to_numpy(), lut))
+    n_keep = refine * k
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, tables = bc.value
+        sub_idx = np.arange(tables.shape[1])
+        for p in batches:
+            if not len(p):
+                continue
+            codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in p["code"]])
+            ids_c = p["cid"].to_numpy()
+            frames = []
+            for qi in range(len(q_ids)):
+                score = tables[qi][sub_idx[:, None], codes.T].sum(0)
+                mask = ids_c != q_ids[qi]
+                cand = np.nonzero(mask)[0]
+                if len(cand) > n_keep:
+                    cand = cand[np.argpartition(score[cand], -n_keep)[-n_keep:]]
+                if len(cand):
+                    frames.append(pd.DataFrame(
+                        {"qid": q_ids[qi], "cid": ids_c[cand], "approx": score[cand]}
+                    ))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = fan_out(encoded).mapInPandas(_scan, schema=f"qid {qid_type}, cid {cid_type}, approx double")
+    w_a = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("cid").asc())
+    shortlist = cand.withColumn("__r", F.row_number().over(w_a)).filter(F.col("__r") <= n_keep)
+
+    qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("__cv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        shortlist.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
+    )
+
+
 def bucketed_cosine_pairs(
     df: DataFrame,
     id_col: str,

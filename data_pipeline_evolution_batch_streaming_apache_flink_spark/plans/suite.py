@@ -57,6 +57,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
     bucketed_cosine_pairs,
     cosine_topk,
     ivf_cosine_topk,
+    pq_cosine_topk,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, token_histogram
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
@@ -460,6 +461,17 @@ def q_similarity_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_cosine_topk(queries, t["embeddings"], "vec_id", "vec_id", k=5, n_cells=8, n_probe=2)
 
 
+def q_similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate (product-quantization ADC shortlist; reported scores
+    are exact re-ranked cosine) — rows-only check."""
+    t = load_tables(spark, sf, ("embeddings",))
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return pq_cosine_topk(
+        queries, t["embeddings"], "vec_id", "vec_id", k=5,
+        m=16, n_centroids=32, refine=8,
+    )
+
+
 def q_similarity_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate recall (hyperplane LSH) — rows-only check."""
     t = load_tables(spark, sf, ("embeddings",))
@@ -537,6 +549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "similarity_topk": q_similarity_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_pq_topk": q_similarity_pq_topk,
     "similarity_lsh_pairs": q_similarity_lsh_pairs,
     "text_analysis": q_text_analysis,
     "token_histogram": q_token_histogram,
@@ -839,6 +852,6 @@ ORACLE: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
-    # similarity_ivf_topk / similarity_lsh_pairs: approximate operators —
+    # similarity_ivf_topk / similarity_pq_topk / similarity_lsh_pairs: approximate —
     # intentionally no SQL oracle (driver records rows-only checks).
 }

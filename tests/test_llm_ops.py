@@ -64,6 +64,34 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert recall >= 0.8, f"IVF recall too low: {recall}"
 
 
+def test_pq_recall_and_exact_rerank(emb):
+    """PQ-ADC shortlist + exact re-rank: high recall vs brute force, and
+    every reported score must equal the exact cosine (approximation may
+    only affect WHICH rows surface, never their values)."""
+    q = emb.filter(F.col("vec_id") < 20)
+    exact_rows = S.cosine_topk(q, emb, "vec_id", "vec_id", k=3).collect()
+    pq_rows = S.pq_cosine_topk(
+        q, emb, "vec_id", "vec_id", k=3, m=16, n_centroids=32, refine=8
+    ).collect()
+    exact = {(r["vec_id_q"], r["vec_id_c"]) for r in exact_rows}
+    approx = {(r["vec_id_q"], r["vec_id_c"]) for r in pq_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    exact_cos = {(r["vec_id_q"], r["vec_id_c"]): r["cos"] for r in exact_rows}
+    for r in pq_rows:
+        key = (r["vec_id_q"], r["vec_id_c"])
+        if key in exact_cos:
+            assert r["cos"] == exact_cos[key]
+
+
+def test_pq_codes_are_m_bytes(emb):
+    books = S.pq_fit_codebooks(emb, m=8, n_centroids=16)
+    assert books.shape == (8, 16, 8)  # 64-dim vectors -> 8 subspaces of 8
+    codes = S.pq_encode(emb, books, "vec_id").collect()
+    assert len(codes) == emb.count()
+    assert all(len(bytes(r["code"])) == 8 for r in codes)  # 8 bytes vs 256
+
+
 def test_bucketed_cosine_recall(emb):
     exact = {(r["id_a"], r["id_b"]) for r in D.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45).collect()}
     lsh = {(r["id_a"], r["id_b"])

@@ -1,0 +1,80 @@
+"""ANN recall/latency sweep: IVF (vs n_probe) and PQ (vs m/refine)
+against the exact brute-force baseline on the embeddings table.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/ann_recall.py
+Prints one row per configuration and a final JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark import get_spark
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import similarity as S
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+K = 5
+N_QUERIES = 50
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("ann-recall", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet")).cache()
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    t0 = time.time()
+    exact = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in S.cosine_topk(q, emb, "vec_id", "vec_id", k=K).collect()
+    }
+    t_exact = time.time() - t0
+    print(f"{'config':<38} {'recall@'+str(K):>9} {'sec':>7}   (corpus={n}, exact={t_exact:.2f}s)")
+
+    results = {"corpus": n, "k": K, "exact_sec": round(t_exact, 3), "ivf": [], "pq": []}
+
+    for n_probe in (1, 2, 4, 8):
+        t0 = time.time()
+        got = {
+            (r["vec_id_q"], r["vec_id_c"])
+            for r in S.ivf_cosine_topk(
+                q, emb, "vec_id", "vec_id", k=K, n_cells=16, n_probe=n_probe
+            ).collect()
+        }
+        dt = time.time() - t0
+        rec = len(exact & got) / len(exact)
+        print(f"{'ivf n_cells=16 n_probe=' + str(n_probe):<38} {rec:>9.3f} {dt:>7.2f}")
+        results["ivf"].append({"n_probe": n_probe, "recall": round(rec, 3), "sec": round(dt, 2)})
+
+    for m, n_centroids, refine in ((8, 16, 8), (16, 32, 4), (16, 32, 8), (16, 32, 16)):
+        t0 = time.time()
+        got = {
+            (r["vec_id_q"], r["vec_id_c"])
+            for r in S.pq_cosine_topk(
+                q, emb, "vec_id", "vec_id", k=K,
+                m=m, n_centroids=n_centroids, refine=refine,
+            ).collect()
+        }
+        dt = time.time() - t0
+        rec = len(exact & got) / len(exact)
+        cfg = f"pq m={m} K={n_centroids} refine={refine}"
+        print(f"{cfg:<38} {rec:>9.3f} {dt:>7.2f}")
+        results["pq"].append(
+            {"m": m, "n_centroids": n_centroids, "refine": refine,
+             "recall": round(rec, 3), "sec": round(dt, 2)}
+        )
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
