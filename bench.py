@@ -57,11 +57,16 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        # second run on the already-compiled plan: steady-state throughput
-        # (what a long-running cluster job sees after codegen warmup)
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t0, 3)
+        # steady-state throughput on the already-compiled plan (what a
+        # long-running cluster job sees after codegen warmup): min of two
+        # reps — this host shows ±2x run-to-run variance from contention,
+        # and min is the standard noise-robust estimator for wall time.
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        warm[name] = round(min(reps), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
