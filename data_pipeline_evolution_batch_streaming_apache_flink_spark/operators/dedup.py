@@ -180,19 +180,31 @@ def minhash_lsh_pairs(
 
     def _band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for p in batches:
-            ids, bands_out, hashes_out = [], [], []
-            for rec in p.to_dict(orient="records"):
-                h = np.asarray(rec["__h"], dtype=np.int64)[None, :]
-                sig = ((A * h + B) % MINHASH_PRIME).min(axis=1)  # (num_perm,)
-                bsig = sig.reshape(bands, rows_per_band)
-                bh = np.zeros(bands, dtype=np.int64)
-                for j in range(rows_per_band):  # polynomial rolling combine
-                    bh = (bh * BAND_MIX + bsig[:, j]) % BAND_MOD
-                ids.extend([rec["__id"]] * bands)
-                bands_out.extend(range(bands))
-                hashes_out.extend(bh.tolist())
-            if ids:
-                yield pd.DataFrame({"__id": ids, "band": bands_out, "bhash": hashes_out})
+            if not len(p):
+                continue
+            # One pass over the whole Arrow batch, no per-record loop:
+            # concatenate every row's shingle hashes, apply all num_perm
+            # permutations to the flat vector at once, then segmented-min
+            # back to per-row signatures with minimum.reduceat.
+            lens = p["__h"].map(len).to_numpy()
+            keep = lens > 0
+            if not keep.any():
+                continue
+            pk = p[keep]
+            lens = lens[keep]
+            flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in pk["__h"]])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            perm = (A * flat[None, :] + B) % MINHASH_PRIME  # (num_perm, total)
+            sig = np.minimum.reduceat(perm, starts, axis=1)  # (num_perm, n_rows)
+            bsig = sig.T.reshape(len(pk), bands, rows_per_band)
+            bh = np.zeros((len(pk), bands), dtype=np.int64)
+            for j in range(rows_per_band):  # polynomial rolling combine
+                bh = (bh * BAND_MIX + bsig[:, :, j]) % BAND_MOD
+            yield pd.DataFrame({
+                "__id": np.repeat(pk["__id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), len(pk)),
+                "bhash": bh.reshape(-1),
+            })
 
     hashed = sh.select(
         "__id",
