@@ -1,0 +1,90 @@
+"""Scaling-curve stress: replicate the sf0.1 FACT tables N× (dims stay
+fixed — facts grow, dimensions don't) and time the relational headline
+queries at each factor. Near-linear wall time across factors is the
+evidence that the plans scale with data volume instead of blowing up on
+a shuffle or driver-side bottleneck.
+
+Fact keys are offset per replica so key cardinality grows with the data
+(no artificial hot keys); the as-of self-join keeps o_custkey, so
+versions-per-key grows N× — deliberately stressing the window operator.
+
+Usage: python tools/stress.py [factors...]   (default: 1 4 16)
+Prints one timing row per (factor, query) and a final JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark import get_spark
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTS = ("lineitem", "orders")
+DIMS = ("customer", "part", "supplier", "nation", "region")
+QUERIES = ("pricing_summary", "region_revenue", "enriched_orders", "asof_join", "unnest_join")
+
+
+def build(spark, factor: int, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in DIMS:
+        shutil.copy(os.path.join(BASE, f"{name}.parquet"), os.path.join(out_dir, f"{name}.parquet"))
+    orders = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    okey_span = orders.agg(F.max("o_orderkey")).head()[0] + 1
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__rep")
+    (
+        orders.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("__rep") * okey_span)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+    (
+        lineitem.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("__rep") * okey_span)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="dpe_stress_")
+    results: dict[str, dict[str, float]] = {}
+    rows = {}
+    try:
+        for factor in factors:
+            d = os.path.join(root, f"x{factor}")
+            build(spark, factor, d)
+            rows[factor] = spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
+            results[str(factor)] = {}
+            for q in QUERIES:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    suite.QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                results[str(factor)][q] = round(best, 2)
+                print(f"x{factor:<3} ({rows[factor]:>9} lineitem) {q:<18} {best:>7.2f}s")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"base": BASE, "lineitem_rows": rows, "timings": results}))
+
+
+if __name__ == "__main__":
+    main()
