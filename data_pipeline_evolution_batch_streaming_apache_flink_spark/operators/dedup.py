@@ -359,6 +359,54 @@ def simhash_bits(text_col: Column | str, nbits: int = 32) -> Column:
     return F.array(*bits)
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, nbits: int = 32) -> DataFrame:
+    """Packed SimHash signatures: one bigint per document, bit j set when
+    the token-weighted sum of bit j is positive (same formula as
+    :func:`simhash_bits`, same md5 bit source — so the DuckDB oracle's
+    SQL spelling still matches bit-for-bit).
+
+    One Arrow-batched pass over the corpus: the SQL-expression version
+    re-evaluates the per-token md5 lambda once per bit (32x) and again on
+    each side of the self-join; here each distinct token is hashed exactly
+    once per batch (memoized) and the 2*nbits bit-sums are one numpy
+    reduction. Returns ``(id_col, simhash bigint)``.
+    """
+    if not 1 <= nbits <= 62:
+        raise ValueError("nbits must fit a positive bigint (1..62)")
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, simhash bigint"
+
+    def _sigs(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        mod = 1 << nbits
+        shifts = np.arange(nbits, dtype=np.uint64)
+        memo: dict[str, int] = {}
+
+        def h(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16) % mod
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                toks = ws.split(text.strip()) if text is not None else [""]
+                hs = np.fromiter((h(t) for t in toks), dtype=np.uint64, count=len(toks))
+                # per-bit sum of (2*bit - 1): positive -> signature bit set
+                votes = (((hs[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64).sum(axis=0)
+                sigs[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(_sigs, schema=out_schema)
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -369,28 +417,38 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocked by splitting the signature into ``bands`` segments: any pair
-    within distance max_hamming < bands shares at least one identical
-    segment (pigeonhole), so candidates come from an equi-join on
-    (segment index, segment value) — never a cross join.
-    Returns (id_a, id_b, hamming), id_a < id_b.
+    Blocked by splitting the signature into ``bands`` bit segments: any
+    pair within distance max_hamming < bands shares at least one identical
+    segment (pigeonhole), so candidates come from an equi-join on the
+    integer key (segment index, segment value) — never a cross join.
+    Hamming distance is a single ``bit_count(xor)`` on the packed
+    signatures. Returns (id_a, id_b, hamming), id_a < id_b.
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for exact pigeonhole blocking")
     seg = nbits // bands
-    sh = fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))).select(
-        "__id", simhash_bits("__t", nbits).alias("__bits")
+    segmask = (1 << seg) - 1
+    sh = simhash_signatures(
+        fan_out(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))),
+        "__id",
+        "__t",
+        nbits,
     )
     blocked = sh.select(
         "__id",
-        "__bits",
+        F.col("simhash").alias("__sig"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("seg"), F.slice("__bits", b * seg + 1, seg).alias("segbits")),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("seg"),
+                        F.shiftright("simhash", b * seg).bitwiseAND(F.lit(segmask)).alias("segbits"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("__s"),
-    ).select("__id", "__bits", "__s.seg", "__s.segbits")
+    ).select("__id", "__sig", "__s.seg", "__s.segbits")
     cand = (
         blocked.alias("x")
         .join(blocked.alias("y"), ["seg", "segbits"])
@@ -398,18 +456,13 @@ def simhash_pairs(
         .select(
             F.col("x.__id").alias("id_a"),
             F.col("y.__id").alias("id_b"),
-            F.col("x.__bits").alias("__ba"),
-            F.col("y.__bits").alias("__bb"),
+            F.col("x.__sig").alias("__sa"),
+            F.col("y.__sig").alias("__sb"),
         )
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with("__ba", "__bb", lambda a, b: F.abs(a - b)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
