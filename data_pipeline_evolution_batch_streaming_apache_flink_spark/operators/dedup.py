@@ -212,11 +212,28 @@ def minhash_lsh_pairs(
     )
     id_type = df.schema[id_col].dataType.simpleString()
     banded = hashed.mapInPandas(_band_rows, schema=f"__id {id_type}, band int, bhash long")
+    # Candidate pairs via bucket-collect, not a banded-self-join: Spark does
+    # not reuse the exchange across the two sides of a self-join here (the
+    # MapInPandas stage fails sameResult), so a join would run the Python
+    # minhash stage and the scan TWICE. groupBy(band, bhash) runs them once
+    # and emits each bucket's pairs with posexplode+slice. A pathological
+    # bucket of K near-identical docs yields K^2/2 pairs either way; the
+    # quadratic blowup is inherent to LSH candidates, not to this shape.
+    buckets = (
+        banded.groupBy("band", "bhash")
+        .agg(F.collect_list("__id").alias("__ids"))
+        .filter(F.size("__ids") > 1)
+    )
     cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bhash"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        buckets.select(F.posexplode("__ids").alias("__i", "__a"), "__ids")
+        .select(
+            "__a",
+            F.explode(F.slice("__ids", F.col("__i") + 2, F.size("__ids"))).alias("__b"),
+        )
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+        )
         .distinct()
     )
     sets = sh.select("__id", "__sh")
