@@ -466,15 +466,27 @@ def simhash_pairs(
             )
         ).alias("__s"),
     ).select("__id", "__sig", "__s.seg", "__s.segbits")
+    # Bucket-collect instead of a blocked-self-join so the Python signature
+    # stage runs once (Spark does not reuse the exchange across self-join
+    # sides; see minhash_lsh_pairs). __id is the struct's first field, so
+    # least/greatest order pairs by id.
+    buckets = (
+        blocked.groupBy("seg", "segbits")
+        .agg(F.collect_list(F.struct("__id", "__sig")).alias("__xs"))
+        .filter(F.size("__xs") > 1)
+    )
     cand = (
-        blocked.alias("x")
-        .join(blocked.alias("y"), ["seg", "segbits"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
+        buckets.select(F.posexplode("__xs").alias("__i", "__a"), "__xs")
         .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.col("x.__sig").alias("__sa"),
-            F.col("y.__sig").alias("__sb"),
+            "__a",
+            F.explode(F.slice("__xs", F.col("__i") + 2, F.size("__xs"))).alias("__b"),
+        )
+        .select(F.least("__a", "__b").alias("__p"), F.greatest("__a", "__b").alias("__q"))
+        .select(
+            F.col("__p.__id").alias("id_a"),
+            F.col("__q.__id").alias("id_b"),
+            F.col("__p.__sig").alias("__sa"),
+            F.col("__q.__sig").alias("__sb"),
         )
         .distinct()
     )

@@ -354,12 +354,29 @@ def bucketed_cosine_pairs(
     hashed = fan_out(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))).select(
         "__id", "__v", F.explode(F.array(*tables)).alias("__h")
     ).select("__id", "__v", "__h.tbl", "__h.bucket")
+    # Bucket-collect instead of a hashed-self-join: the 64 fold-based dot
+    # products per row above would otherwise run twice (no exchange reuse
+    # across self-join sides), and the shuffle would carry every vector
+    # twice. __id is the struct's first field, so least/greatest order
+    # pairs by id.
+    buckets = (
+        hashed.groupBy("tbl", "bucket")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("__xs"))
+        .filter(F.size("__xs") > 1)
+    )
     cand = (
-        hashed.alias("x")
-        .join(hashed.alias("y"), ["tbl", "bucket"])
-        .filter(F.col("x.__id") < F.col("y.__id"))
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"),
-                F.col("x.__v").alias("__va"), F.col("y.__v").alias("__vb"))
+        buckets.select(F.posexplode("__xs").alias("__i", "__a"), "__xs")
+        .select(
+            "__a",
+            F.explode(F.slice("__xs", F.col("__i") + 2, F.size("__xs"))).alias("__b"),
+        )
+        .select(F.least("__a", "__b").alias("__p"), F.greatest("__a", "__b").alias("__q"))
+        .select(
+            F.col("__p.__id").alias("id_a"),
+            F.col("__q.__id").alias("id_b"),
+            F.col("__p.__v").alias("__va"),
+            F.col("__q.__v").alias("__vb"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
