@@ -49,6 +49,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins 
     lookup_join,
     unnest_join,
 )
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import session_stats, sessionize
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import (
     attach_binary_payload,
     extract_image_features,
@@ -521,6 +522,93 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_image_features(with_payload)
 
 
+def q_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping-sets surface (SURVEY §2.5 "free via Spark SQL if
+    exposed"): ROLLUP(region, nation) revenue with subtotal and
+    grand-total rows. Dim names are never null, so the coalesce
+    sentinel is unambiguous cross-engine. One shuffle: Spark expands
+    the rollup before the exchange (Expand → single hash agg)."""
+    t = load_tables(spark, sf, ("region", "nation", "customer", "orders"))
+    j = (
+        t["region"]
+        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "n_orders",
+            "revenue_cents",
+        )
+    )
+
+
+def q_distinct_agg_having(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT aggregate + HAVING (exposed Spark surface): distinct
+    buyers per market segment, segments above an order-count floor.
+    count(DISTINCT) plans as a two-phase partial-distinct aggregate —
+    no extra shuffle beyond the segment exchange."""
+    t = load_tables(spark, sf, ("customer", "orders"))
+    j = t["orders"].join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count("*").alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+        .filter(F.col("n_orders") > 50)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (the reference's users/sessions
+    clickstream pipeline, scripts/datagen.py:21-96, done at scale):
+    a 30-minute inactivity gap starts a new session (operator:
+    operators/sessions.py — one shuffle, window passes share the
+    in-partition sort)."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_id", "value", _millis("ts").alias("ts_ms")
+    )
+    sess = sessionize(ev, "user_id", "ts_ms", "30 minutes", tiebreak_cols=("event_id",))
+    return session_stats(
+        sess, aggs=[F.sum(_cents("value")).alias("value_cents")]
+    )
+
+
+def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed training-data prep pipeline — the full
+    filter → dedup → account flow a pretraining ingest runs, as ONE
+    declarative plan: per-row scoring (quality, language-ID, token
+    count) is codegen'd scalar work, then quality+language gate, exact
+    dedup (min-doc_id winner per text), per-source corpus accounting.
+    Only two shuffles total (dedup group-by, source rollup)."""
+    t = load_tables(spark, sf, ("documents",))
+    scored = fan_out(t["documents"]).select(
+        "doc_id",
+        "source",
+        "text",
+        TXT.token_count("text").alias("n_tokens"),
+        TXT.lang_id("text").alias("lang_pred"),
+        TXT.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.6) & (F.col("lang_pred") == "en"))
+    deduped = exact_dedup(kept, "text", "doc_id")
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("quality_micros"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "enriched_orders": q_enriched_orders,
@@ -556,6 +644,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_safe_collect": q_skew_safe_collect,
     "regex_token_stats": q_regex_token_stats,
     "multimodal_features": q_multimodal_features,
+    "rollup_revenue": q_rollup_revenue,
+    "distinct_agg_having": q_distinct_agg_having,
+    "sessionize": q_sessionize,
+    "training_prep": q_training_prep,
 }
 
 
@@ -852,6 +944,80 @@ ORACLE: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
+    "rollup_revenue": """
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM region
+        JOIN nation ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders ON c_custkey = o_custkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "distinct_agg_having": """
+        SELECT c_mktsegment AS segment,
+               count(DISTINCT o_custkey) AS n_buyers,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        HAVING count(*) > 50
+    """,
+    "sessionize": """
+        WITH ev AS (
+          SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
+        ),
+        flagged AS (
+          SELECT user_id, event_id, value, ts_ms,
+                 CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+                      WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1
+                      ELSE 0 END AS new_sess
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        ),
+        sess AS (
+          SELECT user_id, value, ts_ms,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_seq
+          FROM flagged
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM sess GROUP BY user_id, session_seq
+    """,
+    "training_prep": r"""
+        WITH tok AS (
+          SELECT doc_id, source, text,
+                 string_split_regex(trim(text), '\s+') AS toks
+          FROM documents
+        ),
+        scored AS (
+          SELECT doc_id, source, text,
+                 len(toks) AS n_tok,
+                 list_aggregate([__LANG_STRUCTS__], 'max') AS best,
+                 round(((CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+                        + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+                        + least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)) / 3.0, 6) AS quality
+          FROM tok
+        ),
+        kept AS (
+          SELECT * FROM scored
+          WHERE quality >= 0.6
+            AND (CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END) = 'en'
+        ),
+        dedup AS (
+          SELECT min_by(source, doc_id) AS source,
+                 min_by(n_tok, doc_id) AS n_tok,
+                 min_by(quality, doc_id) AS quality
+          FROM kept GROUP BY text
+        )
+        SELECT source, count(*) AS kept_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS quality_micros
+        FROM dedup GROUP BY source
+    """.replace("[__LANG_STRUCTS__]", "[" + _LANG_STRUCTS + "]"),
     # similarity_ivf_topk / similarity_pq_topk / similarity_lsh_pairs: approximate —
     # intentionally no SQL oracle (driver records rows-only checks).
 }

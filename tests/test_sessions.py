@@ -1,0 +1,89 @@
+"""Sessionization operator (operators/sessions.py) and the composed
+training-prep pipeline suite query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import session_stats, sessionize
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+MIN = 60_000  # ms
+
+
+def test_sessionize_gap_boundaries(spark):
+    # user 1: events at 0, 10, 45, 50 min with a 30-min gap -> sessions
+    # {0,10} and {45,50}. Gap of exactly 30 min does NOT split (> only).
+    rows = [
+        (1, 100, 0 * MIN),
+        (1, 101, 10 * MIN),
+        (1, 102, 45 * MIN),
+        (1, 103, 50 * MIN),
+        (2, 200, 0 * MIN),
+        (2, 201, 30 * MIN),  # exactly the gap: same session
+        (2, 202, 61 * MIN),  # 31 min later: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts_ms long")
+    out = sessionize(df, "user_id", "ts_ms", "30 minutes", tiebreak_cols=("event_id",))
+    got = {(r.user_id, r.event_id): r.session_seq for r in out.collect()}
+    assert got[(1, 100)] == got[(1, 101)] == 1
+    assert got[(1, 102)] == got[(1, 103)] == 2
+    assert got[(2, 200)] == got[(2, 201)] == 1
+    assert got[(2, 202)] == 2
+
+
+def test_session_stats_rollup(spark):
+    rows = [(1, 100, 0), (1, 101, 5 * MIN), (1, 102, 90 * MIN)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts_ms long")
+    sess = sessionize(df, gap="30 minutes", tiebreak_cols=("event_id",))
+    stats = {r.session_seq: r for r in session_stats(sess).collect()}
+    assert stats[1].n_events == 2 and stats[1].start_ms == 0 and stats[1].end_ms == 5 * MIN
+    assert stats[2].n_events == 1 and stats[2].start_ms == 90 * MIN
+
+
+def test_sessionize_single_shuffle_plan(spark, sf_dir):
+    """Both window passes and the stats rollup must share ONE exchange."""
+    plan = suite.q_sessionize(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_training_prep_accounting(spark, sf_dir):
+    """kept_docs per source must equal the distinct surviving texts, and
+    every output row aggregates only quality>=0.6 'en' docs."""
+    out = {r.source: r for r in suite.q_training_prep(spark, sf_dir).collect()}
+    assert out, "pipeline kept nothing at sf0.001"
+    docs = suite.load_tables(spark, sf_dir, ("documents",))["documents"]
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
+
+    kept = (
+        docs.select(
+            "doc_id", "source", "text",
+            TXT.lang_id("text").alias("lang_pred"),
+            TXT.quality_score("text").alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.6) & (F.col("lang_pred") == "en"))
+    )
+    # dedup winners: one row per distinct text, attributed to min doc_id's source
+    winners = (
+        kept.groupBy("text")
+        .agg(F.min_by("source", "doc_id").alias("source"))
+        .groupBy("source")
+        .count()
+    )
+    expect = {r.source: r["count"] for r in winners.collect()}
+    assert {s: r.kept_docs for s, r in out.items()} == expect
+
+
+def test_rollup_revenue_totals(spark, sf_dir):
+    """Grand-total row must equal the sum of the leaf rows."""
+    rows = suite.q_rollup_revenue(spark, sf_dir).collect()
+    leaves = [r for r in rows if r.region != "ALL" and r.nation != "ALL"]
+    total = [r for r in rows if r.region == "ALL" and r.nation == "ALL"]
+    assert len(total) == 1
+    assert total[0].n_orders == sum(r.n_orders for r in leaves)
+    assert total[0].revenue_cents == sum(r.revenue_cents for r in leaves)
+    # region subtotals consistent too
+    for region in {r.region for r in leaves}:
+        sub = [r for r in rows if r.region == region and r.nation == "ALL"]
+        assert sub[0].n_orders == sum(r.n_orders for r in leaves if r.region == region)
