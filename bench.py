@@ -41,6 +41,8 @@ BENCH_QUERIES = (
     "similarity_topk",
     "text_analysis",
     "token_histogram",
+    "sessionize",
+    "training_prep",
 )
 
 

@@ -59,6 +59,39 @@ def sessionize(
     ).drop("__new_sess")
 
 
+def streaming_sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark_delay: str | None = "10 seconds",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize` on Spark's native
+    ``session_window``: gap windows are merged in the state store per
+    key and a session is emitted once the watermark passes its end
+    (append mode) — state is bounded by the watermark, so an unbounded
+    clickstream never accumulates closed sessions.
+
+    Boundary semantics differ from the batch operator at exact-gap
+    ties: ``session_window`` starts a new session when the inter-event
+    gap is ``>= gap`` (window end is last_ts + gap, half-open), while
+    the lag-based batch operator splits strictly ``> gap``.
+    """
+    if watermark_delay is not None:
+        df = df.withWatermark(ts_col, watermark_delay)
+    extra = aggs or []
+    out = (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"), *extra)
+    )
+    return (
+        out.withColumn("session_start", F.col("session.start"))
+        .withColumn("session_end", F.col("session.end"))
+        .drop("session")
+    )
+
+
 def session_stats(
     sessions: DataFrame,
     user_col: str = "user_id",

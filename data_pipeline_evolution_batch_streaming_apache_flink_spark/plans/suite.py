@@ -586,23 +586,32 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
-    filter → dedup → account flow a pretraining ingest runs, as ONE
-    declarative plan: per-row scoring (quality, language-ID, token
-    count) is codegen'd scalar work, then quality+language gate, exact
-    dedup (min-doc_id winner per text), per-source corpus accounting.
-    Only two shuffles total (dedup group-by, source rollup)."""
+    score → dedup → gate → account flow a pretraining ingest runs, as
+    ONE declarative plan. Two deliberate plan choices (measured 3.8x
+    at sf0.1, see SCALE.md):
+
+    - Dedup keys on md5(text), not text: the dedup exchange carries a
+      32-char digest + 4 scalars per row instead of whole documents.
+    - The quality+language gate runs AFTER the dedup aggregate, not
+      before. The gate is a pure function of text, so it commutes with
+      text-keyed dedup (duplicates share one score) — and placing it
+      above the aggregate stops Catalyst's predicate pushdown from
+      substituting the expensive scoring expressions into the scan
+      stage, where they'd be re-evaluated per conjunct ahead of the
+      fan-out (serially, on a single-row-group parquet). This way the
+      scoring Project is evaluated exactly once, post-fan-out."""
     t = load_tables(spark, sf, ("documents",))
     scored = fan_out(t["documents"]).select(
+        F.md5("text").alias("text_key"),
         "doc_id",
         "source",
-        "text",
         TXT.token_count("text").alias("n_tokens"),
         TXT.lang_id("text").alias("lang_pred"),
         TXT.quality_score("text").alias("quality"),
     )
-    kept = scored.filter((F.col("quality") >= 0.6) & (F.col("lang_pred") == "en"))
-    deduped = exact_dedup(kept, "text", "doc_id")
-    return deduped.groupBy("source").agg(
+    deduped = exact_dedup(scored, "text_key", "doc_id")
+    kept = deduped.filter((F.col("quality") >= 0.6) & (F.col("lang_pred") == "en"))
+    return kept.groupBy("source").agg(
         F.count("*").alias("kept_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("quality_micros"),

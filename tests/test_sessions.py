@@ -87,3 +87,57 @@ def test_rollup_revenue_totals(spark, sf_dir):
     for region in {r.region for r in leaves}:
         sub = [r for r in rows if r.region == region and r.nation == "ALL"]
         assert sub[0].n_orders == sum(r.n_orders for r in leaves if r.region == region)
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Streaming twin (native session_window): sessions merge in state
+    and emit when the watermark passes session end (append mode)."""
+    import json as _json
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import streaming_sessionize
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+
+    in_dir = str(tmp_path / "sess_in")
+    os.makedirs(in_dir)
+    batches = [
+        [  # user 1: two events 10 min apart -> one session
+            {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+            {"user_id": 1, "ts": "2024-01-01 10:10:00"},
+            {"user_id": 2, "ts": "2024-01-01 10:00:00"},
+        ],
+        [  # user 1: 50 min after last -> second session
+            {"user_id": 1, "ts": "2024-01-01 11:00:00"},
+        ],
+        [  # watermark pusher: closes every session above
+            {"user_id": 9, "ts": "2024-01-01 14:00:00"},
+        ],
+    ]
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"b{i}.json")
+        with open(p, "w") as fh:
+            fh.writelines(_json.dumps(r) + "\n" for r in rows)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    stream = json_file_stream(spark, in_dir, "user_id int, ts timestamp")
+    sess = streaming_sessionize(stream, "user_id", "ts", gap="30 minutes")
+
+    out_dir = str(tmp_path / "sess_out")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, "2024-01-01 10:00:00", 2) in got
+    assert (1, "2024-01-01 11:00:00", 1) in got
+    assert (2, "2024-01-01 10:00:00", 1) in got
