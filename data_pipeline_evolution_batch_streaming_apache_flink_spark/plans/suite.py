@@ -618,6 +618,43 @@ def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (exposed Spark surface): per-user event counts spread into
+    one column per event type. Explicit value list keeps the output
+    schema static (no extra pass to discover categories) — required for
+    a streaming-compatible plan and for cross-engine schema parity."""
+    t = load_tables(spark, sf, ("events",))
+    types = ["click", "view", "purchase", "error"]
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}") for c in types],
+        )
+    )
+
+
+def q_median_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped percentiles (exposed surface): median and p90 of
+    the discounted price per return flag. Spark's percentile and
+    DuckDB's quantile_cont both linearly interpolate over the sorted
+    group; rounding to 6dp absorbs the last-bit double noise."""
+    t = load_tables(spark, sf, ("lineitem",))
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(disc, F.lit(0.5)), 6).alias("p50_disc"),
+            F.round(F.percentile(disc, F.lit(0.9)), 6).alias("p90_disc"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "enriched_orders": q_enriched_orders,
@@ -657,6 +694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg_having": q_distinct_agg_having,
     "sessionize": q_sessionize,
     "training_prep": q_training_prep,
+    "pivot_events": q_pivot_events,
+    "median_metrics": q_median_metrics,
 }
 
 
@@ -952,6 +991,21 @@ ORACLE: dict[str, str] = {
                CAST(64 + (octet_length(encode(text)) * 31) % 512 AS INT) AS height,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "pivot_events": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'view') AS n_view,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'error') AS n_error
+        FROM events GROUP BY user_id
+    """,
+    "median_metrics": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice * (1.0 - l_discount), 0.5), 6) AS p50_disc,
+               round(quantile_cont(l_extendedprice * (1.0 - l_discount), 0.9), 6) AS p90_disc,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_returnflag
     """,
     "rollup_revenue": """
         SELECT coalesce(r_name, 'ALL') AS region,
