@@ -98,3 +98,40 @@ def test_minhash_lsh_equals_exact_jaccard_at_high_threshold(spark, texts):
         for r in minhash_lsh_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
     }
     assert lsh == exact
+
+
+EVENTS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)),  # (user, ts in seconds)
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=EVENTS)
+def test_sessionize_matches_python_reference(spark, events):
+    """Session assignment must equal the obvious per-user sequential scan:
+    sort a user's events by (ts, id); a new session starts when the gap
+    from the previous event exceeds the threshold (strictly)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import sessionize
+
+    gap_ms = 60_000  # 1 minute
+    rows = [(u, i, t * 1000) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts_ms long")
+    got = {
+        (r.user_id, r.event_id): r.session_seq
+        for r in sessionize(df, gap="1 minute", tiebreak_cols=("event_id",)).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, i, t in rows:
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        seq, prev = 0, None
+        for t, i in sorted(evs):
+            if prev is None or t - prev > gap_ms:
+                seq += 1
+            expect[(u, i)] = seq
+            prev = t
+    assert got == expect
