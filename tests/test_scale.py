@@ -73,3 +73,21 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_training_prep_scoring_stays_above_fanout(spark, sf_dir):
+    """Regression guard for the dedup-before-gate restructure (SCALE.md
+    "When NOT to push a predicate down"): the expensive text-scoring
+    expressions must appear in exactly ONE plan node — the projection
+    above the fan-out exchange — and never inside a Filter or the
+    parquet scan (pushdown substitution would re-serialize them)."""
+    plan = _plan(suite.QUERIES["training_prep"](spark, sf_dir))
+    for line in plan.split("\n"):
+        stripped = line.lstrip(" +-:*()0123456789")
+        if stripped.startswith("Filter") or stripped.startswith("FileScan"):
+            assert "split(" not in line, f"scoring leaked into: {line[:120]}"
+    heavy_nodes = [
+        line for line in plan.split("\n")
+        if "split(" in line and line.lstrip(" +-:*()0123456789").startswith("Project")
+    ]
+    assert len(heavy_nodes) == 1, f"scoring evaluated in {len(heavy_nodes)} projections"

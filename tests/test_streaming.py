@@ -364,3 +364,62 @@ def test_streaming_hourly_counts_watermarked(spark, tmp_path):
     got = {(str(r["hour"]), r["user"], r["n"]) for r in spark.read.parquet(out_dir).collect()}
     assert ("2024-01-01 10:00:00", "u1", 2) in got
     assert ("2024-01-01 10:00:00", "u2", 1) in got
+
+
+def test_streaming_asof_recovers_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart recovery: stop the query after the first tranche
+    of files, then restart on the SAME checkpoint with new input. The
+    restarted query must (a) not re-emit already-emitted facts and
+    (b) join later facts against dim versions received BEFORE the stop —
+    i.e. versioned state survives in the state store."""
+    dim_dir = str(tmp_path / "rdim_in")
+    fact_dir = str(tmp_path / "rfact_in")
+    out_dir = str(tmp_path / "rec_out")
+    ckpt = str(tmp_path / "rec_ckpt")
+
+    # tranche 1: one dim version, one fact, one small watermark push
+    _write_batches(dim_dir, [[{"k": 1, "dts": "2024-01-01 10:00:00", "price": 5}]])
+    _write_batches(fact_dir, [
+        [{"k": 1, "fid": 100, "fts": "2024-01-01 10:00:30"}],
+        [{"k": 50, "fid": 500, "fts": "2024-01-01 10:30:00"}],  # advances wm past fid 100
+    ])
+
+    def run_once():
+        dim_stream = json_file_stream(spark, dim_dir, "k int, dts timestamp, price int")
+        fact_stream = json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp")
+        joined = streaming_asof_join(
+            fact_stream, dim_stream, key="k", fact_ts="fts", dim_ts="dts", how="left"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # first run drains tranche 1, then the query stops
+    first = {(r["fid"], r["price"]) for r in spark.read.parquet(out_dir).collect()}
+    assert (100, 5) in first
+
+    # tranche 2 (written AFTER the stop): a fact whose as-of version is the
+    # pre-restart dim row, plus a heartbeat to flush it
+    import os, json as _json
+    for i, rows in enumerate([
+        [{"k": 1, "fid": 101, "fts": "2024-01-01 10:40:00"}],
+        [{"k": 99, "fid": 999, "fts": "2024-01-01 12:00:00"}],
+    ]):
+        p = os.path.join(fact_dir, f"late_{i}.json")
+        with open(p, "w") as fh:
+            fh.writelines(_json.dumps(r) + "\n" for r in rows)
+        os.utime(p, (1_700_000_100 + i * 10,) * 2)
+
+    run_once()  # restart on the same checkpoint
+    rows = [r for r in spark.read.parquet(out_dir).collect()]
+    got = {(r["fid"], r["price"]) for r in rows if r["fid"] not in (500, 999)}
+    # fid 101 joined against the dim version learned before the restart
+    assert got == {(100, 5), (101, 5)}
+    # no duplicate emission of fid 100 across the two runs
+    assert sum(1 for r in rows if r["fid"] == 100) == 1
