@@ -43,6 +43,19 @@ def main() -> None:
     print("multimodal features (fake decoder — codecs stubbed):")
     extract_image_features(attach_binary_payload(docs, "text")).show(5)
 
+    print("composed prep pipeline (score -> dedup -> gate -> per-source stats):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.suite import q_training_prep
+
+    q_training_prep(spark, sf).show()
+
+    print("gap-based sessions over the events clickstream:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import session_stats, sessionize
+
+    ev = read_parquet(spark, f"{sf}/events.parquet").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+    session_stats(sessionize(ev, gap="30 minutes", tiebreak_cols=("event_id",))).show(5)
+
 
 if __name__ == "__main__":
     main()
