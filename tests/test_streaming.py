@@ -423,3 +423,56 @@ def test_streaming_asof_recovers_from_checkpoint(spark, tmp_path):
     assert got == {(100, 5), (101, 5)}
     # no duplicate emission of fid 100 across the two runs
     assert sum(1 for r in rows if r["fid"] == 100) == 1
+
+
+def test_lookup_join_sees_jdbc_updates_between_batches(spark, tmp_path):
+    """Scenario 3 executed for real: a CDC-style stream lookup-joined to a
+    LIVE JDBC table (embedded Derby). The static side is re-read every
+    micro-batch, so an update applied between batches is visible to the
+    next batch — the per-batch-snapshot version of the reference's
+    processing-time lookup freshness (README.md:256-302)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import lookup_join
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import jdbc_table_reader
+
+    url = f"jdbc:derby:{tmp_path}/lkdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def write_clients(rows):
+        (
+            spark.createDataFrame(rows, "client_id int, client_name string")
+            .write.format("jdbc")
+            .option("url", url).option("dbtable", "clients").option("driver", driver)
+            .option("createTableColumnTypes", "client_name VARCHAR(32)")
+            .mode("overwrite")
+            .save()
+        )
+
+    write_clients([(10, "ann_v1")])
+
+    in_dir = str(tmp_path / "lkj_in")
+    _write_batches(
+        in_dir,
+        [
+            [{"order_id": 1, "client_id": 10}],
+            [{"order_id": 2, "client_id": 10}],
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "order_id int, client_id int")
+    lookup = jdbc_table_reader(spark, url, "clients", driver=driver).load()
+    joined = lookup_join(stream, lookup, on="client_id", how="inner", proctime_col=None)
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.extend((r["order_id"], r["client_name"]) for r in batch_df.collect())
+        if batch_id == 0:
+            write_clients([(10, "ann_v2")])  # update the DB between batches
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "lkj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert sorted(seen) == [(1, "ann_v1"), (2, "ann_v2")]
