@@ -90,6 +90,98 @@ def write_upsert_kafka(
     )
 
 
+def write_upsert_jdbc(
+    batch_df: DataFrame,
+    keys: str | list[str],
+    order_by: str | list[str],
+    url: str,
+    table: str,
+    driver: str | None = None,
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("d", "delete", "D"),
+    staging_table: str | None = None,
+) -> None:
+    """foreachBatch body for a keyed upsert into a JDBC table — the
+    external-store twin of :func:`write_upsert_kafka` (reference S7
+    semantics: latest row per PK, deletes remove the key).
+
+    Scale shape: the batch is compacted to latest-per-key and written to
+    a staging table with Spark's DISTRIBUTED JDBC writer; then ONE
+    set-based ``MERGE`` statement runs inside the database (update /
+    insert / delete per key). The driver executes only that single DML
+    string — no per-row driver loop, no batch collect. Works on any
+    MERGE-capable target (Derby in tests; Postgres 15+, Oracle, etc.).
+
+    ``op_col`` (if given) marks deletes via ``delete_ops`` and is treated
+    as transport metadata: it is not stored in the target table.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes for MERGE
+    staging = staging_table or f"{table}_stage"
+    payload = [c for c in compacted.columns if c not in keys and c != op_col]
+    if not payload:
+        raise ValueError("upsert needs at least one non-key payload column")
+
+    (
+        compacted.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .options(**({"driver": driver} if driver else {}))
+        .mode("overwrite")
+        .save()
+    )
+
+    spark = batch_df.sparkSession
+    jvm = spark._sc._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+
+        def q(c: str) -> str:
+            return '"' + c + '"'
+
+        cols = keys + payload
+        target_exists = True
+        try:
+            stmt.executeQuery(f"SELECT 1 FROM {table} FETCH FIRST ROW ONLY").close()
+        except Exception:
+            target_exists = False
+        if not target_exists:
+            stmt.executeUpdate(
+                f"CREATE TABLE {table} AS SELECT {', '.join(q(c) for c in cols)} "
+                f"FROM {staging} WITH NO DATA"
+            )
+
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in payload)
+        insert_cols = ", ".join(q(c) for c in cols)
+        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        if op_col is not None:
+            in_list = ", ".join(f"'{o}'" for o in delete_ops)
+            # CAST: some dialects (Spark's Derby writer included) store
+            # StringType as CLOB, which is not directly comparable.
+            op_expr = f"CAST(s.{q(op_col)} AS VARCHAR(16))"
+            merge = (
+                f"MERGE INTO {table} t USING {staging} s ON {on} "
+                f"WHEN MATCHED AND {op_expr} IN ({in_list}) THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+                f"WHEN NOT MATCHED AND {op_expr} NOT IN ({in_list}) "
+                f"THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+            )
+        else:
+            merge = (
+                f"MERGE INTO {table} t USING {staging} s ON {on} "
+                f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+                f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
+            )
+        stmt.executeUpdate(merge)
+        stmt.close()
+    finally:
+        conn.close()
+
+
 def run_stream_to_upsert_parquet(
     stream_df: DataFrame,
     keys: str | list[str],

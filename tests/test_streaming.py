@@ -476,3 +476,62 @@ def test_lookup_join_sees_jdbc_updates_between_batches(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert sorted(seen) == [(1, "ann_v1"), (2, "ann_v2")]
+
+
+def test_streaming_upsert_jdbc_sink(spark, tmp_path):
+    """S7 executed against a real external keyed store: CDC envelopes ->
+    decode -> per-batch compaction -> staged MERGE into embedded Derby.
+    Final table state = latest per key with deletes applied, across
+    micro-batch boundaries (update and delete arrive after the insert)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import write_upsert_jdbc
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/upsdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def env(op, eid, key, name, ts_ms):
+        img = {"id": key, "name": name, "seq": eid}
+        return {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "op": op,
+            "ts_ms": ts_ms,
+            "source": {"ts_ms": ts_ms, "txId": eid, "lsn": eid},
+        }
+
+    in_dir = str(tmp_path / "ujs_in")
+    _write_batches(
+        in_dir,
+        [
+            [env("c", 1, 1, "ann", 1000), env("c", 2, 2, "bob", 1001)],
+            [env("u", 3, 1, "ann2", 1002), env("c", 4, 3, "cay", 1003)],
+            [env("d", 5, 2, "bob", 1004)],
+        ],
+    )
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .text(in_dir)
+    )
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+
+    decoded = decode_debezium(raw, "id int, name string, seq int")
+
+    q = (
+        decoded.writeStream.foreachBatch(
+            lambda df, eid: write_upsert_jdbc(
+                df, keys="id", order_by=["ts_ms", "seq"],
+                url=url, table="accounts", driver=driver, op_col="op",
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ujs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    final = {
+        (r["id"], r["name"])
+        for r in read_jdbc(spark, url, "accounts", driver=driver).select("id", "name").collect()
+    }
+    assert final == {(1, "ann2"), (3, "cay")}  # bob deleted, ann updated
