@@ -48,3 +48,46 @@ def test_view_scenario_matches_flagship(spark):
     view = order_joining_view(t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"])
     projected = view.select("order_id", "client_name", "table_name", F.col("json_agg").alias("pizzas"))
     _check_golden(projected.collect())
+
+
+def test_scenario1_from_real_jdbc_sources(spark, tmp_path):
+    """Scenario 1 with its ACTUAL source tech: all five pizzeria tables
+    live in a JDBC database (embedded Derby), the pipeline reads them
+    through bounded JDBC scans (S1) and must produce the golden output.
+    The integer[] pizzas column crosses the JDBC boundary as text and is
+    rebuilt on read — the same text-boundary cast the reference applies
+    at the PG edge (SURVEY §1.3, how-to-aiven/02-view-based-jdbc.md:38)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/pizzadb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    t = load_pizzeria(spark)
+
+    def to_jdbc(name, df, col_types=None):
+        w = (
+            df.write.format("jdbc")
+            .option("url", url).option("dbtable", name).option("driver", driver)
+        )
+        if col_types:
+            w = w.option("createTableColumnTypes", col_types)
+        w.mode("overwrite").save()
+
+    to_jdbc("tables", t["tables"], "name VARCHAR(64)")
+    to_jdbc("pizzas", t["pizzas"], "name VARCHAR(64)")
+    to_jdbc("clients", t["clients"], "name VARCHAR(64)")
+    to_jdbc("table_assignment", t["table_assignment"])
+    to_jdbc(
+        "orders",
+        t["orders"].withColumn("pizzas", F.concat_ws(",", "pizzas")),
+        "pizzas VARCHAR(128)",
+    )
+
+    j = {n: read_jdbc(spark, url, n, driver=driver) for n in
+         ("tables", "pizzas", "clients", "table_assignment", "orders")}
+    j["orders"] = j["orders"].withColumn(
+        "pizzas", F.split("pizzas", ",").cast("array<int>")
+    )
+    out = enriched_orders(
+        j["orders"], j["table_assignment"], j["clients"], j["tables"], j["pizzas"]
+    )
+    _check_golden(out.collect())
