@@ -495,3 +495,72 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup pairs -> dedup clusters: connected components of the pair
+    graph by iterative min-label propagation, entirely in DataFrames.
+
+    Each round joins every node's current label to its neighbors and
+    takes the per-node min — the standard large-graph pattern (what
+    GraphFrames' connectedComponents does under the hood). Converges in
+    O(component diameter) rounds; near-dup graphs are shallow (dup sets
+    link densely through shared buckets), so a handful of rounds
+    suffices. Per round: one join + one group-by, lineage truncated with
+    ``localCheckpoint`` so plans don't grow with iterations. The
+    convergence check is one small action per round (count of changed
+    labels) — no per-node driver work.
+
+    Returns (node, component) for every node appearing in ``pairs``;
+    ``component`` is the smallest node id in the component (canonical).
+    Raises if ``max_iter`` rounds don't converge (pathological chain
+    longer than max_iter — raise the cap for adversarial graphs).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), F.col("comp"))
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        neighbor_min = neighbor_min.localCheckpoint(eager=True)
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs and summarize each cluster: canonical id
+    (the member to KEEP under min-id policy) and member count. Docs with
+    no near-dup pair form no cluster (they are already unique)."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    return comp.groupBy(F.col("comp").alias("component")).agg(
+        F.count("*").alias("n_members")
+    )

@@ -37,6 +37,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark import tune_for_
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+    dedup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -618,6 +619,17 @@ def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster summary (the
+    step that turns pairwise similarity into an actionable keep/drop
+    decision). Pairs come from the n-gram inverted index (exact, so the
+    oracle is a recursive CTE over the same pair set); clustering is
+    iterative min-label propagation (operators/dedup.py)."""
+    t = load_tables(spark, sf, ("documents",))
+    pairs = ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+    return dedup_clusters(pairs)
+
+
 def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT (exposed Spark surface): per-user event counts spread into
     one column per event type. Explicit value list keeps the output
@@ -696,6 +708,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 
@@ -992,6 +1005,8 @@ ORACLE: dict[str, str] = {
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
     """,
+    # dedup_clusters oracle is assembled below (recursive CTE over the
+    # same exact-Jaccard pair set the Spark side clusters).
     "pivot_events": """
         SELECT user_id,
                count(*) FILTER (event_type = 'click') AS n_click,
@@ -1084,3 +1099,30 @@ ORACLE: dict[str, str] = {
     # similarity_ivf_topk / similarity_pq_topk / similarity_lsh_pairs: approximate —
     # intentionally no SQL oracle (driver records rows-only checks).
 }
+
+# dedup_clusters: reuse the exact n-gram Jaccard pair CTEs, then a
+# recursive min-label walk over the symmetric edge set. rsplit isolates
+# the template's final SELECT (the threshold filter) so it can become a
+# named CTE; DuckDB needs RECURSIVE declared on the WITH list.
+_SJ03 = _SHINGLE_JACCARD.format(nm1=2, threshold=0.3)
+_SJ03_CTES, _SJ03_FINAL = _SJ03.rsplit("\nSELECT", 1)
+ORACLE["dedup_clusters"] = (
+    _SJ03_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + ",\nfpairs AS (SELECT "
+    + _SJ03_FINAL
+    + """),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM fpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM fpairs
+),
+walk(node, comp) AS (
+  SELECT DISTINCT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.a AS node, w.comp FROM walk w JOIN edges e ON w.node = e.b
+),
+lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT comp AS component, count(*) AS n_members
+FROM lab GROUP BY comp
+"""
+)

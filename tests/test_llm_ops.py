@@ -149,3 +149,20 @@ def test_multimodal_real_decoder_stubbed(docs):
     with_bin = attach_binary_payload(docs.limit(1), "text", mime="image/png")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         extract_image_features(with_bin, id_cols=("doc_id",)).collect()
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """A path graph (1-2-3-4-5) needs multi-round label propagation; a
+    separate triangle (10,11,12) and an isolated pair (20,21) must get
+    their own components, labeled by their smallest member."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a int, id_b int",
+    )
+    comp = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = {r.component: r.n_members for r in dedup_clusters(pairs).collect()}
+    assert clusters == {1: 5, 10: 3, 20: 2}
