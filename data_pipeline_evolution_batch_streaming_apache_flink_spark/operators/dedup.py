@@ -564,3 +564,26 @@ def dedup_clusters(
     return comp.groupBy(F.col("comp").alias("component")).agg(
         F.count("*").alias("n_members")
     )
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidate pairs ->
+    exact-Jaccard verification -> connected components -> keep only each
+    cluster's smallest-id member (plus every unclustered row).
+
+    The whole path is equi-join + group-by shaped: candidates from LSH
+    buckets (linear in corpus x bands), clustering O(diameter) rounds,
+    and the final drop is one broadcast-able anti-join of the corpus
+    against the (tiny) set of non-canonical duplicate ids.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    comp = connected_components(pairs, max_iter=max_iter)
+    drop = comp.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
+    return df.join(F.broadcast(drop), id_col, "left_anti")

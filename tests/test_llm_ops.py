@@ -166,3 +166,28 @@ def test_connected_components_chain_and_clusters(spark):
 
     clusters = {r.component: r.n_members for r in dedup_clusters(pairs).collect()}
     assert clusters == {1: 5, 10: 3, 20: 2}
+
+
+def test_near_dedup_drops_only_non_canonical(spark, sf_dir):
+    """near_dedup must remove exactly the non-canonical members of each
+    near-dup cluster: kept = total - (members - clusters)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+        near_dedup,
+    )
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    total = docs.count()
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    n_members = comp.count()
+    n_clusters = comp.select("comp").distinct().count()
+
+    kept = near_dedup(docs, "doc_id", "text", n=3, threshold=0.5)
+    assert kept.count() == total - (n_members - n_clusters)
+    # canonical ids all survive
+    canon = {r.comp for r in comp.select("comp").distinct().collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert canon <= kept_ids
