@@ -43,6 +43,11 @@ def main() -> None:
     print("multimodal features (fake decoder — codecs stubbed):")
     extract_image_features(attach_binary_payload(docs, "text")).show(5)
 
+    print("near-dedup end-to-end (LSH pairs -> clusters -> drop non-canonical):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import near_dedup
+
+    print("  kept", near_dedup(docs, "doc_id", "text", n=3, threshold=0.5).count(), "of", docs.count())
+
     print("composed prep pipeline (score -> dedup -> gate -> per-source stats):")
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.suite import q_training_prep
 
