@@ -49,8 +49,11 @@ BENCH_QUERIES = (
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = eng.get_spark("dpe-bench", cpus=cpus)
-    # warm up the JVM + parquet footer caches outside the timed region
+    # warm up the JVM, parquet footer caches, and the Python/Arrow worker
+    # pool outside the timed region (a long-running cluster has all three
+    # hot; cold numbers should measure plans, not process spin-up)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
