@@ -91,3 +91,24 @@ def test_training_prep_scoring_stays_above_fanout(spark, sf_dir):
         if "split(" in line and line.lstrip(" +-:*()0123456789").startswith("Project")
     ]
     assert len(heavy_nodes) == 1, f"scoring evaluated in {len(heavy_nodes)} projections"
+
+
+def test_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
+    """Date-partitioned layout (how a 100 TB fact table is stored): a
+    filter on the partition column must become a PartitionFilter (pruned
+    at planning, zero IO for other partitions), not a data filter."""
+    src = suite.load_tables(spark, sf_dir, ("orders",))["orders"]
+    part_dir = str(tmp_path / "orders_part")
+    (
+        src.withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("order_month")
+        .mode("overwrite")
+        .parquet(part_dir)
+    )
+    df = spark.read.parquet(part_dir).filter(F.col("order_month") == "1997-03")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "order_month" in plan.split("PartitionFilters")[1][:200]
+    # pruned scan must touch only the one partition's files
+    scanned = df.select(F.input_file_name()).distinct().collect()
+    assert all("order_month=1997-03" in r[0] for r in scanned)
+    assert df.count() > 0
