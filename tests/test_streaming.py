@@ -535,3 +535,45 @@ def test_streaming_upsert_jdbc_sink(spark, tmp_path):
         for r in read_jdbc(spark, url, "accounts", driver=driver).select("id", "name").collect()
     }
     assert final == {(1, "ann2"), (3, "cay")}  # bob deleted, ann updated
+
+
+def test_streaming_training_prep_gate_and_dedup(spark, tmp_path):
+    """The training-data prep path on a document STREAM: codegen'd
+    quality/language scoring is stateless (runs per micro-batch), and
+    exact dedup uses dropDuplicatesWithinWatermark for bounded state.
+    Duplicates arriving in LATER micro-batches within the watermark must
+    still be suppressed; low-quality docs never reach the sink."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import streaming_dedup
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away to the "
+        "hills where it is safe and the grass is green and the water is clear"
+    )
+    in_dir = str(tmp_path / "tp_in")
+    _write_batches(
+        in_dir,
+        [
+            [
+                {"doc_id": 1, "text": good, "ts": "2024-01-01 10:00:00"},
+                {"doc_id": 2, "text": "!!! ??? !!!", "ts": "2024-01-01 10:00:01"},
+            ],
+            [
+                {"doc_id": 3, "text": good, "ts": "2024-01-01 10:00:05"},  # dup, later batch
+                {"doc_id": 4, "text": good + " extra tail of words here", "ts": "2024-01-01 10:00:06"},
+            ],
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "doc_id int, text string, ts timestamp")
+    scored = stream.select(
+        "doc_id", "ts",
+        F.md5("text").alias("text_key"),
+        TXT.quality_score("text").alias("quality"),
+        TXT.lang_id("text").alias("lang_pred"),
+    )
+    kept = scored.filter((F.col("quality") >= 0.3) & (F.col("lang_pred") == "en"))
+    deduped = streaming_dedup(kept, "text_key", watermark_col="ts", delay="10 minutes")
+    out_dir = _run_available_now(deduped, tmp_path, "tprep")
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    # doc 2 fails the gate; doc 3 is a cross-batch duplicate of doc 1
+    assert got == [1, 4]
