@@ -236,7 +236,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sets = sh.select("__id", "__sh")
+    # Verify by re-shingling ONLY candidate docs: candidates are a tiny
+    # fraction of the corpus (LSH's point), so joining the raw (id, text)
+    # against the candidate id set and shingling that subset beats
+    # re-running the full-corpus shingle lineage for both join sides.
+    # The candidate set is materialized once (it feeds the id set AND the
+    # verification join; without this the Python signature stage and the
+    # bucket shuffle would execute twice) — it is pair-count sized, tiny
+    # relative to the corpus by LSH design.
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    sets = _shingled(
+        df.join(cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"),
+        id_col, text_col, n,
+    ).select("__id", "__sh")
     verified = (
         cand.join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
         .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
