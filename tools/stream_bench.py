@@ -1,0 +1,144 @@
+"""Scenario-6 streaming throughput at volume: drive the incremental
+temporal-enrichment engine with a generated CDC stream (dim churn +
+orders) and report events/second end-to-end.
+
+The generator is Spark-side (range -> to_json, no driver loops); each
+logical batch lands as its own file with increasing mtimes so the file
+source replays them as ordered micro-batches.
+
+Usage: python tools/stream_bench.py [n_orders] [n_batches]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark import get_spark
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.pizzeria_streaming import (
+    ENVELOPE_SCHEMA,
+    scenario6_engine,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+
+N_CLIENTS, N_TABLES, N_ASSIGN, N_PIZZAS = 1000, 100, 5000, 100
+BASE_TS = "2024-03-01 10:00:00"
+
+
+def _fmt(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def _env(table: str, data_col) -> F.Column:
+    return F.to_json(F.struct(F.lit(table).alias("table"), F.lit("c").alias("op"), data_col.alias("data")))
+
+
+def _ts(offset_sec):
+    return _fmt(F.lit(BASE_TS).cast("timestamp") + F.make_interval(secs=offset_sec))
+
+
+def gen_dims(spark):
+    c = spark.range(1, N_CLIENTS + 1).select(_env("clients", F.to_json(F.struct(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("client_"), F.col("id")).alias("name"),
+        _ts(F.lit(0)).alias("event_time")))).alias("value"))
+    t = spark.range(1, N_TABLES + 1).select(_env("tables", F.to_json(F.struct(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("table_"), F.col("id")).alias("name"),
+        _ts(F.lit(0)).alias("event_time")))).alias("value"))
+    a = spark.range(1, N_ASSIGN + 1).select(_env("table_assignment", F.to_json(F.struct(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % N_CLIENTS + 1).cast("int").alias("client_id"),
+        (F.col("id") % N_TABLES + 1).cast("int").alias("table_id"),
+        _ts(F.lit(0)).alias("event_time")))).alias("value"))
+    p = spark.range(1, N_PIZZAS + 1).select(_env("pizzas", F.to_json(F.struct(
+        F.col("id").cast("int").alias("id"),
+        F.concat(F.lit("pizza_"), F.col("id")).alias("name"),
+        (F.col("id") % 9 + 4).cast("int").alias("price"),
+        _ts(F.lit(0)).alias("event_time")))).alias("value"))
+    return c.union(t).union(a).union(p)
+
+
+def gen_orders(spark, start: int, count: int):
+    # event times strictly increase across the id range so each batch's
+    # heartbeat-free watermark advances naturally
+    return spark.range(start, start + count).select(_env("orders", F.to_json(F.struct(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % N_ASSIGN + 1).cast("int").alias("table_assignment_id"),
+        _ts(F.lit(1) + (F.col("id") - start) % 3600).alias("order_time"),
+        F.array(
+            (F.col("id") % N_PIZZAS + 1).cast("int"),
+            (F.col("id") * 7 % N_PIZZAS + 1).cast("int"),
+            (F.col("id") * 13 % N_PIZZAS + 1).cast("int"),
+        ).alias("pizzas"),
+        _ts(F.lit(1) + (F.col("id") - start) % 3600).alias("event_time")))).alias("value"))
+
+
+def gen_heartbeats(spark):
+    rows = []
+    hb = "2024-03-02 00:00:00"
+    for t in ("clients", "tables", "table_assignment", "pizzas", "orders"):
+        rows.append((json.dumps({"table": t, "op": "c", "data": json.dumps({"id": 999999, "event_time": hb})}),))
+    return spark.createDataFrame(rows, "value string")
+
+
+def write_batch(df, in_dir: str, i: int) -> int:
+    tmp = tempfile.mkdtemp(prefix="sb_")
+    df.coalesce(8).write.mode("overwrite").text(tmp)
+    n = 0
+    for j, part in enumerate(sorted(glob.glob(os.path.join(tmp, "part-*")))):
+        dst = os.path.join(in_dir, f"b{i:03d}_{j}.txt")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+        n += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
+def main() -> None:
+    n_orders = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark("stream-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    root = tempfile.mkdtemp(prefix="dpe_sbench_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    write_batch(gen_dims(spark), in_dir, 0)
+    per = n_orders // n_batches
+    for b in range(n_batches):
+        write_batch(gen_orders(spark, b * per + 1, per), in_dir, b + 1)
+    write_batch(gen_heartbeats(spark), in_dir, n_batches + 1)
+    n_events = n_orders + N_CLIENTS + N_TABLES + N_ASSIGN + N_PIZZAS + 5
+
+    engine = scenario6_engine(spark, os.path.join(root, "engine"))
+    # several files per trigger: one micro-batch per logical batch, not per part file
+    stream = json_file_stream(spark, in_dir, ENVELOPE_SCHEMA, max_files_per_trigger=8)
+    t0 = time.time()
+    engine.run_available_now(stream)
+    wall = time.time() - t0
+    out_rows = engine.output().count()
+
+    print(json.dumps({
+        "n_orders": n_orders,
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(n_events / wall),
+        "output_rows": out_rows,
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
