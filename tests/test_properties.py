@@ -135,3 +135,45 @@ def test_sessionize_matches_python_reference(spark, events):
             expect[(u, i)] = seq
             prev = t
     assert got == expect
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=EDGES)
+def test_connected_components_match_union_find(spark, edges):
+    """Iterative min-label propagation must agree with a plain union-find
+    on arbitrary small graphs (self-loops excluded by the generator)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expect = {n: find(n) for n in parent}
+    # canonicalize union-find roots to the component minimum
+    comp_min: dict[int, int] = {}
+    for n, r in expect.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expect = {n: comp_min[r] for n, r in expect.items()}
+    assert got == expect
