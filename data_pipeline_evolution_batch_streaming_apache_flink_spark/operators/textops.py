@@ -39,3 +39,48 @@ def token_histogram(df: DataFrame, text_col: str = "text", top_n: int | None = N
     if top_n is not None:
         counts = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(top_n)
     return counts
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus TF-IDF: term frequency per (doc, term), smoothed inverse
+    document frequency per term, score = tf * (ln((N+1)/(df+1)) + 1),
+    rounded to 6dp (absorbs last-ulp ln() differences across engines).
+
+    Plan shape: explode -> (doc, term) count -> term-level doc frequency
+    -> join back -> optional per-doc top-k window. The corpus size N is
+    a broadcast scalar (single-row cross join), never a driver value.
+    ``top_k`` ranks by (score desc, term asc) for determinism.
+    """
+    from pyspark.sql import Window
+
+    terms = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(TXT.tokens(text_col)).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+                6,
+            ),
+        )
+        .select(id_col, "term", "tf", "tfidf")
+    )
+    if top_k is not None:
+        w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+        scored = (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= top_k)
+        )
+    return scored

@@ -61,7 +61,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
     ivf_cosine_topk,
     pq_cosine_topk,
 )
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, token_histogram
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, tf_idf, token_histogram
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium, decode_logical_message
@@ -630,6 +630,14 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus TF-IDF with per-doc top-3 terms (operators/textops.py):
+    relevance scoring for retrieval/quality filtering. Smoothed IDF,
+    round-6 before ranking, (score desc, term asc) tie-break."""
+    t = load_tables(spark, sf, ("documents",))
+    return tf_idf(t["documents"], "doc_id", "text", top_k=3)
+
+
 def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT (exposed Spark surface): per-user event counts spread into
     one column per event type. Explicit value list keeps the output
@@ -709,6 +717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
     "dedup_clusters": q_dedup_clusters,
+    "tfidf_topterms": q_tfidf_topterms,
 }
 
 
@@ -1007,6 +1016,25 @@ ORACLE: dict[str, str] = {
     """,
     # dedup_clusters oracle is assembled below (recursive CTE over the
     # same exact-Jaccard pair set the Spark side clusters).
+    "tfidf_topterms": r"""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * (ln((n.nd + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+          SELECT doc_id, term, tf, tfidf,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
     "pivot_events": """
         SELECT user_id,
                count(*) FILTER (event_type = 'click') AS n_click,
