@@ -43,6 +43,7 @@ BENCH_QUERIES = (
     "token_histogram",
     "sessionize",
     "training_prep",
+    "tfidf_topterms",
 )
 
 
