@@ -147,7 +147,7 @@ def txid_complete_transactions(
     df: DataFrame,
     txid_col: str = "txId",
     count_col: str = "event_count",
-    timeout: str | None = "10 minutes",
+    timeout: str | int | None = "10 minutes",
 ) -> DataFrame:
     """Release rows only when their whole transaction has arrived
     (reference README.md:547-559: group CDC events by Debezium txId +
@@ -155,11 +155,15 @@ def txid_complete_transactions(
 
     Keyed by ``txid_col``; every row carries the transaction's expected
     size in ``count_col``. Incomplete transactions are discarded after
-    ``timeout`` processing time (None = keep waiting forever — unbounded
-    state, the reference's own "possibly large state" caveat).
+    ``timeout`` processing time — a duration string or millis int
+    (None = keep waiting forever — unbounded state, the reference's own
+    "possibly large state" caveat).
     """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import _parse_gap_ms
+
     out_schema = df.schema
     cols = list(df.columns)
+    timeout_ms = _parse_gap_ms(timeout) if timeout is not None else None
     timeout_conf = (
         GroupStateTimeout.ProcessingTimeTimeout if timeout else GroupStateTimeout.NoTimeout
     )
@@ -181,8 +185,8 @@ def txid_complete_transactions(
             yield pd.DataFrame(rows, columns=cols)
         else:
             state.update((pickle.dumps(rows),))
-            if timeout:
-                state.setTimeoutDuration(timeout)
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
 
     return df.groupBy(txid_col).applyInPandasWithState(
         fn, out_schema, "state binary", "append", timeout_conf

@@ -577,3 +577,24 @@ def test_streaming_training_prep_gate_and_dedup(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     # doc 2 fails the gate; doc 3 is a cross-batch duplicate of doc 1
     assert got == [1, 4]
+
+
+def test_txid_incomplete_transactions_discarded_after_timeout(spark, tmp_path):
+    """J7 state bound (the reference's "possibly large state" caveat,
+    README.md:559): an incomplete transaction's buffer is discarded once
+    the processing-time timeout fires, so its late second half can no
+    longer complete it — and state does not grow forever."""
+    in_dir = str(tmp_path / "txo_in")
+    _write_batches(
+        in_dir,
+        [
+            [{"txId": 1, "event_count": 2, "payload": "a"}],   # half of tx 1
+            [{"txId": 2, "event_count": 1, "payload": "ok"}],  # fires tx 1's timeout
+            [{"txId": 1, "event_count": 2, "payload": "b"}],   # too late: buffer was dropped
+        ],
+    )
+    stream = json_file_stream(spark, in_dir, "txId long, event_count long, payload string")
+    gated = txid_complete_transactions(stream, "txId", "event_count", timeout="1 millisecond")
+    out_dir = _run_available_now(gated, tmp_path, "txo")
+    got = {(r["txId"], r["payload"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(2, "ok")}
