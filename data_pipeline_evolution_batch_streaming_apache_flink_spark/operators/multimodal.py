@@ -155,3 +155,60 @@ def sample_frames(
                 yield pd.DataFrame(rows)
 
     return narrow.mapInPandas(_sample, schema=schema)
+
+
+def real_audio_decode(payload: bytes) -> dict:
+    """Placeholder for a real decoder (soundfile/ffmpeg probe).
+    Media libs are not in this container."""
+    raise NotImplementedError("audio codec not available in this environment")
+
+
+def fake_audio_decode(payload: bytes) -> dict:
+    """Deterministic fake audio probe: pseudo duration / rate / channels
+    derived from payload length so the distributed plumbing is testable
+    without codecs."""
+    h = len(payload)
+    return {
+        "duration_ms": 1000 + (h * 17) % 600_000,
+        "sample_rate": (8000, 16000, 44100, 48000)[h % 4],
+        "n_channels": 1 + h % 2,
+        "n_bytes": h,
+    }
+
+
+DECODERS["audio/fake"] = fake_audio_decode
+DECODERS["audio/wav"] = real_audio_decode
+DECODERS["audio/mpeg"] = real_audio_decode
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str = "media_meta.mime",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Audio twin of :func:`extract_image_features` — same Arrow-batched
+    ``mapInPandas`` shape, audio-typed output schema:
+    id columns + (duration_ms long, sample_rate int, n_channels int,
+    n_bytes long)."""
+    id_list = list(id_cols)
+    schema = ", ".join(
+        [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_list]
+        + ["duration_ms long", "sample_rate int", "n_channels int", "n_bytes long"]
+    )
+    narrow = df.select(*id_list, F.col(payload_col).alias("__payload"), F.col(mime_col).alias("__mime"))
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, mime in zip(pdf["__payload"], pdf["__mime"]):
+                decoder = DECODERS.get(mime)
+                if decoder is None:
+                    raise ValueError(f"no decoder registered for {mime!r}")
+                feats.append(decoder(bytes(payload)))
+            out = pdf[id_list].copy()
+            for k in ("duration_ms", "sample_rate", "n_channels", "n_bytes"):
+                out[k] = [f[k] for f in feats]
+            yield out
+
+    return narrow.mapInPandas(_decode, schema=schema)

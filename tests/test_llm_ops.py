@@ -191,3 +191,31 @@ def test_near_dedup_drops_only_non_canonical(spark, sf_dir):
     canon = {r.comp for r in comp.select("comp").distinct().collect()}
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert canon <= kept_ids
+
+
+def test_multimodal_audio_features(spark, sf_dir):
+    """Audio leg of the multimodal plumbing: binary payload + typed
+    metadata -> Arrow-batched probe with an audio-shaped schema; real
+    codecs stay stubbed behind NotImplementedError."""
+    import pytest as _pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_audio_features,
+        real_audio_decode,
+    )
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").limit(20)
+    with_payload = attach_binary_payload(docs, "text", mime="audio/fake")
+    out = extract_audio_features(with_payload)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert set(out.columns) == {"doc_id", "duration_ms", "sample_rate", "n_channels", "n_bytes"}
+    for r in rows:
+        assert r.sample_rate in (8000, 16000, 44100, 48000)
+        assert 1 <= r.n_channels <= 2
+        assert r.duration_ms >= 1000
+
+    with _pytest.raises(NotImplementedError):
+        real_audio_decode(b"riff")
