@@ -91,3 +91,66 @@ def test_scenario1_from_real_jdbc_sources(spark, tmp_path):
         j["orders"], j["table_assignment"], j["clients"], j["tables"], j["pizzas"]
     )
     _check_golden(out.collect())
+
+
+def test_scenario2_join_pushed_into_database(spark, tmp_path):
+    """Scenario 2 on a JSON-less JDBC database: the 4-way dimensional
+    join (orders x assignment x clients x tables) executes INSIDE the DB
+    via a pushed subquery — the reference's order_joining_view pattern —
+    while the array explode + pizza join + JSON aggregation run in
+    Spark. Output must equal the all-DataFrame view."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import json_arrayagg, json_object
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans.pizzeria import order_joining_view
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import jdbc_query_reader
+
+    url = f"jdbc:derby:{tmp_path}/viewdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    t = load_pizzeria(spark)
+
+    def to_jdbc(name, df, col_types=None):
+        w = (
+            df.write.format("jdbc")
+            .option("url", url).option("dbtable", name).option("driver", driver)
+        )
+        if col_types:
+            w = w.option("createTableColumnTypes", col_types)
+        w.mode("overwrite").save()
+
+    to_jdbc("tables", t["tables"], "name VARCHAR(64)")
+    to_jdbc("clients", t["clients"], "name VARCHAR(64)")
+    to_jdbc("table_assignment", t["table_assignment"])
+    to_jdbc("orders", t["orders"].withColumn("pizzas", F.concat_ws(",", "pizzas")),
+            "pizzas VARCHAR(128)")
+
+    pushed = jdbc_query_reader(
+        spark,
+        url,
+        'SELECT o."id" AS order_id, o."order_time", o."pizzas" AS pizza_csv, '
+        '       c."name" AS client_name, tb."name" AS table_name '
+        'FROM orders o '
+        'JOIN table_assignment ta ON o."table_assignment_id" = ta."id" '
+        'JOIN clients c ON ta."client_id" = c."id" '
+        'JOIN tables tb ON ta."table_id" = tb."id"',
+        driver=driver,
+    ).load()
+    # no Spark-side join of the four pushed tables
+    assert "Join" not in pushed._jdf.queryExecution().executedPlan().toString()
+
+    exploded = pushed.select(
+        "order_id", "client_name", "table_name", "order_time",
+        F.explode(F.split("pizza_csv", ",").cast("array<int>")).alias("pizza_id"),
+    )
+    got_df = (
+        exploded.join(
+            F.broadcast(t["pizzas"].select(F.col("id").alias("p_id"),
+                                           F.col("name").alias("pizza"), "price")),
+            F.col("pizza_id") == F.col("p_id"),
+        )
+        .groupBy("order_id", "client_name", "table_name", "order_time")
+        .agg(json_arrayagg(json_object(pizza=F.col("pizza"), price=F.col("price"))).alias("json_agg"))
+    )
+    expect_df = order_joining_view(
+        t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"]
+    )
+    key = lambda r: (r["order_id"], r["client_name"], r["table_name"], str(r["order_time"]), r["json_agg"])
+    assert sorted(map(key, got_df.collect())) == sorted(map(key, expect_df.collect()))
