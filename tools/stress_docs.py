@@ -1,0 +1,83 @@
+"""Documents scaling stress: replicate the documents corpus N× with
+per-replica token mutation and time the text/dedup family at each
+factor.
+
+The mutation suffixes every token with the replica id, so replicas
+share NO shingles with each other or the original — near-dup pair
+count grows linearly with the factor (factor × base pairs), which
+isolates PIPELINE scaling from pair-count explosion. Near-linear wall
+growth is the evidence for the LSH/inverted-index claim in SCALE.md:
+candidate generation is linear in corpus size, independent of the
+quadratic pair space.
+
+Usage: python tools/stress_docs.py [factors...]   (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark import get_spark
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+QUERIES = ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "text_analysis", "tfidf_topterms")
+
+
+def build(spark, factor: int, out_dir: str) -> int:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    idspan = docs.agg(F.max("doc_id")).head()[0] + 1
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("__rep")
+    toks = F.split(F.trim("text"), r"\s+")
+    mutated = F.concat_ws(
+        " ", F.transform(toks, lambda t: F.concat(t, F.lit("_"), F.col("__rep")))
+    )
+    out = (
+        docs.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * idspan)
+        .withColumn("text", F.when(F.col("__rep") == 0, F.col("text")).otherwise(mutated))
+        .drop("__rep")
+        .repartition(32)
+    )
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    return spark.read.parquet(os.path.join(out_dir, "documents.parquet")).count()
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("stress-docs", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(10).mapInPandas(lambda it: it, "id long").count()  # warm python pool
+    root = tempfile.mkdtemp(prefix="dpe_sdocs_")
+    results: dict[str, dict[str, float]] = {}
+    rows = {}
+    try:
+        for factor in factors:
+            d = os.path.join(root, f"x{factor}")
+            rows[factor] = build(spark, factor, d)
+            results[str(factor)] = {}
+            for q in QUERIES:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    suite.QUERIES[q](spark, d).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.time() - t0)
+                results[str(factor)][q] = round(best, 2)
+                print(f"x{factor:<3} ({rows[factor]:>7} docs) {q:<22} {best:6.2f}s", flush=True)
+        print(json.dumps({"base": BASE, "docs": rows, "timings": results}))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
