@@ -630,6 +630,48 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Changelog → SCD2 materialization: each key's version sequence
+    becomes [valid_from, valid_to) intervals via lead() — the batch
+    construction of the versioned tables the as-of join (J5) consumes.
+    One shuffle on the key; open versions get NULL valid_to."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf, ("orders",))
+    versions = t["orders"].select(
+        "o_custkey",
+        _millis("o_orderdate").alias("valid_from"),
+        F.col("o_orderkey").alias("version_id"),
+        _cents("o_totalprice").alias("price_cents"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "version_id")
+    return versions.withColumn("valid_to", F.lead("valid_from").over(w))
+
+
+def q_hourly_spine_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resample with gap fill: a generated hourly spine per
+    day LEFT-joined to event counts, missing hours as zero. The spine is
+    sequence+explode (no driver loop); the join keys on the hour bucket
+    so it shuffles counts, not raw events."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select(F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"))
+    counts = ev.groupBy("hour").agg(F.count("*").alias("n_events"))
+    bounds = ev.agg(
+        F.min("hour").alias("lo"),
+        F.max("hour").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    return (
+        spine.join(counts, "hour", "left")
+        .select(
+            _millis("hour").alias("hour_ms"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
 def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus TF-IDF with per-doc top-3 terms (operators/textops.py):
     relevance scoring for retrieval/quality filtering. Smoothed IDF,
@@ -718,6 +760,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_metrics": q_median_metrics,
     "dedup_clusters": q_dedup_clusters,
     "tfidf_topterms": q_tfidf_topterms,
+    "scd2_intervals": q_scd2_intervals,
+    "hourly_spine_gapfill": q_hourly_spine_gapfill,
 }
 
 
@@ -1034,6 +1078,27 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    "scd2_intervals": """
+        SELECT o_custkey,
+               epoch_ms(o_orderdate) AS valid_from,
+               o_orderkey AS version_id,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+               lead(epoch_ms(o_orderdate)) OVER (
+                 PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey
+               ) AS valid_to
+        FROM orders
+    """,
+    "hourly_spine_gapfill": """
+        WITH ev AS (SELECT date_trunc('hour', ts) AS hour FROM events),
+        counts AS (SELECT hour, count(*) AS n_events FROM ev GROUP BY hour),
+        bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+        )
+        SELECT epoch_ms(s.hour) AS hour_ms,
+               coalesce(c.n_events, 0) AS n_events
+        FROM spine s LEFT JOIN counts c USING (hour)
     """,
     "pivot_events": """
         SELECT user_id,
