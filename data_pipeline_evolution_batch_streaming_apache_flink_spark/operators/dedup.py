@@ -72,6 +72,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.7,
     max_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact near-duplicate pairs by n-gram (word-shingle) Jaccard.
 
@@ -83,8 +84,20 @@ def ngram_jaccard_pairs(
     (stop-shingle guard: a shingle shared by k docs contributes k^2 join
     rows). Leave None for exactness on small corpora; set at scale.
 
+    ``prefix_filter=True`` switches to the AllPairs/ppjoin-style EXACT
+    prefix index (same results, scale path): order every doc's shingles
+    by ascending global document frequency and index only the first
+    ``|s| - ceil(t*|s|) + 1`` of them. Any pair with J >= t shares >=
+    ``ceil(t*max(|a|,|b|))`` shingles, and the globally-first shared
+    shingle provably lies inside BOTH prefixes — so joining prefixes
+    loses nothing, while the high-df shingles (the quadratic buckets)
+    fall in suffixes and are never indexed. Candidates are then
+    verified with the full shingle sets.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    if prefix_filter:
+        return _ngram_jaccard_prefix(df, id_col, text_col, n, threshold)
     sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
     inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
     if max_df is not None:
@@ -101,6 +114,57 @@ def ngram_jaccard_pairs(
     jac = F.col("__shared") / (F.col("sa") + F.col("sb") - F.col("__shared"))
     return (
         shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _ngram_jaccard_prefix(
+    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (see ngram_jaccard_pairs).
+
+    The epsilon in the ceil guards float noise (0.3*10 -> 3.0000000004
+    would otherwise over-shorten the prefix); erring toward a LONGER
+    prefix only adds candidates, never loses pairs.
+    """
+    from pyspark.sql import Window
+
+    sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
+    inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
+    dfc = inv.groupBy("__s").agg(F.count("*").alias("__df"))
+    ranked = inv.join(dfc, "__s").withColumn(
+        "__pos",
+        F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__s")),
+    )
+    plen = F.col("__size") - F.ceil(F.col("__size") * threshold - F.lit(1e-6)) + 1
+    prefix = ranked.filter(F.col("__pos") <= plen).select("__id", "__s")
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "__s")
+        .join(prefix.select(F.col("__id").alias("id_b"), "__s"), "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by the id set AND the verify join
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__cid"))
+        .union(cand.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    sets = _shingled(
+        df.join(cand_ids, F.col(id_col) == F.col("__cid"), "left_semi"),
+        id_col, text_col, n,
+    ).select("__id", "__sh")
+    jac = F.round(
+        F.size(F.array_intersect("__sha", "__shb"))
+        / F.size(F.array_union("__sha", "__shb")),
+        6,
+    )
+    return (
+        cand.join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sha"), "id_a")
+        .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__shb"), "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

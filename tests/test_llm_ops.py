@@ -219,3 +219,24 @@ def test_multimodal_audio_features(spark, sf_dir):
 
     with _pytest.raises(NotImplementedError):
         real_audio_decode(b"riff")
+
+
+def test_ngram_prefix_filter_exactness(spark, sf_dir):
+    """AllPairs/ppjoin-style prefix filtering must return EXACTLY the
+    same pairs as the full inverted index, at several thresholds."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import ngram_jaccard_pairs
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    for t, n in ((0.3, 3), (0.5, 3), (0.7, 5)):
+        base = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=n, threshold=t).collect()
+        }
+        pfx = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=n, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert base == pfx, f"t={t} n={n}"
