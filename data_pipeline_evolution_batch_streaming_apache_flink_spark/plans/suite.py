@@ -630,6 +630,48 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_vector_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """JVM-side vector arithmetic (functions/vectors.py): L2-normalize
+    each embedding with zip_with/aggregate and checksum the result as a
+    bigint fold — no Python, no UDF, codegen'd per row. The checksum
+    (sum of round(component/norm * 1e6)) makes the float pipeline
+    hash-comparable across engines."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import vectors as V
+
+    t = load_tables(spark, sf, ("embeddings",))
+    nrm = V.norm("embedding")
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    checksum = F.aggregate(
+        F.transform(unit, lambda x: F.round(x * 1e6).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return t["embeddings"].select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(nrm, 6).alias("l2_norm"),
+        checksum.alias("unit_checksum"),
+    )
+
+
+def q_json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """F2/F3 over a fact table: typed JSON-path extraction from the
+    events props column, aggregated per event type."""
+    t = load_tables(spark, sf, ("events",))
+    k = FN.json_value("props", "$.k", "int")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
     """Changelog → SCD2 materialization: each key's version sequence
     becomes [valid_from, valid_to) intervals via lead() — the batch
@@ -762,6 +804,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms": q_tfidf_topterms,
     "scd2_intervals": q_scd2_intervals,
     "hourly_spine_gapfill": q_hourly_spine_gapfill,
+    "vector_normalize": q_vector_normalize,
+    "json_props_stats": q_json_props_stats,
 }
 
 
@@ -1078,6 +1122,32 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    "vector_normalize": """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+          FROM v
+        )
+        SELECT vec_id,
+               CAST(len(e) AS INT) AS dim,
+               round(nrm, 6) AS l2_norm,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(e, x -> CAST(round(x / nrm * 1000000) AS BIGINT))),
+                    (a, b) -> a + b) AS BIGINT) AS unit_checksum
+        FROM n
+    """,
+    "json_props_stats": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+        FROM events GROUP BY event_type
     """,
     "scd2_intervals": """
         SELECT o_custkey,
