@@ -1,0 +1,36 @@
+"""Driver-contract guards: the queries()/oracle_sql() surface stays
+consistent, and every declared query actually executes."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+EXPECTED_ROWS_ONLY = {"similarity_ivf_topk", "similarity_pq_topk", "similarity_lsh_pairs"}
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = E.queries(), E.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a query is dead weight"
+    assert set(qs) - set(oracles) == EXPECTED_ROWS_ONLY, (
+        "every query needs an oracle twin unless it is on the documented "
+        "rows-only (approximate) list"
+    )
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert df.columns == ["order_id", "client_name", "parts"]
+
+
+def test_every_query_executes_at_sf0001(spark):
+    """Each queries() entry must build a valid plan and materialize at
+    the smallest scale factor — catches any query broken by refactors
+    before the driver's sf0.01 correctness gate does."""
+    failures = []
+    for name, fn in sorted(E.queries().items()):
+        try:
+            fn(spark, "/root/testdata/sf0.001").limit(5).collect()
+        except Exception as exc:  # noqa: BLE001 - collecting a report
+            failures.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not failures, "\n".join(failures)
