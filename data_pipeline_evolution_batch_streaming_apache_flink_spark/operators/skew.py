@@ -23,10 +23,18 @@ from pyspark.sql import functions as F
 
 
 def _salt(cols: list[str], n_salt: int) -> Column:
-    """Deterministic per-row salt in [0, n_salt) from the payload hash.
-    xxhash64 over the non-key columns spreads a hot key's rows evenly and
-    reproducibly (task retries re-derive the same salt)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt)).cast("int")
+    """Deterministic per-row salt in [0, n_salt) from the payload hash mixed
+    with the row's partition-relative position. The position mix matters when
+    the payload has few distinct values (e.g. a hot key whose rows all carry
+    the same constant): a pure value hash would map them all to one salt and
+    defeat the mitigation. ``monotonically_increasing_id`` encodes
+    (partition_id, row-offset-within-partition), so a retried task re-derives
+    the same ids as long as the upstream partitioning is deterministic — the
+    same replayability contract xxhash64 already relies on (no ``rand()``)."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id()),
+        F.lit(n_salt),
+    ).cast("int")
 
 
 def two_phase_collect(

@@ -499,7 +499,12 @@ def q_skew_safe_collect(spark: SparkSession, sf: str) -> DataFrame:
     t = load_tables(spark, sf, ("lineitem",))
     return two_phase_collect(
         t["lineitem"].select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey", n_salt=8
-    ).select(F.col("l_orderkey").alias("order_id"), F.col("collected").alias("partkeys"))
+    ).select(
+        F.col("l_orderkey").alias("order_id"),
+        # Stringified so the driver's pandas canonicalizer can hash the cell
+        # (array cells are unhashable there); values/order are unchanged.
+        F.array_join("collected", ",").alias("partkeys"),
+    )
 
 
 def q_regex_token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1086,7 +1091,7 @@ ORACLE: dict[str, str] = {
     """,
     "skew_safe_collect": """
         SELECT l_orderkey AS order_id,
-               list(l_partkey ORDER BY l_partkey) AS partkeys
+               array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS partkeys
         FROM lineitem GROUP BY l_orderkey
     """,
     "regex_token_stats": r"""
