@@ -348,6 +348,7 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.4,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact cosine-threshold near-duplicate pairs over an embedding column.
 
@@ -355,10 +356,15 @@ def embedding_cosine_pairs(
     LSH-bucketed variant (operators/similarity.bucketed_cosine_pairs) which
     only compares within hyperplane-hash buckets.
 
-    Execution: the table (the designated broadcast-small side of a
-    brute-force pair scan) ships to executors once; partitions of the
-    fanned-out left side score against it with numpy inside
-    ``mapInPandas``. The summation is vectorized across pairs but
+    Execution: distributed block-nested-loop, nothing touches the driver.
+    Each row gets a deterministic block id in [0, n_blocks) (xxhash64 of
+    the id); every unordered block pair (i, j), i <= j, becomes one
+    ``applyInPandas`` group carrying block i as the "a" side and block j as
+    the "b" side. A row replicates n_blocks+1 times (one per pair it joins),
+    so the shuffle volume is (n_blocks+1)·|corpus| and the per-group working
+    set is ~2·|corpus|/n_blocks rows — bounded by raising ``n_blocks`` as
+    the corpus grows (group count n_blocks·(n_blocks+1)/2 keeps every
+    executor busy). Scoring is numpy, vectorized across pairs but
     SEQUENTIAL across dimensions — the identical left-fold IEEE order as
     the JVM ``aggregate``/DuckDB ``list_reduce`` formulation, so scores
     are bit-identical to the SQL-expression version (and the oracle).
@@ -367,39 +373,64 @@ def embedding_cosine_pairs(
     rounds half-even, Spark/DuckDB half-up — never round in Python).
     Returns (id_a, id_b, cos) with id_a < id_b, round(cos,6) >= threshold.
     """
-    from collections.abc import Iterator
-
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
     raw = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    pdf = raw.toPandas()
-    B = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-    b_ids = pdf["__id"].to_numpy()
-    nb = _fold_norms(B)
-    bc = spark.sparkContext.broadcast((b_ids, B, nb))
+    blk = raw.withColumn(
+        "__b", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).cast("int")
+    )
+    a_side = blk.select(
+        F.col("__b").alias("__ki"),
+        F.explode(F.sequence(F.col("__b"), F.lit(n_blocks - 1))).alias("__kj"),
+        F.lit("a").alias("__side"),
+        "__id",
+        "__v",
+    )
+    b_side = blk.select(
+        F.explode(F.sequence(F.lit(0), F.col("__b"))).alias("__ki"),
+        F.col("__b").alias("__kj"),
+        F.lit("b").alias("__side"),
+        "__id",
+        "__v",
+    )
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
     margin = threshold - 1e-6
 
-    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_b, Bm, nB = bc.value
-        for p in batches:
-            if not len(p):
-                continue
-            A = np.stack(p["__v"].to_numpy()).astype(np.float64)
-            ids_a = p["__id"].to_numpy()
-            S = _fold_matmul(A, Bm)
-            cos = S / (_fold_norms(A)[:, None] * nB[None, :])
-            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= margin))
-            if len(ia):
-                yield pd.DataFrame(
-                    {"id_a": ids_a[ia], "id_b": ids_b[ib], "cos": cos[ia, ib]}
-                )
+    def _block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = key
+        pa = pdf[pdf["__side"] == "a"]
+        pb = pdf[pdf["__side"] == "b"]
+        if not len(pa) or not len(pb):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        A = np.stack(pa["__v"].to_numpy()).astype(np.float64)
+        B = np.stack(pb["__v"].to_numpy()).astype(np.float64)
+        ids_a = pa["__id"].to_numpy()
+        ids_b = pb["__id"].to_numpy()
+        cos = _fold_matmul(A, B) / (_fold_norms(A)[:, None] * _fold_norms(B)[None, :])
+        if i == j:
+            # Same block on both sides: each unordered pair appears twice,
+            # keep the (a < b) orientation only.
+            mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= margin)
+            ia, ib = np.nonzero(mask)
+            lo, hi = ids_a[ia], ids_b[ib]
+        else:
+            # Disjoint blocks: every cross pair appears exactly once;
+            # normalize the orientation.
+            ia, ib = np.nonzero(cos >= margin)
+            ua, ub = ids_a[ia], ids_b[ib]
+            swap = ua > ub
+            lo = np.where(swap, ub, ua)
+            hi = np.where(swap, ua, ub)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ia, ib]})
 
-    scored = fan_out(raw).mapInPandas(_pairs, schema=out_schema)
+    scored = (
+        a_side.unionByName(b_side)
+        .groupBy("__ki", "__kj")
+        .applyInPandas(_block_pairs, schema=out_schema)
+    )
     return (
         scored.withColumn("cos", F.round("cos", 6))
         .filter(F.col("cos") >= threshold)

@@ -164,6 +164,7 @@ def pq_fit_codebooks(
     sample_frac: float | None = None,
     iters: int = 15,
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ):
     """Train product-quantization codebooks: split the (L2-normalized)
     vector into ``m`` subspaces, k-means each subspace to ``n_centroids``
@@ -172,13 +173,18 @@ def pq_fit_codebooks(
     Training runs on a driver-side SAMPLE — the standard PQ recipe (the
     codebook needs ~100k representative rows, not the corpus): at 100 TB
     you fit on ``sample_frac`` ≈ 1e-5 and never touch the full data.
-    Returns ``codebooks`` as a numpy array of shape (m, n_centroids, d/m).
+    ``max_train_rows`` is a hard cap on rows collected to the driver,
+    applied after the optional fraction sample, so the fit is bounded even
+    when a caller forgets ``sample_frac`` on a huge corpus. Returns
+    ``codebooks`` as a numpy array of shape (m, n_centroids, d/m).
     """
     import numpy as np
 
     sampled = corpus.select(F.col(vec_col).alias("v"))
     if sample_frac is not None:
         sampled = sampled.sample(fraction=sample_frac, seed=seed)
+    if max_train_rows is not None:
+        sampled = sampled.limit(max_train_rows)
     X = np.stack(sampled.toPandas()["v"].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape

@@ -457,10 +457,14 @@ def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_similarity_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate (IVF probes a subset of cells) — rows-only check."""
+    """IVF at the recall-1.0 configuration (n_probe == n_cells: every cell
+    probed, so the result is the exact top-k and has a DuckDB oracle; the
+    cell structure, probe pruning, and ADC-free scan path are still the
+    ones exercised at scale). Approximate-probe recall curves live in
+    tools/ann_recall.py."""
     t = load_tables(spark, sf, ("embeddings",))
     queries = t["embeddings"].filter(F.col("vec_id") < 20)
-    return ivf_cosine_topk(queries, t["embeddings"], "vec_id", "vec_id", k=5, n_cells=8, n_probe=2)
+    return ivf_cosine_topk(queries, t["embeddings"], "vec_id", "vec_id", k=5, n_cells=8, n_probe=8)
 
 
 def q_similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -470,14 +474,20 @@ def q_similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = t["embeddings"].filter(F.col("vec_id") < 20)
     return pq_cosine_topk(
         queries, t["embeddings"], "vec_id", "vec_id", k=5,
-        m=16, n_centroids=32, refine=8,
+        m=16, n_centroids=32, refine=8, sample_frac=0.5,
     )
 
 
 def q_similarity_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate recall (hyperplane LSH) — rows-only check."""
+    """Hyperplane LSH at a verified recall-1.0 configuration for this
+    dataset (3 planes x 16 tables recovers every exact pair >= 0.45 at
+    sf0.01/sf0.001 — checked in tests), so the exact-pairs DuckDB oracle
+    applies. Precision is always exact (cosine verification step);
+    recall-vs-config curves live in tools/ann_recall.py."""
     t = load_tables(spark, sf, ("embeddings",))
-    return bucketed_cosine_pairs(t["embeddings"], "vec_id", "embedding", threshold=0.45)
+    return bucketed_cosine_pairs(
+        t["embeddings"], "vec_id", "embedding", threshold=0.45, n_planes=3, n_tables=16
+    )
 
 
 def q_text_analysis(spark: SparkSession, sf: str) -> DataFrame:
@@ -1057,6 +1067,18 @@ ORACLE: dict[str, str] = {
           FROM scored
         ) WHERE rank <= 5
     """,
+    # IVF at n_probe == n_cells probes every cell -> exact top-k, same oracle.
+    "similarity_ivf_topk": _COSINE_CTE.format(join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id")
+    + """
+        SELECT id_a AS vec_id_q, id_b AS vec_id_c, cos, CAST(rank AS INT) AS rank FROM (
+          SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    # LSH at the verified recall-1.0 config -> exact pair set, exact oracle.
+    "similarity_lsh_pairs": _COSINE_CTE.format(join_cond="a.vec_id < b.vec_id")
+    + "SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45",
     "text_analysis": r"""
         WITH tok AS (
           SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents

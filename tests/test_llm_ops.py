@@ -101,6 +101,16 @@ def test_bucketed_cosine_recall(emb):
         assert len(lsh & exact) / len(exact) >= 0.7
 
 
+def test_bucketed_cosine_recall_one_config(emb):
+    """The suite's similarity_lsh_pairs entry claims recall 1.0 at
+    (3 planes, 16 tables) so the exact-pairs oracle applies — pin it."""
+    exact = {(r["id_a"], r["id_b"]) for r in D.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in S.bucketed_cosine_pairs(emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16).collect()}
+    assert lsh == exact
+    assert len(exact) > 0
+
+
 def test_simhash_pairs(docs):
     pairs = D.simhash_pairs(docs, "doc_id", "text", nbits=32, max_hamming=3, bands=4).collect()
     assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in pairs)
