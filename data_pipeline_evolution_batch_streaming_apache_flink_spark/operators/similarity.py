@@ -94,6 +94,51 @@ def cosine_topk(
     )
 
 
+def _fit_cells(corpus: DataFrame, corpus_id: str, vec_col: str, n_cells: int, seed: int):
+    """k-means coarse quantizer: returns (assigned corpus with ``__cell``,
+    broadcast-able centroid DataFrame). One distributed ML fit + one
+    assignment pass over the corpus, no shuffle."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("cid", "__cv", "__cell")
+    # Literal centroid table (n_cells x dim doubles — tiny, broadcast).
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assigned, cent_df
+
+
+def _probe_cells(queries: DataFrame, query_id: str, vec_col: str, cent_df: DataFrame, n_probe: int) -> DataFrame:
+    """Nearest ``n_probe`` cells per query (query x n_cells — tiny cross
+    join against the broadcast centroid table)."""
+    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
+    return (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("__d", cosine("__qv", "centroid"))
+        .withColumn("__r", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("__d").desc())))
+        .filter(F.col("__r") <= n_probe)
+        .select("qid", "__qv", F.col("cell").alias("__cell"))
+    )
+
+
+def _rank_probe_hits(scored: DataFrame, query_id: str, corpus_id: str, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
+    )
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -108,52 +153,72 @@ def ivf_cosine_topk(
     """IVF (inverted-file) approximate top-k: k-means partitions the corpus
     into cells; each query only scans its ``n_probe`` nearest cells.
 
-    The index build is one ML fit + one corpus pass (cell assignment);
-    at scale the assignment is written out partitioned by cell so probes
-    are partition-pruned scans. Returns (query_id, corpus_id, cos, rank).
+    The index build is one ML fit + one corpus pass (cell assignment).
+    The probe join BROADCASTS the (queries x n_probe) side, so the corpus
+    is never shuffled on ``__cell`` — each corpus partition streams past
+    the hash table of probing queries; only the few scored candidate rows
+    reach the ranking exchange. For a persisted index probed by
+    partition-pruned scans (zero IO on unprobed cells), use
+    :func:`ivf_write_index` + :func:`ivf_probe_topk`.
+    Returns (query_id, corpus_id, cos, rank).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    corpus_v = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
-    )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("cid", "__cv", "__cell")
-
-    # Literal centroid table (n_cells x dim doubles — tiny, broadcast).
-    centers = model.clusterCenters()
-    spark = corpus.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-            "cell int, centroid array<double>",
-        )
-    )
-
-    q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
-    # nearest n_probe cells per query (query x n_cells — tiny cross join)
-    qcells = (
-        q.crossJoin(cent_df)
-        .withColumn("__d", cosine("__qv", "centroid"))
-        .withColumn("__r", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("__d").desc())))
-        .filter(F.col("__r") <= n_probe)
-        .select("qid", "__qv", F.col("cell").alias("__cell"))
-    )
+    assigned, cent_df = _fit_cells(corpus, corpus_id, vec_col, n_cells, seed)
+    qcells = _probe_cells(queries, query_id, vec_col, cent_df, n_probe)
     scored = (
-        qcells.join(assigned, "__cell")
+        assigned.join(F.broadcast(qcells), "__cell")
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
+    return _rank_probe_hits(scored, query_id, corpus_id, k)
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index: the corpus written out PARTITIONED BY cell
+    (``<path>/index/__cell=<i>/``) plus the tiny centroid table
+    (``<path>/centroids``). Build cost: one ML fit + one corpus pass +
+    one partitioned write. At 100 TB this is the amortized one-off that
+    makes every subsequent probe a partition-pruned scan reading only
+    n_probe/n_cells of the data."""
+    assigned, cent_df = _fit_cells(corpus, corpus_id, vec_col, n_cells, seed)
+    assigned.write.partitionBy("__cell").mode("overwrite").parquet(path + "/index")
+    cent_df.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_probe_topk(
+    queries: DataFrame,
+    path: str,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF index (:func:`ivf_write_index`) with
+    partition-pruned scans: the union of the queries' probe cells (at most
+    n_cells ints — bounded, driver-safe) becomes an ``isin`` filter on the
+    partition column, so unprobed cells are pruned at planning time and
+    never read. The probe join broadcasts the query side; the corpus-side
+    scan flows into the join with NO exchange. Returns
+    (query_id, corpus_id, cos, rank)."""
+    spark = queries.sparkSession
+    cent_df = spark.read.parquet(path + "/centroids")
+    qcells = _probe_cells(queries, query_id, vec_col, cent_df, n_probe)
+    # Bounded driver round-trip: distinct probed cell ids, <= n_cells ints.
+    probed = sorted(r["__cell"] for r in qcells.select("__cell").distinct().collect())
+    index = spark.read.parquet(path + "/index").filter(F.col("__cell").isin(probed))
+    scored = (
+        index.join(F.broadcast(qcells), "__cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(cosine("__qv", "__cv"), 6))
     )
+    return _rank_probe_hits(scored, query_id, corpus_id, k)
 
 
 def pq_fit_codebooks(

@@ -112,3 +112,42 @@ def test_partition_pruning_on_partitioned_table(spark, sf_dir, tmp_path):
     scanned = df.select(F.input_file_name()).distinct().collect()
     assert all("order_month=1997-03" in r[0] for r in scanned)
     assert df.count() > 0
+
+
+def test_ivf_index_probe_partition_pruned(spark, sf_dir, tmp_path):
+    """The persisted IVF index (ivf_write_index) must be probed via
+    partition-pruned scans (only probed __cell partitions read) with the
+    query side broadcast — the corpus is never shuffled on __cell — and
+    the probe result must equal the in-memory IVF at the same seed."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_probe_topk,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    ivf_write_index(emb, idx, "vec_id", n_cells=8, seed=42)
+
+    probed = ivf_probe_topk(queries, idx, "vec_id", "vec_id", k=5, n_probe=2)
+    plan = _plan(probed)
+    assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:300]
+    assert "BroadcastHashJoin" in plan
+    # corpus side must not be exchanged on the cell key
+    assert "Exchange hashpartitioning(__cell" not in plan
+    mem = ivf_cosine_topk(queries, emb, "vec_id", "vec_id", k=5, n_cells=8, n_probe=2, seed=42)
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_ivf_in_memory_probe_join_broadcasts_queries(spark, sf_dir):
+    """ivf_cosine_topk's probe join must broadcast the (queries x n_probe)
+    side so the corpus never shuffles on __cell (VERDICT r1 item 5)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    df = ivf_cosine_topk(queries, emb, "vec_id", "vec_id", k=5, n_cells=8, n_probe=2)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning(__cell" not in plan
+    assert "BroadcastHashJoin" in plan
