@@ -68,11 +68,20 @@ def asof_join(
     dim_ts: str,
     how: str = "left",
     tolerance: str | None = None,
+    dim_op: str | None = None,
 ) -> DataFrame:
     """Event-time temporal join — Flink ``JOIN dim FOR SYSTEM_TIME AS OF
     fact.ts ON key`` (reference flink-applications/06-flink-cdc-temporal-join.json:30):
     each fact row joins the dim **version valid at the fact's event time**
     (latest dim row with ``dim_ts <= fact_ts`` per key).
+
+    ``dim_op``: name of a CDC op column on the dim side (``c``/``u``/``d``).
+    A delete event becomes a TOMBSTONE version: facts at-or-after it (until
+    the next insert/update) match nothing — NULL image under ``left``,
+    dropped under ``inner`` — matching Flink's temporal-join behavior for a
+    deleted key (the reference's changelog dims, REPLICA IDENTITY FULL).
+    Without ``dim_op`` every dim row is a live version (plain versioned
+    table).
 
     Batch implementation (SURVEY §2.4 J5 strategy (a)): union the fact and
     dim changelog, one window over (key, ts) carrying the last non-null dim
@@ -90,15 +99,19 @@ def asof_join(
     version exists and ``how='left'``; rows dropped when ``how='inner'``).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    dim_payload = [c for c in dim.columns if c not in keys and c != dim_ts]
+    dim_payload = [c for c in dim.columns if c not in keys and c not in (dim_ts, dim_op)]
 
     # Tag and align the two sides on a common layout:
     #   (keys..., __ts, __is_fact, __dim struct, fact columns...)
+    # __dim leads with __live so a delete (live=false) is itself a carried
+    # version; at equal (key, ts) the struct tie-break prefers live over
+    # tombstone, then max image — deterministic either way.
+    live = (~F.col(dim_op).isin("d", "D")) if dim_op else F.lit(True)
     dim_side = dim.select(
         *keys,
         F.col(dim_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__is_fact"),
-        F.struct(*[F.col(c) for c in dim_payload]).alias("__dim"),
+        F.struct(live.alias("__live"), *[F.col(c) for c in dim_payload]).alias("__dim"),
         *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact.columns],
     )
     fact_side = fact.select(
@@ -144,10 +157,13 @@ def asof_join(
 
     matched = F.col("__is_fact") == 1
     if how == "inner":
-        matched = matched & F.col("__version").isNotNull()
+        matched = matched & F.coalesce(F.col("__version.__live"), F.lit(False))
     return carried.filter(matched).select(
         *[F.col(f"__f_{c}").alias(c) for c in fact.columns],
-        *[F.col(f"__version.{c}").alias(c) for c in dim_payload],
+        *[
+            F.when(F.col("__version.__live"), F.col(f"__version.{c}")).alias(c)
+            for c in dim_payload
+        ],
     )
 
 

@@ -59,7 +59,12 @@ def route_envelopes(batch: DataFrame) -> dict[str, DataFrame]:
 def enrich_orders(fact: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     """The scenario-6 statement body over one emittable slice of orders:
     UNNEST(pizzas) + AS-OF joins to table_assignment → clients → tables →
-    pizzas at the order's event time + grouped JSON aggregation."""
+    pizzas at the order's event time + grouped JSON aggregation.
+
+    Fact deletes drop the order; dim deletes are TOMBSTONE versions
+    (``dim_op='op'``): an order placed after a dim row's delete joins
+    NULLs for that dim, exactly like Flink's temporal join over the CDC
+    changelog (a deleted key stops matching later facts)."""
     orders = fact.filter(F.col("op") != "d")
     exploded = orders.select(
         F.col("id").alias("order_id"),
@@ -69,24 +74,24 @@ def enrich_orders(fact: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     )
     ta = dims["table_assignment"].select(
         F.col("id").alias("table_assignment_id"), "client_id", "table_id",
-        F.col("event_time").alias("ta_time"),
+        F.col("event_time").alias("ta_time"), "op",
     )
-    j = asof_join(exploded, ta, key="table_assignment_id", fact_ts="event_time", dim_ts="ta_time")
+    j = asof_join(exploded, ta, key="table_assignment_id", fact_ts="event_time", dim_ts="ta_time", dim_op="op")
     cl = dims["clients"].select(
         F.col("id").alias("client_id"), F.col("name").alias("client_name"),
-        F.col("event_time").alias("cl_time"),
+        F.col("event_time").alias("cl_time"), "op",
     )
-    j = asof_join(j, cl, key="client_id", fact_ts="event_time", dim_ts="cl_time")
+    j = asof_join(j, cl, key="client_id", fact_ts="event_time", dim_ts="cl_time", dim_op="op")
     tb = dims["tables"].select(
         F.col("id").alias("table_id"), F.col("name").alias("table_name"),
-        F.col("event_time").alias("tb_time"),
+        F.col("event_time").alias("tb_time"), "op",
     )
-    j = asof_join(j, tb, key="table_id", fact_ts="event_time", dim_ts="tb_time")
+    j = asof_join(j, tb, key="table_id", fact_ts="event_time", dim_ts="tb_time", dim_op="op")
     pz = dims["pizzas"].select(
         F.col("id").alias("pizza_id"), F.col("name").alias("pizza"), "price",
-        F.col("event_time").alias("pz_time"),
+        F.col("event_time").alias("pz_time"), "op",
     )
-    j = asof_join(j, pz, key="pizza_id", fact_ts="event_time", dim_ts="pz_time")
+    j = asof_join(j, pz, key="pizza_id", fact_ts="event_time", dim_ts="pz_time", dim_op="op")
     return j.groupBy("order_id", "client_name", "table_name").agg(
         json_arrayagg(json_object(pizza=F.col("pizza"), price=F.col("price"))).alias("pizzas"),
         F.max("event_time").alias("event_time"),
@@ -128,24 +133,24 @@ def scenario6_tws_chain(envelopes: DataFrame, delay: str = "0 seconds") -> DataF
     )
     ta = t["table_assignment"].select(
         F.col("id").alias("table_assignment_id"), "client_id", "table_id",
-        F.col("event_time").alias("ta_time"),
+        F.col("event_time").alias("ta_time"), "op",
     )
-    j = asof_join_tws(exploded, ta, "table_assignment_id", "event_time", "ta_time", delay=delay)
+    j = asof_join_tws(exploded, ta, "table_assignment_id", "event_time", "ta_time", delay=delay, dim_op="op")
     cl = t["clients"].select(
         F.col("id").alias("client_id"), F.col("name").alias("client_name"),
-        F.col("event_time").alias("cl_time"),
+        F.col("event_time").alias("cl_time"), "op",
     )
-    j = asof_join_tws(j, cl, "client_id", "event_time", "cl_time", delay=delay, gate=False)
+    j = asof_join_tws(j, cl, "client_id", "event_time", "cl_time", delay=delay, gate=False, dim_op="op")
     tb = t["tables"].select(
         F.col("id").alias("table_id"), F.col("name").alias("table_name"),
-        F.col("event_time").alias("tb_time"),
+        F.col("event_time").alias("tb_time"), "op",
     )
-    j = asof_join_tws(j, tb, "table_id", "event_time", "tb_time", delay=delay, gate=False)
+    j = asof_join_tws(j, tb, "table_id", "event_time", "tb_time", delay=delay, gate=False, dim_op="op")
     pz = t["pizzas"].select(
         F.col("id").alias("pizza_id"), F.col("name").alias("pizza"), "price",
-        F.col("event_time").alias("pz_time"),
+        F.col("event_time").alias("pz_time"), "op",
     )
-    return asof_join_tws(j, pz, "pizza_id", "event_time", "pz_time", delay=delay, gate=False)
+    return asof_join_tws(j, pz, "pizza_id", "event_time", "pz_time", delay=delay, gate=False, dim_op="op")
 
 
 def scenario6_engine(spark: SparkSession, base_dir: str, delay: str = "0 seconds") -> IncrementalTemporalJoin:

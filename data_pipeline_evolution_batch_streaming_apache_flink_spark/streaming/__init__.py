@@ -36,6 +36,17 @@ def _ms(v) -> int:
     return pd.Timestamp(v).value // 1_000_000
 
 
+def _vkey(entry: tuple) -> tuple:
+    """None-safe deterministic sort key for a dim version entry
+    ``(ts_ms, live, payload_tuple)``: ts, then live (tombstone < live —
+    matching the batch operator's __live-leading struct order), then the
+    payload with NULLs first per field (Spark sorts struct fields
+    nulls-first ascending; ``(v is not None, v)`` reproduces that without
+    ever comparing None to a value — ADVICE r1)."""
+    ts, live, payload = entry
+    return (ts, live, tuple((v is not None, v) for v in payload))
+
+
 def streaming_asof_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -44,6 +55,7 @@ def streaming_asof_join(
     dim_ts: str,
     delay: str = "0 seconds",
     how: str = "left",
+    dim_op: str | None = None,
 ) -> DataFrame:
     """Event-time AS-OF join on streaming inputs.
 
@@ -52,6 +64,11 @@ def streaming_asof_join(
     the same key. A fact emits only once the watermark passes its event
     time — at that point no dim version at-or-before it can still arrive,
     so results are final (append mode; no retractions needed).
+
+    ``dim_op`` (CDC changelog dims): a ``d`` event is kept as a TOMBSTONE
+    version — facts at-or-after it match nothing until the next live
+    version, exactly like the batch operator's ``dim_op`` and Flink's
+    temporal join over a deleted key.
 
     Mechanics: both inputs are aligned onto one changelog, watermarked,
     and grouped by key into ``applyInPandasWithState``. Per-key state is
@@ -66,7 +83,7 @@ def streaming_asof_join(
     filter) — the reference's late-data semantics (W6, README.md:268-301).
     """
     keys = [key] if isinstance(key, str) else list(key)
-    dim_payload = [c for c in dim.columns if c not in keys and c != dim_ts]
+    dim_payload = [c for c in dim.columns if c not in keys and c not in (dim_ts, dim_op)]
     fact_cols = list(fact.columns)
 
     out_fields = [fact.schema[c] for c in fact_cols] + [
@@ -74,10 +91,12 @@ def streaming_asof_join(
     ]
     out_schema = T.StructType(out_fields)
 
+    live = (~F.col(dim_op).isin("d", "D")) if dim_op else F.lit(True)
     f_side = fact.select(
         *keys,
         F.col(fact_ts).cast("timestamp").alias("__ts"),
         F.lit(1).alias("__is_fact"),
+        F.lit(True).alias("__live"),
         *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
         *[F.lit(None).cast(dim.schema[c].dataType).alias(f"__d_{c}") for c in dim_payload],
     )
@@ -85,15 +104,18 @@ def streaming_asof_join(
         *keys,
         F.col(dim_ts).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__is_fact"),
+        live.alias("__live"),
         *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
         *[F.col(c).alias(f"__d_{c}") for c in dim_payload],
     )
     unioned = f_side.unionByName(d_side).withWatermark("__ts", delay)
 
-    n_fact = len(fact_cols)
     inner = how == "inner"
+    null_version = tuple(None for _ in dim_payload)
 
     def fn(key_tuple, pdfs, state: GroupState):
+        import numpy as np
+
         dims, facts = pickle.loads(state.get[0]) if state.exists else ([], [])
         for pdf in pdfs:
             for d in pdf.to_dict(orient="records"):
@@ -101,30 +123,37 @@ def streaming_asof_join(
                 if d["__is_fact"] == 1:
                     facts.append((ts_ms, tuple(d[f"__f_{c}"] for c in fact_cols)))
                 else:
-                    dims.append((ts_ms, tuple(d[f"__d_{c}"] for c in dim_payload)))
+                    dims.append(
+                        (ts_ms, bool(d["__live"]), tuple(d[f"__d_{c}"] for c in dim_payload))
+                    )
         wm = state.getCurrentWatermarkMs()
-        dims.sort(key=lambda x: x[0])
-        ready = [fx for fx in facts if fx[0] <= wm]
+        # Full (ts, live, image) tie-break, None-safe — same deterministic
+        # max-image winner at equal (key, ts) as the batch operator.
+        dims.sort(key=_vkey)
+        ready = sorted((fx for fx in facts if fx[0] <= wm), key=lambda x: x[0])
         pending = [fx for fx in facts if fx[0] > wm]
 
         out_rows = []
-        for fts, fvals in sorted(ready, key=lambda x: x[0]):
-            version = None
-            for dts, dvals in dims:
-                if dts <= fts:
-                    version = dvals
+        if ready:
+            # Vectorized merge: one binary search per ready fact over the
+            # sorted dim timestamps (hot keys hold many versions — the
+            # linear scan this replaces was O(facts x versions)).
+            dts = np.fromiter((dv[0] for dv in dims), dtype=np.int64, count=len(dims))
+            fts = np.fromiter((fx[0] for fx in ready), dtype=np.int64, count=len(ready))
+            idx = np.searchsorted(dts, fts, side="right") - 1
+            for (_ts, fvals), i in zip(ready, idx):
+                if i < 0 or not dims[i][1]:  # no version yet, or tombstone
+                    if inner:
+                        continue
+                    version = null_version
                 else:
-                    break
-            if version is None:
-                if inner:
-                    continue
-                version = tuple(None for _ in dim_payload)
-            out_rows.append(fvals + version)
+                    version = dims[i][2]
+                out_rows.append(fvals + version)
 
         # prune: keep the latest version at-or-below the frontier plus all
         # newer ones — older versions can never match a future fact.
         frontier = min([wm] + [fx[0] for fx in pending])
-        older = [i for i, (dts, _) in enumerate(dims) if dts <= frontier]
+        older = [i for i, dv in enumerate(dims) if dv[0] <= frontier]
         if len(older) > 1:
             dims = dims[older[-1]:]
 

@@ -32,8 +32,9 @@ The chaining trick (and why it is correct):
   hop; ``__emit_ts`` exists only to keep Spark's watermark machinery fed.
 
 State layout per key (pickled, one blob per key like the sibling
-operator): dim version list sorted by (ts, image) — same deterministic
-tie-break as the batch ``operators.joins.asof_join`` — plus, in the gated
+operator): dim version list sorted by (ts, live, image) None-safely —
+same deterministic tie-break as the batch ``operators.joins.asof_join``
+(a CDC delete is a tombstone entry with live=False) — plus, in the gated
 operator only, the pending-fact buffer. Versions older than the latest
 one at-or-below the emission frontier are pruned every batch, bounding
 state. Requires the RocksDB state store provider (see
@@ -62,6 +63,15 @@ def _ms(v) -> int:
     return pd.Timestamp(v).value // 1_000_000
 
 
+def _vkey(entry: tuple) -> tuple:
+    """None-safe deterministic sort key for ``(ts_ms, live, payload)``:
+    ts, then live (tombstone < live), then payload with NULLs first per
+    field — never compares None against a value (ADVICE r1: a NULL payload
+    column in a same-ts duplicate crashed the raw tuple sort)."""
+    ts, live, payload = entry
+    return (ts, live, tuple((v is not None, v) for v in payload))
+
+
 class _AsOfProcessor(StatefulProcessor):
     """Versioned-dim state + (optionally) a watermark-gated fact buffer."""
 
@@ -87,29 +97,34 @@ class _AsOfProcessor(StatefulProcessor):
             self.state.clear()
 
     def _match(self, ots_ms, dims):
-        version = None
-        for dts, dvals in dims:  # dims sorted ascending
-            if dts <= ots_ms:
-                version = dvals
+        """Latest entry (ts, live, payload) at-or-before ots_ms, or None.
+        A tombstone entry (live=False) is returned — the caller must treat
+        it as no-match — so a delete shadows older live versions."""
+        entry = None
+        for dv in dims:  # dims sorted ascending by _vkey
+            if dv[0] <= ots_ms:
+                entry = dv
             else:
                 break
-        return version
+        return entry
 
     def _emit(self, ready, dims, emit_ts):
         out = []
         for _ots, fvals in ready:
-            version = self._match(_ots, dims)
-            if version is None:
+            entry = self._match(_ots, dims)
+            if entry is None or not entry[1]:  # no version, or tombstone
                 if self.inner:
                     continue
                 version = tuple(None for _ in self.dim_payload)
+            else:
+                version = entry[2]
             out.append(fvals + version + (emit_ts,))
         if out:
             yield pd.DataFrame(out, columns=self.out_cols)
 
     def _prune(self, dims, facts, wm_ms):
         frontier = min([wm_ms] + [f[0] for f in facts])
-        older = [i for i, (dts, _) in enumerate(dims) if dts <= frontier]
+        older = [i for i, dv in enumerate(dims) if dv[0] <= frontier]
         return dims[older[-1]:] if len(older) > 1 else dims
 
     def _flush(self, dims, facts, wm_ms):
@@ -136,9 +151,13 @@ class _AsOfProcessor(StatefulProcessor):
                     )
                 else:
                     dims.append(
-                        (_ms(d["__ts"]), tuple(d[f"__d_{c}"] for c in self.dim_payload))
+                        (
+                            _ms(d["__ts"]),
+                            bool(d["__live"]),
+                            tuple(d[f"__d_{c}"] for c in self.dim_payload),
+                        )
                     )
-        dims.sort()
+        dims.sort(key=_vkey)
         wm_ms = timerValues.getCurrentWatermarkInMs()
 
         if self.gate:
@@ -173,10 +192,15 @@ def asof_join_tws(
     delay: str = "0 seconds",
     how: str = "left",
     gate: bool = True,
+    dim_op: str | None = None,
 ) -> DataFrame:
     """Event-time AS-OF join, chainable: output carries ``__emit_ts`` as
     its event-time column, so the result can feed another ``asof_join_tws``
     (with ``gate=False``) in the SAME continuous query.
+
+    ``dim_op``: CDC op column on the dim side — a ``d`` event is stored as
+    a tombstone version that shadows earlier images (facts at-or-after it
+    get NULLs / are dropped under inner), matching the batch operator.
 
     ``gate=True`` (first join of a chain): facts buffer per key until the
     global watermark passes their event time; event-time timers drain
@@ -189,15 +213,17 @@ def asof_join_tws(
     NULL-padded rows for version-less facts, ``'inner'`` drops them.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    dim_payload = [c for c in dim.columns if c not in keys and c != dim_ts]
+    dim_payload = [c for c in dim.columns if c not in keys and c not in (dim_ts, dim_op)]
     fact_cols = [c for c in fact.columns if c != EMIT_TS]
     chained = EMIT_TS in fact.columns
 
+    live = (~F.col(dim_op).isin("d", "D")) if dim_op else F.lit(True)
     f_side = fact.select(
         *keys,
         (F.col(EMIT_TS) if chained else F.col(fact_ts).cast("timestamp")).alias("__ts"),
         F.col(fact_ts).cast("timestamp").alias("__ots"),
         F.lit(1).alias("__is_fact"),
+        F.lit(True).alias("__live"),
         *[F.col(c).alias(f"__f_{c}") for c in fact_cols],
         *[F.lit(None).cast(dim.schema[c].dataType).alias(f"__d_{c}") for c in dim_payload],
     )
@@ -206,6 +232,7 @@ def asof_join_tws(
         F.col(dim_ts).cast("timestamp").alias("__ts"),
         F.lit(None).cast("timestamp").alias("__ots"),
         F.lit(0).alias("__is_fact"),
+        live.alias("__live"),
         *[F.lit(None).cast(fact.schema[c].dataType).alias(f"__f_{c}") for c in fact_cols],
         *[F.col(c).alias(f"__d_{c}") for c in dim_payload],
     )

@@ -81,3 +81,44 @@ def test_latest_per_key_with_tombstones(spark):
     )
     rows = {r["k"]: r["v"] for r in latest_per_key(log, "k", "seq", op_col="op").collect()}
     assert rows == {1: "b", 3: "z"}  # key 2 deleted by tombstone
+
+
+def test_asof_join_dim_delete_tombstone(spark):
+    """ADVICE r1 (medium): a CDC delete on the dim side must stop later
+    facts from matching — NULL image under left, dropped under inner —
+    until the next live version, like Flink's temporal join."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import asof_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5, "c"),
+            (1, "2024-01-01 10:02:00", 5, "d"),   # delete: price is the before-image
+            (1, "2024-01-01 10:04:00", 9, "c"),   # re-insert
+            # same-(key, ts) delete + update: live version must win the tie
+            (2, "2024-01-01 10:00:00", 7, "u"),
+            (2, "2024-01-01 10:00:00", 7, "d"),
+        ],
+        "k int, dts string, price int, op string",
+    ).withColumn("dts", F.to_timestamp("dts"))
+    fact = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 10:01:00"),  # -> 5 (before delete)
+            (1, 101, "2024-01-01 10:03:00"),  # -> NULL (tombstoned)
+            (1, 102, "2024-01-01 10:05:00"),  # -> 9 (after re-insert)
+            (2, 103, "2024-01-01 10:01:00"),  # -> 7 (live wins same-ts tie)
+        ],
+        "k int, fid int, fts string",
+    ).withColumn("fts", F.to_timestamp("fts"))
+
+    left = asof_join(fact, dim, key="k", fact_ts="fts", dim_ts="dts", how="left", dim_op="op")
+    got = {(r["fid"], r["price"]) for r in left.collect()}
+    assert got == {(100, 5), (101, None), (102, 9), (103, 7)}
+
+    inner = asof_join(fact, dim, key="k", fact_ts="fts", dim_ts="dts", how="inner", dim_op="op")
+    assert {r["fid"] for r in inner.collect()} == {100, 102, 103}
+
+    # without dim_op the op column is ordinary payload: no tombstoning
+    plain = asof_join(fact, dim.drop("op"), key="k", fact_ts="fts", dim_ts="dts")
+    assert {(r["fid"], r["price"]) for r in plain.collect()} == {
+        (100, 5), (101, 5), (102, 9), (103, 7),
+    }

@@ -141,3 +141,49 @@ def test_scenario6_streaming_end_to_end(spark, tmp_path):
 
     compacted = latest_per_key(engine.output(), "order_id", ["event_time"])
     assert _parsed(compacted.collect()) == EXPECTED
+
+
+def test_scenario6_dim_delete_tombstones_later_orders(spark, tmp_path):
+    """A dim-side CDC delete must stop matching later orders (ADVICE r1,
+    medium): after pizza 2's delete, an order containing it enriches with
+    a NULL pizza image — the temporal join over the changelog behaves like
+    Flink's (deleted key -> no match), not like a stale version."""
+    t0 = "2024-03-01 10:00:00"
+    batches = [
+        [
+            env("clients", "c", id=1, name="ann", event_time=t0),
+            env("tables", "c", id=1, name="corner", event_time=t0),
+            env("table_assignment", "c", id=1, client_id=1, table_id=1, event_time=t0),
+            env("pizzas", "c", id=1, name="margherita", price=5, event_time=t0),
+            env("pizzas", "c", id=2, name="diavola", price=7, event_time=t0),
+        ],
+        # order before the delete sees diavola; then diavola is deleted
+        [
+            env("orders", "c", id=1, table_assignment_id=1,
+                order_time="2024-03-01 10:01:00", pizzas=[2],
+                event_time="2024-03-01 10:01:00"),
+            env("pizzas", "d", id=2, name="diavola", price=7,
+                event_time="2024-03-01 10:03:00"),
+            env("orders", "c", id=2, table_assignment_id=1,
+                order_time="2024-03-01 10:04:00", pizzas=[1, 2],
+                event_time="2024-03-01 10:04:00"),
+        ],
+        [
+            env(t, "c", id=999, event_time="2024-03-01 12:00:00")
+            for t in ("clients", "tables", "table_assignment", "pizzas", "orders")
+        ],
+    ]
+    engine = scenario6_engine(spark, str(tmp_path / "s6del"))
+    for i, rows in enumerate(batches):
+        engine.foreach_batch(
+            spark.createDataFrame([(r["table"], r["op"], r["data"]) for r in rows], ENVELOPE_SCHEMA),
+            i,
+        )
+    # json_object omits NULL fields, so a tombstoned pizza serializes as {}
+    got = {
+        r["order_id"]: [(p.get("pizza"), p.get("price")) for p in json.loads(r["pizzas"])]
+        for r in engine.output().collect()
+        if r["order_id"] is not None and r["order_id"] != 999
+    }
+    assert got[1] == [("diavola", 7)]                        # placed before the delete
+    assert set(got[2]) == {("margherita", 5), (None, None)}  # pizza 2 tombstoned

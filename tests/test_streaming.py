@@ -598,3 +598,59 @@ def test_txid_incomplete_transactions_discarded_after_timeout(spark, tmp_path):
     out_dir = _run_available_now(gated, tmp_path, "txo")
     got = {(r["txId"], r["payload"]) for r in spark.read.parquet(out_dir).collect()}
     assert got == {(2, "ok")}
+
+
+def test_streaming_asof_dim_delete_tombstone(spark, tmp_path):
+    """A dim-side CDC delete must tombstone the key for later facts in the
+    streaming operator too, matching the batch dim_op semantics, and
+    same-ts duplicate versions with NULL payload must sort None-safely."""
+    dim_rows = [
+        {"k": 1, "dts": "2024-01-01 10:00:00", "price": 5, "op": "c"},
+        {"k": 1, "dts": "2024-01-01 10:02:00", "price": 5, "op": "d"},
+        {"k": 1, "dts": "2024-01-01 10:04:00", "price": 9, "op": "c"},
+        # same-(key, ts) duplicates, one NULL payload: sort must not crash
+        # and the deterministic winner is the max image (non-null)
+        {"k": 2, "dts": "2024-01-01 10:00:00", "price": None, "op": "u"},
+        {"k": 2, "dts": "2024-01-01 10:00:00", "price": 7, "op": "u"},
+    ]
+    fact_rows = [
+        {"k": 1, "fid": 100, "fts": "2024-01-01 10:01:00"},  # -> 5
+        {"k": 1, "fid": 101, "fts": "2024-01-01 10:03:00"},  # -> NULL (tombstone)
+        {"k": 1, "fid": 102, "fts": "2024-01-01 10:05:00"},  # -> 9
+        {"k": 2, "fid": 103, "fts": "2024-01-01 10:01:00"},  # -> 7 (max image)
+    ]
+    heartbeat = {"k": 99, "fid": 999, "fts": "2024-01-01 12:00:00"}
+
+    dim_dir = str(tmp_path / "tomb_dim_in")
+    fact_dir = str(tmp_path / "tomb_fact_in")
+    _write_batches(dim_dir, [dim_rows[:2], dim_rows[2:]])
+    _write_batches(fact_dir, [fact_rows[:2], fact_rows[2:], [heartbeat]])
+
+    dim_stream = json_file_stream(spark, dim_dir, "k int, dts timestamp, price int, op string")
+    fact_stream = json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp")
+
+    joined = streaming_asof_join(
+        fact_stream, dim_stream, key="k", fact_ts="fts", dim_ts="dts", how="left", dim_op="op"
+    )
+    out_dir = _run_available_now(joined, tmp_path, "tomb_asof")
+    got = {
+        (r["fid"], r["price"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["fid"] != 999
+    }
+
+    dim_b = spark.createDataFrame(
+        [(r["k"], r["dts"], r["price"], r["op"]) for r in dim_rows],
+        "k int, dts string, price int, op string",
+    ).withColumn("dts", F.to_timestamp("dts"))
+    fact_b = spark.createDataFrame(
+        [(r["k"], r["fid"], r["fts"]) for r in fact_rows], "k int, fid int, fts string"
+    ).withColumn("fts", F.to_timestamp("fts"))
+    expected = {
+        (r["fid"], r["price"])
+        for r in asof_join(
+            fact_b, dim_b, key="k", fact_ts="fts", dim_ts="dts", how="left", dim_op="op"
+        ).select("fid", "price").collect()
+    }
+    assert got == expected
+    assert got == {(100, 5), (101, None), (102, 9), (103, 7)}

@@ -101,17 +101,19 @@ def _fact_row(ts_ms, order_id):
         "__ts": pd.Timestamp(ts_ms, unit="ms"),
         "__ots": pd.Timestamp(ts_ms, unit="ms"),
         "__is_fact": 1,
+        "__live": True,
         "__f_order_id": order_id,
         "__f_order_time": pd.Timestamp(ts_ms, unit="ms"),
         "__d_name": None,
     }
 
 
-def _dim_row(ts_ms, name):
+def _dim_row(ts_ms, name, live=True):
     return {
         "__ts": pd.Timestamp(ts_ms, unit="ms"),
         "__ots": pd.NaT,
         "__is_fact": 0,
+        "__live": live,
         "__f_order_id": None,
         "__f_order_time": None,
         "__d_name": name,
@@ -178,7 +180,7 @@ def test_pruning_keeps_latest_at_or_below_frontier():
     dims, _ = p._load()
     # v1000/v2000 can never match a future (post-gate) fact; v3000 is the
     # carried version at the frontier, v9000 is still ahead of it.
-    assert [d[1][0] for d in dims] == ["v3000", "v9000"]
+    assert [d[2][0] for d in dims] == ["v3000", "v9000"]
 
 
 def test_gated_pending_fact_blocks_pruning():
@@ -187,7 +189,7 @@ def test_gated_pending_fact_blocks_pruning():
     dims, facts = p._load()
     assert len(facts) == 1
     # frontier = pending fact ts (1500): version a must survive to serve it
-    assert [d[1][0] for d in dims] == ["a", "b"]
+    assert [d[2][0] for d in dims] == ["a", "b"]
 
 
 # ---------------------------------------------------------------------------
@@ -371,3 +373,41 @@ def test_chained_asof_end_to_end(spark, tmp_path):
         for r in spark.sql("select * from tws_out").collect()
     }
     assert rows == {1: ("ann", "corner"), 2: ("ann2", "corner"), 999: (None, None)}
+
+
+def test_dim_delete_tombstone_shadows_versions():
+    """A CDC delete (live=False) must stop facts at-or-after it from
+    matching until the next live version — parity with the batch
+    asof_join(dim_op=...) semantics (ADVICE r1, medium)."""
+    p = _mk(gate=True)
+    out = _run(
+        p,
+        [
+            _dim_row(1000, "v1"),
+            _dim_row(3000, "v1", live=False),  # delete carries before-image
+            _dim_row(5000, "v2"),
+            _fact_row(2000, 1),  # -> v1
+            _fact_row(4000, 2),  # -> NULL (tombstoned)
+            _fact_row(6000, 3),  # -> v2
+        ],
+        10_000,
+    )
+    by_id = {r.order_id: r.name for r in out.itertuples()}
+    assert by_id == {1: "v1", 2: None, 3: "v2"}
+
+
+def test_same_ts_null_payload_sorts_none_safely():
+    """Equal-(key, ts) dim duplicates with a NULL payload column must not
+    crash the sort (ADVICE r1) and the live max-image wins."""
+    p = _mk(gate=True)
+    out = _run(
+        p,
+        [
+            _dim_row(1000, None),
+            _dim_row(1000, "z"),
+            _dim_row(1000, "a"),
+            _fact_row(2000, 1),
+        ],
+        10_000,
+    )
+    assert list(out["name"]) == ["z"]
