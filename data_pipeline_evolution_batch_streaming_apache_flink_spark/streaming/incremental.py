@@ -80,14 +80,31 @@ class IncrementalTemporalJoin:
         os.makedirs(base_dir, exist_ok=True)
 
     # -- log plumbing -------------------------------------------------------
+    # Every write lands in a per-epoch subdirectory with overwrite mode, so
+    # a replayed micro-batch (Structured Streaming's at-least-once
+    # foreachBatch contract) overwrites its own previous attempt instead of
+    # appending duplicates — the logs and the output are exactly-once after
+    # any number of retries (ADVICE r1).
     def _log_path(self, name: str) -> str:
         return os.path.join(self.base, "logs", name)
+
+    def _write_epoch(self, df: DataFrame, path: str, epoch_id) -> None:
+        """Overwrite into an epoch-named subdir (idempotent replay); a
+        manual drive without an epoch id falls back to plain append."""
+        if epoch_id is None:
+            df.write.mode("append").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(os.path.join(path, f"e{int(epoch_id):010d}"))
 
     def _read_log(self, spec: SourceSpec) -> DataFrame:
         path = self._log_path(spec.name)
         if not os.path.isdir(path):
             return self.spark.createDataFrame([], spec.schema)
-        return self.spark.read.schema(spec.schema).parquet(path)
+        return (
+            self.spark.read.schema(spec.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
 
     def _meta_path(self) -> str:
         return os.path.join(self.base, "frontier.json")
@@ -97,7 +114,7 @@ class IncrementalTemporalJoin:
             with open(self._meta_path()) as fh:
                 return json.load(fh)
         except FileNotFoundError:
-            return {"max_ts": {}, "emitted_frontier": None}
+            return {"max_ts": {}, "emitted_frontier": None, "last_epoch": None}
 
     def _save_meta(self, meta: dict) -> None:
         tmp = self._meta_path() + ".tmp"
@@ -108,8 +125,16 @@ class IncrementalTemporalJoin:
     # -- the micro-batch body ----------------------------------------------
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         specs = {self.fact.name: self.fact, **self.dims}
-        routed = self.route(batch_df)
         meta = self._load_meta()
+        # Fully-applied epochs (meta saved) are skipped outright on replay;
+        # a partially-applied epoch (crash before _save_meta) re-runs and
+        # its per-epoch overwrites land on the same paths — idempotent
+        # either way. Epoch ids are monotonic per checkpoint (Structured
+        # Streaming continues numbering across restarts).
+        last = meta.get("last_epoch")
+        if epoch_id is not None and last is not None and int(epoch_id) <= int(last):
+            return
+        routed = self.route(batch_df)
 
         for name, rows in routed.items():
             spec = specs[name]
@@ -121,9 +146,10 @@ class IncrementalTemporalJoin:
                     cur = agg["m"].isoformat(sep=" ")
                     if prev is None or cur > prev:
                         meta["max_ts"][name] = cur
-                rows.write.mode("append").parquet(self._log_path(name))
+                self._write_epoch(rows, self._log_path(name), epoch_id)
             finally:
                 rows.unpersist()
+        meta["last_epoch"] = int(epoch_id) if epoch_id is not None else None
 
         # multi-input watermark: min over every input's cumulative max −
         # delay. Inputs that never produced a row hold the frontier at -inf
@@ -154,19 +180,20 @@ class IncrementalTemporalJoin:
 
         dim_logs = {name: self._read_log(spec) for name, spec in self.dims.items()}
         out = self.enrich(emittable, dim_logs)
-        out.write.mode("append").parquet(os.path.join(self.base, "out"))
+        self._write_epoch(out, os.path.join(self.base, "out"), epoch_id)
 
         meta["emitted_frontier"] = frontier_s
         self._save_meta(meta)
 
     # -- results ------------------------------------------------------------
     def output(self) -> DataFrame:
-        """All emitted rows (append log). Compact downstream with
-        ``operators.changelog.latest_per_key`` for upsert semantics."""
+        """All emitted rows (append log of per-epoch directories). Compact
+        downstream with ``operators.changelog.latest_per_key`` for upsert
+        semantics."""
         path = os.path.join(self.base, "out")
         if not os.path.isdir(path):
             raise FileNotFoundError("no output emitted yet")
-        return self.spark.read.parquet(path)
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(path)
 
     def run_available_now(self, stream_df: DataFrame) -> None:
         """Drain a bounded stream through the engine (tests/backfills)."""

@@ -187,3 +187,24 @@ def test_scenario6_dim_delete_tombstones_later_orders(spark, tmp_path):
     }
     assert got[1] == [("diavola", 7)]                        # placed before the delete
     assert set(got[2]) == {("margherita", 5), (None, None)}  # pizza 2 tombstoned
+
+
+def test_scenario6_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch (same
+    epoch_id) must not duplicate log rows or emitted output (ADVICE r1).
+    Replays of fully-applied epochs are skipped via the recorded
+    last_epoch; partial replays overwrite their own epoch directories."""
+    engine = scenario6_engine(spark, str(tmp_path / "s6_replay"))
+    batches = _batches()
+    dfs = [
+        spark.createDataFrame([(r["table"], r["op"], r["data"]) for r in rows], ENVELOPE_SCHEMA)
+        for rows in batches
+    ]
+    for i, df in enumerate(dfs):
+        engine.foreach_batch(df, i)
+        engine.foreach_batch(df, i)  # replay every epoch once
+    assert _parsed(engine.output().collect()) == EXPECTED
+    n = engine.output().count()
+    # and the final (emitting) epoch replayed again after completion
+    engine.foreach_batch(dfs[-1], len(dfs) - 1)
+    assert engine.output().count() == n
