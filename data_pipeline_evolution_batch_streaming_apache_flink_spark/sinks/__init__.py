@@ -57,6 +57,40 @@ class ParquetUpsertSink:
         return latest_per_key(log, self.keys, ordering, op_col=self.op_col).drop("__epoch")
 
 
+def upsert_kafka_records(
+    batch_df: DataFrame,
+    keys: str | list[str],
+    order_by: str | list[str],
+    op_col: str | None = None,
+    delete_ops: tuple[str, ...] = ("d", "delete", "D"),
+    value_fields: str = "all",
+) -> DataFrame:
+    """The upsert-kafka record projection, separated from the transport so
+    the wire contract is testable without a broker: returns exactly the
+    (key string, value string) rows :func:`write_upsert_kafka` produces.
+
+    Layout per reference how-to-aiven/04-flink-cdc-outbox.md:90-103
+    (``'key.format'='json'``, ``'value.format'='json'``, PK = key):
+
+    - key   = JSON object of the PK columns;
+    - value = JSON object of the row. ``value_fields='all'`` mirrors
+      Flink's ``value.fields-include=ALL`` default (key columns repeated
+      in the value); ``'except_key'`` mirrors the EXCEPT_KEY mode. The
+      CDC ``op_col`` is transport metadata, never serialized.
+    - a key whose latest op is a delete emits a TOMBSTONE (null value) —
+      the compacted-topic delete marker.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes: they become tombstones
+    key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
+    skip = set(keys) if value_fields == "except_key" else set()
+    payload_cols = [c for c in compacted.columns if c not in skip and c != op_col]
+    value_json = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+    if op_col is not None:
+        value_json = F.when(F.col(op_col).isin(*delete_ops), F.lit(None)).otherwise(value_json)
+    return compacted.select(key_json.alias("key"), value_json.alias("value"))
+
+
 def write_upsert_kafka(
     batch_df: DataFrame,
     keys: str | list[str],
@@ -65,25 +99,22 @@ def write_upsert_kafka(
     bootstrap_servers: str,
     op_col: str | None = None,
     delete_ops: tuple[str, ...] = ("d", "delete", "D"),
+    value_fields: str = "all",
 ) -> None:
     """foreachBatch body for an upsert-kafka sink (reference
     flink-applications/01-basic-jdbc.json:26: JSON key+value keyed by PK).
 
-    Compacts the batch to latest-per-key, serializes key and value as JSON,
+    Compacts the batch to latest-per-key, serializes key and value as JSON
+    (:func:`upsert_kafka_records` — the broker-free testable projection),
     emits tombstones (null value) for keys whose final op is a delete, and
     writes to the compacted topic. Call from
     ``writeStream.foreachBatch(lambda df, eid: write_upsert_kafka(df, ...))``.
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
-    compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes: they become tombstones
-    key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
-    payload_cols = [c for c in compacted.columns if c not in keys]
-    value_json = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
-    if op_col is not None:
-        value_json = F.when(F.col(op_col).isin(*delete_ops), F.lit(None)).otherwise(value_json)
+    records = upsert_kafka_records(
+        batch_df, keys, order_by, op_col=op_col, delete_ops=delete_ops, value_fields=value_fields
+    )
     (
-        compacted.select(key_json.alias("key"), value_json.alias("value"))
-        .write.format("kafka")
+        records.write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .save()

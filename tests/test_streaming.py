@@ -654,3 +654,45 @@ def test_streaming_asof_dim_delete_tombstone(spark, tmp_path):
     }
     assert got == expected
     assert got == {(100, 5), (101, None), (102, 9), (103, 7)}
+
+
+def test_upsert_kafka_wire_contract(spark):
+    """Broker-free contract test of the upsert-kafka record layout
+    (VERDICT r1 item 6): the exact (key, value) strings write_upsert_kafka
+    hands the Kafka writer, per reference how-to-aiven/04-flink-cdc-outbox.md
+    (json key = PK, json value = row, delete -> tombstone null value)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import upsert_kafka_records
+
+    changelog = spark.createDataFrame(
+        [
+            (1, "ann", "corner", '[{"pizza":"margherita"}]', 1, "c"),
+            (1, "ann", "window", '[{"pizza":"margherita"}]', 2, "u"),  # latest for key 1
+            (2, "bob", "corner", "[]", 1, "c"),
+            (2, "bob", "corner", "[]", 2, "d"),                        # delete -> tombstone
+            (3, "eve", "patio", "[]", 1, "c"),
+        ],
+        "order_id int, client_name string, table_name string, pizzas string, seq int, op string",
+    )
+    rows = {
+        r["key"]: r["value"]
+        for r in upsert_kafka_records(changelog, "order_id", "seq", op_col="op").collect()
+    }
+    # per-batch compaction: one record per key
+    assert len(rows) == 3
+    # key layout: JSON object of the PK
+    assert set(rows) == {'{"order_id":1}', '{"order_id":2}', '{"order_id":3}'}
+    # value layout (Flink value.fields-include=ALL): full row incl. PK, no op
+    assert rows['{"order_id":1}'] == (
+        '{"order_id":1,"client_name":"ann","table_name":"window",'
+        '"pizzas":"[{\\"pizza\\":\\"margherita\\"}]","seq":2}'
+    )
+    # delete op wins the compaction for key 2 and becomes a tombstone
+    assert rows['{"order_id":2}'] is None
+    # EXCEPT_KEY mode drops the PK from the value
+    except_key = {
+        r["key"]: r["value"]
+        for r in upsert_kafka_records(
+            changelog, "order_id", "seq", op_col="op", value_fields="except_key"
+        ).collect()
+    }
+    assert except_key['{"order_id":3}'] == '{"client_name":"eve","table_name":"patio","pizzas":"[]","seq":1}'
