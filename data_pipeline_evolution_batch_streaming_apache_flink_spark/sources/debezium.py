@@ -62,6 +62,8 @@ def decode_debezium(
     row_schema: T.StructType | str,
     value_col: str = "value",
     event_time_col: str | None = "event_time",
+    schema_include: bool | None = None,
+    drop_tombstones: bool = True,
 ) -> DataFrame:
     """Decode a column of Debezium-JSON change events into changelog rows.
 
@@ -70,9 +72,32 @@ def decode_debezium(
     plus ``op``, ``ts_ms``, ``txId``, ``lsn`` and the event-time metadata
     column (``value.source.timestamp`` in Flink DDL terms, reference
     06-flink-cdc-temporal-join.json:8).
+
+    ``schema_include``: Kafka Connect's JsonConverter with
+    ``schemas.enable=true`` wraps every event as
+    ``{"schema": …, "payload": <envelope>}`` (Flink's
+    ``debezium-json.schema-include`` option covers the same split).
+    True = always unwrap, False = never, None (default) = auto-detect per
+    row, so mixed topics replay correctly.
+
+    ``drop_tombstones``: a compacted Debezium topic carries post-delete
+    tombstone records (null value); they carry no row data and are
+    filtered out rather than decoded into all-null rows.
     """
     schema = debezium_envelope_schema(row_schema)
-    parsed = df.withColumn("__env", F.from_json(F.col(value_col).cast("string"), schema))
+    raw = F.col(value_col).cast("string")
+    if drop_tombstones:
+        df = df.filter(raw.isNotNull())
+    if schema_include is None:
+        env_str = F.when(
+            F.get_json_object(raw, "$.payload.op").isNotNull(),
+            F.get_json_object(raw, "$.payload"),
+        ).otherwise(raw)
+    elif schema_include:
+        env_str = F.get_json_object(raw, "$.payload")
+    else:
+        env_str = raw
+    parsed = df.withColumn("__env", F.from_json(env_str, schema))
     image = F.when(F.col("__env.op") == "d", F.col("__env.before")).otherwise(F.col("__env.after"))
     out = parsed.withColumn("__img", image).select(
         "__img.*",

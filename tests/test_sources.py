@@ -156,3 +156,59 @@ def test_jdbc_partitioned_parallel_read(spark, derby_url):
     assert back.rdd.getNumPartitions() == 8
     assert back.count() == 1000
     assert back.agg({"v": "sum"}).head()[0] == sum(i * 2 for i in range(1000))
+
+
+def test_debezium_replay_realistic_envelopes(spark):
+    """Replay fixture with realistically-shaped Debezium-Postgres events
+    (per the public Debezium connector docs): snapshot read (op 'r',
+    snapshot flag), create, update with REPLICA IDENTITY FULL before-image,
+    delete carrying only the before-image, a post-delete Kafka tombstone
+    (null value), and a schemas.enable=true wrapped event mixed into the
+    same topic — envelope fidelity beyond the synthetic fixtures."""
+    import json
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+
+    src = {
+        "version": "2.5.0.Final", "connector": "postgresql", "name": "my_pg",
+        "ts_ms": 1_700_000_000_000, "snapshot": "false", "db": "defaultdb",
+        "sequence": "[\"36972496\",\"36972496\"]", "schema": "public",
+        "table": "orders", "txId": 761, "lsn": 36972496, "xmin": None,
+    }
+
+    def ev(op, before, after, ts, snapshot="false", txid=761):
+        return json.dumps({
+            "before": before, "after": after,
+            "source": {**src, "ts_ms": ts, "snapshot": snapshot, "txId": txid},
+            "op": op, "ts_ms": ts + 3,
+        })
+
+    r1 = {"id": 1, "client_name": "ann", "amount": 10}
+    r1b = {"id": 1, "client_name": "ann", "amount": 12}
+    r2 = {"id": 2, "client_name": "bob", "amount": 20}
+    events = [
+        ev("r", None, r1, 1_700_000_000_000, snapshot="first"),   # snapshot read
+        ev("c", None, r2, 1_700_000_001_000, txid=762),           # insert
+        ev("u", r1, r1b, 1_700_000_002_000, txid=763),            # update, full before-image
+        ev("d", r2, None, 1_700_000_003_000, txid=764),           # delete: before-image only
+        None,                                                     # Kafka tombstone after delete
+        # schemas.enable=true wrapper (JsonConverter) on the same topic
+        json.dumps({
+            "schema": {"type": "struct", "name": "my_pg.public.orders.Envelope"},
+            "payload": json.loads(ev("c", None, {"id": 3, "client_name": "eve", "amount": 30},
+                                     1_700_000_004_000, txid=765)),
+        }),
+    ]
+    df = spark.createDataFrame([(e,) for e in events], "value string")
+    out = decode_debezium(df, "id int, client_name string, amount int").collect()
+
+    by_tx = {r["txId"]: r for r in out}
+    assert len(out) == 5  # tombstone dropped
+    assert by_tx[761]["op"] == "r" and by_tx[761]["amount"] == 10      # snapshot -> after image
+    assert by_tx[762]["op"] == "c" and by_tx[762]["client_name"] == "bob"
+    assert by_tx[763]["op"] == "u" and by_tx[763]["amount"] == 12      # update -> after image
+    assert by_tx[764]["op"] == "d" and by_tx[764]["amount"] == 20      # delete -> before image
+    assert by_tx[765]["op"] == "c" and by_tx[765]["amount"] == 30      # unwrapped from payload
+    # event time comes from source.ts_ms, not envelope ts_ms
+    assert by_tx[764]["event_time"].timestamp() * 1000 == 1_700_000_003_000
+    assert by_tx[764]["lsn"] == 36972496
