@@ -1,0 +1,153 @@
+"""Training-data curation operators: sequence packing, stratified
+sampling, PII scrubbing (driver-mandated LLM-pipeline surface, BASELINE
+"training-data pipeline" family — not in the reference).
+
+All three are shuffle-disciplined for 100 TB corpora:
+
+- :func:`pack_sequences` — GPT-style packing: documents are concatenated
+  in a global order and cut every ``capacity`` tokens; a document belongs
+  to the pack where it starts. The global running token sum uses a
+  DISTRIBUTED prefix sum (range repartition → in-partition window →
+  broadcast per-partition offsets), never a single-partition window.
+- :func:`stratified_sample` — deterministic per-stratum rates via a
+  Knuth multiplicative hash of the id, so any SQL engine reproduces the
+  exact row set (no engine-specific hash, no rand()).
+- :func:`scrub_pii` — email/URL/phone masking with plain
+  ``regexp_replace`` chains: pure codegen'd JVM expressions, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative hash constants (public domain folklore): spread
+#: is good enough for rate-threshold sampling and exactly reproducible in
+#: any engine with 64-bit integer arithmetic.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str | Column,
+    out_col: str = "running",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` in global ``order_col`` order,
+    computed scalably: range-repartition on the (unique) order key,
+    window-cumsum within each partition, then add each partition's
+    starting offset (per-partition totals — at most ``num_partitions``
+    rows — are collected and rebroadcast: a bounded driver round-trip,
+    the classic two-pass distributed prefix sum).
+
+    The result is partitioning-independent (``order_col`` must be unique),
+    so nondeterministic range bounds cannot change values.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    n = num_partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = ranged.withColumn("__loc", F.sum(value).over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in local.groupBy("__pid").agg(F.max("__loc").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += tot or 0
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    )
+    return (
+        local.join(off_df, "__pid", "left")
+        .withColumn(out_col, F.col("__loc") + F.coalesce("__off", F.lit(0)))
+        .drop("__pid", "__loc", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str | Column,
+    capacity: int,
+    tokens_out: str = "n_tokens",
+) -> DataFrame:
+    """Assign each document to a fixed-capacity training pack: concatenate
+    all token streams in ``order_col`` order and cut every ``capacity``
+    tokens — a document belongs to the pack where its first token lands
+    (the standard concat-and-chunk packing of LLM pretraining loaders).
+
+    Output: input columns + ``n_tokens``, ``pack_id`` (0-based) and
+    ``pack_offset`` (the document's start position within its pack).
+    One range shuffle + one bounded driver round-trip (see
+    :func:`global_running_sum`); no single-partition window at any size.
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    with_tok = df.withColumn(tokens_out, tokens.cast("long"))
+    run = global_running_sum(with_tok, order_col, tokens_out, "__run")
+    start = F.col("__run") - F.col(tokens_out)
+    return (
+        run.withColumn("pack_id", F.floor(start / F.lit(capacity)).cast("long"))
+        .withColumn("pack_offset", (start % F.lit(capacity)).cast("long"))
+        .drop("__run")
+    )
+
+
+def sample_hash(id_col: str | Column) -> Column:
+    """Deterministic sampling hash in [0, 2^32): Knuth multiplicative on
+    the 64-bit id. Engine-portable: ``(id * 2654435761) % 2^32`` — ids up
+    to ~3.4e9 stay inside int64 before the mod."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with its stratum's rate, decided by a deterministic
+    hash threshold — reproducible across engines and retries (no
+    ``rand()``), map-side only (zero shuffle), and exact per-row so the
+    same id always makes the same cut at any scale."""
+    rate: Column = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(sample_hash(id_col) < rate * F.lit(float(_MOD)))
+
+
+#: Scrub patterns, applied in order (URLs before emails so the email
+#: regex never fires inside an already-masked URL; phones last). RE2-safe
+#: so Spark (Java regex) and DuckDB (RE2) agree.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d[\d-]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    count_hits: bool = True,
+) -> DataFrame:
+    """Mask URLs, emails and phone numbers in ``text_col`` (chained
+    ``regexp_replace`` — codegen'd, no Python in the path). With
+    ``count_hits`` each pattern also emits ``n_<name>`` match counts
+    (counted on the original text, before masking)."""
+    out = df
+    if count_hits:
+        for name, pat, _ in PII_PATTERNS:
+            out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn(out_col, scrubbed)

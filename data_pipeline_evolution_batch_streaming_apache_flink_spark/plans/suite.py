@@ -36,6 +36,11 @@ import data_pipeline_evolution_batch_streaming_apache_flink_spark.functions as F
 from data_pipeline_evolution_batch_streaming_apache_flink_spark import tune_for_oracle
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+    pack_sequences,
+    scrub_pii,
+    stratified_sample,
+)
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
     dedup_clusters,
     embedding_cosine_pairs,
@@ -517,6 +522,53 @@ def q_skew_safe_collect(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM sequence packing (operators/curation.py): concat-and-chunk
+    pack assignment at capacity 2048 whitespace tokens, via the
+    distributed prefix sum (range shuffle + broadcast offsets — no
+    single-partition window)."""
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("__tok")
+    )
+    return pack_sequences(docs, "doc_id", "__tok", capacity=2048).select(
+        "doc_id", "n_tokens", "pack_id", "pack_offset"
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-language sampling (Knuth hash threshold — exact
+    row set reproducible in any engine, zero shuffle)."""
+    t = load_tables(spark, sf, ("documents",))
+    return stratified_sample(
+        t["documents"].select("doc_id", "lang"),
+        "lang",
+        {"en": 0.5, "es": 0.25, "zh": 0.1},
+        "doc_id",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking over codegen'd regexp chains. The corpus is synthetic
+    words, so PII is injected deterministically (same expression in the
+    oracle) before scrubbing — the regexes do real work."""
+    t = load_tables(spark, sf, ("documents",))
+    withpii = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(fan_out(withpii)).select(
+        "doc_id", "n_url", "n_email", "n_phone", "scrubbed"
+    )
+
+
 def q_regex_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-ish regex pre-tokenization (LLM-pipeline token counting): runs
     of letters / digits / symbols as separate tokens."""
@@ -807,6 +859,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": q_text_analysis,
     "token_histogram": q_token_histogram,
     "skew_safe_collect": q_skew_safe_collect,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
     "regex_token_stats": q_regex_token_stats,
     "multimodal_features": q_multimodal_features,
     "rollup_revenue": q_rollup_revenue,
@@ -1115,6 +1170,45 @@ ORACLE: dict[str, str] = {
         SELECT l_orderkey AS order_id,
                array_to_string(list(l_partkey ORDER BY l_partkey), ',') AS partkeys
         FROM lineitem GROUP BY l_orderkey
+    """,
+    "pack_sequences": r"""
+        WITH tok AS (
+          SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), run AS (
+          SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS r FROM tok
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((r - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+               CAST((r - n_tokens) % 2048 AS BIGINT) AS pack_offset
+        FROM run
+    """,
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1
+                         ELSE 0.0 END) * 4294967296
+    """,
+    "pii_scrub": r"""
+        WITH withpii AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com via https://example.org/d/'
+                      || CAST(doc_id AS VARCHAR)
+                      || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_url,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+               CAST(len(regexp_extract_all(text, '\+?\d[\d-]{7,}\d')) AS INT) AS n_phone,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+        FROM withpii
     """,
     "regex_token_stats": r"""
         SELECT doc_id,

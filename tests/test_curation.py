@@ -1,0 +1,82 @@
+"""Curation operators: sequence packing (distributed prefix sum),
+stratified sampling, PII scrubbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+    global_running_sum,
+    pack_sequences,
+    sample_hash,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def test_global_running_sum_matches_sequential(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {r["id"]: r["running"] for r in global_running_sum(df, "id", "v").collect()}
+    acc, want = 0, {}
+    for i, v in rows:
+        acc += v
+        want[i] = acc
+    assert got == want
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    # tokens: 5, 4, 3, 6, 2 at capacity 8 -> starts 0,5,9,12,18 -> packs 0,0,1,1,2
+    df = spark.createDataFrame(
+        [(1, 5), (2, 4), (3, 3), (4, 6), (5, 2)], "doc_id long, toks long"
+    )
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"])
+           for r in pack_sequences(df, "doc_id", "toks", capacity=8).collect()}
+    assert out == {1: (0, 0), 2: (0, 5), 3: (1, 1), 4: (1, 4), 5: (2, 2)}
+
+
+def test_pack_sequences_no_single_partition_window(spark, sf_dir):
+    """The global cumsum must be the two-pass distributed prefix sum —
+    never a single-partition window (the 100 TB killer)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    plan = pack_sequences(docs, "doc_id", "t", 2048)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(10_000)], "doc_id long, lang string"
+    )
+    out1 = stratified_sample(df, "lang", {"en": 0.5, "zh": 0.1}, "doc_id")
+    rows = out1.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    assert abs(by_lang.get("en", 0) / 5000 - 0.5) < 0.05
+    assert abs(by_lang.get("zh", 0) / 5000 - 0.1) < 0.05
+    # deterministic: second run picks the identical row set
+    ids1 = {r["doc_id"] for r in out1.collect()}
+    ids2 = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": 0.5, "zh": 0.1}, "doc_id").collect()}
+    assert ids1 == ids2
+    # default rate 0 drops unknown strata
+    df2 = df.withColumn("lang", F.lit("xx"))
+    assert stratified_sample(df2, "lang", {"en": 0.5}, "doc_id").count() == 0
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.co early, see https://a.b/c?d=1 or call +1-202-555-0100 now")],
+        "id int, text string",
+    )
+    r = scrub_pii(df).collect()[0]
+    assert r["n_email"] == 1 and r["n_url"] == 1 and r["n_phone"] == 1
+    assert "<EMAIL>" in r["scrubbed"] and "<URL>" in r["scrubbed"] and "<PHONE>" in r["scrubbed"]
+    assert "bob.smith" not in r["scrubbed"] and "202" not in r["scrubbed"]
+
+
+def test_sample_hash_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    mm = df.select(F.min(sample_hash("id")).alias("lo"), F.max(sample_hash("id")).alias("hi")).collect()[0]
+    assert 0 <= mm["lo"] and mm["hi"] < 4294967296
