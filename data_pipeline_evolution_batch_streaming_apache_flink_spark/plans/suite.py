@@ -473,13 +473,17 @@ def q_similarity_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate (product-quantization ADC shortlist; reported scores
-    are exact re-ranked cosine) — rows-only check."""
+    """PQ at the recall-1.0 gate configuration: refine*k >= corpus size at
+    the driver's correctness SF, so the ADC shortlist covers every row and
+    the exact re-rank reproduces brute-force top-k — giving the query a
+    DuckDB oracle while still executing the full fit/encode/ADC-scan/
+    re-rank path. Approximate-refine recall curves live in
+    tools/ann_recall.py and tests."""
     t = load_tables(spark, sf, ("embeddings",))
     queries = t["embeddings"].filter(F.col("vec_id") < 20)
     return pq_cosine_topk(
         queries, t["embeddings"], "vec_id", "vec_id", k=5,
-        m=16, n_centroids=32, refine=8, sample_frac=0.5,
+        m=16, n_centroids=32, refine=100, sample_frac=0.5,
     )
 
 
@@ -1134,6 +1138,15 @@ ORACLE: dict[str, str] = {
     # LSH at the verified recall-1.0 config -> exact pair set, exact oracle.
     "similarity_lsh_pairs": _COSINE_CTE.format(join_cond="a.vec_id < b.vec_id")
     + "SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45",
+    # PQ at refine*k >= corpus -> exact re-rank of everything, same oracle.
+    "similarity_pq_topk": _COSINE_CTE.format(join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id")
+    + """
+        SELECT id_a AS vec_id_q, id_b AS vec_id_c, cos, CAST(rank AS INT) AS rank FROM (
+          SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
     "text_analysis": r"""
         WITH tok AS (
           SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents

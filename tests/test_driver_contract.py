@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
-EXPECTED_ROWS_ONLY = {"similarity_pq_topk"}
+EXPECTED_ROWS_ONLY: set[str] = set()
 
 
 def test_oracle_keys_subset_of_queries():
