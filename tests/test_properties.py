@@ -177,3 +177,24 @@ def test_connected_components_match_union_find(spark, edges):
         comp_min[r] = min(comp_min.get(r, n), n)
     expect = {n: comp_min[r] for n, r in expect.items()}
     assert got == expect
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=60),
+    capacity=st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_sequential_reference(spark, toks, capacity):
+    """pack_id/pack_offset must equal the sequential concat-and-chunk
+    reference for any token distribution and capacity."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, t long")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, "doc_id", "t", capacity).collect()
+    }
+    start = 0
+    for i, t in enumerate(toks):
+        assert got[i] == (start // capacity, start % capacity)
+        start += t

@@ -44,3 +44,18 @@ def test_salted_join_equals_plain(spark):
     )
     plain_left = sorted(map(tuple, big.join(small, "k", "left").collect()))
     assert left == plain_left
+
+
+def test_two_phase_collect_spreads_constant_payload(spark):
+    """ADVICE r1: a hot key whose rows all carry ONE distinct value must
+    still fan out over the salts (the row-position mix), and the result
+    must equal the plain grouped collect."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.skew import _salt, two_phase_collect
+
+    df = spark.createDataFrame([(1, 7)] * 5000, "k int, v int")
+    n_salts = df.withColumn("s", _salt(["v"], 8)).select("s").distinct().count()
+    assert n_salts >= 6  # constant payload no longer collapses to one salt
+    out = two_phase_collect(df, "k", "v", n_salt=8).collect()
+    assert len(out) == 1 and list(out[0]["collected"]) == [7] * 5000
