@@ -73,6 +73,40 @@ def main() -> None:
              "recall": round(rec, 3), "sec": round(dt, 2)}
         )
 
+    # persisted IVF index: partition-pruned probes must match the
+    # in-memory IVF bit-for-bit at the same seed, at every n_probe
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="ann_ivf_idx_")
+    try:
+        t0 = time.time()
+        S.ivf_write_index(emb, idx, "vec_id", n_cells=16, seed=42)
+        t_build = time.time() - t0
+        results["ivf_index"] = {"build_sec": round(t_build, 2), "probes": []}
+        for n_probe in (1, 4):
+            t0 = time.time()
+            got = {
+                (r["vec_id_q"], r["vec_id_c"])
+                for r in S.ivf_probe_topk(q, idx, "vec_id", "vec_id", k=K, n_probe=n_probe).collect()
+            }
+            dt = time.time() - t0
+            mem = {
+                (r["vec_id_q"], r["vec_id_c"])
+                for r in S.ivf_cosine_topk(
+                    q, emb, "vec_id", "vec_id", k=K, n_cells=16, n_probe=n_probe
+                ).collect()
+            }
+            rec = len(exact & got) / len(exact)
+            tag = "OK" if got == mem else "DIVERGED-FROM-IN-MEMORY"
+            print(f"{'ivf-index n_probe=' + str(n_probe):<38} {rec:>9.3f} {dt:>7.2f}   {tag}")
+            results["ivf_index"]["probes"].append(
+                {"n_probe": n_probe, "recall": round(rec, 3), "sec": round(dt, 2),
+                 "matches_in_memory": got == mem}
+            )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
     print(json.dumps(results))
 
 
