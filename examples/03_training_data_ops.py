@@ -38,6 +38,19 @@ def main() -> None:
     embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.45).show(5)
     print("top-3 neighbors of the first 5 vectors:")
     cosine_topk(emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id", k=3).show()
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+        pack_sequences,
+        scrub_pii,
+        stratified_sample,
+    )
+
+    toks = docs.select("doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("t"))
+    print("sequence packing (capacity 2048):")
+    pack_sequences(toks, "doc_id", "t", 2048).orderBy("doc_id").show(5)
+    print("stratified sample kept", stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.1}, "doc_id").count(), "docs")
+    print("PII scrub:")
+    scrub_pii(docs.withColumn("text", F.concat("text", F.lit(" mail me at a@b.co"))), "text").select("doc_id", "n_email", "scrubbed").show(2, truncate=60)
     print("text profile:")
     analyze_documents(docs).show(5, truncate=60)
     print("multimodal features (fake decoder — codecs stubbed):")
