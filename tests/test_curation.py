@@ -80,3 +80,40 @@ def test_sample_hash_range(spark):
     df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
     mm = df.select(F.min(sample_hash("id")).alias("lo"), F.max(sample_hash("id")).alias("hi")).collect()[0]
     assert 0 <= mm["lo"] and mm["hi"] < 4294967296
+
+
+def test_curation_ops_compose_with_streams(spark, tmp_path):
+    """stratified_sample and scrub_pii are stateless projections/filters,
+    so they run unchanged inside Structured Streaming micro-batches."""
+    import json
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+
+    src = str(tmp_path / "cur_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for i in range(200):
+            fh.write(json.dumps({
+                "doc_id": i, "lang": "en" if i % 2 == 0 else "zh",
+                "text": f"doc {i} ping admin{i}@ex.org",
+            }) + "\n")
+
+    stream = json_file_stream(spark, src, "doc_id long, lang string, text string")
+    out = scrub_pii(stratified_sample(stream, "lang", {"en": 0.5}, "doc_id"))
+    assert out.isStreaming
+
+    out_dir = str(tmp_path / "cur_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.read.parquet(out_dir).collect()
+    assert all(r["lang"] == "en" for r in rows)          # zh rate 0 -> dropped
+    assert 0 < len(rows) < 120                           # ~50% of the 100 en docs
+    assert all("<EMAIL>" in r["scrubbed"] for r in rows)

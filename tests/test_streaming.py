@@ -696,3 +696,62 @@ def test_upsert_kafka_wire_contract(spark):
         ).collect()
     }
     assert except_key['{"order_id":3}'] == '{"client_name":"eve","table_name":"patio","pizzas":"[]","seq":1}'
+
+
+def test_streaming_asof_state_survives_query_restart(spark, tmp_path):
+    """Stateful recovery: dim versions and pending facts checkpointed by
+    run 1 must be restored by a NEW query over the same checkpoint — a
+    fact arriving after restart still matches a dim version received
+    before it (state-store round-trip, the backlog's recovery story)."""
+    dim_dir = str(tmp_path / "rec_dim_in")
+    fact_dir = str(tmp_path / "rec_fact_in")
+    # run 1: dim v5@10:00 arrives; a fact@10:01 stays pending (wm lags)
+    _write_batches(dim_dir, [[{"k": 1, "dts": "2024-01-01 10:00:00", "price": 5}]])
+    _write_batches(fact_dir, [[{"k": 1, "fid": 100, "fts": "2024-01-01 10:01:00"}]])
+
+    def build():
+        dim_stream = json_file_stream(spark, dim_dir, "k int, dts timestamp, price int")
+        fact_stream = json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp")
+        return streaming_asof_join(
+            fact_stream, dim_stream, key="k", fact_ts="fts", dim_ts="dts", how="left"
+        )
+
+    out_dir = str(tmp_path / "rec_out")
+    ckpt = str(tmp_path / "rec_ckpt")
+
+    def run_once():
+        q = (
+            build().writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()  # nothing emitted yet: watermark has not passed the fact
+
+    # "restart": new files arrive while the first query is stopped — a
+    # second fact plus a heartbeat that advances the watermark past both
+    base = 1_700_001_000
+    import json as _json
+
+    p1 = os.path.join(fact_dir, "late_1.json")
+    with open(p1, "w") as fh:
+        fh.write(_json.dumps({"k": 1, "fid": 101, "fts": "2024-01-01 10:02:00"}) + "\n")
+    os.utime(p1, (base, base))
+    p2 = os.path.join(fact_dir, "late_2.json")
+    with open(p2, "w") as fh:
+        fh.write(_json.dumps({"k": 99, "fid": 999, "fts": "2024-01-01 12:00:00"}) + "\n")
+    os.utime(p2, (base + 10, base + 10))
+
+    run_once()  # fresh query object, same checkpoint -> state restored
+
+    got = {
+        (r["fid"], r["price"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["fid"] != 999
+    }
+    # both facts match the dim version that arrived BEFORE the restart
+    assert got == {(100, 5), (101, 5)}
