@@ -153,9 +153,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize step: payload -> resized payload + new dims, via
     ``mapInPandas`` (Arrow batches; no shuffle — executes where the data
-    sits). The real implementation would be PIL ``Image.resize``; the
-    deterministic stand-in truncates/pads the byte payload to the target
-    pixel count so schema, batching and size accounting are exercised."""
+    sits). With PIL installed, payloads that decode as images are really
+    resized (``Image.resize`` → PNG bytes); otherwise — and for payloads
+    PIL cannot open — the deterministic stand-in truncates/pads the byte
+    payload to the target pixel count so schema, batching and size
+    accounting are exercised without codecs."""
     id_list = list(id_cols)
     schema = ", ".join(
         [f"{c} {df.schema[c].dataType.simpleString()}" for c in id_list]
@@ -164,12 +166,21 @@ def resize_images(
     narrow = df.select(*id_list, F.col(payload_col).alias("__p"))
     n_bytes = target_w * target_h
 
+    def _one(p: bytes) -> bytes:
+        if _PILImage is not None:
+            try:
+                with _PILImage.open(io.BytesIO(p)) as im:
+                    buf = io.BytesIO()
+                    im.resize((target_w, target_h)).save(buf, format="PNG")
+                    return buf.getvalue()
+            except Exception:
+                pass  # not an image PIL can open -> stand-in below
+        return p[:n_bytes].ljust(n_bytes, b"\0")
+
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[id_list].copy()
-            out["payload"] = [
-                bytes(p)[:n_bytes].ljust(n_bytes, b"\0") for p in pdf["__p"]
-            ]
+            out["payload"] = [_one(bytes(p)) for p in pdf["__p"]]
             out["width"] = target_w
             out["height"] = target_h
             yield out

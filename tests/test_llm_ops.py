@@ -334,3 +334,15 @@ def test_pil_decode_when_available():
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import real_image_decode
 
     assert real_image_decode(_tiny_png(5, 4))["width"] == 5
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None, reason="PIL not installed"
+)
+def test_pil_real_resize_when_available(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import real_image_decode, resize_images
+
+    df = spark.createDataFrame([(1, _tiny_png(6, 4))], "doc_id int, payload binary")
+    row = resize_images(df, 3, 2).collect()[0]
+    meta = real_image_decode(bytes(row["payload"]))
+    assert (meta["width"], meta["height"]) == (3, 2)
