@@ -151,3 +151,39 @@ def test_ivf_in_memory_probe_join_broadcasts_queries(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange hashpartitioning(__cell" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALE.md claim: hot-key shuffle joins are healed by AQE skew
+    splitting at runtime. Synthetic 90%-one-key join (thresholds scaled to
+    the fixture) must finalize with a skew-split shuffle read."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).cast("int").alias("k"),
+            F.concat(F.lit("pad_"), F.col("id").cast("string"), F.lit("x" * 64)).alias("payload"),
+        )
+        dim = spark.range(0, 1000).select(F.col("id").cast("int").alias("k"), F.col("id").alias("v"))
+        j = big.join(dim, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
