@@ -32,19 +32,71 @@ def json_file_stream(
     return reader.json(path)
 
 
+def startup_offsets(
+    mode: str,
+    topic: str,
+    timestamp_ms: int | None = None,
+    specific: dict[int, int] | None = None,
+) -> dict[str, str]:
+    """Translate Flink's ``scan.startup.mode`` values (reference S6,
+    flink-applications/06-flink-cdc-temporal-join.json:8 uses
+    ``earliest-offset``) to Spark Kafka source options:
+
+    - ``earliest-offset`` / ``latest-offset`` → ``startingOffsets``
+    - ``timestamp`` (+ ``timestamp_ms``) → ``startingOffsetsByTimestamp``
+    - ``specific-offsets`` (+ ``specific`` {partition: offset}) →
+      ``startingOffsets`` JSON
+    - ``group-offsets`` has no Spark equivalent by design: Spark tracks
+      progress in the CHECKPOINT, not the broker consumer group — resume
+      by reusing the checkpointLocation. Raises ValueError to force the
+      caller to choose.
+    """
+    import json
+
+    if mode == "earliest-offset":
+        return {"startingOffsets": "earliest"}
+    if mode == "latest-offset":
+        return {"startingOffsets": "latest"}
+    if mode == "timestamp":
+        if timestamp_ms is None:
+            raise ValueError("timestamp mode needs timestamp_ms")
+        return {"startingOffsetsByTimestamp": json.dumps({topic: {"*": timestamp_ms}})}
+    if mode == "specific-offsets":
+        if not specific:
+            raise ValueError("specific-offsets mode needs {partition: offset}")
+        return {"startingOffsets": json.dumps({topic: {str(p): o for p, o in specific.items()}})}
+    if mode == "group-offsets":
+        raise ValueError(
+            "group-offsets: Spark resumes from the checkpoint, not the "
+            "consumer group — reuse checkpointLocation instead"
+        )
+    raise ValueError(f"unknown scan.startup.mode {mode!r}")
+
+
 def kafka_json_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
+    startup_mode: str | None = None,
+    timestamp_ms: int | None = None,
+    specific: dict[int, int] | None = None,
 ) -> DataFrame:
-    """Raw Kafka stream (value as string) — reference S4/S5/S6 surface:
-    ``scan.startup.mode = earliest-offset`` maps to startingOffsets."""
-    return (
+    """Raw Kafka stream (value as string) — reference S4/S5/S6 surface.
+    Pass either ``starting_offsets`` directly (Spark option value) or a
+    Flink-style ``startup_mode`` (translated via :func:`startup_offsets`)."""
+    opts = (
+        startup_offsets(startup_mode, topic, timestamp_ms, specific)
+        if startup_mode is not None
+        else {"startingOffsets": starting_offsets}
+    )
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-        .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr(
+        "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value", "timestamp"
     )

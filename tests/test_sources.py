@@ -212,3 +212,25 @@ def test_debezium_replay_realistic_envelopes(spark):
     # event time comes from source.ts_ms, not envelope ts_ms
     assert by_tx[764]["event_time"].timestamp() * 1000 == 1_700_000_003_000
     assert by_tx[764]["lsn"] == 36972496
+
+
+def test_startup_mode_translation():
+    """S6: every Flink scan.startup.mode maps to the right Spark Kafka
+    option (or a documented refusal for group-offsets)."""
+    import json
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import startup_offsets
+
+    assert startup_offsets("earliest-offset", "t") == {"startingOffsets": "earliest"}
+    assert startup_offsets("latest-offset", "t") == {"startingOffsets": "latest"}
+    ts = startup_offsets("timestamp", "orders", timestamp_ms=1_700_000_000_000)
+    assert json.loads(ts["startingOffsetsByTimestamp"]) == {"orders": {"*": 1_700_000_000_000}}
+    sp = startup_offsets("specific-offsets", "orders", specific={0: 42, 3: 7})
+    assert json.loads(sp["startingOffsets"]) == {"orders": {"0": 42, "3": 7}}
+    for bad in ("group-offsets", "bogus"):
+        with pytest.raises(ValueError):
+            startup_offsets(bad, "t")
+    with pytest.raises(ValueError):
+        startup_offsets("timestamp", "t")
+    with pytest.raises(ValueError):
+        startup_offsets("specific-offsets", "t")
