@@ -100,10 +100,13 @@ def pack_sequences(
 
 def sample_hash(id_col: str | Column) -> Column:
     """Deterministic sampling hash in [0, 2^32): Knuth multiplicative on
-    the 64-bit id. Engine-portable: ``(id * 2654435761) % 2^32`` — ids up
-    to ~3.4e9 stay inside int64 before the mod."""
+    the id folded to 31 bits first — ``((id % 2^31) * 2654435761) % 2^32``.
+    The fold keeps the product under 2^63 for EVERY int64 id, so Spark
+    (wrapping long arithmetic) and any exact-arithmetic SQL engine
+    (DuckDB hugeint) compute the identical value at any corpus size."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(c.cast("long") * F.lit(_KNUTH), F.lit(_MOD))
+    folded = F.pmod(c.cast("long"), F.lit(2147483648))
+    return F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD))
 
 
 def stratified_sample(

@@ -1198,7 +1198,7 @@ ORACLE: dict[str, str] = {
     """,
     "stratified_sample": """
         SELECT doc_id, lang FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 <
+        WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
               (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1
                          ELSE 0.0 END) * 4294967296
     """,

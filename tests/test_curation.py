@@ -117,3 +117,13 @@ def test_curation_ops_compose_with_streams(spark, tmp_path):
     assert all(r["lang"] == "en" for r in rows)          # zh rate 0 -> dropped
     assert 0 < len(rows) < 120                           # ~50% of the 100 en docs
     assert all("<EMAIL>" in r["scrubbed"] for r in rows)
+
+
+def test_sample_hash_no_overflow_at_huge_ids(spark):
+    """The 31-bit fold keeps the hash product inside int64, so Spark's
+    wrapping long math equals exact arithmetic even at id = 2^63-1."""
+    ids = [0, 1, 2**31 - 1, 2**31, 2**40, 2**62, 2**63 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {r["id"]: r["h"] for r in df.select("id", sample_hash("id").alias("h")).collect()}
+    for i in ids:
+        assert got[i] == ((i % 2**31) * 2654435761) % 2**32, i
