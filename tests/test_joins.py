@@ -122,3 +122,40 @@ def test_asof_join_dim_delete_tombstone(spark):
     assert {(r["fid"], r["price"]) for r in plain.collect()} == {
         (100, 5), (101, 5), (102, 9), (103, 7),
     }
+
+
+def test_debezium_to_temporal_join_integration(spark):
+    """End-to-end CDC path: Debezium envelopes (with a REPLICA IDENTITY
+    FULL delete) -> decode_debezium -> asof_join(dim_op='op'). The decoded
+    op column drives tombstoning without any intermediate rewriting."""
+    import json
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import asof_join
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+
+    def env(op, before, after, src_ts):
+        return json.dumps({
+            "before": before, "after": after,
+            "source": {"ts_ms": src_ts, "txId": 1, "lsn": 1},
+            "op": op, "ts_ms": src_ts,
+        })
+
+    t0 = 1_700_000_000_000
+    events = [
+        env("c", None, {"id": 1, "price": 5}, t0),
+        env("d", {"id": 1, "price": 5}, None, t0 + 60_000),
+        env("c", None, {"id": 1, "price": 9}, t0 + 180_000),
+    ]
+    dim = decode_debezium(
+        spark.createDataFrame([(e,) for e in events], "value string"),
+        "id int, price int",
+    ).select("id", "price", "op", "event_time")
+
+    facts = spark.createDataFrame(
+        [(1, 100, t0 + 30_000), (1, 101, t0 + 120_000), (1, 102, t0 + 240_000)],
+        "id int, fid int, fts_ms long",
+    ).select("id", "fid", F.timestamp_millis("fts_ms").alias("fts"))
+    out = {r["fid"]: r["price"] for r in asof_join(
+        facts, dim, key="id", fact_ts="fts", dim_ts="event_time", dim_op="op"
+    ).collect()}
+    assert out == {100: 5, 101: None, 102: 9}
