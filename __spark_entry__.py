@@ -30,7 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every oracle-comparable query. Approximate
-    operators (IVF top-k, hyperplane-LSH pairs) are intentionally absent
-    → rows-only checks."""
+    """DuckDB twins for every declared query — ``suite.ORACLE`` carries one
+    SQL string per ``suite.QUERIES`` entry (approximate operators pin
+    recall-1.0 configs so exact SQL twins apply)."""
     return dict(suite.ORACLE)
