@@ -205,6 +205,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate near-duplicate pairs: MinHash + banded LSH + exact
     verification.
@@ -214,6 +215,15 @@ def minhash_lsh_pairs(
     while candidate generation stays linear in corpus size. Candidates are
     then verified with exact Jaccard on the shingle sets, so reported pairs
     are never false positives.
+
+    ``max_bucket`` drops LSH buckets larger than that many docs (mirrors
+    ``ngram_jaccard_pairs``' ``max_df``): an adversarial corpus of
+    near-identical documents collapses into one bucket per band, which
+    would otherwise materialize a single K-element aggregation row and
+    K²/2 candidate pairs. The drop happens while buckets are still
+    individual (spillable) rows, so memory stays bounded; recall is lost
+    only for documents duplicated more than ``max_bucket`` times — run
+    :func:`exact_dedup` first so exact duplicates never reach LSH.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
@@ -282,7 +292,21 @@ def minhash_lsh_pairs(
     # minhash stage and the scan TWICE. groupBy(band, bhash) runs them once
     # and emits each bucket's pairs with posexplode+slice. A pathological
     # bucket of K near-identical docs yields K^2/2 pairs either way; the
-    # quadratic blowup is inherent to LSH candidates, not to this shape.
+    # quadratic blowup is inherent to LSH candidates, not to this shape —
+    # max_bucket is the guard against it.
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        # Filter BEFORE collect_list, while bucket members are individual
+        # (spillable) rows; the window hash-partitions on (band, bhash), so
+        # the groupBy below reuses the exchange and the Python signature
+        # stage still runs exactly once.
+        w_b = Window.partitionBy("band", "bhash")
+        banded = (
+            banded.withColumn("__bn", F.count("*").over(w_b))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     buckets = (
         banded.groupBy("band", "bhash")
         .agg(F.collect_list("__id").alias("__ids"))
@@ -543,6 +567,7 @@ def simhash_pairs(
     nbits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -551,7 +576,11 @@ def simhash_pairs(
     segment (pigeonhole), so candidates come from an equi-join on the
     integer key (segment index, segment value) — never a cross join.
     Hamming distance is a single ``bit_count(xor)`` on the packed
-    signatures. Returns (id_a, id_b, hamming), id_a < id_b.
+    signatures. ``max_bucket`` drops segment buckets larger than that many
+    docs before they are collected (the adversarial near-identical-corpus
+    guard — see :func:`minhash_lsh_pairs`), trading recall on >max_bucket
+    duplicate groups for bounded memory. Returns (id_a, id_b, hamming),
+    id_a < id_b.
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for exact pigeonhole blocking")
@@ -582,6 +611,15 @@ def simhash_pairs(
     # stage runs once (Spark does not reuse the exchange across self-join
     # sides; see minhash_lsh_pairs). __id is the struct's first field, so
     # least/greatest order pairs by id.
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w_b = Window.partitionBy("seg", "segbits")
+        blocked = (
+            blocked.withColumn("__bn", F.count("*").over(w_b))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     buckets = (
         blocked.groupBy("seg", "segbits")
         .agg(F.collect_list(F.struct("__id", "__sig")).alias("__xs"))

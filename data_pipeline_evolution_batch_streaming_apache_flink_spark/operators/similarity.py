@@ -20,6 +20,28 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vector
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 
+def _collect_query_vectors(queries: DataFrame, query_id: str, vec_col: str, max_query_rows: int | None):
+    """Bounded driver collect of the (small, broadcast) query side.
+
+    The top-k operators' contract is a SMALL query set scored against an
+    arbitrarily large corpus — the query vectors ship to every executor.
+    Enforce the contract explicitly: probe with ``limit(cap + 1)`` (never
+    scans more than cap+1 rows) and fail fast with guidance instead of
+    letting a million-row "query" set OOM the driver."""
+    if max_query_rows is not None:
+        probe = queries.select(query_id).limit(max_query_rows + 1).count()
+        if probe > max_query_rows:
+            raise ValueError(
+                f"query side exceeds max_query_rows={max_query_rows}; the top-k "
+                "operators collect and broadcast the query set. For query sets "
+                "this large use a pair operator instead "
+                "(operators.dedup.embedding_cosine_pairs or "
+                "operators.similarity.bucketed_cosine_pairs), or raise "
+                "max_query_rows if the driver can genuinely hold it."
+            )
+    return queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv")).toPandas()
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -29,10 +51,13 @@ def cosine_topk(
     corpus_vec: str = "embedding",
     k: int = 5,
     include_self: bool = False,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k nearest corpus rows per query by cosine similarity.
 
-    The (small) query set ships to executors once; corpus partitions
+    The (small) query set ships to executors once (``max_query_rows``
+    enforces that contract — oversized query sets raise with a pointer at
+    the pair operators instead of collecting); corpus partitions
     score against it with numpy inside ``mapInPandas`` — the corpus (the
     100 TB side) is scanned once with no shuffle. Summation is
     vectorized across pairs but SEQUENTIAL across dims: the same
@@ -51,7 +76,7 @@ def cosine_topk(
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_matmul, _fold_norms
 
     spark = corpus.sparkSession
-    qdf = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")).toPandas()
+    qdf = _collect_query_vectors(queries, query_id, query_vec, max_query_rows)
     Q = np.stack(qdf["__qv"].to_numpy()).astype(np.float64)
     q_ids = qdf["qid"].to_numpy()
     nq = _fold_norms(Q)
@@ -240,17 +265,41 @@ def pq_fit_codebooks(
     you fit on ``sample_frac`` ≈ 1e-5 and never touch the full data.
     ``max_train_rows`` is a hard cap on rows collected to the driver,
     applied after the optional fraction sample, so the fit is bounded even
-    when a caller forgets ``sample_frac`` on a huge corpus. Returns
-    ``codebooks`` as a numpy array of shape (m, n_centroids, d/m).
+    when a caller forgets ``sample_frac`` on a huge corpus.
+
+    Selection is LAYOUT-INDEPENDENT: every row gets a uniform score from a
+    content hash of its vector (``xxhash64`` — no ``sample()``/``limit()``,
+    whose picks depend on partition layout), the fraction and cap are
+    hash thresholds, and the training matrix is ordered by that hash — so
+    the same corpus yields bit-identical codebooks regardless of storage
+    order, partitioning, or retries. The cap costs one extra count of the
+    sampled column. Returns ``codebooks`` as a numpy array of shape
+    (m, n_centroids, d/m).
     """
     import numpy as np
 
-    sampled = corpus.select(F.col(vec_col).alias("v"))
+    # Uniform content hash in [0, 1): shift the signed 64-bit hash into
+    # unsigned range. 64 bits keep distinct-vector collisions negligible;
+    # equal hashes are (within rounding) equal vectors, so any tie order
+    # yields the same training matrix.
+    u = (F.xxhash64(F.col("v")).cast("double") + F.lit(float(2 ** 63))) / F.lit(float(2 ** 64))
+    sampled = corpus.select(F.col(vec_col).alias("v")).withColumn("__u", u)
+    cur_thr = 1.0
     if sample_frac is not None:
-        sampled = sampled.sample(fraction=sample_frac, seed=seed)
+        sampled = sampled.filter(F.col("__u") < F.lit(float(sample_frac)))
+        cur_thr = float(sample_frac)
     if max_train_rows is not None:
-        sampled = sampled.limit(max_train_rows)
-    X = np.stack(sampled.toPandas()["v"].to_numpy()).astype(np.float64)
+        n_rows = sampled.count()
+        if n_rows > max_train_rows:
+            # Threshold with slack (5% + 64 absolute) so ≥ max_train_rows
+            # rows survive with overwhelming probability; the exact cap is
+            # the deterministic hash-order truncation below.
+            frac = min(1.0, max_train_rows / n_rows * 1.05 + 64.0 / n_rows)
+            sampled = sampled.filter(F.col("__u") < F.lit(cur_thr * frac))
+    pdf = sampled.toPandas().sort_values("__u", kind="mergesort", ignore_index=True)
+    if max_train_rows is not None and len(pdf) > max_train_rows:
+        pdf = pdf.head(max_train_rows)
+    X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape
     if d % m:
@@ -317,6 +366,7 @@ def pq_cosine_topk(
     refine: int = 4,
     sample_frac: float | None = None,
     seed: int = 42,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Product-quantization approximate top-k by cosine.
 
@@ -345,7 +395,7 @@ def pq_cosine_topk(
     )
     encoded = pq_encode(corpus, books, corpus_id, vec_col=vec_col)
 
-    qdf = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv")).toPandas()
+    qdf = _collect_query_vectors(queries, query_id, vec_col, max_query_rows)
     Q = np.stack(qdf["__qv"].to_numpy()).astype(np.float64)
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     dsub = Q.shape[1] // m
@@ -404,11 +454,20 @@ def bucketed_cosine_pairs(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs: rows hash to a sign-pattern
     bucket per table; only same-bucket pairs are compared, then verified
     with exact cosine. Recall rises with n_tables; precision is exact
-    (verification step). Returns (id_a, id_b, cos)."""
+    (verification step).
+
+    ``max_bucket`` drops candidate buckets larger than that many rows
+    (mirrors ``ngram_jaccard_pairs``' ``max_df``): an adversarial corpus
+    of near-identical vectors collapses into one bucket per table, which
+    would otherwise materialize a single K-element aggregation row and
+    K²/2 pairs. Dropping costs recall only for vectors duplicated more
+    than ``max_bucket`` times — run exact dedup first so exact duplicates
+    never reach LSH. Returns (id_a, id_b, cos)."""
     import random
 
     dim_row = df.select(F.size(vec_col).alias("d")).head()
@@ -430,6 +489,18 @@ def bucketed_cosine_pairs(
     # across self-join sides), and the shuffle would carry every vector
     # twice. __id is the struct's first field, so least/greatest order
     # pairs by id.
+    if max_bucket is not None:
+        # Drop oversize buckets BEFORE collect_list, while they are still
+        # individual (spillable) rows — a post-collect filter would have
+        # materialized the K-element array it exists to prevent. The window
+        # hash-partitions on (tbl, bucket), so the groupBy below reuses the
+        # exchange: still one shuffle, and the hash stage still runs once.
+        w_b = Window.partitionBy("tbl", "bucket")
+        hashed = (
+            hashed.withColumn("__bn", F.count("*").over(w_b))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     buckets = (
         hashed.groupBy("tbl", "bucket")
         .agg(F.collect_list(F.struct("__id", "__v")).alias("__xs"))
