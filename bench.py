@@ -44,7 +44,29 @@ BENCH_QUERIES = (
     "sessionize",
     "training_prep",
     "tfidf_topterms",
+    "pack_sequences",
+    "stratified_sample",
+    "pii_scrub",
+    "rollup_revenue",
 )
+
+
+def calibration_seconds(spark) -> float:
+    """Fixed-work timing independent of the engine under test: a seeded
+    50M-row JVM aggregation plus a 1M-row Arrow round trip. Host and JVM
+    speed vary round-to-round on shared hardware; this number lets a
+    reader normalize query timings across runs (query_sec / calibration)
+    before calling a delta a regression. Min of two reps, same noise
+    policy as the warm timings."""
+    reps = []
+    for _ in range(2):
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * 2654435761 % 97)").collect()
+        spark.range(1_000_000).mapInPandas(lambda it: it, "id long").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        reps.append(time.time() - t0)
+    return round(min(reps), 3)
 
 
 def main() -> None:
@@ -55,6 +77,7 @@ def main() -> None:
     # hot; cold numbers should measure plans, not process spin-up)
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").write.format("noop").mode("overwrite").save()
+    calibration = calibration_seconds(spark)
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -82,6 +105,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "calibration_sec": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
