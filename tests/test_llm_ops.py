@@ -155,6 +155,68 @@ def test_multimodal_frame_sampling(docs):
     assert all(i % 2 == 0 for i in pdf["frame_idx"])
 
 
+def _tiny_avi(frames: list[bytes]) -> bytes:
+    """Minimal RIFF/AVI container: a LIST movi holding one 00db chunk per
+    frame (word-aligned) — enough structure for any AVI demuxer."""
+    movi_body = b"movi"
+    for f in frames:
+        movi_body += b"00db" + len(f).to_bytes(4, "little") + f + (b"\0" if len(f) & 1 else b"")
+    movi = b"LIST" + len(movi_body).to_bytes(4, "little") + movi_body
+    riff_body = b"AVI " + movi
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def test_video_avi_real_frames(spark):
+    """An actual AVI payload demuxes to its stored frames (pure Python,
+    no codec), sampled every_n apart — not byte chunks."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import sample_frames
+
+    stored = [bytes([i]) * (10 + i) for i in range(7)]
+    df = spark.createDataFrame([(1, _tiny_avi(stored))], "doc_id long, payload binary")
+    rows = sample_frames(df, every_n=3).orderBy("frame_idx").collect()
+    assert [(r["frame_idx"], bytes(r["frame"])) for r in rows] == [
+        (0, stored[0]), (3, stored[3]), (6, stored[6])
+    ]
+
+
+def test_video_container_without_codec_raises(spark):
+    """A recognized non-AVI video container must error without PyAV, not
+    silently emit byte-chunk garbage (with PyAV it errors on the truncated
+    stream instead — either way no silent stand-in)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import sample_frames
+
+    mp4ish = b"\x00\x00\x00\x18ftypisom" + b"\0" * 64
+    df = spark.createDataFrame([(1, mp4ish)], "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        sample_frames(df, every_n=1).collect()
+
+
+def test_video_pyav_real_decode(spark):
+    """With PyAV installed, a real encoded video decodes to RGB24 frames."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import sample_frames
+
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=24)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(6):
+            arr = np.full((16, 32, 3), i * 40, dtype=np.uint8)
+            for packet in stream.encode(av.VideoFrame.from_ndarray(arr, format="rgb24")):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, payload binary")
+    rows = sample_frames(df, every_n=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert all(len(bytes(r["frame"])) == 32 * 16 * 3 for r in rows)
+
+
 def test_multimodal_real_decoder_stubbed(docs):
     with_bin = attach_binary_payload(docs.limit(1), "text", mime="image/png")
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
