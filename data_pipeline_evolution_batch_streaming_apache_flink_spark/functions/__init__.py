@@ -99,3 +99,29 @@ def json_query(doc: Column | str, path: str) -> Column:
 def from_base64_str(col: Column | str) -> Column:
     """Flink ``FROM_BASE64(s)`` used as text (README.md:400,406-409)."""
     return F.unbase64(_c(col)).cast("string")
+
+
+def debezium_decimal(col: Column | str, scale: int) -> Column:
+    """Decode a Debezium precise-mode DECIMAL field (Kafka Connect logical
+    type ``org.apache.kafka.connect.data.Decimal``): the JSON value is the
+    base64 of the big-endian two's-complement UNSCALED integer, with the
+    scale carried in the schema block — the default
+    ``decimal.handling.mode=precise`` wire format of the Postgres
+    connector (the reference's PostgresConnector configs,
+    kafka-connectors/orders-cdc.json:1-15, leave the mode at its
+    default, so numeric columns arrive in exactly this encoding).
+
+    Pure codegen'd expression: unbase64 → hex → conv() magnitude, then a
+    two's-complement sign correction when the top bit of the first byte is
+    set. Exact for unscaled values up to 8 bytes (|v| < 2^63 — 18 digits,
+    ample for money columns); longer payloads need a schema change
+    upstream, not a decoder. NULL passes through.
+    """
+    b = F.unbase64(_c(col))
+    nbits = (F.octet_length(b) * 8).cast("double")
+    mag = F.conv(F.hex(b), 16, 10).cast("decimal(20,0)")
+    signed = F.when(
+        mag >= F.pow(F.lit(2.0), nbits - 1).cast("decimal(20,0)"),
+        mag - F.pow(F.lit(2.0), nbits).cast("decimal(20,0)"),
+    ).otherwise(mag)
+    return (signed / F.lit(10 ** scale)).cast(f"decimal(20,{scale})")
