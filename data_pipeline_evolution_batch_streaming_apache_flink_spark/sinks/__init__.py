@@ -57,6 +57,66 @@ class ParquetUpsertSink:
         return latest_per_key(log, self.keys, ordering, op_col=self.op_col).drop("__epoch")
 
 
+def kafka_murmur2(data: bytes) -> int:
+    """Kafka's ``Utils.murmur2`` (Apache Kafka clients, public source):
+    MurmurHash2 with seed 0x9747b28c over the key bytes, 32-bit wrapping
+    arithmetic. Reimplemented from the published algorithm so partition
+    placement is computable without a broker."""
+    m, r, mask = 0x5BD1E995, 24, 0xFFFFFFFF
+    h = (0x9747B28C ^ len(data)) & mask
+    n4 = len(data) & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * m) & mask
+        k ^= k >> r
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    tail = len(data) & 3
+    if tail == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if tail >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if tail >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def kafka_default_partition(key: str | bytes, num_partitions: int) -> int:
+    """Partition a keyed record the way Kafka's DefaultPartitioner does:
+    ``toPositive(murmur2(keyBytes)) % numPartitions``. This is the
+    compacted-topic contract the reference's upsert tables rely on
+    (flink-applications/01-basic-jdbc.json:26): every record for a key —
+    upserts AND its delete tombstone — lands in the same partition, so
+    per-key ordering and log compaction hold."""
+    data = key.encode("utf-8") if isinstance(key, str) else bytes(key)
+    return (kafka_murmur2(data) & 0x7FFFFFFF) % num_partitions
+
+
+def with_kafka_partition(records: DataFrame, num_partitions: int, key_col: str = "key") -> DataFrame:
+    """Append the broker-computed ``partition`` column to (key, value)
+    records — the Spark Kafka sink honors an explicit int ``partition``
+    column, letting the engine pin DefaultPartitioner placement instead
+    of trusting producer-side config drift. Arrow-batched (the JSON-key
+    byte loop has no SQL builtin); runs on the already-compacted
+    latest-per-key records, far off the hot path."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _part_fn(keys):
+        return keys.map(lambda k: kafka_default_partition(k, num_partitions)).astype("int32")
+
+    # real annotation objects: the module's deferred (string) annotations
+    # would defeat pandas_udf's type-hint inference
+    _part_fn.__annotations__ = {"keys": pd.Series, "return": pd.Series}
+    _part = pandas_udf(_part_fn, "int")
+    return records.withColumn("partition", _part(F.col(key_col)))
+
+
 def upsert_kafka_records(
     batch_df: DataFrame,
     keys: str | list[str],
@@ -64,6 +124,7 @@ def upsert_kafka_records(
     op_col: str | None = None,
     delete_ops: tuple[str, ...] = ("d", "delete", "D"),
     value_fields: str = "all",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """The upsert-kafka record projection, separated from the transport so
     the wire contract is testable without a broker: returns exactly the
@@ -79,6 +140,10 @@ def upsert_kafka_records(
       CDC ``op_col`` is transport metadata, never serialized.
     - a key whose latest op is a delete emits a TOMBSTONE (null value) —
       the compacted-topic delete marker.
+    - with ``num_partitions`` set, a ``partition`` int column pins each
+      record to Kafka's DefaultPartitioner placement
+      (:func:`kafka_default_partition`) — upserts and their tombstone
+      always co-locate, the invariant compaction needs.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes: they become tombstones
@@ -88,7 +153,10 @@ def upsert_kafka_records(
     value_json = F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
     if op_col is not None:
         value_json = F.when(F.col(op_col).isin(*delete_ops), F.lit(None)).otherwise(value_json)
-    return compacted.select(key_json.alias("key"), value_json.alias("value"))
+    records = compacted.select(key_json.alias("key"), value_json.alias("value"))
+    if num_partitions is not None:
+        records = with_kafka_partition(records, num_partitions)
+    return records
 
 
 def write_upsert_kafka(
@@ -100,6 +168,7 @@ def write_upsert_kafka(
     op_col: str | None = None,
     delete_ops: tuple[str, ...] = ("d", "delete", "D"),
     value_fields: str = "all",
+    num_partitions: int | None = None,
 ) -> None:
     """foreachBatch body for an upsert-kafka sink (reference
     flink-applications/01-basic-jdbc.json:26: JSON key+value keyed by PK).
@@ -111,7 +180,8 @@ def write_upsert_kafka(
     ``writeStream.foreachBatch(lambda df, eid: write_upsert_kafka(df, ...))``.
     """
     records = upsert_kafka_records(
-        batch_df, keys, order_by, op_col=op_col, delete_ops=delete_ops, value_fields=value_fields
+        batch_df, keys, order_by, op_col=op_col, delete_ops=delete_ops,
+        value_fields=value_fields, num_partitions=num_partitions,
     )
     (
         records.write.format("kafka")

@@ -698,6 +698,60 @@ def test_upsert_kafka_wire_contract(spark):
     assert except_key['{"order_id":3}'] == '{"client_name":"eve","table_name":"patio","pizzas":"[]","seq":1}'
 
 
+def test_kafka_murmur2_matches_published_vectors():
+    """kafka_murmur2 reproduces Apache Kafka's Utils.murmur2 exactly —
+    golden values from Kafka's own public UtilsTest — so the partition
+    column we emit is the partition a real DefaultPartitioner broker
+    client would pick."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import kafka_murmur2
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    assert signed(kafka_murmur2(b"21")) == -973932308
+    assert signed(kafka_murmur2(b"foobar")) == -790332482
+    assert signed(kafka_murmur2(b"a-little-bit-long-string")) == -985981536
+    assert signed(kafka_murmur2(b"a-little-bit-longer-string")) == -1486304829
+    assert signed(kafka_murmur2(b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8")) == -58897971
+
+
+def test_upsert_kafka_partition_assignment(spark):
+    """Key-based partition placement on the compacted topic
+    (flink-applications/01-basic-jdbc.json:26): every record for a key —
+    including its delete tombstone — must land in the same partition, the
+    placement must not depend on data layout, and keys must spread across
+    partitions."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import (
+        kafka_default_partition,
+        upsert_kafka_records,
+    )
+
+    changelog = spark.createDataFrame(
+        [(i, f"client_{i}", i, "c") for i in range(100)]
+        + [(7, "client_7b", 100, "u"), (9, "client_9", 100, "d")],
+        "order_id int, client_name string, seq int, op string",
+    )
+    recs = upsert_kafka_records(
+        changelog, "order_id", "seq", op_col="op", num_partitions=6
+    ).collect()
+    parts = {r["key"]: r["partition"] for r in recs}
+    # placement is exactly DefaultPartitioner on the JSON key bytes
+    assert all(p == kafka_default_partition(k, 6) for k, p in parts.items())
+    # tombstone for key 9 exists and is placed like any record of key 9
+    tomb = [r for r in recs if r["value"] is None]
+    assert len(tomb) == 1 and tomb[0]["partition"] == kafka_default_partition('{"order_id":9}', 6)
+    # layout independence: scrambling the input changes nothing
+    parts2 = {
+        r["key"]: r["partition"]
+        for r in upsert_kafka_records(
+            changelog.repartition(13), "order_id", "seq", op_col="op", num_partitions=6
+        ).collect()
+    }
+    assert parts2 == parts
+    # 100 keys over 6 partitions: every partition is used
+    assert set(parts.values()) == set(range(6))
+
+
 def test_streaming_asof_state_survives_query_restart(spark, tmp_path):
     """Stateful recovery: dim versions and pending facts checkpointed by
     run 1 must be restored by a NEW query over the same checkpoint — a
