@@ -46,6 +46,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup 
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -701,6 +702,20 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-duplicate REMOVAL — the keep/drop decision applied
+    to the corpus: MinHash-LSH candidates (recall ~1 at bands=64 x rows=2,
+    see q_dedup_minhash_lsh's oracle note) -> exact-Jaccard verification
+    -> connected components -> anti-join dropping every non-canonical
+    (non-min-id) cluster member. Oracle: the same recursive min-label CTE
+    over the exact pair set, anti-joined against documents. ``text`` is
+    projected out of the result so the hash compares the keep/drop
+    decision, not megabytes of prose."""
+    t = load_tables(spark, sf, ("documents",))
+    kept = near_dedup(t["documents"], "doc_id", "text", n=3, threshold=0.5)
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_vector_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """JVM-side vector arithmetic (functions/vectors.py): L2-normalize
     each embedding with zip_with/aggregate and checksum the result as a
@@ -875,6 +890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
     "dedup_clusters": q_dedup_clusters,
+    "near_dedup": q_near_dedup,
     "tfidf_topterms": q_tfidf_topterms,
     "scd2_intervals": q_scd2_intervals,
     "hourly_spine_gapfill": q_hourly_spine_gapfill,
@@ -1421,5 +1437,33 @@ walk(node, comp) AS (
 lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
 SELECT comp AS component, count(*) AS n_members
 FROM lab GROUP BY comp
+"""
+)
+
+# near_dedup: same recursive component walk at the 0.5 threshold, then the
+# applied decision — drop every non-canonical member, keep the rest of the
+# corpus untouched.
+_SJ05 = _SHINGLE_JACCARD.format(nm1=2, threshold=0.5)
+_SJ05_CTES, _SJ05_FINAL = _SJ05.rsplit("\nSELECT", 1)
+ORACLE["near_dedup"] = (
+    _SJ05_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + ",\nfpairs AS (SELECT "
+    + _SJ05_FINAL
+    + """),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM fpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM fpairs
+),
+walk(node, comp) AS (
+  SELECT DISTINCT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.a AS node, w.comp FROM walk w JOIN edges e ON w.node = e.b
+),
+lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+drops AS (SELECT node FROM lab WHERE node <> comp)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drops)
 """
 )
