@@ -256,6 +256,23 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 with the staleness bound: each click joins the latest same-user
+    'view' version at-or-before it, but only if that version is at most
+    5 minutes old (merge_asof tolerance semantics) — older versions do
+    not match and the click emits NULL. Exercises the tolerance branch of
+    asof_join under the oracle (the plain path is q_asof_join)."""
+    t = load_tables(spark, sf, ("events",))
+    fact = t["events"].filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    dim = t["events"].filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    res = asof_join(
+        fact, dim, key="user_id", fact_ts="ts", dim_ts="ts", tolerance="5 minutes"
+    )
+    return res.select(
+        "event_id", "user_id", "ts", F.round(F.col("value"), 6).alias("asof_view_value")
+    )
+
+
 def q_interval_join(spark: SparkSession, sf: str) -> DataFrame:
     """J6: event-time interval join — clicks within ±5 min of each error."""
     t = load_tables(spark, sf, ("events",))
@@ -857,6 +874,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unnest_join": q_unnest_join,
     "lookup_join": q_lookup_join,
     "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
     "interval_join": q_interval_join,
     "changelog_compaction": q_changelog_compaction,
     "debezium_pipeline": q_debezium_pipeline,
@@ -1035,6 +1053,20 @@ ORACLE: dict[str, str] = {
         SELECT f.o_orderkey, f.o_custkey, f.o_orderdate, d.v AS asof_price
         FROM orders f ASOF LEFT JOIN dim d
           ON f.o_custkey = d.k AND f.o_orderdate >= d.t
+    """,
+    "asof_tolerance": """
+        WITH dim AS (
+          SELECT user_id AS k, ts AS t, max(value) AS v
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ),
+        f AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        )
+        SELECT f.event_id, f.user_id, f.ts,
+               (SELECT round(max_by(d.v, d.t), 6) FROM dim d
+                 WHERE d.k = f.user_id AND d.t <= f.ts
+                   AND d.t >= f.ts - INTERVAL 5 MINUTE) AS asof_view_value
+        FROM f
     """,
     "interval_join": """
         SELECT e.event_id AS err_id, count(*) AS n_clicks
