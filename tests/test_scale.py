@@ -43,6 +43,28 @@ def test_candidate_joins_are_hash_joins_not_cross(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_asof_tolerance_single_shuffle(spark, sf_dir):
+    """The tolerance branch adds a second window pass but must reuse the
+    same (key) partitioning — still exactly one exchange."""
+    plan = _plan(suite.QUERIES["asof_tolerance"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_max_bucket_guard_adds_no_exchange(spark, sf_dir):
+    """The bucket-size window filter must share the groupBy's hash
+    partitioning: one (tbl, bucket) exchange with or without the guard,
+    so bounding adversarial buckets costs a sort, never a second
+    shuffle of the hashed vectors."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import bucketed_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for mb in (None, 50):
+        df = bucketed_cosine_pairs(
+            emb, "vec_id", "embedding", 0.45, n_planes=4, n_tables=4, max_bucket=mb
+        )
+        assert _plan(df).count("Exchange hashpartitioning(tbl") == 1, f"max_bucket={mb}"
+
+
 def test_bucketed_join_no_exchange(spark, tmp_path):
     """Bucketing both sides of a repeated big-big join on the join key
     removes the per-query shuffle entirely: with broadcast disabled the
