@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot, norm
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 
@@ -255,8 +255,10 @@ def pq_fit_codebooks(
     iters: int = 15,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    normalize: bool = True,
 ):
-    """Train product-quantization codebooks: split the (L2-normalized)
+    """Train product-quantization codebooks: split the (L2-normalized
+    unless ``normalize=False`` — residual encodings are already centered)
     vector into ``m`` subspaces, k-means each subspace to ``n_centroids``
     centroids (Lloyd's, seeded, fixed iterations — deterministic).
 
@@ -300,7 +302,8 @@ def pq_fit_codebooks(
     if max_train_rows is not None and len(pdf) > max_train_rows:
         pdf = pdf.head(max_train_rows)
     X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -321,11 +324,20 @@ def pq_fit_codebooks(
     return books
 
 
-def pq_encode(corpus: DataFrame, codebooks, corpus_id: str, vec_col: str = "embedding") -> DataFrame:
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Encode each corpus vector as ``m`` uint8 codes (nearest centroid
-    per subspace of the normalized vector) packed into one BinaryType
+    per subspace of the normalized vector — raw vector when
+    ``normalize=False``, e.g. IVF residuals) packed into one BinaryType
     column — m bytes/vector instead of 4·d: the compressed index a 100 TB
-    corpus is actually scanned from. One corpus pass, no shuffle."""
+    corpus is actually scanned from. ``keep_cols`` pass through untouched
+    (e.g. the IVF cell id). One corpus pass, no shuffle."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -333,6 +345,9 @@ def pq_encode(corpus: DataFrame, codebooks, corpus_id: str, vec_col: str = "embe
 
     bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
     cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    keep_schema = "".join(
+        f", {c} {corpus.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
 
     def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         books = bc.value
@@ -341,17 +356,21 @@ def pq_encode(corpus: DataFrame, codebooks, corpus_id: str, vec_col: str = "embe
             if not len(p):
                 continue
             X = np.stack(p["__v"].to_numpy()).astype(np.float64)
-            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            if normalize:
+                X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             codes = np.empty((len(X), m), dtype=np.uint8)
             for s in range(m):
                 sub = X[:, s * dsub : (s + 1) * dsub]
                 d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
                 codes[:, s] = d2.argmin(1)
-            yield pd.DataFrame({"cid": p["__cid"], "code": [c.tobytes() for c in codes]})
+            out = pd.DataFrame({"cid": p["__cid"], "code": [c.tobytes() for c in codes]})
+            for c in keep_cols:
+                out[c] = p[c].to_numpy()
+            yield out
 
-    return corpus.select(F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__v")).mapInPandas(
-        _enc, schema=f"cid {cid_type}, code binary"
-    )
+    return corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__v"), *keep_cols
+    ).mapInPandas(_enc, schema=f"cid {cid_type}, code binary{keep_schema}")
 
 
 def pq_cosine_topk(
@@ -432,7 +451,23 @@ def pq_cosine_topk(
     cand = fan_out(encoded).mapInPandas(_scan, schema=f"qid {qid_type}, cid {cid_type}, approx double")
     w_a = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("cid").asc())
     shortlist = cand.withColumn("__r", F.row_number().over(w_a)).filter(F.col("__r") <= n_keep)
+    return _exact_rerank(shortlist, queries, corpus, query_id, corpus_id, vec_col, k)
 
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact-cosine re-rank of an approximate (qid, cid, ...) shortlist:
+    broadcast the query vectors onto it, fetch the candidate corpus
+    vectors with one equi-join (shortlist-sized, tiny by ANN design), and
+    keep the true top-k. Reported scores are always exact — approximation
+    only decides which rows reach this step."""
     qv = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
     cv = corpus.select(F.col(corpus_id).alias("cid"), F.col(vec_col).alias("__cv"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
@@ -444,6 +479,126 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
     )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    refine: int = 4,
+    sample_frac: float | None = None,
+    seed: int = 42,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) approximate top-k by cosine — the classic
+    billion-scale index (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011): a coarse quantizer partitions the
+    L2-normalized corpus into ``n_cells`` inverted lists, and each vector
+    stores only the PQ code of its RESIDUAL (v − centroid). A query scans
+    just its ``n_probe`` nearest cells, scoring
+    ``q·centroid + Σ_s LUT[s, code_s]`` — table lookups over m bytes/row,
+    no float vectors read.
+
+    Scale shape: combines IVF's scan reduction (~n_probe/n_cells of the
+    corpus) with PQ's bandwidth reduction (m bytes vs 4·d), multiplying
+    the two savings; the heavy stage stays shuffle-free (per-partition
+    candidate pruning) and the exact re-rank is a shortlist-sized join.
+    Residual encoding keeps quantization error well below whole-vector PQ
+    at the same code size, so recall at equal ``refine`` is higher.
+    Returns (query_id, corpus_id, cos, rank) with exact cosine scores.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+
+    def _normalized(df: DataFrame, id_col: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__raw"))
+            .withColumn("__n", norm("__raw"))
+            .select("cid", F.transform("__raw", lambda x: x.cast("double") / F.col("__n")).alias("__v"))
+        )
+
+    normed = _normalized(corpus, corpus_id)
+    assigned, cent_df = _fit_cells(normed, "cid", "__v", n_cells, seed)
+    residuals = assigned.join(F.broadcast(cent_df), assigned["__cell"] == cent_df["cell"]).select(
+        "cid",
+        "__cell",
+        F.zip_with("__cv", "centroid", lambda a, b: a.cast("double") - b).alias("__res"),
+    )
+    books = pq_fit_codebooks(
+        residuals, vec_col="__res", m=m, n_centroids=n_centroids,
+        sample_frac=sample_frac, seed=seed, normalize=False,
+    )
+    encoded = pq_encode(
+        residuals, books, "cid", vec_col="__res", normalize=False, keep_cols=("__cell",)
+    )
+
+    # Probe side: normalized queries -> n_probe nearest cells, collected
+    # under the small-query contract (<= max_query_rows * n_probe rows).
+    _collect_query_vectors(queries, query_id, vec_col, max_query_rows)  # cap check
+    qnormed = _normalized(queries, query_id).withColumnRenamed("cid", "qid")
+    qprobe = (
+        qnormed.crossJoin(F.broadcast(cent_df))
+        .withColumn("__d", cosine("__v", "centroid"))
+        .withColumn("__r", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("__d").desc())))
+        .filter(F.col("__r") <= n_probe)
+        .select("qid", "__v", "cell", "centroid")
+        .toPandas()
+    )
+    dsub = books.shape[2]
+    probes_by_cell: dict[int, list] = {}
+    for qid, qv, cell, cent in zip(qprobe["qid"], qprobe["__v"], qprobe["cell"], qprobe["centroid"]):
+        q = np.asarray(qv, dtype=np.float64)
+        c = np.asarray(cent, dtype=np.float64)
+        lut = np.einsum("sd,scd->sc", q.reshape(m, dsub), books)  # (m, K)
+        probes_by_cell.setdefault(int(cell), []).append((qid, lut, float(q @ c)))
+    bc = spark.sparkContext.broadcast(probes_by_cell)
+    n_keep = refine * k
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        probes = bc.value
+        sub_idx = np.arange(m)
+        for p in batches:
+            if not len(p):
+                continue
+            cells = p["__cell"].to_numpy()
+            frames = []
+            for cell in np.unique(cells):
+                plist = probes.get(int(cell))
+                if not plist:
+                    continue
+                mask = cells == cell
+                codes = np.stack([np.frombuffer(b, dtype=np.uint8) for b in p["code"][mask]])
+                ids_c = p["cid"].to_numpy()[mask]
+                for qid, lut, qdotc in plist:
+                    score = qdotc + lut[sub_idx[:, None], codes.T].sum(0)
+                    cand = np.nonzero(ids_c != qid)[0]
+                    if len(cand) > n_keep:
+                        cand = cand[np.argpartition(score[cand], -n_keep)[-n_keep:]]
+                    if len(cand):
+                        frames.append(pd.DataFrame(
+                            {"qid": qid, "cid": ids_c[cand], "approx": score[cand]}
+                        ))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = fan_out(encoded).mapInPandas(_scan, schema=f"qid {qid_type}, cid {cid_type}, approx double")
+    w_a = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("cid").asc())
+    shortlist = cand.withColumn("__r", F.row_number().over(w_a)).filter(F.col("__r") <= n_keep)
+    return _exact_rerank(shortlist, queries, corpus, query_id, corpus_id, vec_col, k)
 
 
 def bucketed_cosine_pairs(

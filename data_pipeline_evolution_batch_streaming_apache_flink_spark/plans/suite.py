@@ -65,6 +65,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
     bucketed_cosine_pairs,
     cosine_topk,
     ivf_cosine_topk,
+    ivf_pq_topk,
     pq_cosine_topk,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, tf_idf, token_histogram
@@ -505,6 +506,21 @@ def q_similarity_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_similarity_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (IVFADC, residual-encoded) at the recall-1.0 gate
+    configuration: probe every cell and refine*k >= corpus size, so the
+    residual-ADC shortlist covers every row and the exact re-rank
+    reproduces brute-force top-k — giving the query a DuckDB oracle while
+    executing the full coarse-quantize/residual-fit/ADC-scan/re-rank
+    path. Approximate recall curves: tools/ann_recall.py."""
+    t = load_tables(spark, sf, ("embeddings",))
+    queries = t["embeddings"].filter(F.col("vec_id") < 20)
+    return ivf_pq_topk(
+        queries, t["embeddings"], "vec_id", "vec_id", k=5,
+        n_cells=8, n_probe=8, m=16, n_centroids=32, refine=100,
+    )
+
+
 def q_similarity_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane LSH at a verified recall-1.0 configuration for this
     dataset (3 planes x 16 tables recovers every exact pair >= 0.45 at
@@ -892,6 +908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_pq_topk": q_similarity_pq_topk,
+    "similarity_ivfpq_topk": q_similarity_ivfpq_topk,
     "similarity_lsh_pairs": q_similarity_lsh_pairs,
     "text_analysis": q_text_analysis,
     "token_histogram": q_token_histogram,
@@ -1188,6 +1205,15 @@ ORACLE: dict[str, str] = {
     + "SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.45",
     # PQ at refine*k >= corpus -> exact re-rank of everything, same oracle.
     "similarity_pq_topk": _COSINE_CTE.format(join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id")
+    + """
+        SELECT id_a AS vec_id_q, id_b AS vec_id_c, cos, CAST(rank AS INT) AS rank FROM (
+          SELECT id_a, id_b, cos,
+                 row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+          FROM scored
+        ) WHERE rank <= 5
+    """,
+    # IVF-PQ at probe-all + refine*k >= corpus -> exact, same oracle.
+    "similarity_ivfpq_topk": _COSINE_CTE.format(join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id")
     + """
         SELECT id_a AS vec_id_q, id_b AS vec_id_c, cos, CAST(rank AS INT) AS rank FROM (
           SELECT id_a, id_b, cos,

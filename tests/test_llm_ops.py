@@ -111,6 +111,28 @@ def test_bucketed_cosine_recall_one_config(emb):
     assert len(exact) > 0
 
 
+def test_ivfpq_recall_one_config_matches_exact(emb):
+    """IVF-PQ at probe-all + shortlist-covers-corpus reproduces exact
+    brute-force top-k (the suite-oracle gate config), and an approximate
+    config still recovers most of the true neighbors."""
+    q = emb.filter("vec_id < 20")
+    exact = {(r["vec_id_q"], r["vec_id_c"]) for r in S.cosine_topk(q, emb, "vec_id", "vec_id", k=5).collect()}
+    full = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in S.ivf_pq_topk(
+            q, emb, "vec_id", "vec_id", k=5, n_cells=8, n_probe=8, m=16, n_centroids=32, refine=100
+        ).collect()
+    }
+    assert full == exact
+    approx = {
+        (r["vec_id_q"], r["vec_id_c"])
+        for r in S.ivf_pq_topk(
+            q, emb, "vec_id", "vec_id", k=5, n_cells=8, n_probe=4, m=16, n_centroids=32, refine=8
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
 def test_simhash_pairs(docs):
     pairs = D.simhash_pairs(docs, "doc_id", "text", nbits=32, max_hamming=3, bands=4).collect()
     assert all(r["id_a"] < r["id_b"] and r["hamming"] <= 3 for r in pairs)

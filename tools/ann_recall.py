@@ -1,5 +1,6 @@
-"""ANN recall/latency sweep: IVF (vs n_probe) and PQ (vs m/refine)
-against the exact brute-force baseline on the embeddings table.
+"""ANN recall/latency sweep: IVF (vs n_probe), PQ (vs m/refine) and
+IVF-PQ (residual IVFADC, vs n_probe/refine) against the exact
+brute-force baseline on the embeddings table.
 
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/ann_recall.py
 Prints one row per configuration and a final JSON summary line.
@@ -71,6 +72,24 @@ def main() -> None:
         results["pq"].append(
             {"m": m, "n_centroids": n_centroids, "refine": refine,
              "recall": round(rec, 3), "sec": round(dt, 2)}
+        )
+
+    results["ivfpq"] = []
+    for n_probe, refine in ((2, 8), (4, 8), (8, 8), (8, 16)):
+        t0 = time.time()
+        got = {
+            (r["vec_id_q"], r["vec_id_c"])
+            for r in S.ivf_pq_topk(
+                q, emb, "vec_id", "vec_id", k=K,
+                n_cells=16, n_probe=n_probe, m=16, n_centroids=32, refine=refine,
+            ).collect()
+        }
+        dt = time.time() - t0
+        rec = len(exact & got) / len(exact)
+        cfg = f"ivfpq n_probe={n_probe} refine={refine}"
+        print(f"{cfg:<38} {rec:>9.3f} {dt:>7.2f}")
+        results["ivfpq"].append(
+            {"n_probe": n_probe, "refine": refine, "recall": round(rec, 3), "sec": round(dt, 2)}
         )
 
     # persisted IVF index: partition-pruned probes must match the
