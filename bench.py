@@ -48,6 +48,8 @@ BENCH_QUERIES = (
     "stratified_sample",
     "pii_scrub",
     "rollup_revenue",
+    "asof_tolerance",
+    "near_dedup",
 )
 
 
