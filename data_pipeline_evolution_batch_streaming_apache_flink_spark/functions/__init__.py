@@ -113,15 +113,22 @@ def debezium_decimal(col: Column | str, scale: int) -> Column:
 
     Pure codegen'd expression: unbase64 → hex → conv() magnitude, then a
     two's-complement sign correction when the top bit of the first byte is
-    set. Exact for unscaled values up to 8 bytes (|v| < 2^63 — 18 digits,
-    ample for money columns); longer payloads need a schema change
-    upstream, not a decoder. NULL passes through.
+    set. The 2^(8n) correction constants are exact DECIMAL literals
+    selected by byte length — going through ``pow()`` doubles would lose
+    the low bits of 2^64 in the double→decimal cast (Spark casts via the
+    double's decimal string). Exact for unscaled values up to 8 bytes
+    (|v| < 2^63 — 18 digits, ample for money columns); longer payloads
+    need a schema change upstream, not a decoder. NULL passes through.
     """
     b = F.unbase64(_c(col))
-    nbits = (F.octet_length(b) * 8).cast("double")
+    n = F.octet_length(b)
     mag = F.conv(F.hex(b), 16, 10).cast("decimal(20,0)")
-    signed = F.when(
-        mag >= F.pow(F.lit(2.0), nbits - 1).cast("decimal(20,0)"),
-        mag - F.pow(F.lit(2.0), nbits).cast("decimal(20,0)"),
-    ).otherwise(mag)
+    full = None  # 2^(8n): subtracted when the sign bit is set
+    half = None  # 2^(8n-1): the sign-bit threshold
+    for i in range(1, 9):
+        fv = F.lit(str(1 << (8 * i))).cast("decimal(21,0)")
+        hv = F.lit(str(1 << (8 * i - 1))).cast("decimal(21,0)")
+        full = F.when(n == i, fv) if full is None else full.when(n == i, fv)
+        half = F.when(n == i, hv) if half is None else half.when(n == i, hv)
+    signed = F.when(mag >= half, mag - full).otherwise(mag)
     return (signed / F.lit(10 ** scale)).cast(f"decimal(20,{scale})")

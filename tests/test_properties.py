@@ -198,3 +198,28 @@ def test_pack_sequences_matches_sequential_reference(spark, toks, capacity):
     for i, t in enumerate(toks):
         assert got[i] == (start // capacity, start % capacity)
         start += t
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10 ** 17), max_value=10 ** 17), min_size=1, max_size=20
+    ),
+    scale=st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_debezium_decimal_roundtrip(spark, vals, scale):
+    """decode(base64(two's-complement bytes of v)) == v / 10^scale for any
+    unscaled int64 and scale — positive, negative, zero, multi-byte."""
+    import base64
+    from decimal import Decimal
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import debezium_decimal
+
+    def enc(v: int) -> str:
+        n = max(1, (v.bit_length() + 8) // 8)
+        return base64.b64encode(v.to_bytes(n, "big", signed=True)).decode()
+
+    df = spark.createDataFrame([(i, enc(v)) for i, v in enumerate(vals)], "i int, b string")
+    got = {r["i"]: r["d"] for r in df.select("i", debezium_decimal("b", scale).alias("d")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == Decimal(v) / (10 ** scale), (v, scale, got[i])
