@@ -514,21 +514,29 @@ def ivf_pq_topk(
     at the same code size, so recall at equal ``refine`` is higher.
     Returns (query_id, corpus_id, cos, rank) with exact cosine scores.
     """
-    from collections.abc import Iterator
+    encoded, cent_df, books = _ivfpq_build(
+        corpus, corpus_id, vec_col, n_cells, m, n_centroids, sample_frac, seed
+    )
+    return _ivfpq_query(
+        encoded, cent_df, books, queries, corpus, query_id, corpus_id,
+        vec_col, k, n_probe, refine, max_query_rows,
+    )
 
-    import numpy as np
-    import pandas as pd
 
-    spark = corpus.sparkSession
+def _l2_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(cid, __v) with __v the L2-normalized double vector — JVM-side."""
+    return (
+        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__raw"))
+        .withColumn("__n", norm("__raw"))
+        .select("cid", F.transform("__raw", lambda x: x.cast("double") / F.col("__n")).alias("__v"))
+    )
 
-    def _normalized(df: DataFrame, id_col: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__raw"))
-            .withColumn("__n", norm("__raw"))
-            .select("cid", F.transform("__raw", lambda x: x.cast("double") / F.col("__n")).alias("__v"))
-        )
 
-    normed = _normalized(corpus, corpus_id)
+def _ivfpq_build(corpus, corpus_id, vec_col, n_cells, m, n_centroids, sample_frac, seed):
+    """Shared IVF-PQ index build: normalize → coarse cells → residuals →
+    residual codebooks → per-cell codes. Returns
+    (encoded(cid, code, __cell), cent_df, books)."""
+    normed = _l2_normalized(corpus, corpus_id, vec_col)
     assigned, cent_df = _fit_cells(normed, "cid", "__v", n_cells, seed)
     residuals = assigned.join(F.broadcast(cent_df), assigned["__cell"] == cent_df["cell"]).select(
         "cid",
@@ -542,11 +550,18 @@ def ivf_pq_topk(
     encoded = pq_encode(
         residuals, books, "cid", vec_col="__res", normalize=False, keep_cols=("__cell",)
     )
+    return encoded, cent_df, books
 
-    # Probe side: normalized queries -> n_probe nearest cells, collected
-    # under the small-query contract (<= max_query_rows * n_probe rows).
+
+def _ivfpq_probe_tables(queries, query_id, vec_col, cent_df, books, n_probe, max_query_rows):
+    """Driver-side probe structures: for each (query, probed cell) an ADC
+    lookup table of the query's subvectors against the residual codebooks
+    plus the scalar q·centroid. Bounded by the small-query contract
+    (<= max_query_rows × n_probe tiny tables)."""
+    import numpy as np
+
     _collect_query_vectors(queries, query_id, vec_col, max_query_rows)  # cap check
-    qnormed = _normalized(queries, query_id).withColumnRenamed("cid", "qid")
+    qnormed = _l2_normalized(queries, query_id, vec_col).withColumnRenamed("cid", "qid")
     qprobe = (
         qnormed.crossJoin(F.broadcast(cent_df))
         .withColumn("__d", cosine("__v", "centroid"))
@@ -555,16 +570,33 @@ def ivf_pq_topk(
         .select("qid", "__v", "cell", "centroid")
         .toPandas()
     )
-    dsub = books.shape[2]
+    m, _, dsub = books.shape
     probes_by_cell: dict[int, list] = {}
     for qid, qv, cell, cent in zip(qprobe["qid"], qprobe["__v"], qprobe["cell"], qprobe["centroid"]):
         q = np.asarray(qv, dtype=np.float64)
         c = np.asarray(cent, dtype=np.float64)
         lut = np.einsum("sd,scd->sc", q.reshape(m, dsub), books)  # (m, K)
         probes_by_cell.setdefault(int(cell), []).append((qid, lut, float(q @ c)))
-    bc = spark.sparkContext.broadcast(probes_by_cell)
-    n_keep = refine * k
+    return probes_by_cell
 
+
+def _ivfpq_query(
+    encoded, cent_df, books, queries, corpus, query_id, corpus_id,
+    vec_col, k, n_probe, refine, max_query_rows,
+):
+    """Shared IVF-PQ probe+scan+re-rank over an encoded index."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    probes_by_cell = _ivfpq_probe_tables(
+        queries, query_id, vec_col, cent_df, books, n_probe, max_query_rows
+    )
+    bc = spark.sparkContext.broadcast(probes_by_cell)
+    m = books.shape[0]
+    n_keep = refine * k
     qid_type = queries.schema[query_id].dataType.simpleString()
     cid_type = corpus.schema[corpus_id].dataType.simpleString()
 
@@ -599,6 +631,80 @@ def ivf_pq_topk(
     w_a = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("cid").asc())
     shortlist = cand.withColumn("__r", F.row_number().over(w_a)).filter(F.col("__r") <= n_keep)
     return _exact_rerank(shortlist, queries, corpus, query_id, corpus_id, vec_col, k)
+
+
+def ivfpq_write_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_frac: float | None = None,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-PQ index: residual PQ codes written PARTITIONED BY
+    cell (``<path>/codes/__cell=<i>/``) plus the centroid table and the
+    codebooks (rows (s, c, v) — m·K tiny vectors). The amortized one-off
+    for a 100 TB corpus: every later probe reads only n_probe/n_cells of
+    the files AND only m bytes of code per vector — the raw float vectors
+    are never stored in the index at all (the re-rank join fetches the
+    few shortlisted ones from the source table)."""
+    encoded, cent_df, books = _ivfpq_build(
+        corpus, corpus_id, vec_col, n_cells, m, n_centroids, sample_frac, seed
+    )
+    encoded.write.partitionBy("__cell").mode("overwrite").parquet(path + "/codes")
+    cent_df.write.mode("overwrite").parquet(path + "/centroids")
+    spark = corpus.sparkSession
+    book_rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(book_rows, "s int, c int, v array<double>").write.mode(
+        "overwrite"
+    ).parquet(path + "/codebooks")
+
+
+def ivfpq_probe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index (:func:`ivfpq_write_index`) with
+    partition-pruned scans: unprobed cells are pruned at planning time
+    (never read), probed cells stream only their m-byte codes through the
+    ADC scan, and the exact re-rank fetches shortlisted vectors from
+    ``corpus``. Bounded driver round-trips: probed cell ids (<= n_cells)
+    and the m·K codebook table. Returns (query_id, corpus_id, cos, rank)."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    cent_df = spark.read.parquet(path + "/centroids")
+    bpdf = spark.read.parquet(path + "/codebooks").toPandas().sort_values(["s", "c"])
+    m = int(bpdf["s"].max()) + 1
+    n_centroids = int(bpdf["c"].max()) + 1
+    books = np.stack(bpdf["v"].to_numpy()).reshape(m, n_centroids, -1)
+
+    probes_by_cell = _ivfpq_probe_tables(
+        queries, query_id, vec_col, cent_df, books, n_probe, max_query_rows
+    )
+    probed = sorted(probes_by_cell)
+    encoded = spark.read.parquet(path + "/codes").filter(F.col("__cell").isin(probed))
+    # _ivfpq_query re-derives the probe tables from the same deterministic
+    # inputs; the duplicate driver work is m·K-sized, negligible.
+    return _ivfpq_query(
+        encoded, cent_df, books, queries, corpus, query_id, corpus_id,
+        vec_col, k, n_probe, refine, max_query_rows,
+    )
 
 
 def bucketed_cosine_pairs(
