@@ -84,3 +84,68 @@ def tf_idf(
             .filter(F.col("rank") <= top_k)
         )
     return scored
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms — the standard retrieval scorer for keyword-driven corpus
+    curation (pull the documents most relevant to a topic list before
+    expensive downstream processing).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene-style smoothed idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Plan shape: explode → filter to the query terms (the explode output
+    shrinks to |terms|-matching rows immediately) → per-(doc, term)
+    counts → term doc-frequency join → one final per-doc fold. Corpus
+    stats (N, avgdl) ride a broadcast single-row cross join, never a
+    driver scalar; dl sums are exact integers so avgdl is bit-identical
+    in any engine; the 6dp round absorbs last-ulp ln() differences; the
+    per-doc total is a TERM-SORTED left fold (≤ |query_terms| structs),
+    not a float sum in shuffle order — deterministic in any engine.
+    Returns (id_col, bm25, n_terms) for documents matching ≥1 term.
+    """
+    toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), TXT.tokens(text_col).alias("__t")
+    )
+    base = toks.withColumn("__dl", F.size("__t"))
+    stats = base.agg(F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
+    tf = (
+        base.select(id_col, "__dl", F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * tf_part)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "__s"))).alias("__xs"),
+            F.count("*").alias("n_terms"),
+        )
+        .select(
+            id_col,
+            F.round(
+                F.aggregate("__xs", F.lit(0.0), lambda acc, x: acc + x["__s"]), 6
+            ).alias("bm25"),
+            "n_terms",
+        )
+    )

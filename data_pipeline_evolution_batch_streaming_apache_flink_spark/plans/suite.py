@@ -68,7 +68,12 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
     ivf_pq_topk,
     pq_cosine_topk,
 )
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import analyze_documents, tf_idf, token_histogram
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import (
+    analyze_documents,
+    bm25_scores,
+    tf_idf,
+    token_histogram,
+)
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium, decode_logical_message
@@ -841,6 +846,20 @@ def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
     return tf_idf(t["documents"], "doc_id", "text", top_k=3)
 
 
+#: Query bag for the BM25 suite query — mid-frequency corpus terms so
+#: idf and length normalization both matter.
+BM25_TERMS = ["vector", "merge", "stream", "window"]
+
+
+def q_bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 keyword relevance over the documents table
+    (operators/textops.py): the standard retrieval scorer for pulling
+    topic-relevant documents during corpus curation. Term-sorted left
+    fold keeps the per-doc total deterministic in any engine."""
+    t = load_tables(spark, sf, ("documents",))
+    return bm25_scores(t["documents"], BM25_TERMS, "doc_id", "text")
+
+
 def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
     """PIVOT (exposed Spark surface): per-user event counts spread into
     one column per event type. Explicit value list keeps the output
@@ -927,6 +946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "near_dedup": q_near_dedup,
     "tfidf_topterms": q_tfidf_topterms,
+    "bm25_scores": q_bm25_scores,
     "scd2_intervals": q_scd2_intervals,
     "hourly_spine_gapfill": q_hourly_spine_gapfill,
     "vector_normalize": q_vector_normalize,
@@ -1330,6 +1350,31 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    "bm25_scores": r"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        ),
+        dls AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+        stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        tf AS (
+          SELECT doc_id, dl, term, count(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls)
+          WHERE term IN ('vector', 'merge', 'stream', 'window')
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                 * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+          FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        )
+        SELECT doc_id,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+                                 (a, b) -> a + b), 6) AS bm25,
+               count(*) AS n_terms
+        FROM scored GROUP BY doc_id
     """,
     "vector_normalize": """
         WITH v AS (

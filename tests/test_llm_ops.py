@@ -140,6 +140,24 @@ def test_simhash_pairs(docs):
     assert len(pairs) > 0
 
 
+def test_bm25_scores_ranking(spark):
+    """Higher tf in a shorter doc must outscore a single mention diluted
+    in a long doc; docs with no query term are absent."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark " + "filler " * 50),
+            (3, "totally unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["bm25"] for r in bm25_scores(df, ["spark"], "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] > rows[2] > 0
+
+
 def test_analyze_documents(docs):
     out = analyze_documents(docs).collect()
     assert len(out) == docs.count()
