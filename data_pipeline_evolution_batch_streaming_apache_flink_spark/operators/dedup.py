@@ -170,6 +170,71 @@ def _ngram_jaccard_prefix(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    train_id: str,
+    bench_id: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 5,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination scan: (train doc, benchmark doc) pairs
+    sharing at least ``min_shared`` distinct word n-grams — the standard
+    eval-contamination check run before training. Inverted-index
+    equi-join on the shingle, so cost is linear in shingle volume, never
+    |train| × |benchmark|; the benchmark side is tiny and broadcasts.
+
+    ``max_df`` drops shingles appearing in more than that many TRAIN
+    docs (stop-shingle guard, same tradeoff as ngram_jaccard_pairs).
+    Returns (train_id, bench_id, n_shared) with n_shared >= min_shared.
+    """
+    bench_text = bench_text_col or text_col
+    t_inv = _shingled(train, train_id, text_col, n).select(
+        F.col("__id").alias("__tid"), F.explode("__sh").alias("__s")
+    )
+    if max_df is not None:
+        keep = t_inv.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
+        t_inv = t_inv.join(keep.select("__s"), "__s")
+    b_inv = _shingled(benchmark, bench_id, bench_text, n).select(
+        F.col("__id").alias("__bid"), F.explode("__sh").alias("__s")
+    )
+    return (
+        t_inv.join(F.broadcast(b_inv), "__s")
+        .groupBy("__tid", "__bid")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("__tid").alias(train_id + "_train"),
+            F.col("__bid").alias(bench_id + "_bench"),
+            "n_shared",
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    train_id: str,
+    bench_id: str,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 5,
+    min_shared: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Drop every training document contaminated by the benchmark
+    (:func:`contamination_pairs`): one broadcast-able anti-join against
+    the (tiny) contaminated-id set."""
+    pairs = contamination_pairs(
+        train, benchmark, train_id, bench_id, text_col, bench_text_col, n, min_shared, max_df
+    )
+    drop = pairs.select(F.col(train_id + "_train").alias(train_id)).distinct()
+    return train.join(F.broadcast(drop), train_id, "left_anti")
+
+
 def _hash_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family
     h_i(x) = (a_i * x + b_i) mod p. Plain LCG expansion of the seed so the

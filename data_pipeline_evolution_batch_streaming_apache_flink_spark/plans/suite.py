@@ -42,6 +42,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curati
     stratified_sample,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+    contamination_pairs,
     dedup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
@@ -740,6 +741,17 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination scan (operators/dedup.py): training docs
+    (doc_id >= 20) sharing >= 3 distinct 3-gram shingles with any
+    'benchmark' doc (doc_id < 20 as the stand-in eval set). Inverted
+    shingle index, benchmark side broadcast — never train × benchmark."""
+    t = load_tables(spark, sf, ("documents",))
+    train = t["documents"].filter(F.col("doc_id") >= 20)
+    bench = t["documents"].filter(F.col("doc_id") < 20)
+    return contamination_pairs(train, bench, "doc_id", "doc_id", "text", n=3, min_shared=3)
+
+
 def q_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the keep/drop decision applied
     to the corpus: MinHash-LSH candidates (recall ~1 at bands=64 x rows=2,
@@ -945,6 +957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_metrics": q_median_metrics,
     "dedup_clusters": q_dedup_clusters,
     "near_dedup": q_near_dedup,
+    "contamination_check": q_contamination_check,
     "tfidf_topterms": q_tfidf_topterms,
     "bm25_scores": q_bm25_scores,
     "scd2_intervals": q_scd2_intervals,
@@ -1350,6 +1363,19 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    "contamination_check": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        ),
+        tinv AS (SELECT doc_id AS tid, unnest(s) AS shingle FROM sh WHERE doc_id >= 20),
+        binv AS (SELECT doc_id AS bid, unnest(s) AS shingle FROM sh WHERE doc_id < 20)
+        SELECT t.tid AS doc_id_train, b.bid AS doc_id_bench, count(*) AS n_shared
+        FROM tinv t JOIN binv b USING (shingle)
+        GROUP BY 1, 2 HAVING count(*) >= 3
     """,
     "bm25_scores": r"""
         WITH base AS (

@@ -140,6 +140,26 @@ def test_simhash_pairs(docs):
     assert len(pairs) > 0
 
 
+def test_contamination_and_decontaminate(spark):
+    """A train doc containing a benchmark sentence verbatim is flagged
+    (and dropped); clean docs survive untouched."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over the lazy dog end"),
+            (2, "completely unrelated content about query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.contamination_pairs(train, bench, "doc_id", "doc_id", n=3, min_shared=3).collect()
+    assert {(r["doc_id_train"], r["doc_id_bench"]) for r in pairs} == {(1, 100)}
+    kept = D.decontaminate(train, bench, "doc_id", "doc_id", n=3, min_shared=3).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+
 def test_bm25_scores_ranking(spark):
     """Higher tf in a shorter doc must outscore a single mention diluted
     in a long doc; docs with no query term are absent."""
