@@ -30,7 +30,11 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark import get_spark
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-QUERIES = ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "text_analysis", "tfidf_topterms")
+QUERIES = (
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "text_analysis", "tfidf_topterms",
+    "bm25_scores", "contamination_check", "near_dedup",
+)
 
 
 def build(spark, factor: int, out_dir: str) -> int:
