@@ -90,6 +90,33 @@ def test_capture_decimal_handling(capture):
     assert by_op[("r", 1)]["discount"] is None
 
 
+def test_schema_drift_tolerance(spark):
+    """Upstream schema drift must not break the decoder: a NEW upstream
+    column (added after our row schema was written) is ignored, and a
+    column MISSING from an old event decodes as NULL — the from_json
+    contract that makes rolling CDC schema changes safe."""
+    import json as _json
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+
+    src = {"version": "2.5.0.Final", "connector": "postgresql", "name": "my_pg",
+           "ts_ms": T0, "snapshot": "false", "db": "d", "sequence": None,
+           "schema": "public", "table": "orders", "txId": 1, "lsn": 10, "xmin": None}
+    events = [
+        # new upstream column `extra` our schema does not know
+        _json.dumps({"before": None,
+                     "after": {"id": 1, "client_name": "ann", "extra": "surprise"},
+                     "source": src, "op": "c", "ts_ms": T0}),
+        # old event missing `client_name`
+        _json.dumps({"before": None, "after": {"id": 2},
+                     "source": {**src, "txId": 2}, "op": "c", "ts_ms": T0}),
+    ]
+    df = spark.createDataFrame([(e,) for e in events], "value string")
+    out = {r["id"]: r for r in decode_debezium(df, "id int, client_name string").collect()}
+    assert out[1]["client_name"] == "ann" and "extra" not in out[1].asDict()
+    assert out[2]["client_name"] is None
+
+
 def test_capture_replay_through_temporal_join(spark, capture):
     """The decoded changelog drives the tombstone-aware AS-OF join exactly
     like a live CDC dim table: facts see the version valid at their event
