@@ -43,6 +43,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curati
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
     contamination_pairs,
+    decontaminate,
     dedup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
@@ -752,6 +753,39 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     return contamination_pairs(train, bench, "doc_id", "doc_id", "text", n=3, min_shared=3)
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed end-to-end curation run — the operators a real
+    pretraining prep chains, verified as ONE oracle-checked plan:
+    benchmark decontamination (drop train docs sharing >=3 shingles with
+    the doc_id<20 'eval set') → deterministic PII injection + scrub (the
+    regexes do real work on synthetic text) → whitespace token count →
+    fixed-capacity sequence packing over the survivors. Output carries
+    md5(scrubbed) so the compare pins the scrub without shipping prose."""
+    t = load_tables(spark, sf, ("documents",))
+    bench = t["documents"].filter(F.col("doc_id") < 20)
+    train = t["documents"].filter(F.col("doc_id") >= 20)
+    clean = decontaminate(train, bench, "doc_id", "doc_id", n=3, min_shared=3)
+    withpii = clean.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" tel +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = scrub_pii(fan_out(withpii), count_hits=False).select("doc_id", "scrubbed")
+    packed = pack_sequences(
+        scrubbed.withColumn("text_md5", F.md5("scrubbed")),
+        "doc_id",
+        F.size(TXT.tokens("scrubbed")),
+        2048,
+    )
+    return packed.select("doc_id", "text_md5", "n_tokens", "pack_id", "pack_offset")
+
+
 def q_near_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-duplicate REMOVAL — the keep/drop decision applied
     to the corpus: MinHash-LSH candidates (recall ~1 at bands=64 x rows=2,
@@ -958,6 +992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "near_dedup": q_near_dedup,
     "contamination_check": q_contamination_check,
+    "curation_pipeline": q_curation_pipeline,
     "tfidf_topterms": q_tfidf_topterms,
     "bm25_scores": q_bm25_scores,
     "scd2_intervals": q_scd2_intervals,
@@ -1363,6 +1398,54 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    "curation_pipeline": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                              i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        ),
+        tinv AS (SELECT doc_id AS tid, unnest(s) AS shingle FROM sh WHERE doc_id >= 20),
+        binv AS (SELECT doc_id AS bid, unnest(s) AS shingle FROM sh WHERE doc_id < 20),
+        pairs AS (
+          SELECT t.tid, b.bid FROM tinv t JOIN binv b USING (shingle)
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        kept AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id >= 20 AND doc_id NOT IN (SELECT tid FROM pairs)
+        ),
+        withpii AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com via https://example.org/d/'
+                      || CAST(doc_id AS VARCHAR)
+                      || ' tel +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 AS text
+          FROM kept
+        ),
+        scrub AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS scrubbed
+          FROM withpii
+        ),
+        tok AS (
+          SELECT doc_id, md5(scrubbed) AS text_md5,
+                 CAST(len(string_split_regex(trim(scrubbed), '\s+')) AS BIGINT) AS n_tokens
+          FROM scrub
+        ),
+        run AS (
+          SELECT doc_id, text_md5, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS r FROM tok
+        )
+        SELECT doc_id, text_md5, n_tokens,
+               CAST(floor((r - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+               CAST((r - n_tokens) % 2048 AS BIGINT) AS pack_offset
+        FROM run
     """,
     "contamination_check": r"""
         WITH sh AS (
