@@ -2,13 +2,20 @@
 
 - ``cosine_topk``            exact brute-force top-k (correctness baseline)
 - ``ivf_cosine_topk``        IVF: k-means coarse quantizer, probe nearest
-                             cells only — the 100 TB path (scan cost drops
-                             by ~n_cells/n_probe)
+                             cells only — scan cost drops by ~n_cells/n_probe
+                             (persisted: ``ivf_write_index``/``ivf_probe_topk``)
+- ``pq_cosine_topk``         product quantization: ADC scan over m-byte
+                             codes + exact re-rank — bandwidth drops to
+                             m bytes/vector
+- ``ivf_pq_topk``            residual IVFADC (Jégou et al. 2011): both
+                             savings multiplied — the 100 TB path
+                             (persisted: ``ivfpq_write_index``/``ivfpq_probe_topk``)
 - ``bucketed_cosine_pairs``  random-hyperplane LSH bucketing for pair
                              generation without a cross join
 
-All distance math is JVM-side (functions/vectors.py); k-means fitting uses
-Spark ML (distributed, seeded).
+All distance math is JVM-side (functions/vectors.py) or Arrow-batched
+numpy; k-means fitting uses Spark ML (distributed, seeded); PQ codebook
+sampling is content-hash deterministic (layout-independent).
 """
 
 from __future__ import annotations

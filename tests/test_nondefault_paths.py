@@ -53,6 +53,21 @@ def test_minhash_rejects_bad_band_split(spark):
         minhash_lsh_pairs(df, "doc_id", "text", num_perm=100, bands=64)
 
 
+def test_ivfpq_rejects_indivisible_subspaces(spark):
+    """dim % m != 0 must fail fast with the pq_fit_codebooks error, not
+    produce garbage codes."""
+    import pytest as _pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        ivf_pq_topk(emb.limit(3), emb, "vec_id", "vec_id", k=2, n_cells=2, m=2).count()
+
+
 def test_tfidf_without_topk_returns_all_terms(spark):
     df = spark.createDataFrame(
         [(1, "red red blue"), (2, "blue green")], "doc_id int, text string"
