@@ -74,6 +74,27 @@ def main() -> None:
     )
     session_stats(sessionize(ev, gap="30 minutes", tiebreak_cols=("event_id",))).show(5)
 
+    print("benchmark decontamination (doc_id<20 as the stand-in eval set):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import contamination_pairs, decontaminate
+
+    bench = docs.filter(F.col("doc_id") < 20)
+    train = docs.filter(F.col("doc_id") >= 20)
+    contamination_pairs(train, bench, "doc_id", "doc_id", n=3, min_shared=3).show(5)
+    print("decontaminated corpus:", decontaminate(train, bench, "doc_id", "doc_id", n=3, min_shared=3).count(), "of", train.count(), "train docs")
+
+    print("BM25 keyword relevance (query: vector merge stream window):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import bm25_scores
+
+    bm25_scores(docs, ["vector", "merge", "stream", "window"]).orderBy(F.desc("bm25")).show(5)
+
+    print("IVF-PQ (residual IVFADC) approximate neighbors:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_pq_topk
+
+    ivf_pq_topk(
+        emb.filter(F.col("vec_id") < 5), emb, "vec_id", "vec_id",
+        k=3, n_cells=8, n_probe=4, m=16, n_centroids=32, refine=8,
+    ).show()
+
 
 if __name__ == "__main__":
     main()
