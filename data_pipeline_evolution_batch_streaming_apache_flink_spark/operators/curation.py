@@ -126,6 +126,31 @@ def stratified_sample(
     return df.filter(sample_hash(id_col) < rate * F.lit(float(_MOD)))
 
 
+def take_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    n: int,
+    id_col: str,
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample — the fixed-budget
+    mixture companion to rate-based :func:`stratified_sample` (hit a
+    target domain mix with exact document counts): rows rank inside each
+    stratum by the sampling hash (id tiebreak) and the first ``n`` —
+    or ``counts[stratum]`` when given — survive. The same rows are
+    chosen by any engine at any layout (no rand(), no limit()); one
+    shuffle for the rank window."""
+    w = Window.partitionBy(stratum_col).orderBy(sample_hash(id_col), F.col(id_col))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    if counts is not None:
+        limit: Column = F.lit(0)
+        for value, c in sorted(counts.items()):
+            limit = F.when(F.col(stratum_col) == value, F.lit(c)).otherwise(limit)
+    else:
+        limit = F.lit(n)
+    return ranked.filter(F.col("__rn") <= limit).drop("__rn")
+
+
 #: Scrub patterns, applied in order (URLs before emails so the email
 #: regex never fires inside an already-masked URL; phones last). RE2-safe
 #: so Spark (Java regex) and DuckDB (RE2) agree.

@@ -40,6 +40,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curati
     pack_sequences,
     scrub_pii,
     stratified_sample,
+    take_per_stratum,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
     contamination_pairs,
@@ -593,6 +594,17 @@ def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_take_per_stratum(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-N-per-language sample (fixed-budget mixture targets):
+    hash-ranked inside each stratum, id tiebreak — the identical row set
+    in any engine."""
+    t = load_tables(spark, sf, ("documents",))
+    return take_per_stratum(
+        t["documents"].select("doc_id", "lang"), "lang", 25, "doc_id",
+        counts={"en": 25, "es": 10, "zh": 5},
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII masking over codegen'd regexp chains. The corpus is synthetic
     words, so PII is injected deterministically (same expression in the
@@ -980,6 +992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_safe_collect": q_skew_safe_collect,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
+    "take_per_stratum": q_take_per_stratum,
     "pii_scrub": q_pii_scrub,
     "regex_token_stats": q_regex_token_stats,
     "multimodal_features": q_multimodal_features,
@@ -1343,6 +1356,16 @@ ORACLE: dict[str, str] = {
         WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
               (CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1
                          ELSE 0.0 END) * 4294967296
+    """,
+    "take_per_stratum": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= (CASE lang WHEN 'en' THEN 25 WHEN 'es' THEN 10 WHEN 'zh' THEN 5 ELSE 0 END)
     """,
     "pii_scrub": r"""
         WITH withpii AS (

@@ -127,3 +127,22 @@ def test_sample_hash_no_overflow_at_huge_ids(spark):
     got = {r["id"]: r["h"] for r in df.select("id", sample_hash("id").alias("h")).collect()}
     for i in ids:
         assert got[i] == ((i % 2**31) * 2654435761) % 2**32, i
+
+
+def test_take_per_stratum_exact_counts_and_layout_independence(spark):
+    """Exactly the requested count per stratum, the same rows at any
+    partition layout, and per-count overrides respected."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import take_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "zh") for i in range(90)], "doc_id long, lang string"
+    )
+    picked = take_per_stratum(df, "lang", 10, "doc_id").collect()
+    by_lang: dict[str, set] = {}
+    for r in picked:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 10, "zh": 10}
+    again = take_per_stratum(df.repartition(13), "lang", 10, "doc_id").collect()
+    assert {(r["lang"], r["doc_id"]) for r in again} == {(r["lang"], r["doc_id"]) for r in picked}
+    counted = take_per_stratum(df, "lang", 10, "doc_id", counts={"en": 3}).collect()
+    assert [r["lang"] for r in counted] == ["en"] * 3  # zh absent: default 0
