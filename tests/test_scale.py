@@ -43,6 +43,17 @@ def test_candidate_joins_are_hash_joins_not_cross(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q
 
 
+def test_curation_and_contamination_plan_shapes(spark, sf_dir):
+    """The decontamination step must be hash/broadcast joins end-to-end:
+    no CartesianProduct anywhere, and the drop applied as a broadcast
+    anti-join (the contaminated-id set is tiny by design)."""
+    for q in ("contamination_check", "curation_pipeline"):
+        plan = _plan(suite.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+    plan = _plan(suite.QUERIES["curation_pipeline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_asof_tolerance_single_shuffle(spark, sf_dir):
     """The tolerance branch adds a second window pass but must reuse the
     same (key) partitioning — still exactly one exchange."""
