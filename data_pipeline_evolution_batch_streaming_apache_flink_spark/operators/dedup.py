@@ -170,6 +170,55 @@ def _ngram_jaccard_prefix(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Line-level exact deduplication across the corpus (the CCNet /
+    boilerplate-removal step): a line keeps only its FIRST occurrence —
+    smallest (doc id, line position) — and every repeat (headers, footers,
+    navigation chrome duplicated across pages) is dropped; documents are
+    reassembled with line order preserved. Docs whose every line was seen
+    earlier come back empty (''), preserving row count for accounting.
+
+    Shape: posexplode → one hash shuffle on the LINE (min_by winner per
+    distinct line, map-side partial) → join back on the line → per-doc
+    sorted reassembly. Line strings shuffle once; no driver collection.
+    Returns the input columns with ``out_col`` (default: replace
+    ``text_col``) holding the deduplicated text.
+    """
+    out = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("__lid"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    winners = lines.groupBy("__line").agg(
+        F.min(F.struct("__lid", "__pos")).alias("__w")
+    )
+    kept = (
+        lines.join(winners, "__line")
+        .filter((F.col("__w.__lid") == F.col("__lid")) & (F.col("__w.__pos") == F.col("__pos")))
+        .groupBy("__lid")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+            ).alias("__dedup")
+        )
+    )
+    joined = df.join(kept, F.col(id_col) == F.col("__lid"), "left")
+    return joined.select(
+        *[c for c in df.columns if c != out],
+        F.coalesce(F.col("__dedup"), F.lit("")).alias(out),
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     benchmark: DataFrame,

@@ -46,6 +46,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup 
     contamination_pairs,
     decontaminate,
     dedup_clusters,
+    dedup_lines,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -765,6 +766,31 @@ def q_contamination_check(spark: SparkSession, sf: str) -> DataFrame:
     return contamination_pairs(train, bench, "doc_id", "doc_id", "text", n=3, min_shared=3)
 
 
+def q_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style line-level dedup (boilerplate removal): documents are
+    built with a per-language header line and a corpus-wide footer line
+    around the body (same construction in the oracle) — after dedup the
+    footer survives exactly once, each header once per language, and
+    duplicate bodies collapse to their first document. Output hashes the
+    deduplicated text rather than shipping it."""
+    t = load_tables(spark, sf, ("documents",))
+    built = t["documents"].select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("lang header "), F.col("lang")),
+            F.col("text"),
+            F.lit("shared boilerplate footer"),
+        ).alias("text"),
+    )
+    out = dedup_lines(built, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").cast("long").alias("n_chars_dedup"),
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Composed end-to-end curation run — the operators a real
     pretraining prep chains, verified as ONE oracle-checked plan:
@@ -1004,6 +1030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "median_metrics": q_median_metrics,
     "dedup_clusters": q_dedup_clusters,
     "near_dedup": q_near_dedup,
+    "dedup_lines": q_dedup_lines,
     "contamination_check": q_contamination_check,
     "curation_pipeline": q_curation_pipeline,
     "tfidf_topterms": q_tfidf_topterms,
@@ -1421,6 +1448,35 @@ ORACLE: dict[str, str] = {
                  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """,
+    "dedup_lines": r"""
+        WITH built AS (
+          SELECT doc_id,
+                 'lang header ' || lang || chr(10) || text || chr(10) || 'shared boilerplate footer' AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(l) + 1),
+                                         i -> {'pos': i - 1, 'line': l[i]})) AS u
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM built)
+          )
+        ),
+        kept AS (
+          SELECT doc_id, pos, line FROM (
+            SELECT doc_id, pos, line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+            FROM lines
+          ) WHERE rn = 1
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT b.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+               CAST(len(coalesce(r.text, '')) AS BIGINT) AS n_chars_dedup
+        FROM built b LEFT JOIN rebuilt r USING (doc_id)
     """,
     "curation_pipeline": r"""
         WITH sh AS (

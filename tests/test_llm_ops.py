@@ -140,6 +140,26 @@ def test_simhash_pairs(docs):
     assert len(pairs) > 0
 
 
+def test_dedup_lines_boilerplate_removal(spark):
+    """Repeated lines keep only their first (doc, position) occurrence;
+    in-doc repeats collapse too; line order is preserved; a doc made
+    entirely of already-seen lines comes back empty."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nshared footer\nunique one"),
+            (2, "unique two\nshared footer"),
+            (3, "shared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, "doc_id", "text").collect()}
+    assert out[1] == "unique one\nshared footer"  # in-doc repeat dropped
+    assert out[2] == "unique two"                 # footer already seen in doc 1
+    assert out[3] == ""                           # nothing new
+
+
 def test_contamination_and_decontaminate(spark):
     """A train doc containing a benchmark sentence verbatim is flagged
     (and dropped); clean docs survive untouched."""
