@@ -50,6 +50,9 @@ BENCH_QUERIES = (
     "rollup_revenue",
     "asof_tolerance",
     "near_dedup",
+    "bm25_scores",
+    "dedup_lines",
+    "curation_pipeline",
 )
 
 

@@ -38,13 +38,18 @@ def test_pack_sequences_concat_and_chunk(spark):
 
 def test_pack_sequences_no_single_partition_window(spark, sf_dir):
     """The global cumsum must be the two-pass distributed prefix sum —
-    never a single-partition window (the 100 TB killer)."""
+    never a single-partition window (the 100 TB killer). The range
+    shuffle itself happens at the input's one-time localCheckpoint
+    materialization (so expensive upstreams run once, not twice), so the
+    downstream plan shows the per-__pid window over the checkpoint scan,
+    not the rangepartitioning exchange."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("t")
     )
     plan = pack_sequences(docs, "doc_id", "t", 2048)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    assert "__pid" in plan  # windowed per range partition, never one global window
+    assert "Scan ExistingRDD" in plan  # the materialized range-partitioned input
 
 
 def test_stratified_sample_rates_and_determinism(spark):
