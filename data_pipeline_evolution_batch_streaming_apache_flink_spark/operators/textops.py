@@ -149,3 +149,51 @@ def bm25_scores(
             "n_terms",
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngrams: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    quality gate against degenerate/boilerplate text before pretraining:
+
+    - ``dup_{n}gram_frac``: fraction of n-gram OCCURRENCES that are
+      repeats of an earlier occurrence (1 − distinct/total), per n;
+    - ``top_token_frac``: share of the document taken by its single most
+      frequent token.
+
+    All codegen'd array expressions over one corpus pass (shingle with
+    ``distinct=False``, compare against the distinct count; token mode
+    via sort + aggregate run-length max) — no shuffle, no UDF. Round-6
+    for cross-engine float parity. Returns id columns + the signals.
+    """
+    toks = TXT.tokens(text_col)
+    cols = [F.col(id_col)]
+    for n in ngrams:
+        all_sh = TXT.word_shingles(text_col, n, distinct=False)
+        frac = F.lit(1.0) - F.size(F.array_distinct(all_sh)) / F.size(all_sh)
+        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+    # most-frequent-token count: sort tokens, then the longest equal run
+    # is the max frequency — a single left fold, no per-token map build.
+    sorted_toks = F.array_sort(toks)
+    run = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    cols.append(F.round(run / F.size(toks), 6).alias("top_token_frac"))
+    return fan_out(df).select(*cols)

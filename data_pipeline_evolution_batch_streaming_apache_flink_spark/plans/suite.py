@@ -75,6 +75,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import (
     analyze_documents,
     bm25_scores,
+    repetition_stats,
     tf_idf,
     token_histogram,
 )
@@ -935,6 +936,15 @@ def q_tfidf_topterms(spark: SparkSession, sf: str) -> DataFrame:
 BM25_TERMS = ["vector", "merge", "stream", "window"]
 
 
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals
+    (operators/textops.py): duplicate 2/3-gram occurrence fractions and
+    the most-frequent-token share — all codegen'd array folds, one pass,
+    no shuffle."""
+    t = load_tables(spark, sf, ("documents",))
+    return repetition_stats(t["documents"], "doc_id", "text")
+
+
 def q_bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Okapi BM25 keyword relevance over the documents table
     (operators/textops.py): the standard retrieval scorer for pulling
@@ -1035,6 +1045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "tfidf_topterms": q_tfidf_topterms,
     "bm25_scores": q_bm25_scores,
+    "repetition_stats": q_repetition_stats,
     "scd2_intervals": q_scd2_intervals,
     "hourly_spine_gapfill": q_hourly_spine_gapfill,
     "vector_normalize": q_vector_normalize,
@@ -1525,6 +1536,32 @@ ORACLE: dict[str, str] = {
                CAST(floor((r - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
                CAST((r - n_tokens) % 2048 AS BIGINT) AS pack_offset
         FROM run
+    """,
+    "repetition_stats": r"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                                i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS g2,
+                 list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS g3,
+                 len(toks) AS nt
+          FROM tok
+        ),
+        mf AS (
+          SELECT doc_id, max(cnt) AS mx FROM (
+            SELECT doc_id, term, count(*) AS cnt FROM (
+              SELECT doc_id, unnest(toks) AS term FROM tok
+            ) GROUP BY doc_id, term
+          ) GROUP BY doc_id
+        )
+        SELECT g.doc_id,
+               round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_2gram_frac,
+               round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS dup_3gram_frac,
+               round(CAST(mf.mx AS DOUBLE) / g.nt, 6) AS top_token_frac
+        FROM grams g JOIN mf USING (doc_id)
     """,
     "contamination_check": r"""
         WITH sh AS (

@@ -180,6 +180,23 @@ def test_contamination_and_decontaminate(spark):
     assert [r["doc_id"] for r in kept] == [2]
 
 
+def test_repetition_stats_flags_degenerate_text(spark):
+    """A looping document scores near-1 duplicate-ngram fractions and a
+    dominant top-token share; varied text scores near zero."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "eight totally different words appear exactly once here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert out[1]["dup_2gram_frac"] > 0.8 and out[1]["top_token_frac"] == 1.0
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["top_token_frac"] == 0.125
+
+
 def test_bm25_scores_ranking(spark):
     """Higher tf in a shorter doc must outscore a single mention diluted
     in a long doc; docs with no query term are absent."""
