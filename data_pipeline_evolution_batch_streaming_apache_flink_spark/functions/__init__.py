@@ -117,8 +117,9 @@ def debezium_decimal(col: Column | str, scale: int) -> Column:
     selected by byte length — going through ``pow()`` doubles would lose
     the low bits of 2^64 in the double→decimal cast (Spark casts via the
     double's decimal string). Exact for unscaled values up to 8 bytes
-    (|v| < 2^63 — 18 digits, ample for money columns); longer payloads
-    need a schema change upstream, not a decoder. NULL passes through.
+    (|v| < 2^63 — 18 digits, ample for money columns); LONGER payloads
+    decode to NULL rather than a silently wrapped value — they need a
+    schema change upstream, not a decoder. NULL passes through.
     """
     b = F.unbase64(_c(col))
     n = F.octet_length(b)
@@ -131,4 +132,5 @@ def debezium_decimal(col: Column | str, scale: int) -> Column:
         full = F.when(n == i, fv) if full is None else full.when(n == i, fv)
         half = F.when(n == i, hv) if half is None else half.when(n == i, hv)
     signed = F.when(mag >= half, mag - full).otherwise(mag)
-    return (signed / F.lit(10 ** scale)).cast(f"decimal(20,{scale})")
+    # n > 8 bytes: conv() has already wrapped — NULL, never silent garbage
+    return F.when(n <= 8, (signed / F.lit(10 ** scale)).cast(f"decimal(20,{scale})"))

@@ -60,9 +60,11 @@ def global_running_sum(
     )
     w = Window.partitionBy("__pid").orderBy(order_col)
     local = ranged.withColumn("__loc", F.sum(value).over(w))
+    # per-partition totals via sum of the VALUE, not max of the cumsum —
+    # max would overstate totals whenever values can be negative
     totals = sorted(
         (r["__pid"], r["t"])
-        for r in local.groupBy("__pid").agg(F.max("__loc").alias("t")).collect()
+        for r in ranged.groupBy("__pid").agg(F.sum(value).alias("t")).collect()
     )
     offsets, acc = [], 0
     for pid, tot in totals:
@@ -144,10 +146,12 @@ def take_per_stratum(
     """Exactly-N-per-stratum deterministic sample — the fixed-budget
     mixture companion to rate-based :func:`stratified_sample` (hit a
     target domain mix with exact document counts): rows rank inside each
-    stratum by the sampling hash (id tiebreak) and the first ``n`` —
-    or ``counts[stratum]`` when given — survive. The same rows are
-    chosen by any engine at any layout (no rand(), no limit()); one
-    shuffle for the rank window."""
+    stratum by the sampling hash (id tiebreak) and the first ``n``
+    survive. When ``counts`` is given it is EXHAUSTIVE: each stratum
+    keeps ``counts[stratum]`` rows and strata absent from the dict are
+    DROPPED entirely (``n`` is ignored) — pass every stratum you want in
+    the mixture. The same rows are chosen by any engine at any layout
+    (no rand(), no limit()); one shuffle for the rank window."""
     w = Window.partitionBy(stratum_col).orderBy(sample_hash(id_col), F.col(id_col))
     ranked = df.withColumn("__rn", F.row_number().over(w))
     if counts is not None:

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import word_shingles
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets, fan_out
 
 MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne: (a*h + b) stays < 2^62
 
@@ -187,13 +187,17 @@ def dedup_lines(
     Shape: posexplode → one hash shuffle on the LINE (min_by winner per
     distinct line, map-side partial) → join back on the line → per-doc
     sorted reassembly. Line strings shuffle once; no driver collection.
-    Returns the input columns with ``out_col`` (default: replace
-    ``text_col``) holding the deduplicated text.
+    ``sep`` is a LITERAL separator (escaped before the regex split, so
+    the same string reassembles the docs). Returns the input columns
+    with ``out_col`` (default: replace ``text_col``) holding the
+    deduplicated text.
     """
+    import re as _re
+
     out = out_col or text_col
     lines = df.select(
         F.col(id_col).alias("__lid"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("__pos", "__line"),
     )
     winners = lines.groupBy("__line").agg(
         F.min(F.struct("__lid", "__pos")).alias("__w")
@@ -407,20 +411,8 @@ def minhash_lsh_pairs(
     # and emits each bucket's pairs with posexplode+slice. A pathological
     # bucket of K near-identical docs yields K^2/2 pairs either way; the
     # quadratic blowup is inherent to LSH candidates, not to this shape —
-    # max_bucket is the guard against it.
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        # Filter BEFORE collect_list, while bucket members are individual
-        # (spillable) rows; the window hash-partitions on (band, bhash), so
-        # the groupBy below reuses the exchange and the Python signature
-        # stage still runs exactly once.
-        w_b = Window.partitionBy("band", "bhash")
-        banded = (
-            banded.withColumn("__bn", F.count("*").over(w_b))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
+    # max_bucket (util.cap_buckets) is the guard against it.
+    banded = cap_buckets(banded, ("band", "bhash"), max_bucket)
     buckets = (
         banded.groupBy("band", "bhash")
         .agg(F.collect_list("__id").alias("__ids"))
@@ -725,15 +717,7 @@ def simhash_pairs(
     # stage runs once (Spark does not reuse the exchange across self-join
     # sides; see minhash_lsh_pairs). __id is the struct's first field, so
     # least/greatest order pairs by id.
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        w_b = Window.partitionBy("seg", "segbits")
-        blocked = (
-            blocked.withColumn("__bn", F.count("*").over(w_b))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
+    blocked = cap_buckets(blocked, ("seg", "segbits"), max_bucket)
     buckets = (
         blocked.groupBy("seg", "segbits")
         .agg(F.collect_list(F.struct("__id", "__sig")).alias("__xs"))

@@ -204,16 +204,19 @@ def _is_video_container(data: bytes) -> bool:
     )
 
 
-def _avi_stored_frames(data: bytes) -> list[bytes]:
-    """Pure-Python AVI demux: walk the RIFF chunk tree and return each
-    stored video frame's bytes (``##db`` uncompressed / ``##dc``
-    compressed stream chunks, in file order). No codec needed — the
-    chunks ARE the per-frame payloads, so real AVI files demux correctly
-    in a bare container (the video twin of the PNG-header / ``wave``
-    fallbacks above)."""
-    frames: list[bytes] = []
+def _avi_sampled_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Pure-Python AVI demux: walk the RIFF chunk tree and return every
+    ``every_n``-th stored video frame (``##db`` uncompressed / ``##dc``
+    compressed stream chunks, in file order) as (index, bytes). No codec
+    needed — the chunks ARE the per-frame payloads, so real AVI files
+    demux correctly in a bare container (the video twin of the
+    PNG-header / ``wave`` fallbacks above). Unsampled frames are never
+    copied out of the buffer."""
+    frames: list[tuple[int, bytes]] = []
+    count = 0
 
     def walk(start: int, end: int) -> None:
+        nonlocal count
         i = start
         while i + 8 <= end:
             cid = data[i : i + 4]
@@ -221,29 +224,42 @@ def _avi_stored_frames(data: bytes) -> list[bytes]:
             if cid == b"LIST":
                 walk(i + 12, min(i + 8 + size, end))
             elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
-                frames.append(data[i + 8 : i + 8 + size])
+                if count % every_n == 0:
+                    frames.append((count, data[i + 8 : i + 8 + size]))
+                count += 1
             i += 8 + size + (size & 1)  # chunks are word-aligned
 
     walk(12, len(data))
+    if count == 0:
+        raise ValueError("AVI payload contains no video stream chunks (audio-only or unparsed movi list)")
     return frames
 
 
-def _real_video_frames(data: bytes) -> list[bytes] | None:
-    """Decode a recognized video container to per-frame payloads.
+def _real_video_frames(data: bytes, every_n: int) -> list[tuple[int, bytes]] | None:
+    """Decode a recognized video container to SAMPLED (index, payload)
+    frames — only every ``every_n``-th frame is converted/kept, so a
+    single huge video never materializes fully in the worker.
 
     PyAV (ffmpeg bindings) when installed: full decode of any container,
-    frames as raw RGB24 bytes. Without it, uncompressed/MJPEG AVI demuxes
-    in pure Python. Returns None for unrecognized payloads (callers fall
-    back to the byte-chunk stand-in); raises for real video containers
-    that need a missing codec — silent garbage is worse than an error."""
+    sampled frames as raw RGB24 bytes. Without it, uncompressed/MJPEG
+    AVI demuxes in pure Python. Returns None for unrecognized payloads
+    (callers fall back to the byte-chunk stand-in); raises for real
+    video containers that need a missing codec or carry no video frames
+    — silent garbage is worse than an error."""
     if not _is_video_container(data):
         return None
     if _av is not None:
+        out: list[tuple[int, bytes]] = []
         with _av.open(io.BytesIO(data)) as container:
             stream = container.streams.video[0]
-            return [f.to_ndarray(format="rgb24").tobytes() for f in container.decode(stream)]
+            for idx, frame in enumerate(container.decode(stream)):
+                if idx % every_n == 0:
+                    out.append((idx, frame.to_ndarray(format="rgb24").tobytes()))
+        if not out:
+            raise ValueError("video container decoded to zero frames")
+        return out
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
-        return _avi_stored_frames(data)
+        return _avi_sampled_frames(data, every_n)
     raise NotImplementedError("video codec not available for this container (install av)")
 
 
@@ -275,11 +291,11 @@ def sample_frames(
             rows = []
             for rec in pdf.to_dict(orient="records"):
                 data = bytes(rec["__p"])
-                real = _real_video_frames(data)
+                real = _real_video_frames(data, every_n)
                 if real is not None:
-                    for i in range(0, len(real), every_n):
+                    for idx, frame in real:
                         rows.append(
-                            {**{c: rec[c] for c in id_list}, "frame_idx": i, "frame": real[i]}
+                            {**{c: rec[c] for c in id_list}, "frame_idx": idx, "frame": frame}
                         )
                     continue
                 n_frames = max(len(data) // frame_size, 1)

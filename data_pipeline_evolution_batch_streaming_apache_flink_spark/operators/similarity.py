@@ -24,17 +24,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot, norm
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets, fan_out
 
 
-def _collect_query_vectors(queries: DataFrame, query_id: str, vec_col: str, max_query_rows: int | None):
-    """Bounded driver collect of the (small, broadcast) query side.
-
-    The top-k operators' contract is a SMALL query set scored against an
-    arbitrarily large corpus — the query vectors ship to every executor.
-    Enforce the contract explicitly: probe with ``limit(cap + 1)`` (never
-    scans more than cap+1 rows) and fail fast with guidance instead of
-    letting a million-row "query" set OOM the driver."""
+def _check_query_cap(queries: DataFrame, query_id: str, max_query_rows: int | None) -> None:
+    """Enforce the small-query contract: probe with ``limit(cap + 1)``
+    (never scans more than cap+1 rows, collects nothing) and fail fast
+    with guidance instead of letting a million-row "query" set OOM the
+    driver."""
     if max_query_rows is not None:
         probe = queries.select(query_id).limit(max_query_rows + 1).count()
         if probe > max_query_rows:
@@ -46,6 +43,12 @@ def _collect_query_vectors(queries: DataFrame, query_id: str, vec_col: str, max_
                 "operators.similarity.bucketed_cosine_pairs), or raise "
                 "max_query_rows if the driver can genuinely hold it."
             )
+
+
+def _collect_query_vectors(queries: DataFrame, query_id: str, vec_col: str, max_query_rows: int | None):
+    """Bounded driver collect of the (small, broadcast) query side —
+    cap-checked by :func:`_check_query_cap` first."""
+    _check_query_cap(queries, query_id, max_query_rows)
     return queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv")).toPandas()
 
 
@@ -151,12 +154,15 @@ def _fit_cells(corpus: DataFrame, corpus_id: str, vec_col: str, n_cells: int, se
 
 def _probe_cells(queries: DataFrame, query_id: str, vec_col: str, cent_df: DataFrame, n_probe: int) -> DataFrame:
     """Nearest ``n_probe`` cells per query (query x n_cells — tiny cross
-    join against the broadcast centroid table)."""
+    join against the broadcast centroid table). The cell id breaks
+    distance ties so the probe set is deterministic even when k-means
+    returns equidistant (e.g. collapsed-duplicate) centroids."""
     q = queries.select(F.col(query_id).alias("qid"), F.col(vec_col).alias("__qv"))
+    w = Window.partitionBy("qid").orderBy(F.col("__d").desc(), F.col("cell").asc())
     return (
         q.crossJoin(F.broadcast(cent_df))
         .withColumn("__d", cosine("__qv", "centroid"))
-        .withColumn("__r", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("__d").desc())))
+        .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_probe)
         .select("qid", "__qv", F.col("cell").alias("__cell"))
     )
@@ -531,10 +537,12 @@ def ivf_pq_topk(
 
 
 def _l2_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(cid, __v) with __v the L2-normalized double vector — JVM-side."""
+    """(cid, __v) with __v the L2-normalized double vector — JVM-side.
+    The norm is floored at 1e-12 (same guard as the numpy paths) so an
+    all-zero embedding yields a zero vector, not NaNs into k-means."""
     return (
         df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("__raw"))
-        .withColumn("__n", norm("__raw"))
+        .withColumn("__n", F.greatest(norm("__raw"), F.lit(1e-12)))
         .select("cid", F.transform("__raw", lambda x: x.cast("double") / F.col("__n")).alias("__v"))
     )
 
@@ -564,15 +572,18 @@ def _ivfpq_probe_tables(queries, query_id, vec_col, cent_df, books, n_probe, max
     """Driver-side probe structures: for each (query, probed cell) an ADC
     lookup table of the query's subvectors against the residual codebooks
     plus the scalar q·centroid. Bounded by the small-query contract
-    (<= max_query_rows × n_probe tiny tables)."""
+    (<= max_query_rows × n_probe tiny tables; the cap check is
+    count-only). Cell-id tiebreak keeps the probe set deterministic for
+    equidistant centroids."""
     import numpy as np
 
-    _collect_query_vectors(queries, query_id, vec_col, max_query_rows)  # cap check
+    _check_query_cap(queries, query_id, max_query_rows)
     qnormed = _l2_normalized(queries, query_id, vec_col).withColumnRenamed("cid", "qid")
+    w = Window.partitionBy("qid").orderBy(F.col("__d").desc(), F.col("cell").asc())
     qprobe = (
         qnormed.crossJoin(F.broadcast(cent_df))
         .withColumn("__d", cosine("__v", "centroid"))
-        .withColumn("__r", F.row_number().over(Window.partitionBy("qid").orderBy(F.col("__d").desc())))
+        .withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= n_probe)
         .select("qid", "__v", "cell", "centroid")
         .toPandas()
@@ -590,17 +601,21 @@ def _ivfpq_probe_tables(queries, query_id, vec_col, cent_df, books, n_probe, max
 def _ivfpq_query(
     encoded, cent_df, books, queries, corpus, query_id, corpus_id,
     vec_col, k, n_probe, refine, max_query_rows,
+    probes_by_cell=None,
 ):
-    """Shared IVF-PQ probe+scan+re-rank over an encoded index."""
+    """Shared IVF-PQ probe+scan+re-rank over an encoded index. Callers
+    that already derived the probe tables (to prune the codes scan) pass
+    them in — the derivation runs exactly once either way."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    probes_by_cell = _ivfpq_probe_tables(
-        queries, query_id, vec_col, cent_df, books, n_probe, max_query_rows
-    )
+    if probes_by_cell is None:
+        probes_by_cell = _ivfpq_probe_tables(
+            queries, query_id, vec_col, cent_df, books, n_probe, max_query_rows
+        )
     bc = spark.sparkContext.broadcast(probes_by_cell)
     m = books.shape[0]
     n_keep = refine * k
@@ -706,11 +721,10 @@ def ivfpq_probe_topk(
     )
     probed = sorted(probes_by_cell)
     encoded = spark.read.parquet(path + "/codes").filter(F.col("__cell").isin(probed))
-    # _ivfpq_query re-derives the probe tables from the same deterministic
-    # inputs; the duplicate driver work is m·K-sized, negligible.
     return _ivfpq_query(
         encoded, cent_df, books, queries, corpus, query_id, corpus_id,
         vec_col, k, n_probe, refine, max_query_rows,
+        probes_by_cell=probes_by_cell,
     )
 
 
@@ -757,18 +771,7 @@ def bucketed_cosine_pairs(
     # across self-join sides), and the shuffle would carry every vector
     # twice. __id is the struct's first field, so least/greatest order
     # pairs by id.
-    if max_bucket is not None:
-        # Drop oversize buckets BEFORE collect_list, while they are still
-        # individual (spillable) rows — a post-collect filter would have
-        # materialized the K-element array it exists to prevent. The window
-        # hash-partitions on (tbl, bucket), so the groupBy below reuses the
-        # exchange: still one shuffle, and the hash stage still runs once.
-        w_b = Window.partitionBy("tbl", "bucket")
-        hashed = (
-            hashed.withColumn("__bn", F.count("*").over(w_b))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
+    hashed = cap_buckets(hashed, ("tbl", "bucket"), max_bucket)
     buckets = (
         hashed.groupBy("tbl", "bucket")
         .agg(F.collect_list(F.struct("__id", "__v")).alias("__xs"))

@@ -2,7 +2,27 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cap_buckets(df: DataFrame, bucket_cols: tuple[str, ...], max_bucket: int | None) -> DataFrame:
+    """Drop rows belonging to buckets larger than ``max_bucket`` BEFORE
+    any collect_list aggregation — the adversarial-bucket guard shared by
+    the LSH candidate generators. The window count runs while bucket
+    members are still individual (spillable) rows, and its hash
+    partitioning on ``bucket_cols`` satisfies the downstream groupBy's
+    distribution requirement, so the guard costs an in-partition sort but
+    never a second exchange (plan-pinned in tests/test_scale.py).
+    No-op when ``max_bucket`` is None."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        df.withColumn("__bn", F.count("*").over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -151,3 +151,18 @@ def test_take_per_stratum_exact_counts_and_layout_independence(spark):
     assert {(r["lang"], r["doc_id"]) for r in again} == {(r["lang"], r["doc_id"]) for r in picked}
     counted = take_per_stratum(df, "lang", 10, "doc_id", counts={"en": 3}).collect()
     assert [r["lang"] for r in counted] == ["en"] * 3  # zh absent: default 0
+
+
+def test_global_running_sum_with_negative_values(spark):
+    """Partition offsets must come from per-partition SUMS, not the max
+    of the cumulative sum — signed deltas would otherwise inflate every
+    later partition's offset."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import global_running_sum
+
+    vals = [5, -3, 7, -10, 2, 6, -1, 4]
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, v long")
+    got = {r["i"]: r["running"] for r in global_running_sum(df, "i", "v", num_partitions=3).collect()}
+    acc = 0
+    for i, v in enumerate(vals):
+        acc += v
+        assert got[i] == acc, (i, got[i], acc)

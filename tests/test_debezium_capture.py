@@ -90,6 +90,21 @@ def test_capture_decimal_handling(capture):
     assert by_op[("r", 1)]["discount"] is None
 
 
+def test_decimal_over_8_bytes_decodes_null_not_garbage(spark):
+    """conv() wraps past 8 bytes, so a 9+-byte unscaled payload must
+    decode to NULL — never a silently wrapped value."""
+    import base64
+
+    from decimal import Decimal
+
+    v_big = 10 ** 20  # 9 bytes
+    b9 = base64.b64encode(v_big.to_bytes(9, "big", signed=True)).decode()
+    ok = base64.b64encode((1250).to_bytes(2, "big", signed=True)).decode()
+    df = spark.createDataFrame([(b9,), (ok,), (None,)], "b string")
+    got = [r[0] for r in df.select(debezium_decimal("b", 2)).collect()]
+    assert got == [None, Decimal("12.50"), None]
+
+
 def test_schema_drift_tolerance(spark):
     """Upstream schema drift must not break the decoder: a NEW upstream
     column (added after our row schema was written) is ignored, and a

@@ -160,6 +160,33 @@ def test_dedup_lines_boilerplate_removal(spark):
     assert out[3] == ""                           # nothing new
 
 
+def test_dedup_lines_literal_separator(spark):
+    """A regex-metacharacter separator ('|') must behave as a literal:
+    split and reassembly agree, no per-character explosion."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "alpha|shared|beta"), (2, "shared|gamma")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, "doc_id", "text", sep="|").collect()}
+    assert out[1] == "alpha|shared|beta"
+    assert out[2] == "gamma"
+
+
+def test_sample_frames_audio_only_avi_raises(spark):
+    """An AVI with no video chunks must error, not silently vanish from
+    the output."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import sample_frames
+
+    movi_body = b"movi" + b"00wb" + (4).to_bytes(4, "little") + b"AUDI"
+    movi = b"LIST" + len(movi_body).to_bytes(4, "little") + movi_body
+    riff_body = b"AVI " + movi
+    avi = b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+    df = spark.createDataFrame([(1, avi)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="no video stream chunks"):
+        sample_frames(df, every_n=1).collect()
+
+
 def test_contamination_and_decontaminate(spark):
     """A train doc containing a benchmark sentence verbatim is flagged
     (and dropped); clean docs survive untouched."""
