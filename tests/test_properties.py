@@ -223,3 +223,31 @@ def test_debezium_decimal_roundtrip(spark, vals, scale):
     got = {r["i"]: r["d"] for r in df.select("i", debezium_decimal("b", scale).alias("d")).collect()}
     for i, v in enumerate(vals):
         assert got[i] == Decimal(v) / (10 ** scale), (v, scale, got[i])
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_dedup_lines_matches_sequential_reference(spark, docs):
+    """Corpus-wide first-occurrence line dedup must equal the obvious
+    sequential algorithm for any line distribution (tiny line alphabet →
+    heavy cross-doc and in-doc collisions)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import dedup_lines
+
+    rows = [(i, "\n".join(f"line{x}" for x in ls)) for i, ls in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df, "doc_id", "text").collect()}
+    seen: set[str] = set()
+    for i, ls in enumerate(docs):
+        kept = []
+        for x in ls:
+            line = f"line{x}"
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        assert got[i] == "\n".join(kept), (i, got[i], kept)
