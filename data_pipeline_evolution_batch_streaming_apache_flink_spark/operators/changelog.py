@@ -46,3 +46,67 @@ def latest_per_key(
     if op_col is not None:
         compacted = compacted.filter(~F.col(op_col).isin(*delete_ops))
     return compacted
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: str | list[str],
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Derive a changelog from two table snapshots: the inverse of
+    :func:`latest_per_key`. Emits one row per changed key with
+    ``op`` = ``'I'`` (key only in ``new``), ``'U'`` (key in both, any
+    compared column differs), ``'D'`` (key only in ``old``); unchanged
+    keys are dropped. Non-key output columns carry the NEW values for
+    I/U and the OLD values for D (the delete before-image, mirroring
+    REPLICA IDENTITY FULL — reference scripts/load_dims.sql:59-63).
+
+    This is snapshot-based CDC for sources with no WAL access: diff
+    yesterday's ingest against today's and feed the result to the same
+    upsert sinks a live Debezium stream feeds.
+
+    ``compare`` defaults to all shared non-key columns. Column equality
+    is NULL-safe (``IS DISTINCT FROM``) per column — no row-hash, so an
+    external engine classifies identically (and at scale Spark prunes
+    the unread columns instead of hashing whole rows).
+
+    One full-outer sort-merge join on the key — both sides shuffle once
+    on the same key, nothing else moves. Keys must be unique per
+    snapshot (it is a state diff, not a multiset diff).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    shared = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    compare = shared if compare is None else list(compare)
+    missing = [c for c in compare if c not in shared]
+    if missing:
+        raise ValueError(f"compare columns not in both snapshots: {missing}")
+
+    # presence flags: full_outer coalesces the key columns, so detect
+    # which side a row came from via a constant marker column per side.
+    o = old.select(*keys, F.lit(1).alias("__in_o"),
+                   *[F.col(c).alias(f"__o_{c}") for c in shared])
+    n = new.select(*keys, F.lit(1).alias("__in_n"),
+                   *[F.col(c).alias(f"__n_{c}") for c in shared])
+    joined = o.join(n, keys, "full_outer")
+    in_old = F.col("__in_o").isNotNull()
+    in_new = F.col("__in_n").isNotNull()
+
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+
+    op = (
+        F.when(in_new & ~in_old, F.lit("I"))
+        .when(in_old & ~in_new, F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    out_cols = [
+        F.when(F.col("__op") == "D", F.col(f"__o_{c}")).otherwise(F.col(f"__n_{c}")).alias(c)
+        for c in shared
+    ]
+    return (
+        joined.withColumn("__op", op)
+        .filter(F.col("__op").isNotNull())
+        .select(*keys, *out_cols, F.col("__op").alias("op"))
+    )

@@ -136,6 +136,29 @@ def stratified_sample(
     return df.filter(sample_hash(id_col) < rate * F.lit(float(_MOD)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    rate: float,
+    id_col: str,
+) -> DataFrame:
+    """Quality-weighted Poisson sampling: keep each row independently
+    with probability ``min(1, weight * rate)``, decided by the same
+    deterministic hash threshold as :func:`stratified_sample` — the
+    standard curation move of up-weighting high-quality documents in a
+    pretraining mixture with CONTINUOUS per-row weights (a quality-model
+    score) rather than per-stratum rates.
+
+    Map-side only (zero shuffle), reproducible across engines, retries
+    and layouts; negative/null weights mean probability 0. The expected
+    output size is ``sum(clamp(w * rate))`` rows — callers tune ``rate``
+    against the weight scale, they do not get a fixed-size sample (use
+    :func:`take_per_stratum` for exact counts)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    prob = F.least(F.greatest(w.cast("double") * F.lit(float(rate)), F.lit(0.0)), F.lit(1.0))
+    return df.filter(sample_hash(id_col) < prob * F.lit(float(_MOD)))
+
+
 def take_per_stratum(
     df: DataFrame,
     stratum_col: str,

@@ -1,0 +1,122 @@
+"""Declarative data-quality validation (expectations suite).
+
+A production ingest pipeline gates every batch on contract checks —
+null-ness, key uniqueness, value ranges/sets/patterns, referential
+integrity — before the data reaches training. The reference keeps its
+contracts implicit in DDL column types (``flink-applications/*.json``);
+at 100 TB the checks must be explicit, cheap and auditable.
+
+Scale shape:
+
+- every ROW-LOCAL check (not-null / range / set / regex) and every
+  UNIQUENESS check compiles into ONE aggregate over ONE scan of the
+  table: violations are ``sum(when(violation, 1))`` and uniqueness is
+  ``count(*) - count(distinct struct(keys))`` — all map-side partial
+  aggregation, one exchange of a single row.
+- each REFERENTIAL check adds one broadcast anti-join count (dimension
+  side deduplicated then broadcast — no fact shuffle).
+- the result is a tiny DataFrame (one row per expectation), not a
+  driver-side report: it composes into gates
+  (``.filter(~passed).count() == 0``) or writes next to the batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "expect_not_null", "expect_range", "expect_in_set", "expect_regex",
+    "expect_unique", "validate_expectations",
+]
+
+
+def expect_not_null(col: str, name: str | None = None) -> dict:
+    return {"name": name or f"not_null_{col}", "kind": "not_null",
+            "violation": F.col(col).isNull()}
+
+
+def expect_range(col: str, lo, hi, name: str | None = None) -> dict:
+    """Violated when the value is NULL or outside [lo, hi]."""
+    c = F.col(col)
+    return {"name": name or f"range_{col}", "kind": "range",
+            "violation": c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))}
+
+
+def expect_in_set(col: str, values, name: str | None = None) -> dict:
+    """Violated when the value is NULL or not one of ``values``."""
+    c = F.col(col)
+    return {"name": name or f"in_set_{col}", "kind": "in_set",
+            "violation": c.isNull() | ~c.isin(list(values))}
+
+
+def expect_regex(col: str, pattern: str, name: str | None = None) -> dict:
+    """Violated when the value is NULL or does not match ``pattern``
+    (keep the pattern RE2-safe if an external oracle must agree)."""
+    c = F.col(col)
+    return {"name": name or f"regex_{col}", "kind": "regex",
+            "violation": c.isNull() | ~c.rlike(pattern)}
+
+
+def expect_unique(*cols: str, name: str | None = None) -> dict:
+    """Violations = rows in excess of one per key tuple (0 when the key
+    is unique). NULL keys participate as ordinary values (the struct
+    wrapper keeps null-field tuples countable)."""
+    return {"name": name or "unique_" + "_".join(cols), "kind": "unique",
+            "cols": list(cols)}
+
+
+def validate_expectations(
+    df: DataFrame,
+    checks: list[dict],
+    references: list[tuple[str, DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Evaluate every expectation and return one row per check:
+    ``(check, kind, violations, total, passed)``.
+
+    ``checks`` come from the ``expect_*`` builders. ``references`` is a
+    list of ``(fact_col, dim_df, dim_col)`` foreign-key checks —
+    violated by non-NULL fact values with no match in the dimension
+    (SQL FK semantics: NULLs pass). Row-local and uniqueness checks
+    share one scan; each FK adds one broadcast anti-join.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
+    for i, c in enumerate(checks):
+        if c["kind"] == "unique":
+            agg = F.count(F.lit(1)) - F.count_distinct(F.struct(*c["cols"]))
+        else:
+            agg = F.sum(F.when(c["violation"], F.lit(1)).otherwise(F.lit(0)))
+        aggs.append(agg.alias(f"__v{i}"))
+    base = df.agg(*aggs)
+
+    entries = [
+        F.struct(
+            F.lit(c["name"]).alias("check"),
+            F.lit(c["kind"]).alias("kind"),
+            F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("long").alias("violations"),
+            F.col("__total").cast("long").alias("total"),
+        )
+        for i, c in enumerate(checks)
+    ]
+    out = base.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+    for fact_col, dim_df, dim_col in references or []:
+        dim_keys = F.broadcast(
+            dim_df.select(F.col(dim_col).alias(fact_col)).distinct()
+        )
+        anti = (
+            df.filter(F.col(fact_col).isNotNull())
+            .join(dim_keys, fact_col, "left_anti")
+            .agg(F.count(F.lit(1)).alias("violations"))
+        )
+        row = (
+            anti.crossJoin(base.select(F.col("__total").cast("long").alias("total")))
+            .select(
+                F.lit(f"references_{fact_col}").alias("check"),
+                F.lit("references").alias("kind"),
+                F.col("violations").cast("long").alias("violations"),
+                "total",
+            )
+        )
+        out = out.unionByName(row)
+
+    return out.withColumn("passed", F.col("violations") == 0)

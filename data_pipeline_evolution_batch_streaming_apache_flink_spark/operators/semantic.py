@@ -1,0 +1,130 @@
+"""Semantic deduplication (SemDeDup-style, Abbas et al. 2023):
+cluster embeddings, then remove near-duplicates WITHIN each cluster.
+
+The scalable alternative to the exact all-pairs embedding dedup
+(``dedup.embedding_cosine_pairs``, a blocked O(n^2) scan): clustering
+first makes the quadratic stage local to each (small) cluster, so total
+pair work is ``sum(|cluster|^2)`` instead of ``n^2`` — the trade the
+SemDeDup paper makes on billion-document corpora.
+
+Everything is deterministic and engine-reproducible (it ships a DuckDB
+oracle twin), which forces two departures from the paper's k-means:
+
+- **exemplar clustering, not iterative k-means**: the ``k`` cluster
+  centers are the rows with the smallest content-independent sampling
+  hash (``curation.sample_hash`` of the id — a uniform random-but-
+  reproducible draw). Every vector joins the broadcast exemplar set and
+  takes the highest-cosine exemplar (round-6, id tiebreak). One
+  broadcast join, no iteration, no floating-point accumulation order
+  issues.
+- **keep-first, not keep-centroid-closest**: within a cluster, a row is
+  dropped iff some LOWER-id row in the same cluster has cosine >=
+  threshold to it. First-occurrence-wins matches the engine's other
+  dedup operators (``dedup_lines``, ``exact_dedup``).
+
+Scale shape: exemplar selection is a global top-k (tiny), assignment is
+a map-side broadcast join + ``max_by`` (one partial-aggregated shuffle
+on the row id), the pair stage is an equi-join on ``cluster`` (one
+shuffle), and the final removal is a broadcast-able anti-join.
+``max_cluster`` bounds the quadratic stage against adversarial
+all-identical corpora, mirroring ``max_bucket`` on the LSH operators:
+oversize clusters are dropped from PAIR GENERATION (their rows are all
+kept — recall trade, never a blow-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import vectors as V
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import sample_hash
+
+__all__ = ["assign_clusters", "semantic_dedup"]
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Assign every row to its nearest of ``k`` deterministic exemplars.
+
+    Exemplars are the ``k`` rows with the smallest
+    ``(sample_hash(id), id)`` — a reproducible uniform draw, computed
+    with one global top-k (the sort output is ``k`` rows, never a
+    collect). Assignment packs the exemplars into ONE broadcast row
+    (id-sorted array of ``{id, vec}`` structs) and folds over it
+    per input row — highest round-6 cosine wins, smallest exemplar id
+    on ties. Zero shuffles: the assignment is a pure projection, which
+    is what survives 100 TB (the broadcast-join + re-aggregate
+    formulation would shuffle the full vector payload once).
+
+    Returns the input plus a ``cluster`` column (the exemplar's id).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    exemplars = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .orderBy(sample_hash("id"), F.col("id"))
+        .limit(k)
+        .agg(F.array_sort(F.collect_list(F.struct("id", "vec"))).alias("__exs"))
+    )
+
+    def _fold_step(acc, e):
+        cos6 = F.round(V.cosine(F.col(vec_col), e["vec"]), 6)
+        better = cos6 > acc["bcos"]
+        return F.when(
+            better, F.struct(e["id"].alias("bid"), cos6.alias("bcos"))
+        ).otherwise(acc)
+
+    init = F.struct(
+        F.lit(None).cast("long").alias("bid"), F.lit(-2.0).alias("bcos")
+    )
+    best = F.aggregate(F.col("__exs"), init, _fold_step)
+    return (
+        df.crossJoin(F.broadcast(exemplars))
+        .withColumn("cluster", best["bid"])
+        .drop("__exs")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    threshold: float,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup: cluster by exemplar, drop within-cluster near-dups.
+
+    A row is removed iff a lower-id row in the SAME cluster has cosine
+    >= ``threshold`` (round-6) to it. Returns the kept rows with their
+    ``cluster`` assignment (all input columns preserved).
+
+    ``max_cluster`` skips pair generation for clusters larger than that
+    many rows (rows kept, never dropped) — the adversarial guard for
+    corpora where one cluster swallows everything.
+    """
+    assigned = assign_clusters(df, id_col, vec_col, k)
+
+    pair_src = assigned.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec"), "cluster"
+    )
+    if max_cluster is not None:
+        n = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        pair_src = pair_src.withColumn("__csize", n).filter(
+            F.col("__csize") <= max_cluster
+        ).drop("__csize")
+
+    a = pair_src.select(F.col("__pid").alias("__id_a"), F.col("__pvec").alias("__va"), "cluster")
+    b = pair_src.select(F.col("__pid").alias("__id_b"), F.col("__pvec").alias("__vb"), "cluster")
+    doomed = (
+        a.join(b, "cluster")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(F.round(V.cosine("__va", "__vb"), 6) >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(doomed, id_col, "left_anti")

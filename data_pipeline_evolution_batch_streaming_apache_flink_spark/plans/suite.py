@@ -35,13 +35,25 @@ from pyspark.sql import functions as F
 import data_pipeline_evolution_batch_streaming_apache_flink_spark.functions as FN
 from data_pipeline_evolution_batch_streaming_apache_flink_spark import tune_for_oracle
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key, snapshot_diff
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
     pack_sequences,
     scrub_pii,
     stratified_sample,
     take_per_stratum,
+    weighted_sample,
 )
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.fuzzy import fuzzy_self_join
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import bucketize, zvalue2
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import (
+    expect_in_set,
+    expect_not_null,
+    expect_range,
+    expect_regex,
+    expect_unique,
+    validate_expectations,
+)
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.semantic import semantic_dedup
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
     contamination_pairs,
     decontaminate,
@@ -991,6 +1003,90 @@ def q_median_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance entity resolution: q-gram-blocked Levenshtein
+    self-join over the distinct part-name vocabulary (lossless blocking
+    — oracle is the brute-force quadratic join)."""
+    t = load_tables(spark, sf, ("part",))
+    names = t["part"].select("p_name").distinct()
+    return fuzzy_self_join(names, "p_name", max_dist=2).select(
+        F.col("text_a").alias("name_a"),
+        F.col("text_b").alias("name_b"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+def q_expectations_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality gate: 6 expectations (null/unique/range/set/regex/FK)
+    over orders in one scan + one broadcast anti-join. The range, set and
+    composite-unique checks intentionally have nonzero violations at this
+    SF so the counts are exercised, not vacuously zero."""
+    t = load_tables(spark, sf, ("orders", "customer"))
+    return validate_expectations(
+        t["orders"],
+        [
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_unique("o_custkey", "o_orderdate"),
+            expect_range("o_totalprice", 0.0, 400000.0),
+            expect_in_set("o_orderstatus", ["O", "F"]),
+            expect_regex("o_orderpriority", "^[1-5]-"),
+        ],
+        references=[("o_custkey", t["customer"], "c_custkey")],
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-based CDC: diff two deterministic snapshots of orders
+    (inserts = keys only in new, deletes = keys only in old, updates =
+    price bump on keys divisible by 3) into an I/U/D changelog."""
+    t = load_tables(spark, sf, ("orders",))
+    orders = t["orders"]
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(10.0))
+        .otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted Poisson sampling over events: inclusion
+    probability min(1, value * 0.002) via the deterministic hash
+    threshold — zero shuffle, reproducible at any layout."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select(
+        "event_id", "user_id", "event_type", F.col("value").alias("value")
+    )
+    return weighted_sample(ev, "value", 0.002, "event_id")
+
+
+def q_zorder_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton (Z-order) clustering key for 2-D data skipping on events
+    (user x event-time): pure 64-bit bit math, reproducible by any
+    engine. ``zorder_write`` range-sorts on this value; file-footer
+    skipping is asserted in tests/test_layout.py."""
+    t = load_tables(spark, sf, ("events",))
+    xb = bucketize("user_id", 0.0, 2048.0)
+    yb = bucketize(_millis("ts"), 1704067200000.0, 1706745600000.0)
+    return t["events"].select(
+        "event_id",
+        xb.alias("x_bucket"),
+        yb.alias("y_bucket"),
+        zvalue2(xb, yb).alias("zval"),
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup: deterministic exemplar clustering (k=8) over the
+    embeddings, then keep-first removal of within-cluster pairs with
+    round-6 cosine >= 0.45. Returns kept (vec_id, cluster)."""
+    t = load_tables(spark, sf, ("embeddings",))
+    kept = semantic_dedup(t["embeddings"], "vec_id", "embedding", k=8, threshold=0.45)
+    return kept.select("vec_id", "cluster")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "enriched_orders": q_enriched_orders,
@@ -1050,6 +1146,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hourly_spine_gapfill": q_hourly_spine_gapfill,
     "vector_normalize": q_vector_normalize,
     "json_props_stats": q_json_props_stats,
+    "fuzzy_join": q_fuzzy_join,
+    "expectations_check": q_expectations_check,
+    "snapshot_diff": q_snapshot_diff,
+    "weighted_sample": q_weighted_sample,
+    "zorder_index": q_zorder_index,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -1795,3 +1897,166 @@ FROM documents d
 WHERE d.doc_id NOT IN (SELECT node FROM drops)
 """
 )
+
+
+# fuzzy_join: the oracle is the brute-force quadratic Levenshtein join the
+# q-gram blocking must reproduce losslessly (count-filtering bound).
+ORACLE["fuzzy_join"] = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM n a JOIN n b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+# expectations_check: each expectation restated as a scalar count.
+ORACLE["expectations_check"] = """
+WITH t AS (SELECT count(*) AS total FROM orders),
+v AS (
+  SELECT 'not_null_o_orderkey' AS "check", 'not_null' AS kind,
+         (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+  UNION ALL
+  SELECT 'unique_o_orderkey', 'unique',
+         (SELECT count(*) - count(DISTINCT struct_pack(k := o_orderkey)) FROM orders)
+  UNION ALL
+  SELECT 'unique_o_custkey_o_orderdate', 'unique',
+         (SELECT count(*) - count(DISTINCT struct_pack(a := o_custkey, b := o_orderdate)) FROM orders)
+  UNION ALL
+  SELECT 'range_o_totalprice', 'range',
+         (SELECT count(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 400000.0)
+  UNION ALL
+  SELECT 'in_set_o_orderstatus', 'in_set',
+         (SELECT count(*) FROM orders
+          WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F'))
+  UNION ALL
+  SELECT 'regex_o_orderpriority', 'regex',
+         (SELECT count(*) FROM orders
+          WHERE o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+  UNION ALL
+  SELECT 'references_o_custkey', 'references',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+)
+SELECT v."check", v.kind, v.violations, t.total, v.violations = 0 AS passed
+FROM v, t
+"""
+
+# snapshot_diff: full-outer state diff of two deterministic snapshots.
+ORACLE["snapshot_diff"] = """
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+new AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN n.o_custkey
+       WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+  CASE WHEN o.o_orderkey IS NULL THEN n.o_orderstatus
+       WHEN n.o_orderkey IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END AS o_orderstatus,
+  CASE WHEN o.o_orderkey IS NULL THEN n.o_totalprice
+       WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE n.o_totalprice END AS o_totalprice,
+  CASE WHEN o.o_orderkey IS NULL THEN n.o_orderdate
+       WHEN n.o_orderkey IS NULL THEN o.o_orderdate ELSE n.o_orderdate END AS o_orderdate,
+  CASE WHEN o.o_orderkey IS NULL THEN n.o_orderpriority
+       WHEN n.o_orderkey IS NULL THEN o.o_orderpriority ELSE n.o_orderpriority END AS o_orderpriority,
+  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+       WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_custkey IS DISTINCT FROM n.o_custkey
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+   OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+"""
+
+# weighted_sample: the deterministic Knuth hash threshold with a
+# continuous per-row probability min(1, value * rate).
+ORACLE["weighted_sample"] = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE ((event_id % 2147483648) * 2654435761) % 4294967296
+      < least(greatest(value * 0.002, 0.0), 1.0) * 4294967296.0
+"""
+
+
+def _sql_zorder(events_expr_x: str, events_expr_y: str,
+                xlo: float, xhi: float, ylo: float, yhi: float) -> str:
+    """DuckDB twin of layout.bucketize + layout.zvalue2: identical IEEE
+    bucket arithmetic, identical magic-mask bit spread."""
+    n = 65536
+    def bucket(expr: str, lo: float, hi: float) -> str:
+        return (
+            f"CAST(coalesce(least(greatest(CAST(floor((CAST({expr} AS DOUBLE) - {lo!r}) * "
+            f"({float(n)!r} / ({hi!r} - {lo!r}))) AS BIGINT), 0), {n - 1}), 0) AS BIGINT)"
+        )
+    return f"""
+WITH e AS (
+  SELECT event_id, {bucket(events_expr_x, xlo, xhi)} AS xb,
+         {bucket(events_expr_y, ylo, yhi)} AS yb
+  FROM events
+),
+s1 AS (SELECT event_id, xb, yb,
+              (xb | (xb << 8)) & 16711935 AS xs, (yb | (yb << 8)) & 16711935 AS ys FROM e),
+s2 AS (SELECT event_id, xb, yb,
+              (xs | (xs << 4)) & 252645135 AS xs, (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+s3 AS (SELECT event_id, xb, yb,
+              (xs | (xs << 2)) & 858993459 AS xs, (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+s4 AS (SELECT event_id, xb, yb,
+              (xs | (xs << 1)) & 1431655765 AS xs, (ys | (ys << 1)) & 1431655765 AS ys FROM s3)
+SELECT event_id, xb AS x_bucket, yb AS y_bucket, (xs | (ys << 1)) AS zval FROM s4
+"""
+
+
+ORACLE["zorder_index"] = _sql_zorder(
+    "user_id", "epoch_ms(ts)", 0.0, 2048.0, 1704067200000.0, 1706745600000.0
+)
+
+# semantic_dedup: exemplar selection by the same Knuth sampling hash,
+# nearest-exemplar assignment (round-6 cosine, id tiebreak), keep-first
+# within-cluster removal at the same threshold.
+ORACLE["semantic_dedup"] = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+),
+ex AS (
+  SELECT vec_id AS ex_id, e AS ex_e FROM v
+  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id
+  LIMIT 8
+),
+scored AS (
+  SELECT v.vec_id, ex.ex_id,
+    round(
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v.e) + 1), i -> v.e[i] * ex.ex_e[i])), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v.e) + 1), i -> v.e[i] * v.e[i])), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(v.e) + 1), i -> ex.ex_e[i] * ex.ex_e[i])), (x, y) -> x + y))),
+      6) AS cos6
+  FROM v, ex
+),
+assign AS (
+  SELECT vec_id, ex_id AS cluster FROM (
+    SELECT vec_id, ex_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, ex_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+doomed AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round(
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(va.e) + 1), i -> va.e[i] * vb.e[i])), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(va.e) + 1), i -> va.e[i] * va.e[i])), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(vb.e) + 1), i -> vb.e[i] * vb.e[i])), (x, y) -> x + y))),
+      6) >= 0.45
+)
+SELECT a.vec_id, a.cluster FROM assign a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM doomed)
+"""

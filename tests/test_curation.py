@@ -166,3 +166,30 @@ def test_global_running_sum_with_negative_values(spark):
     for i, v in enumerate(vals):
         acc += v
         assert got[i] == acc, (i, got[i], acc)
+
+
+def test_weighted_sample_clamps_and_is_deterministic(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import sample_hash, weighted_sample
+
+    rows = [(i, w) for i, w in enumerate([-1.0, 0.0, 0.5, 2.0, 1e9, None] * 40)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = {r["id"] for r in weighted_sample(df, "w", 0.5, "id").collect()}
+    # negative / zero / NULL weights can never be sampled
+    assert all(i % 6 not in (0, 1, 5) for i in kept)
+    # probability clamps at 1: huge weights always survive
+    assert all(i in kept for i in range(len(rows)) if i % 6 == 4)
+    # layout independence
+    again = {r["id"] for r in weighted_sample(df.repartition(7), "w", 0.5, "id").collect()}
+    assert kept == again
+    # keep decision matches the explicit threshold formula per row
+    import pyspark.sql.functions as SF
+    manual = {
+        r["id"]
+        for r in df.withColumn("h", sample_hash("id"))
+        .filter(
+            SF.col("h")
+            < SF.least(SF.greatest(SF.col("w") * 0.5, SF.lit(0.0)), SF.lit(1.0)) * 4294967296.0
+        )
+        .collect()
+    }
+    assert kept == manual

@@ -1,0 +1,87 @@
+"""Data-quality expectations: violation counts, FK semantics, gating."""
+
+from __future__ import annotations
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import (
+    expect_in_set,
+    expect_not_null,
+    expect_range,
+    expect_regex,
+    expect_unique,
+    validate_expectations,
+)
+
+
+def _results(df):
+    return {r["check"]: r.asDict() for r in df.collect()}
+
+
+def test_expectations_count_violations_exactly(spark):
+    rows = [
+        (1, "a", 10.0),
+        (2, "b", -1.0),      # range violation
+        (2, "c", 5.0),       # duplicate id
+        (None, "a", 50.0),   # null id
+        (4, "zz", None),     # set violation + null range violation
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, x double")
+    out = validate_expectations(
+        df,
+        [
+            expect_not_null("id"),
+            expect_unique("id"),
+            expect_range("x", 0.0, 100.0),
+            expect_in_set("cat", ["a", "b", "c"]),
+            expect_regex("cat", "^[a-c]$"),
+        ],
+    )
+    r = _results(out)
+    assert r["not_null_id"]["violations"] == 1
+    # 5 rows, distinct id tuples = {1, 2, None, 4} -> 4; one excess row
+    assert r["unique_id"]["violations"] == 1
+    assert r["range_x"]["violations"] == 2  # -1.0 and NULL
+    assert r["in_set_cat"]["violations"] == 1
+    assert r["regex_cat"]["violations"] == 1
+    assert all(v["total"] == 5 for v in r.values())
+    assert not r["range_x"]["passed"] and not r["unique_id"]["passed"]
+
+
+def test_fk_reference_nulls_pass_and_orphans_fail(spark):
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, None), (4, 99)], "id long, fk int"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k int")
+    out = validate_expectations(
+        fact, [expect_not_null("id")], references=[("fk", dim, "k")]
+    )
+    r = _results(out)
+    # SQL FK semantics: NULL passes, 99 is the only orphan
+    assert r["references_fk"]["violations"] == 1
+    assert r["references_fk"]["total"] == 4
+    assert r["references_fk"]["kind"] == "references"
+
+
+def test_expectations_gate_composition(spark):
+    """The result composes into a boolean batch gate without a report
+    round-trip: failed-check count is just a filter+count."""
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = validate_expectations(df, [expect_not_null("id"), expect_unique("id")])
+    assert out.filter(~out.passed).count() == 0
+
+
+def test_expectations_single_scan_for_row_checks(spark, sf_dir):
+    """All row-local + uniqueness checks must compile into ONE aggregate
+    over one scan: exactly one parquet scan in the plan when no FK checks
+    are requested."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = validate_expectations(
+        orders,
+        [
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_range("o_totalprice", 0.0, 1e6),
+            expect_in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
