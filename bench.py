@@ -53,6 +53,12 @@ BENCH_QUERIES = (
     "bm25_scores",
     "dedup_lines",
     "curation_pipeline",
+    "fuzzy_join",
+    "expectations_check",
+    "snapshot_diff",
+    "weighted_sample",
+    "zorder_index",
+    "semantic_dedup",
 )
 
 
