@@ -59,6 +59,8 @@ BENCH_QUERIES = (
     "weighted_sample",
     "zorder_index",
     "semantic_dedup",
+    "rolling_features",
+    "incremental_agg",
 )
 
 

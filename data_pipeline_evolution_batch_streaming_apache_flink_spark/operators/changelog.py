@@ -53,6 +53,7 @@ def snapshot_diff(
     new: DataFrame,
     keys: str | list[str],
     compare: list[str] | None = None,
+    include_before: bool = False,
 ) -> DataFrame:
     """Derive a changelog from two table snapshots: the inverse of
     :func:`latest_per_key`. Emits one row per changed key with
@@ -70,6 +71,12 @@ def snapshot_diff(
     is NULL-safe (``IS DISTINCT FROM``) per column — no row-hash, so an
     external engine classifies identically (and at scale Spark prunes
     the unread columns instead of hashing whole rows).
+
+    ``include_before`` additionally emits every shared column's OLD value
+    as ``<col>_before`` (NULL for inserts) — the retraction half a
+    downstream incremental-aggregation consumer needs
+    (:func:`incremental_sum_count`), mirroring a Flink retract stream /
+    Debezium ``before`` block.
 
     One full-outer sort-merge join on the key — both sides shuffle once
     on the same key, nothing else moves. Keys must be unique per
@@ -105,8 +112,77 @@ def snapshot_diff(
         F.when(F.col("__op") == "D", F.col(f"__o_{c}")).otherwise(F.col(f"__n_{c}")).alias(c)
         for c in shared
     ]
+    before_cols = (
+        [F.col(f"__o_{c}").alias(f"{c}_before") for c in shared] if include_before else []
+    )
     return (
         joined.withColumn("__op", op)
         .filter(F.col("__op").isNotNull())
-        .select(*keys, *out_cols, F.col("__op").alias("op"))
+        .select(*keys, *out_cols, *before_cols, F.col("__op").alias("op"))
+    )
+
+
+def incremental_sum_count(
+    prev: DataFrame,
+    diff: DataFrame,
+    group_cols: str | list[str],
+    value_col: str,
+    sum_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Maintain ``groupBy(group_cols).agg(sum(value), count(*))`` from a
+    changelog instead of a full rescan: yesterday's 100 TB aggregate plus
+    today's (small) :func:`snapshot_diff` output — computed with
+    ``include_before=True`` — yields today's aggregate exactly.
+
+    SUM and COUNT are self-maintainable under insert/update/delete:
+    inserts and update-after images contribute ``(+value, +1)`` to their
+    (new) group, deletes and update-before images contribute
+    ``(-value, -1)`` to their (old) group — so a row that MOVES between
+    groups settles both sides. MIN/MAX are not maintainable under
+    deletes without re-scanning the affected group; they are
+    deliberately absent.
+
+    Groups whose maintained count reaches 0 are dropped (the group
+    disappeared). Cost: one aggregation of the diff (proportional to the
+    CHANGE volume, not the table) + one outer join against the previous
+    aggregate on the group key. ``value_col`` must be exact-additive for
+    cross-engine reproducibility — integers/cents, not raw doubles
+    (sums of doubles are order-dependent).
+
+    Equality with the full recompute over the new snapshot is the
+    oracle-checked ``incremental_agg`` suite query and
+    ``tests/test_snapshot_diff.py``.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+    plus = diff.filter(F.col("op").isin("I", "U")).select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        F.lit(1).cast("long").alias("__n"),
+    )
+    minus = diff.filter(F.col("op").isin("D", "U")).select(
+        *[
+            F.when(F.col("op") == "U", F.col(f"{c}_before")).otherwise(F.col(c)).alias(c)
+            for c in group_cols
+        ],
+        (
+            -F.when(F.col("op") == "U", F.col(f"{value_col}_before")).otherwise(F.col(value_col))
+        ).alias("__v"),
+        F.lit(-1).cast("long").alias("__n"),
+    )
+    delta = (
+        plus.unionByName(minus)
+        .groupBy(*group_cols)
+        .agg(F.sum("__v").alias("__dv"), F.sum("__n").alias("__dn"))
+    )
+    merged = prev.join(delta, group_cols, "full_outer")
+    zero = F.lit(0).cast("long")
+    return (
+        merged.select(
+            *group_cols,
+            (F.coalesce(sum_col, zero) + F.coalesce("__dv", zero)).alias(sum_col),
+            (F.coalesce(count_col, zero) + F.coalesce("__dn", zero)).alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
     )

@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 import data_pipeline_evolution_batch_streaming_apache_flink_spark.functions as FN
 from data_pipeline_evolution_batch_streaming_apache_flink_spark import tune_for_oracle
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key, snapshot_diff
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import (
+    incremental_sum_count,
+    latest_per_key,
+    snapshot_diff,
+)
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
     pack_sequences,
     scrub_pii,
@@ -1087,6 +1091,57 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return kept.select("vec_id", "cluster")
 
 
+def q_rolling_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series feature engineering: per-user 1-hour trailing window
+    (RANGE on event-time millis — all co-timestamped rows included, so
+    no tie nondeterminism) plus a previous-event delta (ROWS window with
+    a total (ts, event_id) order). One shuffle on user_id shared by both
+    windows — the feature-backfill shape of an ML feature store."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf, ("events",))
+    ms = _millis("ts")
+    rng = (
+        Window.partitionBy("user_id").orderBy(ms.alias("ms")).rangeBetween(-3600000, 0)
+    )
+    seq = Window.partitionBy("user_id").orderBy(ms, "event_id")
+    ev = t["events"].select("event_id", "user_id", "ts", "value")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(rng).alias("n_1h"),
+        F.sum(_cents("value")).over(rng).alias("sum_cents_1h"),
+        (_cents("value") - F.lag(_cents("value"), 1).over(seq)).alias("delta_cents"),
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance: yesterday's per-customer
+    aggregate + today's snapshot diff (with retraction before-images)
+    must equal a full recompute over today's snapshot — which is exactly
+    what the oracle computes. The maintained path touches only the
+    change volume plus one outer join on the group key."""
+    t = load_tables(spark, sf, ("orders",))
+    orders = t["orders"]
+
+    def snap(df: DataFrame) -> DataFrame:
+        return df.select("o_orderkey", "o_custkey", _cents("o_totalprice").alias("cents"))
+
+    old = snap(orders.filter(F.col("o_orderkey") % 7 != 0))
+    new = snap(
+        orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(10.0))
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    prev = old.groupBy("o_custkey").agg(
+        F.sum("cents").alias("sum_cents"), F.count(F.lit(1)).alias("n_orders")
+    )
+    diff = snapshot_diff(old, new, "o_orderkey", include_before=True)
+    return incremental_sum_count(prev, diff, "o_custkey", "cents", "sum_cents", "n_orders")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "enriched_orders": q_enriched_orders,
@@ -1152,6 +1207,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "zorder_index": q_zorder_index,
     "semantic_dedup": q_semantic_dedup,
+    "rolling_features": q_rolling_features,
+    "incremental_agg": q_incremental_agg,
 }
 
 
@@ -2059,4 +2116,34 @@ doomed AS (
 )
 SELECT a.vec_id, a.cluster FROM assign a
 WHERE a.vec_id NOT IN (SELECT vec_id FROM doomed)
+"""
+
+# rolling_features: trailing RANGE window on event-time millis + ROWS lag
+# with a total order; money as floor-cents bigint per the determinism rules.
+ORACLE["rolling_features"] = """
+SELECT event_id, user_id,
+  count(*) OVER w_rng AS n_1h,
+  sum(CAST(floor(value * 100) AS BIGINT)) OVER w_rng AS sum_cents_1h,
+  CAST(floor(value * 100) AS BIGINT)
+    - lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w_seq AS delta_cents
+FROM events
+WINDOW
+  w_rng AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+            RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+  w_seq AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+# incremental_agg: the maintained aggregate must equal a FULL RECOMPUTE
+# over the new snapshot — the oracle is that recompute, so any retraction
+# bookkeeping error (missed before-image, group move, vanished group)
+# hash-mismatches immediately.
+ORACLE["incremental_agg"] = """
+WITH new AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                          ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n_orders
+FROM new GROUP BY o_custkey
 """

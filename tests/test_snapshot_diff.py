@@ -62,3 +62,41 @@ def test_diff_applied_to_old_reproduces_new(spark, sf_dir):
     )
     assert replayed.exceptAll(new).count() == 0
     assert new.exceptAll(replayed).count() == 0
+
+
+def test_incremental_agg_handles_group_moves_and_vanishing_groups(spark):
+    """A row UPDATE that moves between groups must retract from the old
+    group and add to the new; a group whose last row is deleted must
+    disappear from the maintained aggregate."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import incremental_sum_count, snapshot_diff
+    import pyspark.sql.functions as SF
+
+    old = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g1", 20), (3, "g2", 5), (4, "g3", 7)],
+        "k long, g string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "g1", 10), (2, "g2", 25), (5, "g1", 100)],  # 2 moved g1->g2, 3+4 deleted, 5 inserted
+        "k long, g string, v long",
+    )
+    prev = old.groupBy("g").agg(SF.sum("v").alias("s"), SF.count(SF.lit(1)).alias("n"))
+    diff = snapshot_diff(old, new, "k", include_before=True)
+    got = {
+        r["g"]: (r["s"], r["n"])
+        for r in incremental_sum_count(prev, diff, "g", "v", "s", "n").collect()
+    }
+    want = {
+        r["g"]: (r["s"], r["n"])
+        for r in new.groupBy("g").agg(SF.sum("v").alias("s"), SF.count(SF.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert "g3" not in got  # vanished group dropped, not left at zero
+
+
+def test_snapshot_diff_before_images(spark):
+    old = _snap(spark, [(1, "x", 1.0), (2, "y", 2.0)])
+    new = _snap(spark, [(1, "x2", 1.0), (3, "z", 3.0)])
+    rows = {r["k"]: r for r in snapshot_diff(old, new, "k", include_before=True).collect()}
+    assert rows[1]["op"] == "U" and rows[1]["a"] == "x2" and rows[1]["a_before"] == "x"
+    assert rows[3]["op"] == "I" and rows[3]["a_before"] is None
+    assert rows[2]["op"] == "D" and rows[2]["a_before"] == "y" and rows[2]["a"] == "y"
