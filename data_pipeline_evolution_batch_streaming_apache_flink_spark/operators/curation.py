@@ -108,6 +108,56 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the context-length chunking step of embedding/RAG indexing and
+    fixed-window pretraining (size tokens per chunk, consecutive chunks
+    share ``overlap`` tokens).
+
+    A document with n tokens yields ``1 + ceil((n - size) / stride)``
+    chunks (stride = size - overlap); the last chunk may be short, and a
+    document never yields zero chunks. Entirely map-side (tokenize →
+    ``explode(sequence(...))`` → ``slice``): zero shuffle, so at 100 TB
+    it scales with input splits and the output stays partitioned with
+    its parent documents.
+
+    Output: ``id_col, chunk_id (0-based), chunk_text, chunk_tokens``.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not (0 <= overlap < size):
+        raise ValueError(f"overlap must be in [0, size), got {overlap}")
+    stride = size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks).cast("long")
+    # ceil((n - size) / stride) in exact integer arithmetic so any SQL
+    # engine reproduces the chunk count bit-for-bit
+    n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
+        F.floor((n - size + (stride - 1)) / F.lit(float(stride))).cast("long") + 1
+    )
+    start = F.col("chunk_id") * stride  # 0-based token offset of the chunk
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("__n"),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(F.slice("__toks", (start + 1).cast("int"), size), " ").alias("chunk_text"),
+            F.least(F.lit(size).cast("long"), F.col("__n") - start).alias("chunk_tokens"),
+        )
+    )
+
+
 def sample_hash(id_col: str | Column) -> Column:
     """Deterministic sampling hash in [0, 2^32): Knuth multiplicative on
     the id folded to 31 bits first — ``((id % 2^31) * 2654435761) % 2^32``.

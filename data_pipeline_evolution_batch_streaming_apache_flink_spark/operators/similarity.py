@@ -797,3 +797,66 @@ def bucketed_cosine_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage /
+    bandwidth step of large-scale embedding serving (4 bytes/dim float32
+    down to 1 byte/dim + one scale): ``code_i = clamp(round(x_i / scale),
+    +/-127)`` with ``scale = max|x| / 127``.
+
+    Pure codegen'd higher-order functions (``transform`` / ``zip_with``
+    / ``aggregate``) over the array column — zero shuffle, no Python;
+    at 100 TB this scales with input splits and never exchanges. The
+    rounding is ``floor(x + 0.5)`` (identical IEEE arithmetic in any
+    engine, unlike round()'s engine-specific half-even/half-away modes);
+    all-zero vectors quantize to all-zero codes with scale 0.
+
+    Output: ``id_col``, ``dim``, ``scale`` (6dp), ``codes``
+    (``array<int>``) and ``err_1e9`` — the reconstruction-error checksum
+    ``sum(round((x_i - code_i * scale)^2 * 1e9))`` as an exact bigint
+    (the float pipeline made hash-comparable across engines, same idiom
+    as vector_normalize's unit_checksum).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(0.0))
+    staged = df.select(
+        F.col(id_col),
+        F.size(F.col(vec_col)).alias("dim"),
+        v.alias("__v"),
+        scale.alias("__scale"),
+    )
+
+    def code(x):
+        return (
+            F.greatest(
+                F.least(F.floor(x / F.col("__scale") + F.lit(0.5)), F.lit(127.0)),
+                F.lit(-127.0),
+            )
+        ).cast("int")
+
+    staged = staged.withColumn(
+        "codes",
+        F.when(F.col("__scale") > 0, F.transform(F.col("__v"), code)).otherwise(
+            F.transform(F.col("__v"), lambda x: F.lit(0))
+        ),
+    )
+    sq = F.zip_with(
+        F.col("__v"),
+        F.col("codes"),
+        lambda x, q: (x - q.cast("double") * F.col("__scale"))
+        * (x - q.cast("double") * F.col("__scale")),
+    )
+    err = F.aggregate(
+        F.transform(sq, lambda x: F.round(x * 1e9).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return staged.withColumn("err_1e9", err).select(
+        id_col, "dim", F.round("__scale", 6).alias("scale"), "codes", "err_1e9"
+    )

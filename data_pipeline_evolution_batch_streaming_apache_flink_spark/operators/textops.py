@@ -41,6 +41,41 @@ def token_histogram(df: DataFrame, text_col: str = "text", top_n: int | None = N
     return counts
 
 
+def ngram_histogram(
+    df: DataFrame, n: int = 2, text_col: str = "text", top_n: int | None = None
+) -> DataFrame:
+    """Corpus-wide word n-gram frequency — the n>1 companion to
+    :func:`token_histogram` (corpus phrase statistics: vocabulary drift,
+    boilerplate phrases, template detection before dedup).
+
+    Documents shorter than ``n`` tokens contribute nothing (unlike
+    dedup's :func:`~..functions.text.word_shingles`, which pads short
+    docs so every doc participates — a frequency count must not invent
+    partial n-grams). The n-gram build is a codegen'd
+    ``transform(sequence(...))`` over the token array — map-side only;
+    the count is one shuffle with map-side combine; ``top_n`` ranks via
+    TakeOrdered (no global sort materialization)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = TXT.tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        fan_out(df.select(F.col(text_col)))
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+    )
+    if top_n is not None:
+        counts = counts.orderBy(F.col("freq").desc(), F.col("ngram")).limit(top_n)
+    return counts
+
+
 def tf_idf(
     df: DataFrame,
     id_col: str = "doc_id",

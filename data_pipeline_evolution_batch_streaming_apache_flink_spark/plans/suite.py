@@ -41,6 +41,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.change
     snapshot_diff,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+    chunk_documents,
     pack_sequences,
     scrub_pii,
     stratified_sample,
@@ -87,9 +88,11 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.simila
     ivf_cosine_topk,
     ivf_pq_topk,
     pq_cosine_topk,
+    quantize_int8,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import (
     analyze_documents,
+    ngram_histogram,
     bm25_scores,
     repetition_stats,
     tf_idf,
@@ -583,6 +586,32 @@ def q_skew_safe_collect(spark: SparkSession, sf: str) -> DataFrame:
         # Stringified so the driver's pandas canonicalizer can hash the cell
         # (array cells are unhashable there); values/order are unchanged.
         F.array_join("collected", ",").alias("partkeys"),
+    )
+
+
+def q_bigram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus phrase statistics (operators/textops.py ngram_histogram):
+    top-20 word bigrams — map-side n-gram build, one counted shuffle,
+    TakeOrdered ranking; docs under 2 tokens contribute nothing."""
+    t = load_tables(spark, sf, ("documents",))
+    return ngram_histogram(t["documents"], n=2, top_n=20)
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking (operators/curation.py chunk_documents):
+    64-token chunks with 16-token overlap, zero shuffle — the RAG /
+    fixed-window pretraining splitter."""
+    t = load_tables(spark, sf, ("documents",))
+    return chunk_documents(t["documents"], size=64, overlap=16)
+
+
+def q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization (operators/similarity.py quantize_int8):
+    per-vector symmetric codes + exact bigint reconstruction-error
+    checksum; codes stringified for the driver's row hasher."""
+    t = load_tables(spark, sf, ("embeddings",))
+    return quantize_int8(t["embeddings"]).select(
+        "vec_id", "dim", "scale", F.array_join("codes", ",").alias("codes"), "err_1e9"
     )
 
 
@@ -1177,6 +1206,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_analysis": q_text_analysis,
     "token_histogram": q_token_histogram,
     "skew_safe_collect": q_skew_safe_collect,
+    "bigram_topk": q_bigram_topk,
+    "chunk_documents": q_chunk_documents,
+    "quantize_embeddings": q_quantize_embeddings,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "take_per_stratum": q_take_per_stratum,
@@ -2146,4 +2178,59 @@ WITH new AS (
 )
 SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents, count(*) AS n_orders
 FROM new GROUP BY o_custkey
+"""
+
+ORACLE["bigram_topk"] = r"""
+    SELECT ngram, count(*) AS freq FROM (
+      SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      WHERE len(toks) >= 2
+    ) GROUP BY ngram
+    ORDER BY freq DESC, ngram ASC
+    LIMIT 20
+"""
+
+ORACLE["chunk_documents"] = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             CASE WHEN len(toks) <= 64 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(floor((len(toks) - 64 + 47) / 48.0) AS BIGINT) + 1 END AS nch
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(CAST(0 AS BIGINT), nch - 1)) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ') AS chunk_text,
+           least(CAST(64 AS BIGINT), n - chunk_id * 48) AS chunk_tokens
+    FROM e
+"""
+
+ORACLE["quantize_embeddings"] = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') AS maxabs
+      FROM v
+    ), q AS (
+      SELECT vec_id, e,
+             CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 0.0 END AS sc,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(e, x -> CAST(greatest(least(floor(x / (maxabs / 127.0) + 0.5), 127.0), -127.0) AS INT))
+                  ELSE list_transform(e, x -> 0) END AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INT) AS dim,
+           round(sc, 6) AS scale,
+           array_to_string(codes, ',') AS codes,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, len(e) + 1),
+                    i -> CAST(round((e[i] - codes[i] * sc) * (e[i] - codes[i] * sc) * 1000000000) AS BIGINT))),
+                (a, b) -> a + b) AS BIGINT) AS err_1e9
+    FROM q
 """
