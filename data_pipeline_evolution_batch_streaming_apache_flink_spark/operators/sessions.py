@@ -73,10 +73,12 @@ def streaming_sessionize(
     (append mode) — state is bounded by the watermark, so an unbounded
     clickstream never accumulates closed sessions.
 
-    Boundary semantics differ from the batch operator at exact-gap
-    ties: ``session_window`` starts a new session when the inter-event
-    gap is ``>= gap`` (window end is last_ts + gap, half-open), while
-    the lag-based batch operator splits strictly ``> gap``.
+    Boundary semantics MATCH the batch operator at exact-gap ties:
+    ``session_window`` merges an event landing exactly at the previous
+    window end (merge condition ``next_start <= prev_end``, verified
+    empirically — test_sessions pins it), so a new session starts only
+    when the inter-event gap is strictly ``> gap``, same as the
+    lag-based ``sessionize``.
     """
     if watermark_delay is not None:
         df = df.withWatermark(ts_col, watermark_delay)
@@ -109,3 +111,4 @@ def session_stats(
         F.max(ts_ms_col).alias("end_ms"),
         *extra,
     )
+

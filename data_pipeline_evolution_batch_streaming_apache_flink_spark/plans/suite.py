@@ -77,7 +77,11 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins 
     lookup_join,
     unnest_join,
 )
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import session_stats, sessionize
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+    streaming_sessionize,
+)
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.multimodal import (
     attach_binary_payload,
     extract_image_features,
@@ -756,6 +760,29 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Native merging session windows (operators/sessions.py
+    streaming_sessionize — Spark's session_window, the SAME operator
+    that runs on streaming input, here executed batch so DuckDB can
+    oracle its merge semantics): per-user 30-minute-gap sessions with
+    event counts and exact cent sums. Exact-gap events MERGE (split is
+    strictly greater than the gap — same rule as the lag-based
+    sessionize; pinned by test_sessions)."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select("user_id", "ts", _cents("value").alias("__cents"))
+    out = streaming_sessionize(
+        ev, "user_id", "ts", "30 minutes", watermark_delay=None,
+        aggs=[F.sum("__cents").alias("value_cents")],
+    )
+    return out.select(
+        "user_id",
+        _millis("session_start").alias("session_start_ms"),
+        _millis("session_end").alias("session_end_ms"),
+        "n_events",
+        "value_cents",
+    )
+
+
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
     score → dedup → gate → account flow a pretraining ingest runs, as
@@ -1218,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "distinct_agg_having": q_distinct_agg_having,
     "sessionize": q_sessionize,
+    "session_windows": q_session_windows,
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
@@ -2233,4 +2261,26 @@ ORACLE["quantize_embeddings"] = """
                     i -> CAST(round((e[i] - codes[i] * sc) * (e[i] - codes[i] * sc) * 1000000000) AS BIGINT))),
                 (a, b) -> a + b) AS BIGINT) AS err_1e9
     FROM q
+"""
+
+ORACLE["session_windows"] = """
+    WITH e AS (
+      SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, cents,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM e
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM s GROUP BY user_id, sess
 """

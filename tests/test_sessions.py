@@ -141,3 +141,38 @@ def test_streaming_session_window(spark, tmp_path):
     assert (1, "2024-01-01 10:00:00", 2) in got
     assert (1, "2024-01-01 11:00:00", 1) in got
     assert (2, "2024-01-01 10:00:00", 1) in got
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Native session_window boundary semantics: an event landing at
+    EXACTLY prev_ts + gap MERGES into the session (merge condition is
+    next_start <= prev_end; a new session needs a strictly greater
+    gap) — the SAME convention as the lag-based sessionize. Pins the
+    merge rule the session_windows oracle encodes (> splits), and
+    catches the inverse claim this test originally found in the
+    streaming_sessionize docstring."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import streaming_sessionize
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),   # gap == 30 min -> merges
+        (1, "2024-01-01 11:00:01"),   # gap > 30 min -> NEW session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = sorted(
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in streaming_sessionize(
+            df, "user_id", "ts", "30 minutes", watermark_delay=None
+        ).collect()
+    )
+    assert out == [
+        ("2024-01-01 10:00:00", "2024-01-01 11:00:00", 2),
+        ("2024-01-01 11:00:01", "2024-01-01 11:30:01", 1),
+    ]
+
+    # the lag-based batch operator agrees: two sessions, split only at > gap
+    ms = df.select("user_id", F.unix_millis("ts").alias("ts_ms"))
+    batch = sessionize(ms, "user_id", "ts_ms", "30 minutes")
+    assert sorted(r["session_seq"] for r in batch.collect()) == [1, 1, 2]
