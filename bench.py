@@ -61,6 +61,12 @@ BENCH_QUERIES = (
     "semantic_dedup",
     "rolling_features",
     "incremental_agg",
+    "chunk_documents",
+    "quantize_embeddings",
+    "bigram_topk",
+    "session_windows",
+    "quality_percentile",
+    "temperature_mix",
 )
 
 

@@ -264,3 +264,121 @@ def scrub_pii(
     for _, pat, repl in PII_PATTERNS:
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return out.withColumn(out_col, scrubbed)
+
+
+def filter_by_percentile(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float,
+    partition_by: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` fraction of rows by ``score_col`` —
+    the percentile quality gate of pretraining curation (drop the
+    bottom X% by quality-model score), optionally per group
+    (``partition_by``, e.g. per language so one language's score scale
+    never starves another).
+
+    Exact, not approximate — no sampled-quantile drift between runs.
+    Grouped: ``cume_dist`` over the per-group sort (one shuffle on the
+    group key). Ungrouped: a DISTRIBUTED global rank (range shuffle on
+    the score + in-partition ``row_number`` + broadcast partition
+    offsets — the :func:`global_running_sum` pattern), NEVER a
+    single-partition global window; the keep test is ``rank / N <=
+    keep_frac``, the same division ``cume_dist`` performs.
+
+    ``tiebreak_col`` (pass a unique id) makes rank order — and
+    therefore the kept set — deterministic under score ties; without
+    it the kept COUNT is still exact but which tied row survives is
+    layout-dependent.
+    """
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    order = [F.col(score_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    if partition_by is not None:
+        w = Window.partitionBy(partition_by).orderBy(*order)
+        return (
+            df.withColumn("__cd", F.cume_dist().over(w))
+            .filter(F.col("__cd") <= keep_frac)
+            .drop("__cd")
+        )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        df.repartitionByRange(n_part, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["__pid"], r["c"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    )
+    if not sizes:
+        return df
+    offsets, acc = [], 0
+    for pid, c in sizes:
+        offsets.append((pid, acc))
+        acc += c
+    total = acc
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        ranged.withColumn("__lrank", F.row_number().over(w))
+        .join(off_df, "__pid")
+        .filter((F.col("__lrank") + F.col("__off")) / F.lit(float(total)) <= keep_frac)
+        .drop("__pid", "__lrank", "__off")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    budget: int | None = None,
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-corpus
+    resampling of XLM-R / mT5: sample languages proportional to
+    ``p_l^alpha`` so low-resource strata are up-weighted relative to
+    their raw frequency). ``alpha=1`` keeps the natural distribution;
+    ``alpha=0`` targets uniform.
+
+    Computes per-stratum counts (one small aggregate), derives each
+    stratum's keep-rate toward the temperature-adjusted target — out of
+    a total ``budget`` rows (default: the largest budget with every
+    rate <= 1, i.e. pure downsampling) — then applies the deterministic
+    hash threshold of :func:`stratified_sample` map-side. Rates are
+    rounded to 6dp so any engine derives the identical row set.
+
+    Default-budget rates use the closed form ``(n_min / n_s)^(1-alpha)``
+    — the weight normalizer cancels algebraically, so no order-dependent
+    double summation enters the rate (the smallest stratum keeps rate
+    1.0 exactly). With an explicit ``budget`` the normalizer is summed
+    in sorted-stratum order for run-to-run determinism.
+
+    Strata counts land on the driver (bounded: one row per stratum —
+    languages/domains, not documents).
+    """
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s")).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return df
+    if budget is None:
+        n_min = min(counts.values())
+        rates = {
+            s: round(min(1.0, (n_min / n) ** (1.0 - alpha)), 6) for s, n in counts.items()
+        }
+    else:
+        weights = {s: (n / total) ** alpha for s, n in sorted(counts.items())}
+        wsum = sum(weights[s] for s in sorted(weights))
+        targets = {s: weights[s] / wsum for s in counts}  # temperature-adjusted shares
+        rates = {
+            s: round(min(1.0, targets[s] * float(budget) / counts[s]), 6) for s in counts
+        }
+    return stratified_sample(df, stratum_col, rates, id_col, default_rate=0.0)

@@ -42,7 +42,9 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.change
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
     chunk_documents,
+    filter_by_percentile,
     pack_sequences,
+    temperature_resample,
     scrub_pii,
     stratified_sample,
     take_per_stratum,
@@ -783,6 +785,35 @@ def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_quality_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile quality gate (operators/curation.py
+    filter_by_percentile): keep the top 25% of documents per language
+    by n_chars (exact cume_dist, doc_id tiebreak) — one shuffle on the
+    language key, no sampled-quantile drift."""
+    t = load_tables(spark, sf, ("documents",))
+    return filter_by_percentile(
+        t["documents"].select("doc_id", "lang", "n_chars"),
+        score_col="n_chars",
+        keep_frac=0.25,
+        partition_by="lang",
+        tiebreak_col="doc_id",
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language rebalancing (operators/curation.py
+    temperature_resample, alpha=0.5): low-resource languages keep rate
+    1.0, high-resource ones downsample toward p^alpha shares via the
+    deterministic hash threshold — rates (n_min/n)^(1-alpha) to 6dp."""
+    t = load_tables(spark, sf, ("documents",))
+    return temperature_resample(
+        t["documents"].select("doc_id", "lang", "source"),
+        stratum_col="lang",
+        id_col="doc_id",
+        alpha=0.5,
+    )
+
+
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
     score → dedup → gate → account flow a pretraining ingest runs, as
@@ -1246,6 +1277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_agg_having": q_distinct_agg_having,
     "sessionize": q_sessionize,
     "session_windows": q_session_windows,
+    "quality_percentile": q_quality_percentile,
+    "temperature_mix": q_temperature_mix,
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
@@ -2283,4 +2316,25 @@ ORACLE["session_windows"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(cents) AS BIGINT) AS value_cents
     FROM s GROUP BY user_id, sess
+"""
+
+ORACLE["quality_percentile"] = """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             cume_dist() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS cd
+      FROM documents
+    ) WHERE cd <= 0.25
+"""
+
+ORACLE["temperature_mix"] = """
+    WITH c AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), r AS (
+      SELECT lang,
+             round(least(1.0, pow(CAST((SELECT min(n) FROM c) AS DOUBLE) / n, 0.5)), 6) AS rate
+      FROM c
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < r.rate * 4294967296
 """
