@@ -177,3 +177,62 @@ def test_ngram_histogram_rejects_bad_n(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError):
         ngram_histogram(df, n=0)
+
+
+def test_chunk_documents_property_reconstruction(spark):
+    """Property (hypothesis): for any token count / size / overlap, the
+    first chunk plus each later chunk minus its overlapping prefix
+    reassembles the document exactly, and chunk counts follow the
+    closed form. One Spark round trip over a batch of generated cases
+    (examples collected first — Spark jobs are too slow per-example)."""
+    from hypothesis import given, settings, strategies as st
+
+    cases = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n_tok=st.integers(min_value=0, max_value=60),
+        size=st.integers(min_value=1, max_value=20),
+        overlap_frac=st.floats(min_value=0.0, max_value=0.99),
+    )
+    def collect(n_tok, size, overlap_frac):
+        overlap = min(size - 1, int(size * overlap_frac))
+        cases.append((n_tok, size, overlap))
+
+    collect()
+
+    # group by (size, overlap) so each Spark job covers many docs
+    from collections import defaultdict
+
+    grouped = defaultdict(list)
+    for i, (n_tok, size, overlap) in enumerate(cases):
+        grouped[(size, overlap)].append((i, n_tok))
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import chunk_documents as cd
+
+    for (size, overlap), docs in grouped.items():
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n))) for i, n in docs],
+            "doc_id long, text string",
+        )
+        out = defaultdict(list)
+        for r in cd(df, size=size, overlap=overlap).collect():
+            out[r["doc_id"]].append((r["chunk_id"], r["chunk_text"], r["chunk_tokens"]))
+        stride = size - overlap
+        for i, n in docs:
+            toks = [f"t{j}" for j in range(n)] or [""]
+            chunks = sorted(out[i])
+            expect_n = 1 if len(toks) <= size else 1 + math.ceil((len(toks) - size) / stride)
+            assert len(chunks) == expect_n, (n, size, overlap)
+            rebuilt = chunks[0][1].split(" ") if chunks[0][1] != "" else [""]
+            for cid, ctext, ctoks in chunks[1:]:
+                ct = ctext.split(" ")
+                assert ct[:overlap] == rebuilt[cid * stride : cid * stride + overlap]
+                rebuilt.extend(ct[overlap:])
+            # '' splits back to [''] which matches the single empty token
+            assert rebuilt == toks, (n, size, overlap)
+
+
+def test_quantize_int8_zero_shuffle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

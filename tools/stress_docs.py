@@ -34,6 +34,7 @@ QUERIES = (
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "text_analysis", "tfidf_topterms",
     "bm25_scores", "contamination_check", "near_dedup",
+    "chunk_documents", "bigram_topk", "quality_percentile", "temperature_mix",
 )
 
 
