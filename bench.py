@@ -67,6 +67,8 @@ BENCH_QUERIES = (
     "session_windows",
     "quality_percentile",
     "temperature_mix",
+    "hop_counts",
+    "cumulate_counts",
 )
 
 

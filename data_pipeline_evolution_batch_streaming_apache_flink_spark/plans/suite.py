@@ -105,6 +105,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textop
     token_histogram,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.windows import cumulate_window, hop_window
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium, decode_logical_message
 
@@ -814,6 +815,39 @@ def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hop_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """HOP (sliding) windows — Flink's HOP TVF on Spark's native
+    window(ts, size, slide) (operators/windows.py): 1-hour windows
+    every 15 minutes; each event lands in 4 windows JVM-side."""
+    t = load_tables(spark, sf, ("events",))
+    w = hop_window(t["events"], "ts", "1 hour", "15 minutes")
+    return (
+        w.groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+        .select(
+            _millis("window_start").alias("window_start_ms"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
+def q_cumulate_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUMULATE windows — Flink's CUMULATE TVF, absent from Spark,
+    composed as exact epoch-millis explode (operators/windows.py):
+    15-minute growing prefixes of each hour."""
+    t = load_tables(spark, sf, ("events",))
+    w = cumulate_window(t["events"], "ts", "15 minutes", "1 hour")
+    return (
+        w.groupBy("window_start", "window_end", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(_cents("value")).alias("value_cents"))
+        .select(
+            _millis("window_start").alias("window_start_ms"),
+            _millis("window_end").alias("window_end_ms"),
+            "event_type", "n_events", "value_cents",
+        )
+    )
+
+
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
     score → dedup → gate → account flow a pretraining ingest runs, as
@@ -1279,6 +1313,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_windows": q_session_windows,
     "quality_percentile": q_quality_percentile,
     "temperature_mix": q_temperature_mix,
+    "hop_counts": q_hop_counts,
+    "cumulate_counts": q_cumulate_counts,
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
@@ -2337,4 +2373,36 @@ ORACLE["temperature_mix"] = """
     SELECT d.doc_id, d.lang, d.source
     FROM documents d JOIN r USING (lang)
     WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < r.rate * 4294967296
+"""
+
+ORACLE["hop_counts"] = """
+    WITH e AS (
+      SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events
+    ), w AS (
+      SELECT event_type, value,
+             (ts_ms // 900000) * 900000 - k * 900000 AS win_start_ms
+      FROM e, unnest(generate_series(0, 3)) AS u(k)
+    )
+    SELECT win_start_ms AS window_start_ms, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM w GROUP BY win_start_ms, event_type
+"""
+
+ORACLE["cumulate_counts"] = """
+    WITH e AS (
+      SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events
+    ), b AS (
+      SELECT event_type, value, ts_ms,
+             (ts_ms // 3600000) * 3600000 AS base_ms
+      FROM e
+    ), w AS (
+      SELECT event_type, value, base_ms,
+             base_ms + k * 900000 AS win_end_ms
+      FROM b, unnest(generate_series((ts_ms - base_ms) // 900000 + 1, 4)) AS u(k)
+    )
+    SELECT base_ms AS window_start_ms, win_end_ms AS window_end_ms, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM w GROUP BY base_ms, win_end_ms, event_type
 """
