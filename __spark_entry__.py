@@ -30,7 +30,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every declared query — ``suite.ORACLE`` carries one
-    SQL string per ``suite.QUERIES`` entry (approximate operators pin
-    recall-1.0 configs so exact SQL twins apply)."""
+    """DuckDB twins for the declared queries — ``suite.ORACLE`` carries
+    one SQL string per ``suite.QUERIES`` entry (approximate operators
+    pin recall-1.0 configs so exact SQL twins apply), except
+    ``bpe_tokenize``: an ordered data-dependent rewrite system has no
+    SQL twin, so it is intentionally rows-only (exactness is pinned by
+    tests/test_bpe.py against a sequential reference)."""
     return dict(suite.ORACLE)

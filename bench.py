@@ -69,6 +69,7 @@ BENCH_QUERIES = (
     "temperature_mix",
     "hop_counts",
     "cumulate_counts",
+    "bpe_tokenize",
 )
 
 

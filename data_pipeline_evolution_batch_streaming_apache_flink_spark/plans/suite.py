@@ -105,6 +105,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textop
     token_histogram,
 )
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bpe import bpe_encode, bpe_train
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.windows import cumulate_window, hop_window
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium, decode_logical_message
@@ -848,6 +849,26 @@ def q_cumulate_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Real BPE tokenization (operators/bpe.py): merges learned from
+    the distributed word histogram (the only corpus pass; driver loop
+    is vocabulary-bounded), then Arrow-batched encode with word-level
+    memoization. ROWS-ONLY suite entry — an ordered data-dependent
+    rewrite system has no single-query SQL twin; exactness is pinned by
+    tests/test_bpe.py against an independent sequential reference. The
+    emitted token_checksum makes value drift visible across runs even
+    under the weaker check."""
+    t = load_tables(spark, sf, ("documents",))
+    merges = bpe_train(t["documents"], num_merges=64, max_words=8000)
+    enc = bpe_encode(t["documents"], merges)
+    checksum = F.aggregate(
+        F.transform(F.col("bpe_tokens"), lambda s: F.crc32(s.cast("binary")).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return enc.select("doc_id", "n_bpe_tokens", checksum.alias("token_checksum"))
+
+
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
     score → dedup → gate → account flow a pretraining ingest runs, as
@@ -1315,6 +1336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "hop_counts": q_hop_counts,
     "cumulate_counts": q_cumulate_counts,
+    "bpe_tokenize": q_bpe_tokenize,
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,

@@ -1,0 +1,109 @@
+"""BPE tokenizer (operators/bpe.py) vs an independent naive reference:
+the incremental trainer must equal full-recount training, the
+distributed encoder must equal the sequential greedy encoder, and
+concatenating a word's subwords must reconstruct the word."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bpe import (
+    END,
+    bpe_encode,
+    bpe_train,
+    encode_word,
+    learn_merges,
+    word_histogram,
+)
+
+
+def naive_learn(histogram, num_merges):
+    """Textbook BPE: full pair recount every round (no index)."""
+    words = {w: tuple(w) + (END,) for w, _ in histogram}
+    freq = dict(histogram)
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += freq[w]
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider wider new new",
+]
+
+
+def test_incremental_trainer_equals_naive():
+    hist = Counter()
+    for line in CORPUS:
+        hist.update(line.split())
+    hist = sorted(hist.items(), key=lambda t: (-t[1], t[0]))
+    for n in (1, 5, 10, 40):
+        assert learn_merges(list(hist), n) == naive_learn(list(hist), n)
+
+
+def test_bpe_train_distributed_matches_local_and_is_layout_independent(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    hist = Counter()
+    for line in CORPUS:
+        hist.update(line.split())
+    want = naive_learn(sorted(hist.items(), key=lambda t: (-t[1], t[0])), 12)
+    assert bpe_train(df, num_merges=12) == want
+    assert bpe_train(df.repartition(7), num_merges=12) == want
+
+
+def test_histogram_cap_is_deterministic(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    a = sorted((r["word"], r["freq"]) for r in word_histogram(df, max_words=3).collect())
+    b = sorted((r["word"], r["freq"]) for r in word_histogram(df.repartition(5), max_words=3).collect())
+    assert a == b and len(a) == 3
+
+
+def test_encode_matches_sequential_and_roundtrips(spark):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    merges = bpe_train(df, num_merges=15)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+           for r in bpe_encode(df, merges).collect()}
+    for i, line in enumerate(CORPUS):
+        want = []
+        for w in line.split():
+            want.extend(encode_word(w, ranks))
+        toks, n = out[i]
+        assert toks == want
+        assert n == len(want)
+        # round trip: concatenation reconstructs the line's words
+        rebuilt = "".join(toks).replace(END, " ").strip()
+        assert rebuilt == " ".join(line.split())
+
+
+def test_encode_compresses():
+    """Merges genuinely shorten frequent words: 'newest' encodes to
+    fewer symbols than characters once trained."""
+    hist = [("newest", 50), ("widest", 30), ("low", 10)]
+    merges = learn_merges(hist, 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert len(encode_word("newest", ranks)) < len("newest") + 1
+    # unseen word still encodes (falls back toward characters)
+    toks = encode_word("lowest", ranks)
+    assert "".join(toks) == "lowest" + END

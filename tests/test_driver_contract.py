@@ -5,7 +5,9 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
-EXPECTED_ROWS_ONLY: set[str] = set()
+# bpe_tokenize: ordered data-dependent rewrite system — no SQL twin
+# (exactness pinned in tests/test_bpe.py); everything else must have one.
+EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize"}
 
 
 def test_oracle_keys_subset_of_queries():
