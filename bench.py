@@ -70,6 +70,8 @@ BENCH_QUERIES = (
     "hop_counts",
     "cumulate_counts",
     "bpe_tokenize",
+    "cube_revenue",
+    "profile_columns",
 )
 
 

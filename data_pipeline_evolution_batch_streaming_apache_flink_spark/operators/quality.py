@@ -120,3 +120,36 @@ def validate_expectations(
         out = out.unionByName(row)
 
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact column profiling — the audit companion to
+    :func:`validate_expectations`: per column, row count, null count,
+    exact distinct count, and min/max (string form so heterogeneous
+    column types stack into one long-form result).
+
+    ONE scan: all statistics compile into a single aggregate (the
+    multiple exact ``count(distinct)``s plan as one Expand — a
+    row-multiplying but single-exchange strategy; for quick looks at
+    petabyte tables swap in ``approx_count_distinct``, but a PROFILE
+    that feeds contracts should be exact), then ``stack`` pivots the
+    one result row to a row per column."""
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.extend([
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ])
+    one = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS (col_name, n_null, n_distinct, min_str, max_str)"
+        ),
+        F.col("__n").alias("n_rows"),
+    )

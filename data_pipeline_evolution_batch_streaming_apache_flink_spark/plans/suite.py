@@ -54,6 +54,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.fuzzy 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import bucketize, zvalue2
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import (
     expect_in_set,
+    profile_columns,
     expect_not_null,
     expect_range,
     expect_regex,
@@ -229,6 +230,27 @@ def q_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(F.col("r_name").alias("region")).agg(
         F.count("*").alias("n_orders"),
         F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation with grouping_id over the region-nation star
+    join — all four grouping sets (region x nation, region, nation,
+    grand total) in ONE pass via Spark's Expand (verified bit-identical
+    grouping-id semantics vs ANSI GROUPING())."""
+    t = load_tables(spark, sf, ("region", "nation", "customer", "orders"))
+    j = (
+        t["region"]
+        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                _cents("o_totalprice").alias("__cents"))
+    )
+    return j.cube("region", "nation").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum("__cents").alias("revenue_cents"),
     )
 
 
@@ -869,6 +891,15 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     return enc.select("doc_id", "n_bpe_tokens", checksum.alias("token_checksum"))
 
 
+def q_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact one-scan column profiling (operators/quality.py
+    profile_columns): rows / nulls / exact distincts / min-max per
+    column, stacked long-form. Columns chosen are string/bigint so the
+    min/max string forms are engine-independent."""
+    t = load_tables(spark, sf, ("events",))
+    return profile_columns(t["events"], ["event_id", "user_id", "event_type"])
+
+
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
     score → dedup → gate → account flow a pretraining ingest runs, as
@@ -1291,6 +1322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_functions": q_time_functions,
     "hourly_counts": q_hourly_counts,
     "region_revenue": q_region_revenue,
+    "cube_revenue": q_cube_revenue,
     "supplier_stats": q_supplier_stats,
     "array_membership_join": q_array_membership_join,
     "unnest_join": q_unnest_join,
@@ -1337,6 +1369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hop_counts": q_hop_counts,
     "cumulate_counts": q_cumulate_counts,
     "bpe_tokenize": q_bpe_tokenize,
+    "profile_columns": q_profile_columns,
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
@@ -2427,4 +2460,40 @@ ORACLE["cumulate_counts"] = """
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM w GROUP BY base_ms, win_end_ms, event_type
+"""
+
+ORACLE["cube_revenue"] = """
+    SELECT r_name AS region, n_name AS nation,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY CUBE (r_name, n_name)
+"""
+
+ORACLE["profile_columns"] = """
+    SELECT 'event_id' AS col_name,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM events
+    UNION ALL
+    SELECT 'user_id',
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+           CAST(count(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'event_type',
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR),
+           CAST(count(*) AS BIGINT)
+    FROM events
 """

@@ -85,3 +85,34 @@ def test_expectations_single_scan_for_row_checks(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
+
+
+def test_profile_columns_exact_stats(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k int, s string",
+    )
+    got = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["n_null"] == 1
+    assert got["k"]["n_distinct"] == 2     # nulls excluded, {1, 2}
+    assert got["k"]["min_str"] == "1" and got["k"]["max_str"] == "2"
+    assert got["s"]["n_null"] == 1
+    assert got["s"]["n_distinct"] == 2
+    assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+
+
+def test_profile_columns_single_scan(spark):
+    """All stats must come from ONE read of the table (one FileScan /
+    LocalTableScan in the plan) — profiling a 100 TB table five times
+    per column is the failure mode this pins out."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import profile_columns
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        profile_columns(df, ["event_id", "event_type"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1
