@@ -95,6 +95,36 @@ def main() -> None:
         k=3, n_cells=8, n_probe=4, m=16, n_centroids=32, refine=8,
     ).show()
 
+    print("RAG chunking (64-token windows, 16 overlap):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+        chunk_documents,
+        filter_by_percentile,
+        temperature_resample,
+    )
+
+    chunk_documents(docs, size=64, overlap=16).show(3)
+
+    print("quality gate: top 25% by length per language:")
+    filter_by_percentile(
+        docs.select("doc_id", "lang", "n_chars"), "n_chars", 0.25,
+        partition_by="lang", tiebreak_col="doc_id",
+    ).groupBy("lang").count().show()
+
+    print("temperature rebalancing (alpha=0.5):")
+    temperature_resample(docs, "lang", "doc_id", alpha=0.5).groupBy("lang").count().show()
+
+    print("BPE tokenizer (64 merges learned from the word histogram):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges = bpe_train(docs, num_merges=64, max_words=8000)
+    print("first merges:", merges[:8])
+    bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens").show(5)
+
+    print("int8 embedding quantization:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import quantize_int8
+
+    quantize_int8(emb).select("vec_id", "dim", "scale", "err_1e9").show(5)
+
 
 if __name__ == "__main__":
     main()
