@@ -116,3 +116,64 @@ def test_streaming_hop_counts_append_mode(spark, tmp_path):
     assert ("2024-01-01 09:45:00", 1) in got
     assert ("2024-01-01 10:00:00", 2) in got
     assert ("2024-01-01 10:15:00", 1) in got
+
+
+def test_streaming_cumulate_update_mode_upsert(spark, tmp_path):
+    """CUMULATE on a stream, as documented: derived window columns are
+    not event-time-trackable, so run the aggregation in update mode into
+    a keyed upsert sink — partials update in place (Flink early-fire
+    semantics) and the compacted state equals the batch cumulate
+    aggregation over all events."""
+    import json as _json
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import ParquetUpsertSink
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+
+    rows_batches = [
+        [{"user": "u1", "ts": "2024-01-01 10:05:00"},
+         {"user": "u2", "ts": "2024-01-01 10:20:00"}],
+        [{"user": "u1", "ts": "2024-01-01 10:40:00"}],  # updates later partials
+    ]
+    in_dir = str(tmp_path / "cum_in")
+    os.makedirs(in_dir)
+    base_m = 1_700_000_000
+    for i, rows in enumerate(rows_batches):
+        p = os.path.join(in_dir, f"b{i}.json")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        os.utime(p, (base_m + i * 10, base_m + i * 10))
+
+    def agg(df):
+        w = cumulate_window(df, "ts", "15 minutes", "1 hour")
+        return w.groupBy("window_start", "window_end").agg(F.count("*").alias("n"))
+
+    stream = json_file_stream(spark, in_dir, "user string, ts timestamp")
+    sink = ParquetUpsertSink(
+        str(tmp_path / "cum_sink"), keys=["window_start", "window_end"], order_by=["n"]
+    )
+    q = (
+        agg(stream).writeStream.outputMode("update")
+        .foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", str(tmp_path / "cum_ckpt"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch_df = spark.createDataFrame(
+        [(r["user"], r["ts"]) for b in rows_batches for r in b], "user string, ts string"
+    ).select("user", F.col("ts").cast("timestamp").alias("ts"))
+    want = {
+        (str(r["window_start"]), str(r["window_end"]), r["n"])
+        for r in agg(batch_df).collect()
+    }
+    got = {
+        (str(r["window_start"]), str(r["window_end"]), r["n"])
+        for r in sink.current_state(spark).collect()
+    }
+    assert got == want
+    # the 10:45 and 11:00 partials must reflect BOTH micro-batches (u1 twice + u2)
+    assert ("2024-01-01 10:00:00", "2024-01-01 11:00:00", 3) in got
