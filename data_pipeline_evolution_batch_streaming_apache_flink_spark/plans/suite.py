@@ -900,6 +900,32 @@ def q_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(t["events"], ["event_id", "user_id", "event_type"])
 
 
+def q_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Native DataFrame.unpivot (melt) — wide metric columns to long
+    (metric, value) rows, then grouped totals: the Expand-based
+    wide-to-long the reporting layer needs (exact cents/basis-point
+    integer units so any engine agrees)."""
+    t = load_tables(spark, sf, ("lineitem",))
+    wide = t["lineitem"].select(
+        "l_orderkey", "l_linenumber",
+        _cents("l_extendedprice").alias("extendedprice_cents"),
+        F.floor(F.col("l_discount") * 10000).cast("bigint").alias("discount_bp"),
+        F.col("l_quantity").cast("bigint").alias("quantity_units"),
+    )
+    longf = wide.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["extendedprice_cents", "discount_bp", "quantity_units"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
+    return longf.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+
+
 def q_training_prep(spark: SparkSession, sf: str) -> DataFrame:
     """Composed training-data prep pipeline — the full
     score → dedup → gate → account flow a pretraining ingest runs, as
@@ -1370,6 +1396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulate_counts": q_cumulate_counts,
     "bpe_tokenize": q_bpe_tokenize,
     "profile_columns": q_profile_columns,
+    "unpivot_metrics": q_unpivot_metrics,
     "training_prep": q_training_prep,
     "pivot_events": q_pivot_events,
     "median_metrics": q_median_metrics,
@@ -2496,4 +2523,21 @@ ORACLE["profile_columns"] = """
            CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR),
            CAST(count(*) AS BIGINT)
     FROM events
+"""
+
+ORACLE["unpivot_metrics"] = """
+    WITH wide AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS extendedprice_cents,
+             CAST(floor(l_discount * 10000) AS BIGINT) AS discount_bp,
+             CAST(l_quantity AS BIGINT) AS quantity_units
+      FROM lineitem
+    ), longf AS (
+      SELECT 'extendedprice_cents' AS metric, extendedprice_cents AS v FROM wide
+      UNION ALL SELECT 'discount_bp', discount_bp FROM wide
+      UNION ALL SELECT 'quantity_units', quantity_units FROM wide
+    )
+    SELECT metric, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total,
+           CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+    FROM longf GROUP BY metric
 """

@@ -31,7 +31,8 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import sui
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTS = ("lineitem", "orders")
 DIMS = ("customer", "part", "supplier", "nation", "region")
-QUERIES = ("pricing_summary", "region_revenue", "enriched_orders", "asof_join", "unnest_join")
+QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders", "asof_join", "unnest_join",
+           "hop_counts", "cumulate_counts", "profile_columns")
 
 
 def build(spark, factor: int, out_dir: str) -> None:
@@ -57,6 +58,16 @@ def build(spark, factor: int, out_dir: str) -> None:
         .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+    events = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    ekey_span = events.agg(F.max("event_id")).head()[0] + 1
+    (
+        events.select("*", rep)
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * ekey_span)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
     )
 
 
