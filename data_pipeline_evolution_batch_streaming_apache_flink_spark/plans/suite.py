@@ -74,6 +74,7 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup 
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.cep import match_pattern, match_strict
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import (
     asof_join,
     interval_join,
@@ -2540,4 +2541,115 @@ ORACLE["unpivot_metrics"] = """
     SELECT metric, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS total,
            CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
     FROM longf GROUP BY metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# Row-pattern recognition (operators/cep.py — Flink CEP / MATCH_RECOGNIZE)
+# ---------------------------------------------------------------------------
+
+_CEP_FUNNEL_STEPS = [
+    ("signup", "event_type = 'signup'"),
+    ("click", "event_type = 'click'"),
+    ("purchase", "event_type = 'purchase'"),
+]
+
+_CEP_STRICT_STEPS = [
+    ("view", "event_type = 'view'"),
+    ("click", "event_type = 'click'"),
+    ("purchase", "event_type = 'purchase'"),
+]
+
+
+def q_cep_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Relaxed-contiguity funnel (Flink CEP ``followedBy`` + AFTER MATCH
+    SKIP PAST LAST ROW, operators/cep.py match_pattern): first
+    signup → click → purchase completion per user, events ordered by
+    (epoch-millis, event_id). Predicates fold JVM-side before the one
+    key shuffle; the Python stage scans boolean index arrays."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_id", "event_type", _millis("ts").alias("ts_ms")
+    )
+    return match_pattern(
+        ev, _CEP_FUNNEL_STEPS, key_col="user_id", order_col="ts_ms",
+        id_col="event_id", emit="first",
+    )
+
+
+def q_cep_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict-contiguity pattern (MATCH_RECOGNIZE with no gaps, SKIP TO
+    NEXT ROW, operators/cep.py match_strict): view, click, purchase as
+    three CONSECUTIVE events of one user within 48 hours
+    (median inter-event gap in the events table is ~11 h). Pure native
+    window functions — the leads share one in-partition sort."""
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_id", "event_type", _millis("ts").alias("ts_ms")
+    )
+    return match_strict(
+        ev, _CEP_STRICT_STEPS, key_col="user_id", order_col="ts_ms",
+        id_col="event_id", within=172_800_000,
+    )
+
+
+QUERIES["cep_funnel"] = q_cep_funnel
+QUERIES["cep_strict"] = q_cep_strict
+
+ORACLE["cep_funnel"] = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    a AS (
+      SELECT user_id, ts_ms AS signup_ts_ms, event_id AS signup_event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn
+        FROM e WHERE event_type = 'signup'
+      ) WHERE rn = 1
+    ),
+    b AS (
+      SELECT user_id, ts_ms AS click_ts_ms, event_id AS click_event_id FROM (
+        SELECT e.user_id, e.ts_ms, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn
+        FROM e JOIN a USING (user_id)
+        WHERE e.event_type = 'click'
+          AND (e.ts_ms > a.signup_ts_ms
+               OR (e.ts_ms = a.signup_ts_ms AND e.event_id > a.signup_event_id))
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, ts_ms AS purchase_ts_ms, event_id AS purchase_event_id FROM (
+        SELECT e.user_id, e.ts_ms, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts_ms, e.event_id) AS rn
+        FROM e JOIN b USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND (e.ts_ms > b.click_ts_ms
+               OR (e.ts_ms = b.click_ts_ms AND e.event_id > b.click_event_id))
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, CAST(1 AS BIGINT) AS match_seq,
+           signup_ts_ms, signup_event_id,
+           click_ts_ms, click_event_id,
+           purchase_ts_ms, purchase_event_id
+    FROM a JOIN b USING (user_id) JOIN c USING (user_id)
+"""
+
+ORACLE["cep_strict"] = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+    ),
+    w AS (
+      SELECT user_id, ts_ms, event_id, event_type,
+             lead(event_type, 1) OVER win AS t1,
+             lead(ts_ms, 1) OVER win AS ts1, lead(event_id, 1) OVER win AS id1,
+             lead(event_type, 2) OVER win AS t2,
+             lead(ts_ms, 2) OVER win AS ts2, lead(event_id, 2) OVER win AS id2
+      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    )
+    SELECT user_id,
+           ts_ms AS view_ts_ms, event_id AS view_event_id,
+           ts1 AS click_ts_ms, id1 AS click_event_id,
+           ts2 AS purchase_ts_ms, id2 AS purchase_event_id
+    FROM w
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 - ts_ms <= 172800000
 """

@@ -191,3 +191,30 @@ def test_matches_sequential_reference(spark, within, emit):
         ):
             want.append((u, seq, m[0][0], m[1][0], m[2][0]))
     assert got == sorted(want)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_strict_plan_native_single_shuffle(spark, sf_dir):
+    """match_strict must stay whole-stage-codegen: no Python eval
+    operators, and exactly one shuffle (on the pattern key)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    plan = _plan(suite.QUERIES["cep_strict"](spark, sf_dir))
+    assert "EvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_relaxed_plan_single_shuffle_preds_before_python(spark, sf_dir):
+    """match_pattern: one key shuffle into the Arrow stage; the step
+    predicates must be evaluated below it (in the scan-side project),
+    not inside Python."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    plan = _plan(suite.QUERIES["cep_funnel"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    # the boolean step flags are computed by a JVM-side Project
+    assert "__p0" in plan and "__p2" in plan
