@@ -835,3 +835,118 @@ def near_dedup(
     comp = connected_components(pairs, max_iter=max_iter)
     drop = comp.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
     return df.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def _token_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Whitespace tokens -> one row per position-stamped token n-gram:
+    (id, pos, gram). Narrow (explode only, no shuffle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(id_col, toks.alias("__toks"))
+        .withColumn("__ng", F.size("__toks") - n + 1)
+        .where(F.col("__ng") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__ng") - 1),
+                    lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection: maximal token spans covered
+    by n-grams that occur at least ``min_count`` times corpus-wide (the
+    repeated-substring criterion of the training-data dedup literature
+    — find the boilerplate, license headers, navigation chrome that
+    exact- and document-level dedup both miss).
+
+    Returns ``(id, span_start, span_end, n_dup_grams)`` with token
+    positions inclusive: each row is a maximal run of duplicated
+    n-grams (adjacent or overlapping gram hits merge into one span).
+
+    Scale shape: explode to position-stamped grams (narrow), ONE
+    shuffle to count gram occurrences, an equi-join back on the gram
+    (reuses the same hash partitioning), then one shuffle per doc for
+    the gaps-and-islands merge. Gram positions within a doc are
+    ascending, so island detection is a single ``lag`` — no
+    running-max window state.
+    """
+    from pyspark.sql import Window
+
+    grams = _token_grams(df, id_col, text_col, n)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.withColumn(
+        "__new", F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        flagged.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n - 1).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .drop("__island")
+    )
+
+
+def mask_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_count: int = 2,
+    out_col: str = "text_dedup",
+) -> DataFrame:
+    """Remove every token covered by a duplicated n-gram (see
+    :func:`duplicate_spans`) and reassemble the remaining text in
+    original token order. Documents with nothing duplicated pass
+    through unchanged; fully-covered documents come back empty.
+
+    Same shuffle discipline as duplicate_spans plus one per-doc
+    aggregation to rebuild the text (sorted struct collect — order
+    deterministic under any partition layout).
+    """
+    grams = _token_grams(df, id_col, text_col, n)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__cnt"))
+        .where(F.col("__cnt") >= min_count)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("tpos"))
+        .distinct()
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tokens = df.select(id_col, F.posexplode(toks).alias("tpos", "tok"))
+    kept = tokens.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias(out_col)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -67,7 +67,9 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup 
     decontaminate,
     dedup_clusters,
     dedup_lines,
+    duplicate_spans,
     embedding_cosine_pairs,
+    mask_duplicate_spans,
     exact_dedup,
     minhash_lsh_pairs,
     near_dedup,
@@ -2652,4 +2654,101 @@ ORACLE["cep_strict"] = """
     FROM w
     WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
       AND ts2 - ts_ms <= 172800000
+"""
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (operators/dedup.py duplicate_spans family)
+# ---------------------------------------------------------------------------
+
+def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-substring detection (training-data dedup literature):
+    maximal token spans covered by corpus-duplicated 5-grams. Explode is
+    narrow; one shuffle counts grams, the hit join reuses that
+    partitioning, one per-doc shuffle merges islands (single lag — gram
+    positions are already ascending per doc)."""
+    t = load_tables(spark, sf, ("documents",))
+    out = duplicate_spans(t["documents"], "doc_id", "text", n=5, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_dup_grams",
+    )
+
+
+def q_mask_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Applied variant: strip every token covered by a duplicated
+    5-gram and rebuild the document (deterministic sorted-struct
+    reassembly). Output is md5 + length per doc so the oracle compares
+    exact rebuilt text without hashing megabytes of strings."""
+    t = load_tables(spark, sf, ("documents",))
+    out = mask_duplicate_spans(t["documents"], "doc_id", "text", n=5, min_count=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_dedup")).alias("text_md5"),
+        F.length("text_dedup").cast("bigint").alias("n_chars_dedup"),
+    )
+
+
+QUERIES["duplicate_spans"] = q_duplicate_spans
+QUERIES["mask_dup_spans"] = q_mask_dup_spans
+
+_DUP_GRAMS_CTE = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                      i -> {'pos': i - 1,
+                            'gram': array_to_string(list_slice(toks, i, i + 4), ' ')})) AS u
+        FROM t)
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram))
+"""
+
+ORACLE["duplicate_spans"] = _DUP_GRAMS_CTE + r"""
+    , isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+                  THEN 1 ELSE 0 END AS newf
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 4 AS BIGINT) AS span_end,
+           count(*) AS n_dup_grams
+    FROM isl2 GROUP BY doc_id, island
+"""
+
+ORACLE["mask_dup_spans"] = _DUP_GRAMS_CTE + r"""
+    , covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS tpos FROM hits
+    ),
+    tok AS (
+      SELECT doc_id, u.pos AS tpos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {'pos': i - 1, 'tok': toks[i]})) AS u
+        FROM t)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.tpos, tok.tok
+      FROM tok LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.tpos = c.tpos
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS txt FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, md5(coalesce(r.txt, '')) AS text_md5,
+           CAST(len(coalesce(r.txt, '')) AS BIGINT) AS n_chars_dedup
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
