@@ -1,0 +1,130 @@
+"""Mergeable distinct-count sketches (HyperLogLog) with exact
+cross-engine semantics.
+
+Spark's built-in ``approx_count_distinct`` is a black-box HLL++ whose
+estimates can't be reproduced outside the JVM. This implementation is
+deterministic down to the bit on ANY engine that has ``md5`` and basic
+string ops, which is what makes it *oracle-checkable* and *portable*:
+
+- hash: the first 15 hex chars of ``md5(value)`` folded into a 60-bit
+  integer (exact bigint arithmetic — 16^15 < 2^63, no overflow, no
+  engine-specific hash function).
+- register index: ``h % m`` (m = 2^p registers); remainder ``h // m``
+  has ``w = 60 - p`` bits; rank ``rho`` = leading zeros in those w bits
+  + 1, computed as ``w - length(bin(rest)) + 1`` — string-exact, no
+  floating log2 at bit boundaries.
+- state: one ``(group, bucket, r=max(rho))`` row per occupied register
+  — a standard mergeable HLL state: union-merge is ``max`` per bucket
+  (:func:`hll_merge`), exactly how per-partition sketches combine on a
+  1000-executor cluster (the groupBy(bucket).max IS the map-side
+  combine; per-group state is at most m rows regardless of input size).
+- estimate: Flajolet's alpha-corrected harmonic mean with the
+  linear-counting small-range correction. The harmonic sum is kept
+  EXACT as an integer (sum of 2^(w+1-rho); worst case m*2^w = 2^60
+  fits a bigint), so the only floats are one division, one multiply,
+  and (in the small range) one ln — all rounded to 6dp for
+  cross-engine hash-stability.
+
+Standard error ~= 1.04/sqrt(m): p=9 (512 registers) gives ~4.6%.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+# Flajolet-et-al alpha_m bias constants (m >= 128 uses the asymptotic form)
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hash60(col: str) -> F.Column:
+    """60-bit integer hash: first 15 hex chars of md5, exact fold."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, 15), i -> "
+        f"CAST(locate(substr(md5(CAST({col} AS STRING)), i, 1), '{_HEX}') - 1 AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)"
+    )
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 9
+) -> DataFrame:
+    """Occupied-register HLL state per group: (group..., bucket, r).
+
+    One shuffle on (group, bucket) with map-side max combine — at 100 TB
+    the reduce side sees at most m rows per group however many input
+    rows there are.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    w = 60 - p
+    h = hash60(value_col)
+    slim = df.select(*group_cols, h.alias("__h")).where(F.col(value_col).isNotNull())
+    rest = F.expr(f"__h div {m}")
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(rest)) + 1
+    )
+    return (
+        slim.select(
+            *group_cols,
+            (F.col("__h") % m).cast("int").alias("bucket"),
+            rho.cast("int").alias("__rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("__rho").alias("r"))
+    )
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """Union-merge HLL states (same group/bucket schema): max rank per
+    register. This is the associative combine that makes the sketch
+    shardable — per-day or per-partition states roll up losslessly."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "r"]
+    return out.groupBy(*keys).agg(F.max("r").alias("r"))
+
+
+def hll_estimate(state: DataFrame, group_cols: list[str], p: int = 9) -> DataFrame:
+    """Distinct-count estimate per group from register state.
+
+    Exact-integer harmonic sum (2^(w+1-r) per occupied register, where
+    w+1 is the max rank, so the exponent is never negative and the
+    worst-case sum m*2^w = 2^60 still fits a bigint), then the float
+    finish rounded to 6dp: alpha*m^2/Z, or linear counting
+    m*ln(m/zeros) when the raw estimate is <= 2.5m and empty registers
+    remain.
+    """
+    m = 1 << p
+    w = 60 - p
+    alpha = _alpha(m)
+    scaled = F.pow(F.lit(2.0), (w + 1) - F.col("r")).cast("bigint")
+    agg = state.groupBy(*group_cols).agg(
+        F.sum(scaled).alias("__s"), F.count("*").alias("__occupied")
+    )
+    zeros = F.lit(m) - F.col("__occupied")
+    z = zeros.cast("double") + F.col("__s").cast("double") / F.lit(float(1 << (w + 1)))
+    raw = F.lit(alpha * m * m) / z
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("ndv_est"))
+
+
+def approx_ndv(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 9
+) -> DataFrame:
+    """groupBy(group).agg(approx distinct value_col) via the mergeable
+    sketch above — one shuffle, bounded state, reproducible anywhere."""
+    return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)

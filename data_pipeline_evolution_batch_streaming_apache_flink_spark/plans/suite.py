@@ -2752,3 +2752,63 @@ ORACLE["mask_dup_spans"] = _DUP_GRAMS_CTE + r"""
            CAST(len(coalesce(r.txt, '')) AS BIGINT) AS n_chars_dedup
     FROM documents d LEFT JOIN rebuilt r USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-customer count per order
+    priority (operators/sketches.py — md5-fold hash, exact-integer
+    harmonic state, p=9). The sketch is reproducible on any engine, so
+    the oracle runs the IDENTICAL algorithm in SQL and the estimates
+    hash-match to 6dp. One shuffle; reduce-side state is <= 512 rows
+    per group at any input size."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import approx_ndv
+
+    t = load_tables(spark, sf, ("orders",))
+    out = approx_ndv(
+        t["orders"].select(F.col("o_orderpriority").alias("priority"), "o_custkey"),
+        ["priority"], "o_custkey", p=9,
+    )
+    return out
+
+
+QUERIES["approx_distinct"] = q_approx_distinct
+
+_HLL_ALPHA_M2 = repr((0.7213 / (1 + 1.079 / 512)) * 512 * 512)
+
+ORACLE["approx_distinct"] = f"""
+    WITH h AS (
+      SELECT o_orderpriority AS priority,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(CAST(o_custkey AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+               (acc, d) -> acc * 16 + d) AS hv
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    regs AS (
+      SELECT priority, hv % 512 AS bucket,
+             max(CASE WHEN hv // 512 = 0 THEN 52
+                      ELSE 51 - len(bin(hv // 512)) + 1 END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT priority,
+             sum(CAST(2 ** (52 - r) AS BIGINT)) AS s,
+             count(*) AS occ
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT priority,
+             CAST(512 - occ AS DOUBLE) AS zeros,
+             {_HLL_ALPHA_M2} / ((512 - occ) + CAST(s AS DOUBLE) / 4503599627370496.0) AS raw
+      FROM agg
+    )
+    SELECT priority,
+           round(CASE WHEN raw <= 1280.0 AND zeros > 0
+                      THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 6) AS ndv_est
+    FROM est
+"""

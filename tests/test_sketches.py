@@ -1,0 +1,97 @@
+"""HLL distinct sketch (operators/sketches.py): accuracy vs exact
+distinct, lossless mergeability, layout independence, and bit-exact
+agreement with an independent numpy reference of the same algorithm."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import (
+    approx_ndv,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _df(spark, n, groups=1, dup=1):
+    return (
+        spark.range(n * dup)
+        .select(
+            (F.col("id") % groups).alias("g"),
+            (F.col("id") % n).alias("v"),
+        )
+    )
+
+
+def test_estimate_within_hll_error_bound(spark):
+    # p=9 -> sigma ~4.6%; assert 3 sigma
+    for true_n in (2_000, 20_000):
+        out = approx_ndv(_df(spark, true_n, dup=3), ["g"], "v", p=9).collect()
+        est = out[0].ndv_est
+        assert abs(est - true_n) / true_n < 0.14, (true_n, est)
+
+
+def test_small_range_linear_counting(spark):
+    out = approx_ndv(_df(spark, 100), ["g"], "v", p=9).collect()
+    est = out[0].ndv_est
+    assert abs(est - 100) / 100 < 0.15, est
+
+
+def test_merge_equals_union(spark):
+    a = _df(spark, 5_000).where("v < 3000")
+    b = _df(spark, 5_000).where("v >= 2000")  # overlapping
+    u = a.unionByName(b)
+    merged = hll_merge(hll_registers(a, ["g"], "v"), hll_registers(b, ["g"], "v"))
+    direct = hll_registers(u, ["g"], "v")
+    got_m = {(r.g, r.bucket, r.r) for r in merged.collect()}
+    got_d = {(r.g, r.bucket, r.r) for r in direct.collect()}
+    assert got_m == got_d
+    est_m = hll_estimate(merged, ["g"]).collect()[0].ndv_est
+    est_d = hll_estimate(direct, ["g"]).collect()[0].ndv_est
+    assert est_m == est_d
+
+
+def test_layout_independent(spark):
+    df = _df(spark, 4_000, groups=3)
+    a = approx_ndv(df, ["g"], "v", p=9)
+    b = approx_ndv(df.repartition(17, "v"), ["g"], "v", p=9)
+    assert sorted((r.g, r.ndv_est) for r in a.collect()) == sorted(
+        (r.g, r.ndv_est) for r in b.collect()
+    )
+
+
+def test_registers_match_numpy_reference(spark):
+    """Same algorithm in pure Python (md5 via hashlib) must produce the
+    identical register state — pins the hash fold, bucketing, and rank
+    computation bit-for-bit."""
+    p, m, w = 9, 512, 51
+    vals = [f"v{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {(r.bucket, r.r) for r in hll_registers(df.withColumn("g", F.lit(0)), ["g"], "s", p=p).select("bucket", "r").collect()}
+
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        bucket = h % m
+        rest = h // m
+        if rest == 0:
+            rho = w + 1
+        else:
+            rho = w - rest.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    assert got == set(regs.items())
+
+
+def test_null_values_ignored(spark):
+    df = spark.createDataFrame([(1, "a"), (1, None), (1, "b")], "g int, s string")
+    regs = hll_registers(df, ["g"], "s", p=9)
+    assert regs.count() == 2
+
+
+def test_bad_p_rejected(spark):
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(_df(spark, 10), ["g"], "v", p=2)
