@@ -2812,3 +2812,56 @@ ORACLE["approx_distinct"] = f"""
                       THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 6) AS ndv_est
     FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (operators/quality.py psi_drift)
+# ---------------------------------------------------------------------------
+
+def q_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution:
+    pre-1998 orders vs 1998-onward (did the price mix shift between
+    corpus snapshots?). 16 equal-width bins over [0, 500k) plus
+    under/overflow; per-bucket PSI contribution in exact micro-units.
+    Both sides collapse map-side to <= 18 rows before the only
+    shuffle; the totals window runs on that tiny frame."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+
+    t = load_tables(spark, sf, ("orders",))
+    a = t["orders"].where(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    b = t["orders"].where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+    return psi_drift(a, b, "o_totalprice", 0.0, 500000.0, bins=16)
+
+
+QUERIES["psi_drift"] = q_psi_drift
+
+ORACLE["psi_drift"] = """
+    WITH src AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             o_orderdate < DATE '1998-01-01' AS is_a
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    bucketed AS (
+      SELECT CASE WHEN x < 0.0 THEN -1
+                  WHEN x >= 500000.0 THEN 16
+                  ELSE CAST(floor((x - 0.0) / (500000.0 - 0.0) * 16) AS INTEGER)
+             END AS bucket,
+             is_a
+      FROM src
+    ),
+    j AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM bucketed GROUP BY 1
+    ),
+    probs AS (
+      SELECT bucket, n_a, n_b,
+             greatest(CAST(n_a AS DOUBLE) / sum(n_a) OVER (), 0.000001) AS pa,
+             greatest(CAST(n_b AS DOUBLE) / sum(n_b) OVER (), 0.000001) AS pb
+      FROM j
+    )
+    SELECT bucket, n_a, n_b,
+           CAST(round((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT) AS psi_micro
+    FROM probs
+"""

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import (
     expect_in_set,
     expect_not_null,
@@ -116,3 +117,43 @@ def test_profile_columns_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("FileScan") == 1
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+def test_psi_identical_distributions_zero(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    out = psi_drift(df, df, "x", 0.0, 100.0, bins=10).collect()
+    assert all(r.psi_micro == 0 for r in out)
+    assert {r.bucket for r in out} == set(range(10))
+
+
+def test_psi_shift_detected_and_manual_value(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+    import math
+
+    a = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    b = spark.range(1000).select((F.col("id") % 100 + 50).cast("double").alias("x"))
+    out = {r.bucket: r for r in psi_drift(a, b, "x", 0.0, 100.0, bins=2).collect()}
+    # a: 500/500 in buckets 0,1; b: 500 in bucket 1, 500 overflow
+    assert (out[0].n_a, out[0].n_b) == (500, 0)
+    assert (out[1].n_a, out[1].n_b) == (500, 500)
+    assert (out[2].n_a, out[2].n_b) == (0, 500)
+    eps = 1e-6
+    want0 = round((0.5 - eps) * math.log(0.5 / eps) * 1e6)
+    assert out[0].psi_micro == want0
+    assert out[1].psi_micro == 0
+    total = sum(r.psi_micro for r in out.values()) / 1e6
+    assert total > 0.25  # "action" territory for a half-range shift
+
+
+def test_psi_nulls_and_out_of_range(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+
+    a = spark.createDataFrame([(None,), (-5.0,), (500.0,), (50.0,)], "x double")
+    out = {r.bucket: (r.n_a, r.n_b) for r in psi_drift(a, a, "x", 0.0, 100.0, bins=4).collect()}
+    assert out == {-1: (1, 1), 4: (1, 1), 2: (1, 1)}  # null dropped
