@@ -72,6 +72,11 @@ BENCH_QUERIES = (
     "bpe_tokenize",
     "cube_revenue",
     "profile_columns",
+    "cep_funnel",
+    "cep_strict",
+    "duplicate_spans",
+    "approx_distinct",
+    "psi_drift",
 )
 
 
