@@ -2865,3 +2865,41 @@ ORACLE["psi_drift"] = """
            CAST(round((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT) AS psi_micro
     FROM probs
 """
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (operators/features.py)
+# ---------------------------------------------------------------------------
+
+def q_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick bag-of-words (vocabulary-free featurizer): 256-dim
+    sparse token counts per document, built entirely map-side (zero
+    shuffle, higher-order-function codegen — plan pinned Exchange-free
+    in tests/test_features.py). Exploded to long form so the oracle
+    compares exact (doc, bucket, count) triples."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import hashed_features
+
+    t = load_tables(spark, sf, ("documents",))
+    out = hashed_features(t["documents"], "doc_id", "text", dim=256)
+    return out.select("doc_id", F.explode("features").alias("f")).select(
+        "doc_id", F.col("f.idx").alias("idx"), F.col("f.cnt").alias("cnt")
+    )
+
+
+QUERIES["hashed_features"] = q_hashed_features
+
+ORACLE["hashed_features"] = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    h AS (
+      SELECT doc_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1 AS BIGINT))),
+               (acc, d) -> acc * 16 + d) % 256 AS INTEGER) AS idx
+      FROM tok
+    )
+    SELECT doc_id, idx, count(*) AS cnt FROM h GROUP BY 1, 2
+"""

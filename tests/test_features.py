@@ -1,0 +1,74 @@
+"""Feature hashing (operators/features.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import hashed_features
+
+
+def _h60(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_counts_match_python_reference(spark):
+    dim = 64
+    rows = [(1, "the cat sat on the mat the end"), (2, "one two two three three three")]
+    got = {
+        r.doc_id: [(s.idx, s.cnt) for s in r.features]
+        for r in hashed_features(_docs(spark, rows), dim=dim).collect()
+    }
+    for doc_id, text in rows:
+        counts: dict[int, int] = {}
+        for t in text.split():
+            counts[_h60(t) % dim] = counts.get(_h60(t) % dim, 0) + 1
+        assert got[doc_id] == sorted(counts.items()), doc_id
+
+
+def test_signed_mode_matches_reference_and_drops_zero_sums(spark):
+    dim = 4  # force collisions so sign cancellation can occur
+    text = " ".join(f"tok{i}" for i in range(40))
+    got = {
+        (s.idx, s.cnt)
+        for s in hashed_features(_docs(spark, [(1, text)]), dim=dim, signed=True)
+        .collect()[0]
+        .features
+    }
+    counts: dict[int, int] = {}
+    for t in text.split():
+        h = _h60(t)
+        sgn = 1 if (h // dim) % 2 == 0 else -1
+        counts[h % dim] = counts.get(h % dim, 0) + sgn
+    want = {(i, c) for i, c in counts.items() if c != 0}
+    assert got == want
+
+
+def test_zero_shuffle_plan(spark, sf_dir):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+    df = hashed_features(read_parquet(spark, f"{sf_dir}/documents.parquet"), dim=256)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_layout_independent(spark):
+    rows = [(i, f"alpha beta gamma tok{i} tok{i % 3}") for i in range(50)]
+    df = _docs(spark, rows)
+    a = {r.doc_id: tuple((s.idx, s.cnt) for s in r.features) for r in hashed_features(df, dim=32).collect()}
+    b = {
+        r.doc_id: tuple((s.idx, s.cnt) for s in r.features)
+        for r in hashed_features(df.repartition(7), dim=32).collect()
+    }
+    assert a == b
+
+
+def test_bad_dim_rejected(spark):
+    with pytest.raises(ValueError, match="dim"):
+        hashed_features(_docs(spark, [(1, "x")]), dim=1)
