@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import vectors as V
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import sample_hash
 
-__all__ = ["assign_clusters", "semantic_dedup"]
+__all__ = ["assign_clusters", "kmeans_quantized", "semantic_dedup"]
 
 
 def assign_clusters(
@@ -143,3 +143,94 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(doomed, id_col, "left_anti")
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means in exact integer space.
+
+    The float pitfall with distributed k-means is that centroid means
+    are order-of-accumulation dependent, so the same corpus gives
+    different clusters on different partition layouts (and different
+    engines). This variant quantizes vectors to micro-units
+    (``round(x * 1e6)`` bigints) and does EVERYTHING in exact integer
+    arithmetic — squared distances, argmin (id tiebreak), and centroid
+    means via pmod floor-division — so the result is bit-identical
+    under any layout and reproducible in plain SQL (the suite oracle
+    runs the same iterations unrolled in DuckDB).
+
+    Init: the ``k`` rows with the smallest ``md5(id)`` (a reproducible
+    uniform draw), cluster ids 0..k-1 in hash order. ``iters`` counts
+    ASSIGNMENT passes (updates run between them). Empty clusters drop
+    out, shrinking k — standard Lloyd's behavior.
+
+    Scale: per iteration, one broadcast cross join against k centroid
+    rows (k is small by construction), one partial-aggregated shuffle
+    on the point id for the argmin, one (cluster, dim) shuffle for the
+    means. Distances fit bigint while ``dim * (2 * 1e6 * |x|max)^2``
+    < 2^63 — i.e. comfortably for unit-norm embeddings up to thousands
+    of dims. Centroid sums stay exact (integer DIV) at any count.
+
+    Returns ``(assignments, centroids)``: assignments are
+    ``(id, cluster int, dist_div bigint)`` with ``dist_div`` the final
+    squared distance DIV 1e6 (overflow headroom for corpus-level
+    inertia sums); centroids are ``(cluster, centroid_micro
+    array<bigint>)``.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    quant = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    pts = df.select(
+        id_col, quant.alias("__v"), F.md5(F.col(id_col).cast("string")).alias("__h")
+    )
+    wk = Window.orderBy("__h")  # k rows only — the limit() below ran first
+    cent = (
+        pts.orderBy("__h").limit(k)
+        .select((F.row_number().over(wk) - 1).alias("cid"), F.col("__v").alias("__c"))
+    )
+    pts = pts.drop("__h")
+
+    dist = F.expr(
+        "aggregate(zip_with(__v, __c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, e) -> a + e)"
+    )
+    assigned = None
+    for it in range(iters):
+        assigned = (
+            pts.crossJoin(F.broadcast(cent))
+            .withColumn("__d", dist)
+            .groupBy(id_col)
+            .agg(F.min(F.struct("__d", "cid")).alias("__m"), F.first("__v").alias("__v"))
+            .select(
+                id_col,
+                F.col("__m.cid").alias("cid"),
+                F.col("__m.__d").alias("__d"),
+                "__v",
+            )
+        )
+        if it < iters - 1:
+            sums = (
+                assigned.select("cid", F.posexplode("__v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            )
+            mu = sums.select("cid", "pos", F.expr("(s - pmod(s, c)) div c").alias("m"))
+            cent = (
+                mu.groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                .select("cid", F.expr("transform(pm, p -> p.m)").alias("__c"))
+            )
+    out = assigned.select(
+        id_col,
+        F.col("cid").alias("cluster"),
+        F.expr("__d div 1000000").alias("dist_div"),
+    )
+    centroids = cent.select(F.col("cid").alias("cluster"), F.col("__c").alias("centroid_micro"))
+    return out, centroids

@@ -2903,3 +2903,88 @@ ORACLE["hashed_features"] = r"""
     )
     SELECT doc_id, idx, count(*) AS cnt FROM h GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact integer-space k-means (operators/semantic.py kmeans_quantized)
+# ---------------------------------------------------------------------------
+
+def q_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table (k=4,
+    two assignment passes) in exact micro-int arithmetic — the same
+    iterations unroll into plain SQL, so the oracle reproduces every
+    cluster assignment and distance bit-for-bit. Per iteration: one
+    broadcast cross join vs k centroid rows, one partial-agg argmin
+    shuffle, one (cluster, dim) mean shuffle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.semantic import kmeans_quantized
+
+    t = load_tables(spark, sf, ("embeddings",))
+    out, _ = kmeans_quantized(t["embeddings"], "vec_id", "embedding", k=4, iters=2)
+    return out.select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster"), "dist_div"
+    )
+
+
+QUERIES["kmeans"] = q_kmeans
+
+_KM_DIST = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len(p.v) + 1), "
+    "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))), (a, e) -> a + e)"
+)
+
+
+def _km_assign(prev_cent: str, out: str) -> str:
+    return f"""
+    {out}_raw AS (
+      SELECT p.vec_id, p.v, c.cid, {_KM_DIST} AS d
+      FROM pts p CROSS JOIN {prev_cent} c
+    ),
+    {out} AS (
+      SELECT vec_id, v, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM {out}_raw
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update(assign: str, out: str) -> str:
+    return f"""
+    {out}_sums AS (
+      SELECT cid, u.pos AS pos, u.val AS val FROM (
+        SELECT cid,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {{'pos': i - 1, 'val': v[i]}})) AS u
+        FROM {assign})
+    ),
+    {out}_agg AS (
+      SELECT cid, pos, sum(val) AS s, count(*) AS cnt FROM {out}_sums GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, pos, (s - ((s % cnt) + cnt) % cnt) // cnt AS m FROM {out}_agg)
+      GROUP BY cid
+    )"""
+
+
+ORACLE["kmeans"] = (
+    """
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT row_number() OVER (ORDER BY h) - 1 AS cid, v AS c
+      FROM (SELECT * FROM pts ORDER BY h LIMIT 4)
+    ),"""
+    + _km_assign("cent0", "assign0") + ","
+    + _km_update("assign0", "cent1") + ","
+    + _km_assign("cent1", "assign1")
+    + """
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d // 1000000 AS dist_div
+    FROM assign1
+"""
+)
