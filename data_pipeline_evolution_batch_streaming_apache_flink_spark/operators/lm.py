@@ -1,0 +1,103 @@
+"""Count-based n-gram language modeling, in-engine.
+
+The classic corpus-quality signal that needs no external model: train
+an add-one-smoothed bigram LM on the corpus itself and score each
+document's average token log-likelihood. Low scores flag gibberish,
+boilerplate soup, and wrong-language contamination; the CCNet/KenLM
+pipeline uses exactly this shape (there with a pretrained 5-gram model
+— here the LM is trained in the same engine pass, so the whole signal
+is reproducible from the corpus alone).
+
+Determinism: add-ONE smoothing keeps every probability a ratio of
+exact integers ``(c2 + 1) / (c1 + V)``; the only float per bigram is
+one division and one ``ln``, immediately rounded to micro-units, and
+per-document totals are then exact bigint sums — the same
+engine-portable discipline as the PSI and HLL operators.
+
+Scale shape: training is two counted shuffles (bigram, unigram) with
+map-side combine; scoring joins doc bigrams to the model on the bigram
+key (reusing the count partitioning) then to unigram counts, then one
+per-doc sum. No driver state — the "model" stays distributed, or can
+be persisted as parquet and broadcast when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(id_col, toks.alias("__toks"))
+        .where(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(__toks) - 2), "
+                    "i -> named_struct('w1', __toks[i], 'w2', __toks[i + 1]))"
+                )
+            ).alias("pos", "bg"),
+        )
+        .select(id_col, "pos", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+
+
+def bigram_lm(train: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the model: returns ``(bigram_counts(w1, w2, c2),
+    unigram_counts(w1, c1), vocab_size (1-row DataFrame, column V))``.
+    Unigram counts exclude each document's final token (they are
+    next-token contexts, not raw frequencies) so that
+    ``sum_w c2(w1, w) = c1(w1)`` holds exactly."""
+    bg = _bigrams(train, id_col, text_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = train.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    vocab = toks.agg(F.count_distinct("w").alias("V"))
+    return c2, c1, vocab
+
+
+def bigram_lm_scores(
+    score: DataFrame,
+    c2: DataFrame,
+    c1: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under the trained LM: per doc, the number of
+    bigrams and the exact-integer sum of per-bigram micro log
+    likelihoods ``round(ln((c2+1)/(c1+V)) * 1e6)``. Unseen bigrams and
+    contexts degrade gracefully to the smoothed floor (counts coalesce
+    to 0). Documents with fewer than two tokens are absent (no
+    bigrams to score). ``avg_logp_micro`` = floor of the per-bigram
+    mean, for thresholding."""
+    bg = _bigrams(score, id_col, text_col)
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("V")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__lp").alias("logp_micro_sum"),
+    ).withColumn(
+        "avg_logp_micro",
+        F.expr("(logp_micro_sum - pmod(logp_micro_sum, n_bigrams)) div n_bigrams"),
+    )

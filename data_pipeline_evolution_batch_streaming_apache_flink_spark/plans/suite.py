@@ -2988,3 +2988,53 @@ ORACLE["kmeans"] = (
     FROM assign1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# In-engine bigram LM scoring (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+def q_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus-LM quality signal, self-trained: add-one
+    bigram model over the documents table, every document scored by
+    its exact-integer micro log-likelihood sum. Training is two
+    counted shuffles; scoring reuses the bigram partitioning and ends
+    in one per-doc sum."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+    t = load_tables(spark, sf, ("documents",))
+    c2, c1, vocab = bigram_lm(t["documents"])
+    return bigram_lm_scores(t["documents"], c2, c1, vocab)
+
+
+QUERIES["lm_scores"] = q_lm_scores
+
+ORACLE["lm_scores"] = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM t WHERE len(toks) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT tk) AS V FROM (SELECT unnest(toks) AS tk FROM t)),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.c1, 0) + v.V AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS lp
+      FROM bg b
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logp_micro_sum,
+           (sum(lp) - ((sum(lp) % count(*)) + count(*)) % count(*)) // count(*)
+             AS avg_logp_micro
+    FROM lp GROUP BY doc_id
+"""

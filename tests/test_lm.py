@@ -1,0 +1,73 @@
+"""Bigram LM scoring (operators/lm.py) vs a sequential reference."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal, ROUND_HALF_UP
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _reference(train_rows, score_rows):
+    c2: dict[tuple[str, str], int] = {}
+    c1: dict[str, int] = {}
+    vocab = set()
+    for _, text in train_rows:
+        toks = text.split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    V = len(vocab)
+    out = {}
+    for doc_id, text in score_rows:
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        lps = []
+        for a, b in zip(toks, toks[1:]):
+            p = (c2.get((a, b), 0) + 1) / (c1.get(a, 0) + V)
+            lps.append(
+                int(Decimal(repr(math.log(p) * 1e6)).quantize(0, rounding=ROUND_HALF_UP))
+            )
+        s = sum(lps)
+        out[doc_id] = (len(lps), s, (s - s % len(lps) if s >= 0 else s - (s % len(lps))) // len(lps))
+    return out
+
+
+def test_matches_reference(spark):
+    train = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "a cat and a dog"),
+    ]
+    score = train + [(4, "the cat sat quietly"), (5, "zz qq unseen everything"), (6, "one")]
+    c2, c1, v = bigram_lm(_docs(spark, train))
+    got = {
+        r.doc_id: (r.n_bigrams, r.logp_micro_sum, r.avg_logp_micro)
+        for r in bigram_lm_scores(_docs(spark, score), c2, c1, v).collect()
+    }
+    want = _reference(train, score)
+    assert got == want
+    assert 6 not in got  # single-token doc has no bigrams
+    # in-domain text scores higher than unseen-vocab text
+    assert got[1][2] > got[5][2]
+
+
+def test_next_token_context_identity(spark):
+    """sum_w c2(w1, w) == c1(w1) exactly — the add-one probabilities
+    then sum to (c1+distinct_successors)/(c1+V) <= 1 per context."""
+    train = [(1, "a b a b a c"), (2, "b a b c")]
+    c2, c1, _ = bigram_lm(_docs(spark, train))
+    from pyspark.sql import functions as F
+
+    joined = (
+        c2.groupBy("w1").agg(F.sum("c2").alias("s"))
+        .join(c1, "w1")
+        .where(F.col("s") != F.col("c1"))
+    )
+    assert joined.count() == 0
