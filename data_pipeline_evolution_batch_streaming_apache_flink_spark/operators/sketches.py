@@ -128,3 +128,90 @@ def approx_ndv(
     """groupBy(group).agg(approx distinct value_col) via the mergeable
     sketch above — one shuffle, bounded state, reproducible anywhere."""
     return hll_estimate(hll_registers(df, group_cols, value_col, p), group_cols, p)
+
+
+def _salted_hash60(value: str, salt: int) -> F.Column:
+    """Independent hash row: salt prefixes the value inside md5."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, 15), i -> "
+        f"CAST(locate(substr(md5(CONCAT('{salt}|', CAST({value} AS STRING))), i, 1), '{_HEX}') - 1 AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)"
+    )
+
+
+def cms_state(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch state (Cormode & Muthukrishnan): ``depth``
+    independent md5-salted hash rows of ``width`` counters, as rows
+    ``(row, bucket, cnt)``. Same portability contract as the HLL:
+    exact integer state, reproducible on any engine.
+
+    One shuffle with map-side combine; reduce-side state is at most
+    ``depth * width`` rows no matter how many input rows. Merge =
+    union + sum (:func:`cms_merge`). ``weight_col`` accumulates a
+    bigint weight instead of occurrence counts.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}, {width}")
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
+    rows = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"),
+        w.alias("__w"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    # one CASE over the row id so each salt's hash addresses its own row
+    cases = None
+    for d in range(depth):
+        cond = (F.col("row") == d)
+        h = (_salted_hash60("__v", d) % width).cast("int")
+        cases = F.when(cond, h) if cases is None else cases.when(cond, h)
+    return (
+        rows.select("row", cases.alias("bucket"), "__w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Union-merge CMS states: counter-wise sum."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    state: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for the values in ``queries``: min over the
+    depth rows of the addressed counters (missing counter = 0). The
+    estimate never undercounts; it overcounts by at most eps*N with
+    probability 1-delta for width=e/eps, depth=ln(1/delta).
+
+    The query side is typically small (heavy-hitter candidates): it
+    broadcasts into the join against the (<= depth*width row) state.
+    """
+    q = queries.select(F.col(value_col).alias("__qv")).distinct()
+    probes = q.select(
+        "__qv", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    cases = None
+    for d in range(depth):
+        h = (_salted_hash60("__qv", d) % width).cast("int")
+        cases = F.when(F.col("row") == d, h) if cases is None else cases.when(F.col("row") == d, h)
+    probes = probes.select("__qv", "row", cases.alias("bucket"))
+    joined = probes.join(state, ["row", "bucket"], "left").select(
+        "__qv", F.coalesce("cnt", F.lit(0)).alias("__c")
+    )
+    return joined.groupBy("__qv").agg(F.min("__c").alias("cms_est")).select(
+        F.col("__qv").alias(value_col), "cms_est"
+    )

@@ -3038,3 +3038,61 @@ ORACLE["lm_scores"] = r"""
              AS avg_logp_micro
     FROM lp GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters (operators/sketches.py cms_*)
+# ---------------------------------------------------------------------------
+
+def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter token counts via a 4x2048 Count-Min sketch, checked
+    against the exact top-30: state is one counted shuffle bounded at
+    depth*width rows; the probe side (30 rows) broadcasts. The sketch
+    uses salted md5-fold hashing, so the oracle rebuilds the identical
+    counters in SQL."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import cms_lookup, cms_state
+
+    t = load_tables(spark, sf, ("documents",))
+    toks = t["documents"].select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(30)
+    state = cms_state(toks, "tok", depth=4, width=2048)
+    est = cms_lookup(state, top, "tok", depth=4, width=2048)
+    return top.join(est, "tok").select("tok", "exact_cnt", "cms_est")
+
+
+QUERIES["cms_heavy_hitters"] = q_cms_heavy_hitters
+
+ORACLE["cms_heavy_hitters"] = r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ),
+    exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY 1),
+    top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, tok LIMIT 30),
+    salted AS (
+      SELECT t.tok, d.d,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(d.d AS VARCHAR) || '|' || t.tok), i, 1)) - 1 AS BIGINT))),
+               (acc, dg) -> acc * 16 + dg) % 2048 AS INTEGER) AS bucket
+      FROM tok t CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+    ),
+    state AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt FROM salted GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT top.tok, top.exact_cnt, d.d,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(d.d AS VARCHAR) || '|' || top.tok), i, 1)) - 1 AS BIGINT))),
+               (acc, dg) -> acc * 16 + dg) % 2048 AS INTEGER) AS bucket
+      FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+    )
+    SELECT p.tok, p.exact_cnt, min(coalesce(s.cnt, 0)) AS cms_est
+    FROM probe p LEFT JOIN state s ON p.d = s.d AND p.bucket = s.bucket
+    GROUP BY 1, 2
+"""

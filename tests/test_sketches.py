@@ -95,3 +95,66 @@ def test_null_values_ignored(spark):
 def test_bad_p_rejected(spark):
     with pytest.raises(ValueError, match="p must be"):
         hll_registers(_df(spark, 10), ["g"], "v", p=2)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_ref_buckets(value: str, depth: int, width: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{d}|{value}".encode()).hexdigest()[:15], 16) % width
+        for d in range(depth)
+    ]
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import cms_lookup, cms_state
+
+    rows = [(f"tok{i % 50}",) for i in range(5000)]  # each token 100x
+    df = spark.createDataFrame(rows, "s string")
+    state = cms_state(df, "s", depth=4, width=2048)
+    q = spark.createDataFrame([(f"tok{i}",) for i in range(50)] + [("absent",)], "s string")
+    got = {r.s: r.cms_est for r in cms_lookup(state, q, "s", depth=4, width=2048).collect()}
+    assert all(got[f"tok{i}"] >= 100 for i in range(50))
+    # wide sketch, few keys: collisions ~0 -> exact
+    assert sum(got[f"tok{i}"] for i in range(50)) <= 5000 + 3 * 100
+    assert got["absent"] >= 0
+
+
+def test_cms_state_matches_reference_and_merge_is_sum(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import cms_lookup, cms_merge, cms_state
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "s string")
+    b = spark.createDataFrame([("x",), ("z",)], "s string")
+    depth, width = 3, 64
+    sa = cms_state(a, "s", depth, width)
+    expect = {}
+    for v, n in (("x", 2), ("y", 1)):
+        for d, bkt in enumerate(_cms_ref_buckets(v, depth, width)):
+            expect[(d, bkt)] = expect.get((d, bkt), 0) + n
+    got = {(r.row, r.bucket): r.cnt for r in sa.collect()}
+    assert got == expect
+
+    merged = cms_merge(sa, cms_state(b, "s", depth, width))
+    q = spark.createDataFrame([("x",), ("y",), ("z",)], "s string")
+    est = {r.s: r.cms_est for r in cms_lookup(merged, q, "s", depth, width).collect()}
+    assert est == {"x": 3, "y": 1, "z": 1}
+
+
+def test_cms_weighted(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import cms_lookup, cms_state
+
+    df = spark.createDataFrame([("x", 10), ("x", 5), ("y", 2)], "s string, w int")
+    state = cms_state(df, "s", depth=3, width=64, weight_col="w")
+    q = spark.createDataFrame([("x",), ("y",)], "s string")
+    est = {r.s: r.cms_est for r in cms_lookup(state, q, "s", 3, 64).collect()}
+    assert est == {"x": 15, "y": 2}
+
+
+def test_cms_bad_params(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import cms_state
+
+    df = spark.createDataFrame([("x",)], "s string")
+    with pytest.raises(ValueError, match="depth"):
+        cms_state(df, "s", depth=0)

@@ -32,7 +32,12 @@ BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTS = ("lineitem", "orders")
 DIMS = ("customer", "part", "supplier", "nation", "region")
 QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders", "asof_join", "unnest_join",
-           "hop_counts", "cumulate_counts", "profile_columns")
+           "hop_counts", "cumulate_counts", "profile_columns",
+           # round-4 additions: keyed pattern matching scales with the user
+           # count (events replicate with SHIFTED user ids — per-key history
+           # stays constant, the 100 TB shape); sketches/drift on replicated
+           # orders; k-means on replicated embeddings
+           "cep_funnel", "cep_strict", "approx_distinct", "psi_drift", "kmeans")
 
 
 def build(spark, factor: int, out_dir: str) -> None:
@@ -61,13 +66,25 @@ def build(spark, factor: int, out_dir: str) -> None:
     )
     events = spark.read.parquet(os.path.join(BASE, "events.parquet"))
     ekey_span = events.agg(F.max("event_id")).head()[0] + 1
+    ukey_span = events.agg(F.max("user_id")).head()[0] + 1
     (
         events.select("*", rep)
         .withColumn("event_id", F.col("event_id") + F.col("__rep") * ekey_span)
+        .withColumn("user_id", F.col("user_id") + F.col("__rep") * ukey_span)
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    vkey_span = emb.agg(F.max("vec_id")).head()[0] + 1
+    (
+        emb.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * vkey_span)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
     )
 
 

@@ -35,6 +35,10 @@ QUERIES = (
     "text_analysis", "tfidf_topterms",
     "bm25_scores", "contamination_check", "near_dedup",
     "chunk_documents", "bigram_topk", "quality_percentile", "temperature_mix",
+    # round-4 additions: substring dedup, LM scoring, feature hashing —
+    # replica token mutation keeps duplicated grams replica-local, so work
+    # scales linearly with the corpus
+    "duplicate_spans", "mask_dup_spans", "lm_scores", "hashed_features",
 )
 
 
