@@ -77,6 +77,11 @@ BENCH_QUERIES = (
     "duplicate_spans",
     "approx_distinct",
     "psi_drift",
+    "kmeans",
+    "lm_scores",
+    "hashed_features",
+    "cms_heavy_hitters",
+    "mask_dup_spans",
 )
 
 
