@@ -215,3 +215,65 @@ def cms_lookup(
     return joined.groupBy("__qv").agg(F.min("__c").alias("cms_est")).select(
         F.col("__qv").alias(value_col), "cms_est"
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    qs_micro: tuple[int, ...] = (500000, 900000, 990000),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate grouped quantiles from a fixed equal-width histogram
+    — the bounded-state, MERGEABLE alternative to exact percentiles
+    (the engine's ``median_metrics`` sorts whole groups; this reduces
+    to at most ``bins`` counter rows per group, the same
+    shuffle-then-tiny-frame discipline as the HLL/CMS sketches, and
+    per-shard histograms sum losslessly).
+
+    Quantile levels are micro-fractions (500000 = median) so rank
+    thresholds stay exact integers: ``rank = ceil(total * q / 1e6)``
+    in bigint arithmetic. The estimate interpolates linearly inside
+    the bin that crosses the rank; error is bounded by the bin width.
+    Out-of-range values clamp into the edge bins (the estimate never
+    leaves [lo, hi]). Nulls are excluded.
+
+    Returns one row per (group, q_micro): ``q_micro``, ``est``
+    (rounded 6dp for cross-engine stability), ``total``.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not all(0 < q <= 1_000_000 for q in qs_micro):
+        raise ValueError(f"qs_micro must be in (0, 1e6], got {qs_micro}")
+    groups = group_cols or []
+    c = F.col(value_col).cast("double")
+    raw = F.floor((c - lo) / (hi - lo) * bins).cast("int")
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    counts = (
+        df.where(c.isNotNull())
+        .select(*groups, bucket.alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    wcum = wg.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    hist = counts.select(
+        *groups, "bucket", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("total"),
+    )
+    qs = F.explode(F.array(*[F.lit(q).cast("bigint") for q in qs_micro])).alias("q_micro")
+    width = (hi - lo) / bins
+    rank = F.expr("(total * q_micro + 999999) div 1000000")
+    est = F.lit(lo) + (
+        F.col("bucket") + (rank - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt")
+    ) * F.lit(width)
+    return (
+        hist.select(*groups, "bucket", "cnt", "cum", "total", qs)
+        .where((F.col("cum") - F.col("cnt") < rank) & (rank <= F.col("cum")))
+        .select(*groups, "q_micro", F.round(est, 6).alias("est"), "total")
+    )

@@ -3096,3 +3096,103 @@ ORACLE["cms_heavy_hitters"] = r"""
     FROM probe p LEFT JOIN state s ON p.d = s.d AND p.bucket = s.bucket
     GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series repair + bounded-state quantiles
+# ---------------------------------------------------------------------------
+
+def q_interpolate(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear gap interpolation (operators/timeseries.py): error events
+    are treated as failed sensor readings (value nulled) and repaired
+    from their per-user temporal neighbors; series edges back/forward
+    fill. One user shuffle; both neighbor windows share the sort."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import interpolate_linear
+
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select(
+        "user_id", "event_id", _millis("ts").alias("ts_ms"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(ev, "user_id", "ts_ms", "v", tiebreak_cols=("event_id",))
+    return out.select("user_id", "event_id", F.round("v_filled", 6).alias("v_filled"))
+
+
+def q_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate order-value quantiles per priority from a 64-bin
+    mergeable histogram (operators/sketches.py histogram_quantiles) —
+    bounded state (<= 64 counter rows per group at any scale) instead
+    of the full sort exact percentiles need; exact-integer rank
+    thresholds, 6dp interpolated estimates."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import histogram_quantiles
+
+    t = load_tables(spark, sf, ("orders",))
+    return histogram_quantiles(
+        t["orders"].select(F.col("o_orderpriority").alias("priority"), "o_totalprice"),
+        "o_totalprice", 0.0, 500000.0, bins=64,
+        qs_micro=(250000, 500000, 750000, 990000), group_cols=["priority"],
+    )
+
+
+QUERIES["interpolate"] = q_interpolate
+QUERIES["hist_quantiles"] = q_hist_quantiles
+
+ORACLE["interpolate"] = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN event_type != 'error' THEN value END AS v
+      FROM events
+    ),
+    n AS (
+      SELECT user_id, event_id, ts_ms, v,
+             last_value(CASE WHEN v IS NOT NULL
+                             THEN {'t': CAST(ts_ms AS DOUBLE), 'v': CAST(v AS DOUBLE)} END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+             first_value(CASE WHEN v IS NOT NULL
+                              THEN {'t': CAST(ts_ms AS DOUBLE), 'v': CAST(v AS DOUBLE)} END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+      FROM e
+    )
+    SELECT user_id, event_id,
+           round(CASE
+             WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+             WHEN p IS NULL AND nx IS NULL THEN NULL
+             WHEN p IS NULL THEN nx.v
+             WHEN nx IS NULL THEN p.v
+             ELSE p.v + (nx.v - p.v) * (CAST(ts_ms AS DOUBLE) - p.t) / (nx.t - p.t)
+           END, 6) AS v_filled
+    FROM n
+"""
+
+ORACLE["hist_quantiles"] = """
+    WITH src AS (
+      SELECT o_orderpriority AS priority, CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    b AS (
+      SELECT priority,
+             least(greatest(CAST(floor((x - 0.0) / (500000.0 - 0.0) * 64) AS INTEGER), 0), 63) AS bucket
+      FROM src
+    ),
+    counts AS (SELECT priority, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+    hist AS (
+      SELECT priority, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY priority ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY priority) AS total
+      FROM counts
+    ),
+    sel AS (
+      SELECT h.priority, q.q_micro, h.bucket, h.cnt, h.cum, h.total,
+             (h.total * q.q_micro + 999999) // 1000000 AS rank
+      FROM hist h CROSS JOIN (SELECT unnest([250000, 500000, 750000, 990000]) AS q_micro) q
+    )
+    SELECT priority, CAST(q_micro AS BIGINT) AS q_micro,
+           round(0.0 + (bucket + CAST(rank - (cum - cnt) AS DOUBLE) / cnt) * 7812.5, 6) AS est,
+           total
+    FROM sel WHERE cum - cnt < rank AND rank <= cum
+"""

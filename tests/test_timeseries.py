@@ -1,0 +1,95 @@
+"""Linear interpolation (operators/timeseries.py) and histogram
+quantiles (operators/sketches.py histogram_quantiles)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import histogram_quantiles
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import interpolate_linear
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts bigint, v double")
+
+
+def test_interior_gap_interpolates(spark):
+    df = _series(spark, [(1, 0, 10.0), (1, 10, None), (1, 20, 30.0), (1, 15, None)])
+    got = {r.ts: r.v_filled for r in interpolate_linear(df, "k", "ts", "v").collect()}
+    assert got == {0: 10.0, 10: 20.0, 15: 25.0, 20: 30.0}
+
+
+def test_edge_fills_and_all_null(spark):
+    df = _series(
+        spark,
+        [(1, 0, None), (1, 10, 5.0), (1, 20, None), (2, 0, None), (2, 10, None)],
+    )
+    got = {(r.k, r.ts): r.v_filled for r in interpolate_linear(df, "k", "ts", "v").collect()}
+    assert got == {(1, 0): 5.0, (1, 10): 5.0, (1, 20): 5.0, (2, 0): None, (2, 10): None}
+
+
+def test_uneven_spacing_weighting(spark):
+    df = _series(spark, [(1, 0, 0.0), (1, 30, None), (1, 40, 100.0)])
+    got = {r.ts: r.v_filled for r in interpolate_linear(df, "k", "ts", "v").collect()}
+    assert got[30] == pytest.approx(75.0)
+
+
+def test_histogram_quantiles_match_exact_on_uniform(spark):
+    from pyspark.sql import functions as F
+
+    # 0..9999 uniform, 100 bins of width 100: interpolation is exact up
+    # to the within-bin uniform assumption
+    df = spark.range(10000).select(F.col("id").cast("double").alias("x"))
+    got = {
+        r.q_micro: r.est
+        for r in histogram_quantiles(df, "x", 0.0, 10000.0, bins=100).collect()
+    }
+    assert got[500000] == pytest.approx(5000.0, abs=100)
+    assert got[900000] == pytest.approx(9000.0, abs=100)
+    assert got[990000] == pytest.approx(9900.0, abs=100)
+    assert all(r == 10000 for r in [10000])
+
+
+def test_histogram_quantiles_grouped_and_clamped(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        (F.col("id") % 2).alias("g"),
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("double"))
+        .otherwise(F.lit(1e9))  # out of range -> clamps to top bin
+        .alias("x"),
+    )
+    out = histogram_quantiles(df, "x", 0.0, 1000.0, bins=10, qs_micro=(500000,), group_cols=["g"])
+    got = {r.g: r.est for r in out.collect()}
+    assert 400.0 <= got[0] <= 600.0
+    assert 900.0 <= got[1] <= 1000.0  # everything clamped into the last bin
+    assert {r.total for r in out.collect()} == {500}
+
+
+def test_histogram_state_is_mergeable(spark):
+    """Per-shard histograms summed == whole-corpus histogram: quantile
+    estimates identical."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(5000).select(F.col("id").cast("double").alias("x"))
+    a = df.where("x < 2000")
+    b = df.where("x >= 2000")
+    whole = {
+        r.q_micro: r.est for r in histogram_quantiles(df, "x", 0.0, 5000.0, bins=50).collect()
+    }
+    # merging shards = just running on the union (counts are additive)
+    merged = {
+        r.q_micro: r.est
+        for r in histogram_quantiles(a.unionAll(b), "x", 0.0, 5000.0, bins=50).collect()
+    }
+    assert whole == merged
+
+
+def test_histogram_bad_params(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError, match="bins"):
+        histogram_quantiles(df, "x", 0.0, 1.0, bins=0)
+    with pytest.raises(ValueError, match="qs_micro"):
+        histogram_quantiles(df, "x", 0.0, 1.0, qs_micro=(0,))
