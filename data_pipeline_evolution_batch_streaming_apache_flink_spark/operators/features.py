@@ -50,15 +50,30 @@ def hashed_features(
     dim: int = 1024,
     signed: bool = False,
     out_col: str = "features",
+    portable: bool = True,
 ) -> DataFrame:
     """Hashing-trick sparse bag-of-words per document (see module
-    docstring). Keeps all input columns and appends ``out_col``."""
+    docstring). Keeps all input columns and appends ``out_col``.
+
+    ``portable=False`` swaps the md5 fold for Spark's native
+    ``xxhash64`` — ~3-4x faster featurization (measured in the stress
+    sweep; the md5 fold dominates the map stage) at the cost of
+    engine-reproducibility: feature indexes then differ from the
+    DuckDB oracle and from non-JVM engines. Use it when the features
+    stay inside Spark (training-input pipelines); keep the default
+    when feature indexes must be stable across systems.
+    """
     if dim < 2:
         raise ValueError(f"dim must be >= 2, got {dim}")
-    sign = f"IF(({_hash60_sql('t')} div {dim}) % 2 = 0, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))" if signed else "CAST(1 AS BIGINT)"
+
+    def h(v: str) -> str:
+        # xxhash64 can be negative: pmod into the non-negative range
+        return _hash60_sql(v) if portable else f"pmod(xxhash64({v}), {1 << 60})"
+
+    sign = f"IF(({h('t')} div {dim}) % 2 = 0, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))" if signed else "CAST(1 AS BIGINT)"
     pairs = (
         f"transform(split(trim({text_col}), '\\\\s+'), t -> "
-        f"named_struct('idx', CAST({_hash60_sql('t')} % {dim} AS INT), 'sgn', {sign}))"
+        f"named_struct('idx', CAST({h('t')} % {dim} AS INT), 'sgn', {sign}))"
     )
     feats = (
         f"filter(transform(array_sort(array_distinct(transform(__pairs, p -> p.idx))), d -> "

@@ -72,3 +72,17 @@ def test_layout_independent(spark):
 def test_bad_dim_rejected(spark):
     with pytest.raises(ValueError, match="dim"):
         hashed_features(_docs(spark, [(1, "x")]), dim=1)
+
+
+def test_fast_hash_mode_same_shape_different_indexes(spark):
+    rows = [(1, "alpha beta gamma alpha"), (2, "delta epsilon")]
+    slow = hashed_features(_docs(spark, rows), dim=4096)
+    fast = hashed_features(_docs(spark, rows), dim=4096, portable=False)
+    s = {r.doc_id: sorted((x.idx, x.cnt) for x in r.features) for r in slow.collect()}
+    f = {r.doc_id: sorted((x.idx, x.cnt) for x in r.features) for r in fast.collect()}
+    # same multiset of counts per doc (no tokens lost), indexes free to differ
+    assert {k: sorted(c for _, c in v) for k, v in s.items()} == {
+        k: sorted(c for _, c in v) for k, v in f.items()
+    }
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "Exchange" not in plan
