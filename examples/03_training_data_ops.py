@@ -125,6 +125,67 @@ def main() -> None:
 
     quantize_int8(emb).select("vec_id", "dim", "scale", "err_1e9").show(5)
 
+    print("CEP funnel (signup -> click -> purchase per user, relaxed contiguity):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.cep_sql import match_recognize
+
+    events = read_parquet(spark, f"{sf}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    match_recognize(events, """
+        PARTITION BY user_id
+        ORDER BY ts_ms, event_id
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A -> B -> C)
+        DEFINE A AS event_type = 'signup',
+               B AS event_type = 'click',
+               C AS event_type = 'purchase'
+    """).show(3)
+
+    print("substring-level dedup: duplicated 5-gram spans:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import duplicate_spans
+
+    duplicate_spans(docs, n=5).orderBy(F.col("n_dup_grams").desc()).show(5)
+
+    print("portable sketches: HLL distinct users + CMS heavy hitters:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import approx_ndv, cms_lookup, cms_state
+
+    approx_ndv(events, ["event_type"], "user_id", p=9).show()
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    state = cms_state(toks, "tok", depth=4, width=2048)
+    probe = toks.groupBy("tok").count().orderBy(F.col("count").desc()).limit(5)
+    cms_lookup(state, probe, "tok", depth=4, width=2048).show()
+
+    print("corpus drift (PSI) between the two halves of the order history:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+
+    orders = read_parquet(spark, f"{sf}/orders.parquet")
+    cutoff = F.lit("1998-01-01").cast("date")
+    psi_drift(
+        orders.where(F.col("o_orderdate") < cutoff),
+        orders.where(F.col("o_orderdate") >= cutoff),
+        "o_totalprice", 0.0, 500000.0, bins=8,
+    ).orderBy("bucket").show()
+
+    print("feature hashing (1024-dim sparse bag-of-words, zero shuffle):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import hashed_features
+
+    hashed_features(docs, dim=1024, portable=False).select(
+        "doc_id", F.slice("features", 1, 3).alias("first_features")
+    ).show(3, truncate=False)
+
+    print("deterministic k-means on the embeddings (exact integer space):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.semantic import kmeans_quantized
+
+    assignments, centroids = kmeans_quantized(emb, k=4, iters=2)
+    assignments.groupBy("cluster").count().orderBy("cluster").show()
+
+    print("self-trained bigram LM: lowest-likelihood documents:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+    c2, c1, vocab = bigram_lm(docs)
+    bigram_lm_scores(docs, c2, c1, vocab).orderBy("avg_logp_micro").show(5)
+
 
 if __name__ == "__main__":
     main()
