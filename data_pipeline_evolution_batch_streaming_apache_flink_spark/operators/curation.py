@@ -382,3 +382,132 @@ def temperature_resample(
             s: round(min(1.0, targets[s] * float(budget) / counts[s]), 6) for s in counts
         }
     return stratified_sample(df, stratum_col, rates, id_col, default_rate=0.0)
+
+
+def repeat_dataset(
+    df: DataFrame,
+    weight: float,
+    id_col: str,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch repetition for pretraining-mixture weights > 1:
+    ``weight=2.3`` emits every row twice plus a deterministic 30%
+    subset a third time — how high-quality subsets are oversampled in
+    published data recipes (weights like "1.5 epochs of books").
+
+    ``epoch_col`` numbers the repetitions (0-based) so downstream
+    shuffling/curriculum can tell copies apart. The fractional cut uses
+    the same Knuth hash threshold as :func:`stratified_sample`:
+    map-side only, zero shuffle, identical decisions on any engine,
+    layout, or retry. ``weight < 1`` degenerates to pure subsampling
+    (epoch 0 only), weight 0 to an empty frame.
+    """
+    if weight < 0:
+        raise ValueError(f"weight must be >= 0, got {weight}")
+    n_full = int(weight)
+    frac = weight - n_full
+    copies = F.lit(n_full) + F.when(
+        sample_hash(id_col) < F.lit(float(round(frac * _MOD))), F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(0, copies-1) would generate a DESCENDING [0, -1] when
+    # copies = 0 (Spark auto-negative step) — guard to an empty array so
+    # zero-copy rows drop out of the explode
+    seq = F.when(copies > 0, F.sequence(F.lit(0), copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(seq))
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_rate: float = 0.15,
+    mean_span: int = 3,
+) -> DataFrame:
+    """T5/UL2-style span corruption, deterministic: mask ~``mask_rate``
+    of each document's tokens in spans of mean length ``mean_span``,
+    emitting the (input with sentinels, target of masked spans) pair
+    the denoising objective trains on.
+
+    Span starts are chosen per token position by the engine's Knuth
+    hash on ``id * 1000003 + pos`` (start probability =
+    mask_rate / mean_span); each start draws a length uniform in
+    ``[1, 2*mean_span - 1]`` from a second salt. Overlapping spans
+    merge; sentinels number left to right (``<extra_id_0>`` ...), the
+    same ids in input and target — everything reproducible on any
+    engine/layout/retry, no rand().
+
+    One narrow explode + one per-doc shuffle for the island merge and
+    ordered reassembly. Returns ``(id, input_text, target_text,
+    n_masked)``; documents with no span selected pass through with an
+    empty target.
+    """
+    if not 0 < mask_rate < 1:
+        raise ValueError(f"mask_rate must be in (0, 1), got {mask_rate}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    start_p = mask_rate / mean_span
+    width = 2 * mean_span - 1
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
+    h1 = sample_hash(F.col(id_col) * 1000003 + F.col("pos"))
+    h2 = sample_hash(F.col(id_col) * 1000033 + F.col("pos"))
+    starts = tok.withColumn("__start", h1 < F.lit(float(round(start_p * _MOD)))).withColumn(
+        "__len", (h2 % width + 1).cast("int")
+    )
+    covered = (
+        starts.where("__start")
+        .select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.col("__len") - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    marked = tok.join(covered.withColumn("__cov", F.lit(1)), [id_col, "pos"], "left")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_cov = F.lag("__cov").over(w)
+    # span id: running count of covered-run starts (covered token whose
+    # predecessor is uncovered)
+    flagged = marked.withColumn(
+        "__spanstart",
+        F.when(F.col("__cov").isNotNull() & (prev_cov.isNull()), 1).otherwise(0),
+    ).withColumn(
+        "__spanid",
+        F.sum("__spanstart").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    piece = F.when(
+        F.col("__cov").isNull(), F.col("tok")
+    ).when(F.col("__spanstart") == 1, F.concat(F.lit("<extra_id_"), (F.col("__spanid") - 1).cast("string"), F.lit(">")))
+    inp = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct("pos", piece.alias("p")))
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("input_text"),
+        F.sum(F.when(F.col("__cov").isNotNull(), 1).otherwise(0)).alias("n_masked"),
+    )
+    tgt_piece = F.when(
+        F.col("__spanstart") == 1,
+        F.concat(F.lit("<extra_id_"), (F.col("__spanid") - 1).cast("string"), F.lit("> "), F.col("tok")),
+    ).when(F.col("__cov").isNotNull(), F.col("tok"))
+    tgt = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(tgt_piece.isNotNull(), F.struct("pos", tgt_piece.alias("p"))))
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        ).alias("target_text")
+    )
+    return inp.join(tgt, id_col).select(id_col, "input_text", "target_text", "n_masked")

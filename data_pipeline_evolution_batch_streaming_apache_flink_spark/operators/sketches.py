@@ -26,6 +26,12 @@ string ops, which is what makes it *oracle-checkable* and *portable*:
   cross-engine hash-stability.
 
 Standard error ~= 1.04/sqrt(m): p=9 (512 registers) gives ~4.6%.
+
+Portability note: the hash input is ``CAST(value AS STRING)``, so the
+cross-engine guarantee holds for STRING and INTEGER values (identical
+cast text everywhere). For doubles/dates/timestamps, engines may
+render different cast strings — normalize to a canonical string column
+first if those must hash identically off-Spark.
 """
 
 from __future__ import annotations

@@ -3196,3 +3196,110 @@ ORACLE["hist_quantiles"] = """
            total
     FROM sel WHERE cum - cnt < rank AND rank <= cum
 """
+
+
+# ---------------------------------------------------------------------------
+# Mixture repetition + span corruption (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+def q_repeat_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Fractional-epoch oversampling at weight 1.7: every document once,
+    a deterministic 70% subset twice (the '1.7 epochs of books' recipe
+    shape). Map-side only — explode of a per-row 1-or-2 sequence, zero
+    shuffle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import repeat_dataset
+
+    t = load_tables(spark, sf, ("documents",))
+    return repeat_dataset(t["documents"].select("doc_id"), 1.7, "doc_id")
+
+
+def q_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style denoising pairs over the documents table (15% mask
+    rate, mean span 3): deterministic hash-chosen spans, sentinel-
+    numbered input/target reassembly. One narrow explode + one per-doc
+    shuffle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import span_corruption
+
+    t = load_tables(spark, sf, ("documents",))
+    out = span_corruption(t["documents"], "doc_id", "text", mask_rate=0.15, mean_span=3)
+    return out.select(
+        "doc_id",
+        F.md5("input_text").alias("input_md5"),
+        F.md5("target_text").alias("target_md5"),
+        F.col("n_masked").cast("bigint").alias("n_masked"),
+    )
+
+
+QUERIES["repeat_mix"] = q_repeat_mix
+QUERIES["span_corruption"] = q_span_corruption
+
+# thresholds must be the PYTHON-computed integers (float artifacts and
+# all) or the two engines would round differently
+_REPEAT_FRAC_THRESHOLD = round((1.7 - 1) * 4294967296)
+_CORRUPT_START_THRESHOLD = round(0.15 / 3 * 4294967296)
+
+ORACLE["repeat_mix"] = f"""
+    WITH h AS (
+      SELECT doc_id,
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             1 + CASE WHEN hv < {_REPEAT_FRAC_THRESHOLD} THEN 1 ELSE 0 END AS copies
+      FROM h
+    )
+    SELECT doc_id, CAST(unnest(range(0, copies)) AS INTEGER) AS epoch FROM c
+"""
+
+ORACLE["span_corruption"] = f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> {{'pos': i - 1, 'tok': toks[i]}})) AS u
+        FROM t)
+    ),
+    st AS (
+      SELECT doc_id, pos,
+             (((doc_id * 1000003 + pos) % 2147483648) * 2654435761) % 4294967296 AS h1,
+             (((doc_id * 1000033 + pos) % 2147483648) * 2654435761) % 4294967296 AS h2
+      FROM tok
+    ),
+    starts AS (
+      SELECT doc_id, pos, (h2 % 5) + 1 AS ln FROM st WHERE h1 < {_CORRUPT_START_THRESHOLD}
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + ln)) AS pos FROM starts
+    ),
+    marked AS (
+      SELECT tok.doc_id, tok.pos, tok.tok, c.pos IS NOT NULL AS cov
+      FROM tok LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.pos = c.pos
+    ),
+    flag AS (
+      SELECT doc_id, pos, tok, cov,
+             CASE WHEN cov AND NOT coalesce(lag(cov) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                  THEN 1 ELSE 0 END AS spanstart
+      FROM marked
+    ),
+    flag2 AS (
+      SELECT *, sum(spanstart) OVER (PARTITION BY doc_id ORDER BY pos) AS spanid FROM flag
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN NOT cov THEN tok
+                             WHEN spanstart = 1 THEN '<extra_id_' || CAST(spanid - 1 AS VARCHAR) || '>'
+                        END, ' ' ORDER BY pos) AS input_text,
+             string_agg(CASE WHEN spanstart = 1 THEN '<extra_id_' || CAST(spanid - 1 AS VARCHAR) || '> ' || tok
+                             WHEN cov THEN tok
+                        END, ' ' ORDER BY pos) AS target_text,
+             CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+      FROM flag2 GROUP BY doc_id
+    )
+    SELECT doc_id, md5(coalesce(input_text, '')) AS input_md5,
+           md5(coalesce(target_text, '')) AS target_md5, n_masked
+    FROM agg
+"""
