@@ -232,3 +232,85 @@ def repetition_stats(
     )
     cols.append(F.round(run / F.size(toks), 6).alias("top_token_frac"))
     return fan_out(df).select(*cols)
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch retrieval: BM25 top-k documents for EVERY query in a
+    queries table at once — the many-query generalization of
+    :func:`bm25_scores` (RAG candidate generation, eval-set retrieval,
+    topic-targeted curation sweeps).
+
+    Plan shape: the corpus explodes once into an inverted index pruned
+    by the broadcast distinct query-term set (the explode collapses to
+    term matches immediately); doc frequencies and per-(doc, term)
+    scores reuse that term partitioning; the query->term map joins in
+    on the same key; one (query, doc) fold with term-sorted
+    accumulation; and a per-query window takes the top k (rounded
+    score desc, doc id tiebreak — fully deterministic). Nothing
+    quadratic: cost is O(matching postings), not |queries| x |docs|.
+    Returns (query_id, doc_id, bm25, n_terms, rank).
+    """
+    from pyspark.sql import Window
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col), F.explode(TXT.tokens(query_text_col)).alias("term")
+        )
+        .distinct()
+    )
+    term_set = qterms.select("term").distinct()
+
+    toks = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col), TXT.tokens(text_col).alias("__t")
+    )
+    base = toks.withColumn("__dl", F.size("__t"))
+    stats = base.agg(F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
+    tf = (
+        base.select(id_col, "__dl", F.explode("__t").alias("term"))
+        .join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * tf_part)
+        .join(qterms, "term")
+    )
+    totals = (
+        scored.groupBy(query_id_col, id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("term", "__s"))).alias("__xs"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.aggregate("__xs", F.lit(0.0), lambda acc, x: acc + x["__s"]), 6
+            ).alias("bm25"),
+            "n_terms",
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -3303,3 +3303,65 @@ ORACLE["span_corruption"] = f"""
            md5(coalesce(target_text, '')) AS target_md5, n_masked
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Batch BM25 retrieval (operators/textops.py bm25_topk)
+# ---------------------------------------------------------------------------
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 documents for each of three keyword queries in ONE pass:
+    the corpus inverted index is built once and pruned by the broadcast
+    query-term set; per-query ranking is a windowed top-k with rounded-
+    score/doc-id determinism. Cost is O(matching postings), never
+    |queries| x |docs|."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import bm25_topk
+
+    t = load_tables(spark, sf, ("documents",))
+    queries = spark.createDataFrame(
+        [(1, "vector merge"), (2, "stream window join"), (3, "customer data quality")],
+        "query_id bigint, query_text string",
+    )
+    return bm25_topk(queries, t["documents"], k=5)
+
+
+QUERIES["bm25_topk"] = q_bm25_topk
+
+ORACLE["bm25_topk"] = r"""
+    WITH q AS (
+      SELECT * FROM (VALUES (1, 'vector merge'), (2, 'stream window join'),
+                            (3, 'customer data quality')) AS t(query_id, query_text)
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(string_split_regex(trim(query_text), '\s+')) AS term FROM q
+    ),
+    base AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    dls AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dls)
+      WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id, tf.term,
+             ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl)) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats JOIN qterms qt USING (term)
+    ),
+    totals AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY term)),
+                               (a, b) -> a + b), 6) AS bm25,
+             count(*) AS n_terms
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, bm25, n_terms, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+      FROM totals
+    ) WHERE rank <= 5
+"""
