@@ -82,6 +82,10 @@ BENCH_QUERIES = (
     "hashed_features",
     "cms_heavy_hitters",
     "mask_dup_spans",
+    "interpolate",
+    "hist_quantiles",
+    "span_corruption",
+    "bm25_topk",
 )
 
 
