@@ -193,7 +193,10 @@ def match_pattern(
     ``{name}_{order_col}`` and (if ``id_col``) ``{name}_{id_col}``.
 
     Step predicates are evaluated JVM-side before the shuffle; the
-    Python stage sees only (order, id, k boolean flags).
+    Python stage sees only (order, id, k boolean flags). Pass
+    ``id_col`` whenever ``order_col`` can tie — without it, the order
+    of equal-time events (and hence matching) depends on partition
+    layout.
     """
     import numpy as np
 

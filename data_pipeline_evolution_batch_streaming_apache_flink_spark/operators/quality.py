@@ -193,7 +193,9 @@ def psi_drift(
             .otherwise(F.floor((c - lo) / (hi - lo) * bins).cast("int"))
         )
         return (
-            df.where(c.isNotNull())
+            # NaN would fall through every comparison into floor(NaN)
+            # and error under ANSI int casts — exclude it like null
+            df.where(c.isNotNull() & ~F.isnan(c))
             .select(b.cast("int").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(alias))

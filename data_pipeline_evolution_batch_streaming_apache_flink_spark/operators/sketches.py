@@ -258,7 +258,9 @@ def histogram_quantiles(
     raw = F.floor((c - lo) / (hi - lo) * bins).cast("int")
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
     counts = (
-        df.where(c.isNotNull())
+        # NaN survives isNotNull and errors in the ANSI int cast of
+        # floor(NaN) — exclude it like null
+        df.where(c.isNotNull() & ~F.isnan(c))
         .select(*groups, bucket.alias("bucket"))
         .groupBy(*groups, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -52,6 +52,9 @@ def interpolate_linear(
         .when(prev.isNull() & nxt.isNull(), F.lit(None).cast("double"))
         .when(prev.isNull(), nxt["v"])
         .when(nxt.isNull(), prev["v"])
+        # equal-timestamp neighbors (ts ties around the gap) would make
+        # the interpolation 0/0 — take the earlier observation
+        .when(nxt["t"] == prev["t"], prev["v"])
         .otherwise(interp)
     )
     return df.withColumn(out_col, filled)

@@ -93,3 +93,31 @@ def test_histogram_bad_params(spark):
         histogram_quantiles(df, "x", 0.0, 1.0, bins=0)
     with pytest.raises(ValueError, match="qs_micro"):
         histogram_quantiles(df, "x", 0.0, 1.0, qs_micro=(0,))
+
+
+def test_equal_timestamp_neighbors_no_division_error(spark):
+    # null flanked by two observations at the SAME ts: takes the earlier
+    df = spark.createDataFrame(
+        [(1, 10, 0, 3.0), (1, 10, 1, None), (1, 10, 2, 7.0)],
+        "k int, ts bigint, tie int, v double",
+    )
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import interpolate_linear as il
+
+    out = il(df, "k", "ts", "v", tiebreak_cols=("tie",)).collect()
+    got = {r.tie: r.v_filled for r in out}
+    assert got == {0: 3.0, 1: 3.0, 2: 7.0}  # gap filled from earlier obs, no 0/0
+
+
+def test_histogram_and_psi_ignore_nan(spark):
+    from pyspark.sql import functions as F
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double"))
+        .alias("x")
+    )
+    hq = histogram_quantiles(df, "x", 0.0, 100.0, bins=10, qs_micro=(500000,)).collect()
+    assert hq[0].total == 90
+    psi = psi_drift(df, df, "x", 0.0, 100.0, bins=5).collect()
+    assert sum(r.n_a for r in psi) == 90
