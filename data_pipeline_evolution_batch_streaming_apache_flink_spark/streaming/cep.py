@@ -53,13 +53,24 @@ def streaming_match_pattern(
     id_col: str | None = None,
     within: int | None = None,
     delay: str = "0 seconds",
+    contiguity: str = "relaxed",
 ) -> DataFrame:
-    """Watermark-driven twin of ``operators.cep.match_pattern``.
+    """Watermark-driven twin of ``operators.cep.match_pattern`` (and,
+    with ``contiguity="strict"``, of ``match_strict``).
 
     ``ts_col`` is a real event-time timestamp (watermarked with
     ``delay``); matching order and the emitted ``{step}_ts_ms`` columns
-    use its epoch-millis. ``within`` (millis) is required — it is what
-    bounds the per-key state (see module docstring).
+    use its epoch-millis. For relaxed contiguity ``within`` (millis) is
+    required — it is what bounds the per-key state (see module
+    docstring).
+
+    Strict contiguity emits every run of k consecutive events whose
+    rows satisfy the step predicates in order (all overlapping matches,
+    like the batch ``match_strict``). Finality is stronger here: the
+    adjacency of two at-or-below-watermark events can never change, so
+    matches among finals emit immediately and the retained state is
+    just the last ``k-1`` final events (for runs spanning a trigger
+    boundary) plus the not-yet-final tail — ``within`` is optional.
 
     Output schema matches the batch operator: ``key_col``,
     ``match_seq`` (1-based per key, monotone across micro-batches while
@@ -72,11 +83,15 @@ def streaming_match_pattern(
 
     names = _check_steps(steps)
     k = len(steps)
-    if within is None:
+    if contiguity not in ("relaxed", "strict"):
+        raise ValueError(f"contiguity must be 'relaxed' or 'strict', got {contiguity!r}")
+    strict = contiguity == "strict"
+    if within is None and not strict:
         raise ValueError(
-            "streaming_match_pattern requires within (millis): it is the "
-            "state bound — an open-ended pattern would buffer every event "
-            "of a key forever (use the batch match_pattern for that)"
+            "streaming_match_pattern requires within (millis) for relaxed "
+            "contiguity: it is the state bound — an open-ended pattern "
+            "would buffer every event of a key forever (use the batch "
+            "match_pattern for that)"
         )
 
     proj = [F.col(key_col), F.col(ts_col).cast("timestamp").alias("__ts")]
@@ -116,11 +131,22 @@ def streaming_match_pattern(
         if finals:
             ts = np.fromiter((e[0] for e in finals), dtype=np.int64, count=len(finals))
             ids = np.fromiter((e[1] for e in finals), dtype=np.int64, count=len(finals))
-            preds = [
-                np.flatnonzero(np.fromiter((e[2][j] for e in finals), dtype=bool, count=len(finals)))
+            flags = [
+                np.fromiter((e[2][j] for e in finals), dtype=bool, count=len(finals))
                 for j in range(k)
             ]
-            matches, scan_pos = _match_events(ts, ids, preds, within, "all")
+            if strict:
+                n = len(finals)
+                matches = []
+                for i in range(n - k + 1):
+                    if all(flags[j][i + j] for j in range(k)) and (
+                        within is None or ts[i + k - 1] - ts[i] <= within
+                    ):
+                        matches.append(list(range(i, i + k)))
+                scan_pos = max(n - (k - 1), 0)  # keep the k-1 tail only
+            else:
+                preds = [np.flatnonzero(f) for f in flags]
+                matches, scan_pos = _match_events(ts, ids, preds, within, "all")
             for picked in matches:
                 seq += 1
                 row = [key_tuple[0], seq]
@@ -131,8 +157,12 @@ def streaming_match_pattern(
                 rows.append(row)
 
         # retain: unconsumed final tail still young enough to join a
-        # future match, plus everything not yet final
-        keep = [e for e in finals[scan_pos:] if e[0] > wm - within] + pending
+        # future match (strict: just the k-1 boundary tail), plus
+        # everything not yet final
+        if strict:
+            keep = finals[scan_pos:] + pending
+        else:
+            keep = [e for e in finals[scan_pos:] if e[0] > wm - within] + pending
         if keep:
             state.update((pickle.dumps((seq, keep)),))
             # re-fire when the watermark moves even if the key goes idle

@@ -128,3 +128,74 @@ def test_streaming_requires_within(spark):
     df = spark.createDataFrame([], "user_id bigint, event_id bigint, ts timestamp, event_type string")
     with pytest.raises(ValueError, match="within"):
         streaming_match_pattern(df, STEPS, within=None)
+
+
+def test_streaming_strict_matches_batch(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.cep import match_strict
+
+    rows = [
+        _ev(1, 1, "2024-01-01 10:00:00", "click"),
+        _ev(1, 2, "2024-01-01 10:01:00", "click"),
+        _ev(1, 3, "2024-01-01 10:02:00", "purchase"),  # run 1-2-3? needs click,click,purchase
+        _ev(1, 4, "2024-01-01 10:03:00", "click"),
+        _ev(1, 5, "2024-01-01 10:04:00", "click"),
+        _ev(1, 6, "2024-01-01 10:05:00", "purchase"),
+        _ev(2, 7, "2024-01-01 10:00:00", "click"),
+        _ev(2, 8, "2024-01-01 10:01:00", "view"),  # breaks contiguity
+        _ev(2, 9, "2024-01-01 10:02:00", "purchase"),
+    ]
+    steps = [
+        ("x", "event_type = 'click'"),
+        ("y", "event_type = 'click'"),
+        ("z", "event_type = 'purchase'"),
+    ]
+    heartbeat = _ev(99, 999, "2024-01-01 13:00:00", "error")
+    in_dir = str(tmp_path / "strict_in")
+    # split mid-run so a match spans the trigger boundary
+    _write_batches(in_dir, [rows[:2], rows[2:5], rows[5:], [heartbeat]])
+    stream = json_file_stream(
+        spark, in_dir, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    out = streaming_match_pattern(
+        stream, steps, key_col="user_id", ts_col="ts", id_col="event_id",
+        contiguity="strict", delay="1 minute",
+    )
+    out_dir = str(tmp_path / "strict_out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "strict_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.user_id, r.x_event_id, r.y_event_id, r.z_event_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["event_id"], r["ts"], r["event_type"]) for r in rows],
+        "user_id bigint, event_id bigint, ts string, event_type string",
+    ).withColumn("ts_ms", F.unix_millis(F.to_timestamp("ts")))
+    want = {
+        (r.user_id, r.x_event_id, r.y_event_id, r.z_event_id)
+        for r in match_strict(
+            batch, steps, key_col="user_id", order_col="ts_ms", id_col="event_id"
+        ).collect()
+    }
+    assert got == want
+    assert got == {(1, 1, 2, 3), (1, 4, 5, 6)}
+
+
+def test_streaming_strict_needs_no_within(spark):
+    df = spark.createDataFrame([], "user_id bigint, event_id bigint, ts timestamp, event_type string")
+    # no raise for strict without within; relaxed still requires it
+    streaming_match_pattern(df, STEPS, contiguity="strict")
+    with pytest.raises(ValueError, match="within"):
+        streaming_match_pattern(df, STEPS, contiguity="relaxed")
+    with pytest.raises(ValueError, match="contiguity"):
+        streaming_match_pattern(df, STEPS, within=10, contiguity="weird")
