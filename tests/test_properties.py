@@ -251,3 +251,82 @@ def test_dedup_lines_matches_sequential_reference(spark, docs):
                 seen.add(line)
                 kept.append(line)
         assert got[i] == "\n".join(kept), (i, got[i], kept)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans vs sequential reference
+# ---------------------------------------------------------------------------
+
+DOC_TEXTS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1, max_size=20).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _dup_spans_reference(texts, n, min_count):
+    grams = {}
+    per_doc = []
+    for doc_id, text in enumerate(texts):
+        toks = text.split()
+        pos_grams = [
+            (i, " ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)
+        ]
+        per_doc.append(pos_grams)
+        for _, g in pos_grams:
+            grams[g] = grams.get(g, 0) + 1
+    out = set()
+    for doc_id, pos_grams in enumerate(per_doc):
+        hits = sorted(i for i, g in pos_grams if grams[g] >= min_count)
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+            else:
+                spans.append((p, p, 1))
+        for s, e, c in spans:
+            out.add((doc_id, s, e + n - 1, c))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=DOC_TEXTS)
+def test_duplicate_spans_matches_reference(spark, texts):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import duplicate_spans
+
+    n = 2
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in duplicate_spans(df, n=n, min_count=2).collect()
+    }
+    assert got == _dup_spans_reference(texts, n, 2)
+
+
+# ---------------------------------------------------------------------------
+# histogram_quantiles error bound: estimate within one bin width of the
+# exact quantile, at every level, for arbitrary in-range data
+# ---------------------------------------------------------------------------
+
+HQ_VALUES = st.lists(
+    st.floats(min_value=0.0, max_value=99.999, allow_nan=False), min_size=5, max_size=200
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=HQ_VALUES)
+def test_histogram_quantile_within_bin_width(spark, vals):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import histogram_quantiles
+
+    bins = 20
+    width = 100.0 / bins
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.q_micro: r.est
+        for r in histogram_quantiles(df, "x", 0.0, 100.0, bins=bins).collect()
+    }
+    sv = sorted(vals)
+    for q_micro, est in got.items():
+        rank = -(-len(sv) * q_micro // 1_000_000)  # ceil
+        exact = sv[max(int(rank) - 1, 0)]
+        assert abs(est - exact) <= width + 1e-9, (q_micro, est, exact)
