@@ -39,3 +39,44 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    lenient: bool = False,
+) -> DataFrame:
+    """JSON-lines corpus reader — the interchange format most raw text
+    dumps arrive in. With ``schema`` (DDL string) the scan skips
+    Spark's inference pass (one full extra read of the data — never
+    acceptable at 100 TB) and malformed lines FAIL the job by default;
+    ``lenient=True`` switches to PERMISSIVE with a ``_corrupt_record``
+    column so bad lines can be quarantined instead. Compressed inputs
+    (.gz/.zst per-file) decode transparently; gzip is not splittable,
+    so shard corpora into many files upstream.
+    """
+    reader = spark.read
+    if schema is not None:
+        mode = "PERMISSIVE" if lenient else "FAILFAST"
+        if lenient:
+            schema = schema + ", _corrupt_record string"
+        reader = reader.schema(schema).option("mode", mode)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+) -> None:
+    """JSON-lines writer for corpus interchange: one object per line,
+    optionally gzip-compressed, ``partitions`` output shards (coalesce
+    when shrinking — no shuffle)."""
+    if partitions is not None:
+        df = df.coalesce(partitions) if partitions <= (df.rdd.getNumPartitions()) else df.repartition(partitions)
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

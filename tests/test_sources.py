@@ -234,3 +234,30 @@ def test_startup_mode_translation():
         startup_offsets("timestamp", "t")
     with pytest.raises(ValueError):
         startup_offsets("specific-offsets", "t")
+
+
+def test_jsonl_roundtrip_and_failfast(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")], "doc_id bigint, text string, lang string"
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, compression="gzip", partitions=1)
+    back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+    # malformed line: FAILFAST raises, lenient quarantines
+    import gzip, os, pytest as _pytest
+
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    with open(os.path.join(bad_dir, "a.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok", "lang": "en"}\n')
+        fh.write("{not json at all\n")
+    with _pytest.raises(Exception):
+        read_jsonl(spark, bad_dir, "doc_id bigint, text string, lang string").collect()
+    lenient = read_jsonl(spark, bad_dir, "doc_id bigint, text string, lang string", lenient=True)
+    rows = lenient.collect()
+    assert len(rows) == 2
+    assert sum(1 for r in rows if r._corrupt_record is not None) == 1
