@@ -2880,9 +2880,19 @@ def q_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import hashed_features
 
     t = load_tables(spark, sf, ("documents",))
-    out = hashed_features(t["documents"], "doc_id", "text", dim=256)
-    return out.select("doc_id", F.explode("features").alias("f")).select(
-        "doc_id", F.col("f.idx").alias("idx"), F.col("f.cnt").alias("cnt")
+    # single-row-group testdata arrives as ONE partition; the md5 fold is
+    # the heaviest map stage in the suite, so spread it (at real scale
+    # fan_out is a no-op)
+    out = hashed_features(fan_out(t["documents"]), "doc_id", "text", dim=256)
+    # explode (not _outer) makes Catalyst inject a size(features) > 0
+    # filter and push it BELOW the fan_out exchange by alias
+    # substitution — duplicating the whole md5 fold onto the serial
+    # scan partition (the NOTES.md fan_out gotcha). explode_outer +
+    # post-filter keeps the heavy projection parallel.
+    return (
+        out.select("doc_id", F.explode_outer("features").alias("f"))
+        .where(F.col("f").isNotNull())
+        .select("doc_id", F.col("f.idx").alias("idx"), F.col("f.cnt").alias("cnt"))
     )
 
 
@@ -3053,7 +3063,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import cms_lookup, cms_state
 
     t = load_tables(spark, sf, ("documents",))
-    toks = t["documents"].select(
+    toks = fan_out(t["documents"]).select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))

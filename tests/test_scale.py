@@ -260,3 +260,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hashed_features_fold_not_duplicated_below_fanout(spark, sf_dir):
+    """The md5 feature fold must run once, above the fan_out exchange —
+    Catalyst's explode size-filter pushdown used to duplicate the whole
+    fold onto the serial scan partition (75x wall at sf0.1)."""
+    plan = _plan(suite.QUERIES["hashed_features"](spark, sf_dir))
+    assert plan.count("Exchange RoundRobinPartitioning") == 1
+    # the fold expression appears exactly once (the Project), not again
+    # in a pushed-down Filter below the exchange ("split(trim(text"
+    # survives the plan-string truncation; "sequence(1, 15" does not)
+    assert plan.count("split(trim(text") == 1
