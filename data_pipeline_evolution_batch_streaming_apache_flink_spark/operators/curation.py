@@ -511,3 +511,31 @@ def span_corruption(
         ).alias("target_text")
     )
     return inp.join(tgt, id_col).select(id_col, "input_text", "target_text", "n_masked")
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    shards: int = 32,
+    ascending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Globally order a corpus by a difficulty/quality score into
+    ``shards`` range shards for curriculum training (easy-first or
+    hard-first): shard *i* holds strictly easier rows than shard *i+1*
+    and rows are sorted within each shard, so writing per-shard files
+    yields a globally ordered dataset without a single-partition sort.
+
+    Implementation is ``repartitionByRange`` (distributed sampled range
+    boundaries — the standard total-order-partitioner shape) followed
+    by an in-partition sort; ``curriculum_shard`` exposes the shard id
+    for file naming. Boundary placement comes from Spark's reservoir
+    sample, so exact shard SIZES can vary run to run while the global
+    ORDER guarantee always holds — don't key determinism-sensitive
+    logic off the shard id.
+    """
+    cols = [F.col(score_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    if not ascending:
+        cols = [c.desc() for c in cols]
+    out = df.repartitionByRange(shards, *cols).sortWithinPartitions(*cols)
+    return out.withColumn("curriculum_shard", F.spark_partition_id())

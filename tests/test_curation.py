@@ -193,3 +193,36 @@ def test_weighted_sample_clamps_and_is_deterministic(spark):
         .collect()
     }
     assert kept == manual
+
+
+def test_curriculum_order_global_ordering(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import curriculum_order
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 100)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    out = curriculum_order(df, "score", shards=8, tiebreak_col="doc_id")
+    collected = out.select("curriculum_shard", "score").collect()
+    by_shard = {}
+    for r in collected:
+        by_shard.setdefault(r.curriculum_shard, []).append(r.score)
+    # within-shard sorted...
+    for scores in by_shard.values():
+        assert scores == sorted(scores)
+    # ...and shard ranges don't interleave
+    shard_ids = sorted(by_shard)
+    for a, b in zip(shard_ids, shard_ids[1:]):
+        assert max(by_shard[a]) <= min(by_shard[b])
+    assert sum(len(v) for v in by_shard.values()) == 5000
+
+    # hard-first ordering flips the direction
+    desc = curriculum_order(df, "score", shards=4, ascending=False, tiebreak_col="doc_id")
+    d = {}
+    for r in desc.select("curriculum_shard", "score").collect():
+        d.setdefault(r.curriculum_shard, []).append(r.score)
+    for shard_scores in d.values():
+        assert shard_scores == sorted(shard_scores, reverse=True)
+    ids = sorted(d)
+    for a, b in zip(ids, ids[1:]):
+        assert min(d[a]) >= max(d[b])
