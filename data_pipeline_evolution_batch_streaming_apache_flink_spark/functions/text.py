@@ -121,3 +121,23 @@ def fingerprint(col: Column | str, prime: int = FNV_PRIME, mult: int = 31) -> Co
         F.lit(0).cast("bigint"),
         lambda acc, ch: F.pmod(acc * mult + F.coalesce(F.ascii(ch), F.lit(0)), F.lit(prime)),
     )
+
+
+#: accent-fold table (Latin-1 supplement + common Latin Extended-A) —
+#: a FIXED translate map rather than locale/ICU normalization so every
+#: engine reproduces the same bytes
+ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăēĕīĭōŏūŭšžćčđłńřśţż"
+ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyaaeeiioouuszccdlnrstz"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup/fingerprint preprocessing:
+    lowercase, accent-fold (fixed table above), strip everything except
+    word characters and spaces, collapse whitespace, trim. Pure codegen
+    (lower/translate/regexp_replace) — zero shuffle, reproducible on
+    any engine that has the same three builtins."""
+    c = F.lower(_c(col))
+    c = F.translate(c, ACCENT_SRC, ACCENT_DST)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -3375,3 +3375,51 @@ ORACLE["bm25_topk"] = r"""
       FROM totals
     ) WHERE rank <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (functions/text.py normalize_text)
+# ---------------------------------------------------------------------------
+
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text form for dedup preprocessing: lowercase, fixed-
+    table accent fold, punctuation strip, whitespace collapse. Pure
+    codegen, zero shuffle; the oracle reproduces the same bytes with
+    the same three builtins. Input is salted with accented/punctuated
+    wrappers so the normalization actually has work to do."""
+    t = load_tables(spark, sf, ("documents",))
+    salted = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.lit("«Héllo, Wörld!»  "), F.col("text"),
+            F.lit("  — Ça va très bien… №"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return salted.select(
+        "doc_id",
+        F.md5(TXT.normalize_text("text")).alias("norm_md5"),
+        F.length(TXT.normalize_text("text")).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+QUERIES["normalize_text"] = q_normalize_text
+
+ORACLE["normalize_text"] = (
+    r"""
+    WITH salted AS (
+      SELECT doc_id,
+             '«Héllo, Wörld!»  ' || text || '  — Ça va très bien… №' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               translate(lower(text), '"""
+    + "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăēĕīĭōŏūŭšžćčđłńřśţż', 'aaaaaaceeeeiiiinooooouuuuyyaaeeiioouuszccdlnrstz'"
+    + r"""),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM salted
+    )
+    SELECT doc_id, md5(t) AS norm_md5, CAST(len(t) AS BIGINT) AS n_chars_norm FROM norm
+"""
+)
