@@ -227,3 +227,50 @@ def psi_drift(
         F.col("n_b").cast("bigint").alias("n_b"),
         F.round(contrib * 1e6).cast("bigint").alias("psi_micro"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation — the
+    quality gate that survives the heavy-tailed distributions
+    pretraining corpora actually have (z-scores break: mean and stddev
+    are themselves dragged by the outliers being hunted).
+
+    Per group: median m, MAD = median(|x - m|), and a row is an outlier
+    when ``|x - m| > k * MAD`` (k=3.5 is the conventional consistency
+    bound; with MAD = 0 — over half the group identical — only exact
+    deviations from the median flag). Medians are Spark's exact
+    ``percentile`` (interpolating, matching DuckDB), rounded to 6dp
+    before the comparison so the flag is engine-stable.
+
+    Two grouped aggregations (same key partitioning) broadcast back
+    onto the rows; ungrouped inputs use a single-row broadcast, never a
+    window over all data. Nulls/NaN pass through unflagged.
+    """
+    groups = group_cols or []
+    c = F.col(col).cast("double")
+    clean = df.where(c.isNotNull() & ~F.isnan(c))
+    med = clean.groupBy(*groups).agg(
+        F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("__med")
+    )
+    j1 = clean.join(F.broadcast(med), groups) if groups else clean.crossJoin(F.broadcast(med))
+    mad = (
+        j1.withColumn("__adev", F.round(F.abs(c - F.col("__med")), 6))
+        .groupBy(*groups)
+        .agg(F.round(F.expr("percentile(__adev, 0.5)"), 6).alias("__mad"))
+    )
+    stats = med.join(mad, groups) if groups else med.crossJoin(mad)
+    out = df.join(F.broadcast(stats), groups) if groups else df.crossJoin(F.broadcast(stats))
+    dev = F.round(F.abs(c - F.col("__med")), 6)
+    return out.select(
+        *df.columns,
+        F.col("__med").alias("group_median"),
+        F.col("__mad").alias("group_mad"),
+        F.when(c.isNull() | F.isnan(c), F.lit(False))
+        .otherwise(dev > F.round(F.lit(k) * F.col("__mad"), 6))
+        .alias("is_outlier"),
+    )

@@ -3423,3 +3423,41 @@ ORACLE["normalize_text"] = (
     SELECT doc_id, md5(t) AS norm_md5, CAST(len(t) AS BIGINT) AS n_chars_norm FROM norm
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (operators/quality.py mad_outliers)
+# ---------------------------------------------------------------------------
+
+def q_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags on event values per
+    event type — the robust quality gate heavy-tailed corpora need
+    (means/stddevs are dragged by the very outliers being hunted). Two
+    grouped exact-percentile aggregations broadcast back onto rows."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import mad_outliers
+
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select("event_id", "event_type", "value")
+    return mad_outliers(ev, "value", ["event_type"], k=3.5)
+
+
+QUERIES["mad_outliers"] = q_mad_outliers
+
+ORACLE["mad_outliers"] = """
+    WITH ev AS (SELECT event_id, event_type, value FROM events),
+    clean AS (SELECT * FROM ev WHERE value IS NOT NULL AND NOT isnan(value)),
+    med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS m
+      FROM clean GROUP BY 1
+    ),
+    mad AS (
+      SELECT c.event_type, round(quantile_cont(round(abs(c.value - m.m), 6), 0.5), 6) AS md
+      FROM clean c JOIN med m USING (event_type) GROUP BY 1
+    )
+    SELECT ev.event_id, ev.event_type, ev.value,
+           med.m AS group_median, mad.md AS group_mad,
+           CASE WHEN ev.value IS NULL OR isnan(ev.value) THEN FALSE
+                ELSE round(abs(ev.value - med.m), 6) > round(3.5 * mad.md, 6)
+           END AS is_outlier
+    FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+"""

@@ -157,3 +157,43 @@ def test_psi_nulls_and_out_of_range(spark):
     a = spark.createDataFrame([(None,), (-5.0,), (500.0,), (50.0,)], "x double")
     out = {r.bucket: (r.n_a, r.n_b) for r in psi_drift(a, a, "x", 0.0, 100.0, bins=4).collect()}
     assert out == {-1: (1, 1), 4: (1, 1), 2: (1, 1)}  # null dropped
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers
+# ---------------------------------------------------------------------------
+
+def test_mad_flags_only_extremes(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import mad_outliers
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 12, 10, 11, 12, 10, 11, 1000])]
+    df = spark.createDataFrame(rows, "id bigint, g string, x double")
+    out = {r.id: r.is_outlier for r in mad_outliers(df, "x", ["g"]).collect()}
+    assert out[8] is True
+    assert all(out[i] is False for i in range(8))
+
+
+def test_mad_grouped_and_null_nan_passthrough(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import mad_outliers
+
+    rows = [
+        (1, "a", 1.0), (2, "a", 1.1), (3, "a", 0.9), (4, "a", 50.0),
+        (5, "b", 100.0), (6, "b", 101.0), (7, "b", 99.0),
+        (8, "b", None), (9, "b", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, g string, x double")
+    out = {r.id: (r.is_outlier, r.group_median) for r in mad_outliers(df, "x", ["g"]).collect()}
+    assert out[4][0] is True  # 50 vs {0.9, 1.0, 1.1}
+    assert out[5][0] is False  # 100 is normal for group b
+    assert out[8][0] is False and out[9][0] is False  # null/nan unflagged
+    assert out[1][1] == 1.05 and out[5][1] == 100.0  # interpolated even-count median
+
+
+def test_mad_zero_mad_flags_any_deviation(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, 5.0) for i in range(6)] + [(6, 5.0001)], "id bigint, x double"
+    )
+    out = {r.id: r.is_outlier for r in mad_outliers(df, "x").collect()}
+    assert out[6] is True and all(out[i] is False for i in range(6))
