@@ -87,3 +87,27 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
     )
     return b.join(s, [*keys, "__salt"], how).drop("__salt")
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Join/groupBy key-distribution diagnostics — the numbers that
+    decide whether a shuffle needs salting or AQE skew handling BEFORE
+    burning a cluster on it: key cardinality, max single-key share,
+    and count quantiles.
+
+    One counted shuffle on the key (map-side combine), then one tiny
+    aggregate over the per-key counts. Returns a single row:
+    ``n_rows, n_keys, max_count, top_share_micro`` (floor of
+    max_count/n_rows * 1e6 — exact integer, engine-stable),
+    ``p50_count, p99_count`` (interpolated, 6dp). Rule of thumb: a
+    top_share_micro above ~1e4 (1%) on a large shuffle is where one
+    task starts dominating a 1000-executor stage."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_count"),
+        F.floor(F.max("__c") * F.lit(1_000_000) / F.sum("__c")).cast("bigint").alias("top_share_micro"),
+        F.round(F.expr("percentile(__c, 0.5)"), 6).alias("p50_count"),
+        F.round(F.expr("percentile(__c, 0.99)"), 6).alias("p99_count"),
+    )

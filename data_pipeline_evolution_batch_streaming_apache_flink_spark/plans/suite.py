@@ -3461,3 +3461,30 @@ ORACLE["mad_outliers"] = """
            END AS is_outlier
     FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
 """
+
+
+def q_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-skew diagnostics for the lineitem join keys: per-key
+    count distribution collapsed map-side, one tiny final aggregate —
+    the pre-flight check that decides salting vs AQE before a 100 TB
+    shuffle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.skew import key_skew_stats
+
+    t = load_tables(spark, sf, ("lineitem",))
+    return key_skew_stats(t["lineitem"], ["l_orderkey"])
+
+
+QUERIES["key_skew"] = q_key_skew
+
+ORACLE["key_skew"] = """
+    WITH counts AS (
+      SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_count,
+           CAST(floor(max(c) * 1000000 / sum(c)) AS BIGINT) AS top_share_micro,
+           round(quantile_cont(c, 0.5), 6) AS p50_count,
+           round(quantile_cont(c, 0.99), 6) AS p99_count
+    FROM counts
+"""

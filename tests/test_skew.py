@@ -59,3 +59,18 @@ def test_two_phase_collect_spreads_constant_payload(spark):
     assert n_salts >= 6  # constant payload no longer collapses to one salt
     out = two_phase_collect(df, "k", "v", n_salt=8).collect()
     assert len(out) == 1 and list(out[0]["collected"]) == [7] * 5000
+
+
+def test_key_skew_stats_hot_key(spark):
+    from pyspark.sql import functions as F
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.skew import key_skew_stats
+
+    # 9000 rows on key 0, 1 row each on keys 1..1000
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(0)).otherwise(F.col("id") - 8999).alias("k")
+    )
+    row = key_skew_stats(df, ["k"]).collect()[0]
+    assert row.n_rows == 10000 and row.n_keys == 1001
+    assert row.max_count == 9000
+    assert row.top_share_micro == 900000  # 90%
+    assert row.p50_count == 1.0
