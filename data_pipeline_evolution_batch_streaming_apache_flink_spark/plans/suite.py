@@ -3488,3 +3488,59 @@ ORACLE["key_skew"] = """
            round(quantile_cont(c, 0.99), 6) AS p99_count
     FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact correlation matrix (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+def q_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures, exact:
+    quantized-integer moments (decimal(38) sums — HUGEINT in the
+    oracle) make the result bit-identical on any layout or engine; one
+    aggregate over one scan computes every pair."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import corr_matrix
+
+    t = load_tables(spark, sf, ("lineitem",))
+    return corr_matrix(
+        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=100
+    )
+
+
+QUERIES["corr_matrix"] = q_corr_matrix
+
+
+def _corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    qcols = ", ".join(
+        f"CAST(round(CAST({c} AS DOUBLE) * 100) AS HUGEINT) AS v{i}"
+        for i, c in enumerate(cols)
+    )
+    notnull = " AND ".join(f"{c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE))" for c in cols)
+    sums = ["count(*) AS n"]
+    for i in range(len(cols)):
+        sums.append(f"sum(v{i}) AS s{i}")
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            sums.append(f"sum(v{i} * v{j}) AS p{i}_{j}")
+    selects = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            d = (
+                f"sqrt((CAST(n AS DOUBLE) * CAST(p{i}_{i} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(p{j}_{j} AS DOUBLE) - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE)))"
+            )
+            num = f"(CAST(n AS DOUBLE) * CAST(p{i}_{j} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            selects.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, "
+                f"CASE WHEN {d} = 0 THEN NULL ELSE round({num} / {d}, 6) END AS corr, "
+                f"CAST(n AS BIGINT) AS n FROM sums"
+            )
+    return (
+        f"WITH clean AS (SELECT {qcols} FROM lineitem WHERE {notnull}), "
+        f"sums AS (SELECT {', '.join(sums)} FROM clean) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+ORACLE["corr_matrix"] = _corr_oracle()
