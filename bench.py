@@ -86,6 +86,10 @@ BENCH_QUERIES = (
     "hist_quantiles",
     "span_corruption",
     "bm25_topk",
+    "normalize_text",
+    "mad_outliers",
+    "key_skew",
+    "corr_matrix",
 )
 
 
