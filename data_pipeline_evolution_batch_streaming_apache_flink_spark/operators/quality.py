@@ -26,8 +26,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "expect_not_null", "expect_range", "expect_in_set", "expect_regex",
-    "expect_unique", "validate_expectations",
+    "expect_unique", "validate_expectations", "gopher_rules",
 ]
+
+#: the Gopher paper's "must contain 2 of" stop words (Rae et al. 2021,
+#: table A1) — a fixed public list, part of the rule definition
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def expect_not_null(col: str, name: str | None = None) -> dict:
@@ -273,4 +277,93 @@ def mad_outliers(
         F.when(c.isNull() | F.isnan(c), F.lit(False))
         .otherwise(dev > F.round(F.lit(k) * F.col("__mad"), 6))
         .alias("is_outlier"),
+    )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based document quality filter (Rae et al. 2021
+    §A.1.1, "Quality filtering") — the standard auditable pre-training
+    gate: instead of one opaque score, each document carries a boolean
+    per rule plus the combined ``passes`` flag, so a corpus owner can
+    see WHICH rule rejects a slice of the crawl.
+
+    Rules (thresholds are the paper's):
+
+    - ``r_word_count``     — word count in [min_words, max_words]
+    - ``r_mean_word_len``  — mean word length in [3, 10] characters
+    - ``r_symbol_ratio``   — (# '#' + # '...') / words  <  0.1
+    - ``r_bullet_lines``   — lines starting with a bullet  <  90 %
+    - ``r_ellipsis_lines`` — lines ending with an ellipsis <  30 %
+    - ``r_alpha_words``    — words containing a letter     >  80 %
+    - ``r_stopwords``      — ≥ ``min_stopwords`` distinct GOPHER_STOPWORDS
+
+    Every ratio test is cross-multiplied into EXACT integer arithmetic
+    (``10*symbols < n_words`` instead of ``symbols/n_words < 0.1``), so
+    the flags are bit-identical on any engine/layout — no float
+    division anywhere. Empty documents fail the word-count rule and
+    divide nothing.
+
+    Scale shape: pure row-local codegen'd expressions over one scan —
+    no shuffle, no UDF, no state; composes with ``filter(F.col
+    ("passes"))`` ahead of any expensive dedup stage so the 100 TB
+    pipeline drops junk before it pays for shingling.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    total_word_chars = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    n_symbols = (n_hash + n_ellipsis).cast("bigint")
+    bullet = F.size(
+        F.filter(lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"))
+    ).cast("bigint")
+    ellipsis_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+
+    r_word_count = (n_words >= min_words) & (n_words <= max_words)
+    r_mean_word_len = (total_word_chars >= 3 * n_words) & (total_word_chars <= 10 * n_words)
+    r_symbol_ratio = n_symbols * 10 < n_words
+    r_bullet_lines = bullet * 10 < n_lines * 9
+    r_ellipsis_lines = ellipsis_end * 10 < n_lines * 3
+    r_alpha_words = alpha_words * 5 > n_words * 4
+    r_stopwords = n_stop >= min_stopwords
+    rules = {
+        "r_word_count": r_word_count,
+        "r_mean_word_len": r_mean_word_len,
+        "r_symbol_ratio": r_symbol_ratio,
+        "r_bullet_lines": r_bullet_lines,
+        "r_ellipsis_lines": r_ellipsis_lines,
+        "r_alpha_words": r_alpha_words,
+        "r_stopwords": r_stopwords,
+    }
+    passes = F.lit(True)
+    for col in rules.values():
+        passes = passes & col
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[col.alias(name) for name, col in rules.items()],
+        passes.alias("passes"),
     )

@@ -3544,3 +3544,61 @@ def _corr_oracle() -> str:
 
 
 ORACLE["corr_matrix"] = _corr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter (operators/quality.py gopher_rules)
+# ---------------------------------------------------------------------------
+
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Rule-based document quality gate (Rae et al. 2021 §A.1.1): one
+    auditable boolean per rule + combined ``passes``, all ratio tests
+    cross-multiplied into exact integers (no float division), pure
+    row-local codegen over one scan. Thresholds calibrated to the
+    synthetic corpus (word-salad docs: min_words=30, one stopword)
+    so the gate splits it instead of rejecting everything."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import gopher_rules
+
+    t = load_tables(spark, sf, ("documents",))
+    return gopher_rules(t["documents"], min_words=30, min_stopwords=1)
+
+
+QUERIES["gopher_quality"] = q_gopher_quality
+
+ORACLE["gopher_quality"] = """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> '') AS words,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ell
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(words) AS BIGINT) AS n_words,
+        CAST(len(lines) AS BIGINT) AS n_lines,
+        CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS BIGINT) AS total_chars,
+        n_hash + n_ell AS n_symbols,
+        CAST(len(list_filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-','*','•'))) AS BIGINT) AS bullet,
+        CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) AS BIGINT) AS ell_end,
+        CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        CAST(len(list_intersect(list_transform(words, w -> lower(w)),
+             ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+      FROM base
+    )
+    SELECT doc_id, n_words,
+      (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+      (total_chars >= 3*n_words AND total_chars <= 10*n_words) AS r_mean_word_len,
+      (n_symbols*10 < n_words) AS r_symbol_ratio,
+      (bullet*10 < n_lines*9) AS r_bullet_lines,
+      (ell_end*10 < n_lines*3) AS r_ellipsis_lines,
+      (alpha_words*5 > n_words*4) AS r_alpha_words,
+      (n_stop >= 1) AS r_stopwords,
+      (n_words >= 30 AND n_words <= 100000
+       AND total_chars >= 3*n_words AND total_chars <= 10*n_words
+       AND n_symbols*10 < n_words AND bullet*10 < n_lines*9
+       AND ell_end*10 < n_lines*3 AND alpha_words*5 > n_words*4
+       AND n_stop >= 1) AS passes
+    FROM m
+"""

@@ -197,3 +197,48 @@ def test_mad_zero_mad_flags_any_deviation(spark):
     )
     out = {r.id: r.is_outlier for r in mad_outliers(df, "x").collect()}
     assert out[6] is True and all(out[i] is False for i in range(6))
+
+
+GOOD_DOC = (
+    "The quick brown fox jumps over the lazy dog and then runs back home "
+    "with plenty of ordinary words that keep the mean length sane today. "
+) * 5  # ~130 words, stopword-rich, no symbols/bullets
+
+
+def _gopher(spark, docs, **kw):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import gopher_rules
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    return {r.doc_id: r for r in gopher_rules(df, **kw).collect()}
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    docs = [
+        (0, GOOD_DOC),
+        (1, "too short"),                                     # word count
+        (2, " ".join(["a"] * 60)),                            # mean word len < 3
+        (3, " ".join(["the of and"] + ["#tag"] * 57)),        # symbol ratio + alpha ok
+        (4, "\n".join(["- item one two"] * 10)),              # bullet lines
+        (5, "\n".join(["the end comes soon..."] * 10)),       # ellipsis lines
+        (6, " ".join(["the", "of"] + ["12345"] * 58)),        # alpha words <= 80%
+        (7, " ".join(["zebra", "quilt", "nomad"] * 20)),      # no stopwords
+    ]
+    out = _gopher(spark, docs, min_words=50)
+    assert out[0].passes
+    assert not out[1].r_word_count
+    assert not out[2].r_mean_word_len
+    assert not out[3].r_symbol_ratio
+    assert not out[4].r_bullet_lines
+    assert not out[5].r_ellipsis_lines
+    assert not out[6].r_alpha_words
+    assert not out[7].r_stopwords
+    assert all(not out[i].passes for i in range(1, 8))
+
+
+def test_gopher_rules_empty_and_boundary(spark):
+    # empty doc: fails word count, divides nothing (no NaN/ANSI error);
+    # boundary: exactly min_words with mean length exactly 3 passes both
+    docs = [(0, ""), (1, " ".join(["abc"] * 50))]
+    out = _gopher(spark, docs, min_words=50)
+    assert out[0].n_words == 0 and not out[0].passes
+    assert out[1].r_word_count and out[1].r_mean_word_len
