@@ -69,6 +69,7 @@ def asof_join(
     how: str = "left",
     tolerance: str | None = None,
     dim_op: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Event-time temporal join — Flink ``JOIN dim FOR SYSTEM_TIME AS OF
     fact.ts ON key`` (reference flink-applications/06-flink-cdc-temporal-join.json:30):
@@ -97,7 +98,26 @@ def asof_join(
     older than ``fact_ts - tolerance`` do not match (merge_asof-style).
     Output: all fact columns + dim's non-key/non-ts columns (NULL when no
     version exists and ``how='left'``; rows dropped when ``how='inner'``).
+
+    ``direction`` (pandas ``merge_asof`` surface; Flink only has backward):
+
+    - ``backward`` — latest dim version with ``dim_ts <= fact_ts`` (default,
+      the reference's temporal-join semantics).
+    - ``forward`` — earliest dim version with ``dim_ts >= fact_ts`` (same
+      one-shuffle plan, the in-partition sort reversed; tolerance bounds
+      ``dim_ts <= fact_ts + tolerance``).
+    - ``nearest`` — whichever of the two is closer in event time; exact
+      ties prefer the backward match. Both candidates come off ONE key
+      shuffle (two in-partition sorts share the exchange — no second
+      Exchange appears in the plan).
+
+    Equal-(key, ts) dim duplicates resolve to the same max-struct winner in
+    every direction, so backward and forward agree on exactly-at-ts facts.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     dim_payload = [c for c in dim.columns if c not in keys and c not in (dim_ts, dim_op)]
 
@@ -127,33 +147,56 @@ def asof_join(
     # inclusive AS-OF semantics (version effective AT fact_ts matches);
     # equal-(ts,side) dim ties order by the image, making the carried
     # version the max struct (deterministic) without a dedup shuffle.
-    ordering = [
-        F.col("__ts").asc_nulls_first(),
-        F.col("__is_fact").asc(),
-        F.col("__dim").asc_nulls_first(),
-    ]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*ordering)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__version", F.last("__dim", ignorenulls=True).over(w))
-    if tolerance is not None:
-        w_ts = (
+    # Forward direction = the same running-carry over the REVERSED sort
+    # (desc ts); both sorts hash-partition on the same keys, so nearest
+    # costs one Exchange + two in-partition sorts, never two shuffles.
+    def _carried(reverse: bool) -> tuple[Column, Column]:
+        ordering = [
+            F.col("__ts").desc_nulls_first() if reverse else F.col("__ts").asc_nulls_first(),
+            F.col("__is_fact").asc(),
+            F.col("__dim").asc_nulls_first(),
+        ]
+        w = (
             Window.partitionBy(*keys)
             .orderBy(*ordering)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = carried.withColumn(
-            "__version_ts",
-            F.last(F.when(F.col("__is_fact") == 0, F.col("__ts")), ignorenulls=True).over(w_ts),
-        ).withColumn(
-            "__version",
-            F.when(
-                F.col("__version_ts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}"),
-                F.col("__version"),
-            ),
+        ver = F.last("__dim", ignorenulls=True).over(w)
+        vts = F.last(
+            F.when(F.col("__is_fact") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w)
+        if tolerance is not None:
+            within = (
+                vts <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+                if reverse
+                else vts >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+            )
+            ver = F.when(within, ver)
+            vts = F.when(within, vts)
+        return ver, vts
+
+    if direction == "nearest":
+        bver, bts = _carried(False)
+        fver, fts = _carried(True)
+        staged = unioned.select(
+            "*",
+            bver.alias("__bver"), bts.alias("__bts"),
+            fver.alias("__fver"), fts.alias("__fts"),
         )
+        # ties (equidistant versions) prefer the backward match
+        back_wins = F.col("__fver").isNull() | (
+            F.col("__bver").isNotNull()
+            & (
+                F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__bts"))
+                <= F.unix_micros(F.col("__fts")) - F.unix_micros(F.col("__ts"))
+            )
+        )
+        carried = staged.withColumn(
+            "__version", F.when(back_wins, F.col("__bver")).otherwise(F.col("__fver"))
+        )
+    else:
+        ver, _ = _carried(direction == "forward")
+        carried = unioned.withColumn("__version", ver)
 
     matched = F.col("__is_fact") == 1
     if how == "inner":

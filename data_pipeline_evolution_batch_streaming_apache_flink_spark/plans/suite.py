@@ -3602,3 +3602,82 @@ ORACLE["gopher_quality"] = """
        AND n_stop >= 1) AS passes
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join directions (operators/joins.py asof_join direction=)
+# ---------------------------------------------------------------------------
+
+def q_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 forward direction (pandas merge_asof surface; Flink has only
+    backward): each click joins the EARLIEST same-user 'view' version
+    at-or-after it — the label-join shape of training pipelines (next
+    observation after the event). Same one-shuffle window plan as
+    backward, in-partition sort reversed."""
+    t = load_tables(spark, sf, ("events",))
+    fact = t["events"].filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    dim = t["events"].filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    res = asof_join(
+        fact, dim, key="user_id", fact_ts="ts", dim_ts="ts", direction="forward"
+    )
+    return res.select(
+        "event_id", "user_id", "ts", F.round(F.col("value"), 6).alias("next_view_value")
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """J5 nearest direction: closest same-user 'view' in either time
+    direction, ties preferring backward. Both candidates come off ONE
+    key Exchange (two in-partition sorts share it — plan-shape pinned
+    in tests/test_joins.py)."""
+    t = load_tables(spark, sf, ("events",))
+    fact = t["events"].filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    dim = t["events"].filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    res = asof_join(
+        fact, dim, key="user_id", fact_ts="ts", dim_ts="ts", direction="nearest"
+    )
+    return res.select(
+        "event_id", "user_id", "ts", F.round(F.col("value"), 6).alias("nearest_view_value")
+    )
+
+
+QUERIES["asof_forward"] = q_asof_forward
+QUERIES["asof_nearest"] = q_asof_nearest
+
+ORACLE["asof_forward"] = """
+    WITH dim AS (
+      SELECT user_id AS k, ts AS t, max(value) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           (SELECT round(min_by(d.v, d.t), 6) FROM dim d
+             WHERE d.k = f.user_id AND d.t >= f.ts) AS next_view_value
+    FROM f
+"""
+
+ORACLE["asof_nearest"] = """
+    WITH dim AS (
+      SELECT user_id AS k, ts AS t, max(value) AS v
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT f.event_id, f.user_id, f.ts,
+        (SELECT max(d.t) FROM dim d WHERE d.k = f.user_id AND d.t <= f.ts) AS bt,
+        (SELECT max_by(d.v, d.t) FROM dim d WHERE d.k = f.user_id AND d.t <= f.ts) AS bv,
+        (SELECT min(d.t) FROM dim d WHERE d.k = f.user_id AND d.t >= f.ts) AS ft,
+        (SELECT min_by(d.v, d.t) FROM dim d WHERE d.k = f.user_id AND d.t >= f.ts) AS fv
+      FROM f
+    )
+    SELECT event_id, user_id, ts,
+      round(CASE WHEN ft IS NULL THEN bv
+                 WHEN bt IS NULL THEN fv
+                 WHEN epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts) THEN bv
+                 ELSE fv END, 6) AS nearest_view_value
+    FROM c
+"""

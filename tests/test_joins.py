@@ -159,3 +159,57 @@ def test_debezium_to_temporal_join_integration(spark):
         facts, dim, key="id", fact_ts="fts", dim_ts="event_time", dim_op="op"
     ).collect()}
     assert out == {100: 5, 101: None, 102: 9}
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """merge_asof-style directions: forward = earliest version at-or-after,
+    nearest = closer of the two with ties preferring backward."""
+    dim = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0), "v1"),
+         (1, TS(2024, 1, 1, 12, 0), "v2"),
+         (2, TS(2024, 1, 1, 11, 0), "w1")],
+        "k int, ts timestamp, val string",
+    )
+    fact = spark.createDataFrame(
+        [(101, 1, TS(2024, 1, 1, 9, 0)),    # fwd: v1; nearest: v1 (1h vs inf)
+         (102, 1, TS(2024, 1, 1, 10, 0)),   # exactly at v1: both inclusive -> v1
+         (103, 1, TS(2024, 1, 1, 11, 0)),   # equidistant 1h/1h -> tie prefers backward v1
+         (104, 1, TS(2024, 1, 1, 11, 30)),  # fwd v2; nearest v2 (30m vs 1h30)
+         (105, 1, TS(2024, 1, 1, 13, 0)),   # after all: fwd NULL; nearest v2
+         (106, 2, TS(2024, 1, 1, 23, 0)),   # fwd NULL; nearest w1
+         (107, 3, TS(2024, 1, 1, 10, 0))],  # key absent everywhere -> NULL
+        "fid int, k int, fts timestamp",
+    )
+    fwd = {r["fid"]: r["val"]
+           for r in asof_join(fact, dim, "k", "fts", "ts", direction="forward").collect()}
+    assert fwd == {101: "v1", 102: "v1", 103: "v2", 104: "v2",
+                   105: None, 106: None, 107: None}
+    near = {r["fid"]: r["val"]
+            for r in asof_join(fact, dim, "k", "fts", "ts", direction="nearest").collect()}
+    assert near == {101: "v1", 102: "v1", 103: "v1", 104: "v2",
+                    105: "v2", 106: "w1", 107: None}
+
+
+def test_asof_join_forward_tolerance_and_errors(spark):
+    import pytest as _pytest
+
+    dim = spark.createDataFrame([(1, TS(2024, 1, 1, 5, 0), "future")], "k int, ts timestamp, val string")
+    fact = spark.createDataFrame([(9, 1, TS(2024, 1, 1, 0, 0))], "fid int, k int, fts timestamp")
+    got = asof_join(fact, dim, "k", "fts", "ts", direction="forward").collect()[0]["val"]
+    assert got == "future"
+    bounded = asof_join(
+        fact, dim, "k", "fts", "ts", direction="forward", tolerance="1 hour"
+    ).collect()[0]["val"]
+    assert bounded is None
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(fact, dim, "k", "fts", "ts", direction="sideways")
+
+
+def test_asof_nearest_single_exchange(spark):
+    """nearest computes both candidates off ONE key shuffle — the two
+    window sorts must share the Exchange, not add one each."""
+    dim = spark.createDataFrame([(1, TS(2024, 1, 1, 0, 0), "x")], "k int, ts timestamp, val string")
+    fact = spark.createDataFrame([(9, 1, TS(2024, 1, 1, 0, 0))], "fid int, k int, fts timestamp")
+    df = asof_join(fact, dim, "k", "fts", "ts", direction="nearest")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
