@@ -3681,3 +3681,76 @@ ORACLE["asof_nearest"] = """
                  ELSE fv END, 6) AS nearest_view_value
     FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (operators/graph.py) — iterative link analysis, exact fixed-point
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 4
+
+
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer fixed-point PageRank on the customer↔supplier purchase
+    graph (orders⋈lineitem, both directions so no node dangles in the
+    TPC-H-ish data). Bit-identical on any layout/engine: mass is exact
+    integer micro-units, every division is integer division, and the
+    oracle unrolls the same four rounds in SQL."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ITER)
+
+
+QUERIES["pagerank"] = q_pagerank
+
+
+def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
+    scale, damp = 10**12, 85
+    prev, ctes = "r0", [
+        """e AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          UNION
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+                          'c' || CAST(o_custkey AS VARCHAR)
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """bn AS (
+          SELECT n.node, d.outdeg FROM nodes n
+          LEFT JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) d
+            ON n.node = d.src
+        )""",
+        "meta AS (SELECT count(*) AS n FROM bn)",
+        f"r0 AS (SELECT node, outdeg, CAST({scale} // (SELECT n FROM meta) AS BIGINT) AS r FROM bn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT bn.node, bn.outdeg,
+            CAST(({100 - damp} * {scale}::BIGINT) // (100 * (SELECT n FROM meta))
+               + ({damp} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+          FROM bn LEFT JOIN (
+            SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+            FROM e JOIN {prev} r ON e.src = r.node WHERE r.outdeg IS NOT NULL
+            GROUP BY 1
+          ) c ON bn.node = c.node
+        )""")
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, r AS rank_micro FROM {prev}"
+
+
+ORACLE["pagerank"] = _pagerank_oracle()

@@ -1,0 +1,58 @@
+"""PageRank (operators/graph.py): fixed-point semantics, determinism."""
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
+
+import pytest
+
+
+def _ranks(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r.node: r.rank_micro for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_star_hub_outranks_leaves(spark):
+    # a, b, c all point at hub; hub points back at a. hub and a trade the
+    # bulk of the mass each round (period-2 oscillation decaying toward
+    # hub > a), so assert at an odd iteration where hub just collected.
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")]
+    got = _ranks(spark, edges, iterations=11)
+    assert got["hub"] > got["a"] > got["b"] == got["c"]
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    # in a 2-cycle both nodes keep exactly the initial mass every round
+    edges = [("x", "y"), ("y", "x")]
+    got = _ranks(spark, edges, iterations=5)
+    scale = 10**12
+    assert got["x"] == got["y"]
+    # base + 85% of (scale/2) = scale/2 exactly (all divisions land even)
+    assert got["x"] == (15 * scale) // 200 + (85 * (scale // 2)) // 100
+
+
+def test_pagerank_dangling_receives_but_drops_mass(spark):
+    # z has no out-edges: it accumulates rank but redistributes none
+    edges = [("a", "z"), ("b", "z")]
+    got = _ranks(spark, edges, iterations=3)
+    assert got["z"] > got["a"] == got["b"]
+    # round 2+: a/b get only the base term (z returns nothing)
+    scale, n = 10**12, 3
+    assert got["a"] == (15 * scale) // (100 * n)
+
+
+def test_pagerank_layout_independent(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(200)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r.node: r.rank_micro for r in pagerank(df, iterations=4).collect()}
+    r2 = {
+        r.node: r.rank_micro
+        for r in pagerank(df.repartition(13, "dst"), iterations=4).collect()
+    }
+    assert r1 == r2
+
+
+def test_pagerank_empty_and_bad_damping(spark):
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="damping_pct"):
+        pagerank(one, damping_pct=100)
