@@ -65,3 +65,57 @@ def corr_matrix(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+def standardize(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 100,
+    clip: float | None = None,
+) -> DataFrame:
+    """Per-group z-score standardization, layout/engine-exact: the
+    feature-normalization step of a training pipeline (per-source
+    length/quality normalization before mixing corpora).
+
+    Same determinism policy as :func:`corr_matrix`: values quantize to
+    ``v = round(x*scale)`` integers; per group the exact sums
+    ``n, s=Σv, p=Σv²`` (decimal(38)) feed the identity
+
+        z = (n·v − s) / sqrt(n·p − s²)
+
+    — pure integers inside one double expression, rounded to 6dp, so
+    the score is bit-identical on any partition layout and in the SQL
+    oracle. Zero-variance groups emit NULL; null/NaN rows pass through
+    with NULL z. ``clip`` winsorizes to ±clip after rounding (the usual
+    outlier guard before feeding a model).
+
+    Scale shape: ONE grouped aggregation (map-side partial) broadcast
+    back onto the rows — no window over the data, no second shuffle of
+    the fact table; ungrouped inputs use a single-row broadcast.
+    """
+    groups = group_cols or []
+    c = F.col(col).cast("double")
+    v = F.round(c * scale).cast("decimal(18,0)")
+    clean = df.where(c.isNotNull() & ~F.isnan(c))
+    stats = clean.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__p"),
+    )
+    out = (
+        df.join(F.broadcast(stats), groups)
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    p = F.col("__p").cast("double")
+    denom = F.sqrt(n * p - s * s)
+    z = F.when(
+        c.isNull() | F.isnan(c) | (denom == 0), F.lit(None)
+    ).otherwise(F.round((n * v.cast("double") - s) / denom, 6))
+    if clip is not None:
+        # greatest/least IGNORE nulls (both engines) — clip only real scores
+        z = F.when(z.isNotNull(), F.least(F.greatest(z, F.lit(-clip)), F.lit(clip)))
+    return out.select(*df.columns, z.alias("z"))

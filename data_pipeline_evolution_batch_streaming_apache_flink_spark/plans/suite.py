@@ -3754,3 +3754,88 @@ def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
 
 
 ORACLE["pagerank"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (§2.7 analytic surface — the shape CUBE/ROLLUP
+# cannot express: an arbitrary subset of grouping combinations)
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY GROUPING SETS ((region, nation), (region), ()) — the
+    nation-only set deliberately absent, so neither CUBE nor ROLLUP can
+    produce it. One pass via Spark's Expand (3 replicas of each input
+    row), same single-exchange shape as cube_revenue."""
+    t = load_tables(spark, sf, ("region", "nation", "customer", "orders"))
+    j = (
+        t["region"]
+        .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+                _cents("o_totalprice").alias("__cents"))
+    )
+    return j.groupingSets(
+        [["region", "nation"], ["region"], []], "region", "nation"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.sum("__cents").alias("revenue_cents"),
+    )
+
+
+QUERIES["grouping_sets"] = q_grouping_sets
+
+ORACLE["grouping_sets"] = """
+    SELECT r_name AS region, n_name AS nation,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM region
+    JOIN nation ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped z-score standardization (operators/stats.py standardize)
+# ---------------------------------------------------------------------------
+
+def q_standardize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type z-scores of event values, winsorized at ±3 —
+    exact integer moments (decimal(38)/HUGEINT) under one double
+    expression, so scores are bit-identical on any layout/engine. One
+    grouped aggregation broadcast back; no window over the data."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import standardize
+
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select("event_id", "event_type", "value")
+    return standardize(ev, "value", ["event_type"], scale=100, clip=3.0)
+
+
+QUERIES["standardize"] = q_standardize
+
+ORACLE["standardize"] = """
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(round(CAST(value AS DOUBLE) * 100) AS HUGEINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n, sum(v) AS s, sum(v * v) AS p
+      FROM q WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+      GROUP BY 1
+    )
+    SELECT q.event_id, q.event_type, q.value,
+      CASE
+        WHEN q.value IS NULL OR isnan(CAST(q.value AS DOUBLE)) THEN NULL
+        WHEN sqrt(CAST(n AS DOUBLE) * CAST(p AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) = 0 THEN NULL
+        ELSE least(greatest(round(
+          (CAST(n AS DOUBLE) * CAST(q.v AS DOUBLE) - CAST(s AS DOUBLE))
+          / sqrt(CAST(n AS DOUBLE) * CAST(p AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6),
+          CAST(-3.0 AS DOUBLE)), CAST(3.0 AS DOUBLE))
+      END AS z
+    FROM q JOIN stats ON q.event_type = stats.event_type
+"""

@@ -56,3 +56,36 @@ def test_needs_two_columns(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="2 columns"):
         corr_matrix(df, ["x"])
+
+
+def test_standardize_grouped_exact_and_clipped(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import standardize
+
+    # max |z| is (n-1)/sqrt(n), so the outlier group needs n >= 11 for
+    # a z above 3 — 20 tight points + one far value clips cleanly
+    rows = (
+        [(i, "a", float(i % 3)) for i in range(1, 21)]
+        + [(21, "a", 1_000_000.0)]                         # winsorized to +3
+        + [(31, "b", 10.0), (32, "b", 10.0)]               # zero variance -> NULL
+        + [(41, "a", None), (42, "a", float("nan"))]       # pass through NULL z
+    )
+    df = spark.createDataFrame(rows, "id bigint, g string, x double")
+    got = {r.id: r.z for r in standardize(df, "x", ["g"], clip=3.0).collect()}
+    assert got[31] is None and got[32] is None
+    assert got[41] is None and got[42] is None
+    assert got[21] == 3.0  # winsorized
+    assert got[3] < got[1] < got[2]  # x: 0.0 < 1.0 < 2.0 ordering preserved
+
+
+def test_standardize_ungrouped_layout_independent(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import standardize
+
+    rows = [(i, float(i % 17) + 0.25) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, x double")
+    a = {r.id: r.z for r in standardize(df, "x").collect()}
+    b = {r.id: r.z for r in standardize(df.repartition(7, "id"), "x").collect()}
+    assert a == b
+    import statistics
+    xs = [float(i % 17) + 0.25 for i in range(300)]
+    mean, pstd = statistics.fmean(xs), statistics.pstdev(xs)
+    assert a[0] == pytest.approx((0.25 - mean) / pstd, abs=1e-4)
