@@ -90,6 +90,11 @@ BENCH_QUERIES = (
     "mad_outliers",
     "key_skew",
     "corr_matrix",
+    "gopher_quality",
+    "asof_nearest",
+    "pagerank",
+    "grouping_sets",
+    "standardize",
 )
 
 

@@ -103,8 +103,10 @@ def standardize(
         F.sum(v).alias("__s"),
         F.sum(v * v).alias("__p"),
     )
+    # left join: a group whose values are ALL null/NaN has no stats row —
+    # its rows still pass through with NULL z instead of vanishing
     out = (
-        df.join(F.broadcast(stats), groups)
+        df.join(F.broadcast(stats), groups, "left")
         if groups
         else df.crossJoin(F.broadcast(stats))
     )

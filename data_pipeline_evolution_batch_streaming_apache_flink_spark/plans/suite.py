@@ -3837,5 +3837,5 @@ ORACLE["standardize"] = """
           / sqrt(CAST(n AS DOUBLE) * CAST(p AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6),
           CAST(-3.0 AS DOUBLE)), CAST(3.0 AS DOUBLE))
       END AS z
-    FROM q JOIN stats ON q.event_type = stats.event_type
+    FROM q LEFT JOIN stats ON q.event_type = stats.event_type
 """

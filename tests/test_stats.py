@@ -89,3 +89,13 @@ def test_standardize_ungrouped_layout_independent(spark):
     xs = [float(i % 17) + 0.25 for i in range(300)]
     mean, pstd = statistics.fmean(xs), statistics.pstdev(xs)
     assert a[0] == pytest.approx((0.25 - mean) / pstd, abs=1e-4)
+
+
+def test_standardize_all_null_group_passes_through(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import standardize
+
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, "z", None), (4, "z", float("nan"))]
+    df = spark.createDataFrame(rows, "id bigint, g string, x double")
+    got = {r.id: r.z for r in standardize(df, "x", ["g"]).collect()}
+    assert set(got) == {1, 2, 3, 4}  # group z not dropped
+    assert got[3] is None and got[4] is None

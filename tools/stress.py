@@ -37,7 +37,12 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # count (events replicate with SHIFTED user ids — per-key history
            # stays constant, the 100 TB shape); sketches/drift on replicated
            # orders; k-means on replicated embeddings
-           "cep_funnel", "cep_strict", "approx_distinct", "psi_drift", "kmeans")
+           "cep_funnel", "cep_strict", "approx_distinct", "psi_drift", "kmeans",
+           # round-4 session-3: pagerank's edge extraction (orders⋈lineitem
+           # distinct) grows with the facts while the distinct node/edge set
+           # saturates — the join is the scaling surface; standardize scales
+           # with events under constant group count
+           "pagerank", "standardize")
 
 
 def build(spark, factor: int, out_dir: str) -> None:
