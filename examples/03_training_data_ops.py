@@ -186,6 +186,35 @@ def main() -> None:
     c2, c1, vocab = bigram_lm(docs)
     bigram_lm_scores(docs, c2, c1, vocab).orderBy("avg_logp_micro").show(5)
 
+    print("Gopher rule-based quality gate (per-rule auditable flags):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import gopher_rules
+
+    flags = gopher_rules(docs, min_words=30, min_stopwords=1)
+    flags.groupBy("passes").count().show()
+    flags.where(~F.col("r_stopwords")).select("doc_id", "n_words").show(3)
+
+    print("per-source z-score of document length (exact moments, clipped):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import standardize
+
+    standardize(
+        docs.select("doc_id", "source", F.col("n_chars").cast("double").alias("n_chars")),
+        "n_chars", ["source"], clip=3.0,
+    ).orderBy(F.col("z").desc_nulls_last()).show(3)
+
+    print("PageRank over the customer-supplier purchase graph:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
+
+    orders_t = read_parquet(spark, f"{sf}/orders.parquet")
+    li = read_parquet(spark, f"{sf}/lineitem.parquet")
+    pairs = (
+        orders_t.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.concat(F.lit("c"), "o_custkey").alias("c"),
+                F.concat(F.lit("s"), "l_suppkey").alias("s")).distinct()
+    )
+    edges = pairs.selectExpr("c AS src", "s AS dst").union(pairs.selectExpr("s AS src", "c AS dst"))
+    pagerank(edges, iterations=3).orderBy(F.col("rank_micro").desc()).show(5)
+
+
 
 if __name__ == "__main__":
     main()
