@@ -95,6 +95,11 @@ BENCH_QUERIES = (
     "pagerank",
     "grouping_sets",
     "standardize",
+    "cooccur_pmi",
+    "triangle_census",
+    "char_entropy",
+    "bloom_prune",
+    "window_distribution",
 )
 
 

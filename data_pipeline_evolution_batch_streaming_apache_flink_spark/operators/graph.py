@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_stats"]
 
 
 def pagerank(
@@ -100,3 +100,94 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank_micro")
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle census of an undirected graph — one summary row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, gcc_micro)``.
+
+    Triangle density is the classic structure signal over co-occurrence
+    graphs (tightly-knit product/source/author communities vs. random
+    co-mentions); the global clustering coefficient ``3T/W`` is emitted
+    micro-rounded (single double division — house determinism policy),
+    with the raw integer counts alongside so any downstream threshold
+    stays exact.
+
+    Input edges may arrive in either orientation with duplicates and
+    self-loops; they collapse to canonical ``a < b`` first. Algorithm is
+    the standard DEGREE-ORIENTED wedge join (Suri-Vassilvitskii shape):
+
+    - orient every edge from the endpoint with smaller ``(degree, id)``
+      to the larger, so every vertex's OUT-degree is O(sqrt(m)) on any
+      graph (arboricity bound) — the per-key fanout of the wedge
+      self-join is bounded even on power-law graphs, which is exactly
+      the skew that kills the naive id-oriented plan at 100 TB;
+    - wedges = oriented ⋈ oriented on the center (one equi-join), each
+      wedge ``(v1 < v2)`` closed by an equi-join against the canonical
+      edge set — every triangle counted exactly once, no OR-join.
+
+    ``n_wedges`` is the full-degree path count ``Σ C(deg, 2)`` (the GCC
+    denominator), computed exactly in bigints from the degree table.
+
+    Shuffles: dedup (1), degree count (1), two orientation joins keyed
+    by endpoint, wedge self-join + closing join keyed by vertex/pair.
+    All equi-joins; the degree table is #nodes rows (broadcastable for
+    dimension-sized graphs, shuffle-joined otherwise — left to AQE).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from smaller (deg, id) endpoint to larger
+    oriented = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("__da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("__db")), "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("__o")
+        )
+        .select("__o.u", "__o.v")
+    )
+    wedges = (
+        oriented.select(F.col("u"), F.col("v").alias("__v1"))
+        .join(oriented.select(F.col("u"), F.col("v").alias("__v2")), "u")
+        .where(F.col("__v1") < F.col("__v2"))
+        .select(F.col("__v1").alias("a"), F.col("__v2").alias("b"))
+    )
+    tri = wedges.join(e, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.coalesce(F.col("n_wedges"), F.lit(0)).cast("bigint").alias("n_wedges"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN CAST(round(CAST(3 * n_triangles AS DOUBLE)"
+                " / CAST(n_wedges AS DOUBLE) * 1000000) AS BIGINT) END"
+            ).alias("gcc_micro"),
+        )
+    )

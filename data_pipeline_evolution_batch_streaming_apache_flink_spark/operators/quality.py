@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "expect_not_null", "expect_range", "expect_in_set", "expect_regex",
-    "expect_unique", "validate_expectations", "gopher_rules",
+    "expect_unique", "validate_expectations", "gopher_rules", "char_entropy",
 ]
 
 #: the Gopher paper's "must contain 2 of" stop words (Rae et al. 2021,
@@ -366,4 +366,69 @@ def gopher_rules(
         n_words.alias("n_words"),
         *[col.alias(name) for name, col in rules.items()],
         passes.alias("passes"),
+    )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document, in exact
+    micro-nats — the cheap gibberish/binary-spill/low-diversity signal
+    (aaaa..., base64 blobs, single-char padding all sit far from the
+    ~4.1-nat band natural language occupies).
+
+    Entropy is decomposed so every accumulation is an exact bigint sum
+    (house policy, same as ``lm.bigram_lm_scores``)::
+
+        H = ln(n) - (1/n) * sum_c c*ln(c)
+        entropy_micro = round(ln(n)*1e6) - (sum_c round(c*ln(c)*1e6)) div n
+
+    with ``c`` the exact per-character count, so the result is
+    bit-identical on any engine/partition layout (each term is one
+    ``ln`` micro-rounded; the fold order over the SORTED distinct-char
+    array is integer addition — order-free).
+
+    Scale shape: zero shuffle, zero UDF — one row-local codegen'd
+    expression per document. Per-row cost is O(distinct_chars x n) via
+    ``replace``-based counting (distinct chars is alphabet-bounded,
+    ~10^2 for natural text); ``max_chars`` truncates pathological
+    documents first so the bound is hard. NULL/empty text yields NULL
+    entropy. BMP-safe: counts are per UTF-16 code unit, identical to
+    per-codepoint for all non-astral text.
+
+    Returns ``(id_col, n_chars_used, n_unique_chars, entropy_micro)``.
+    """
+    t = (
+        F.expr(f"substring({text_col}, 1, {int(max_chars)})")
+        if max_chars is not None
+        else F.col(text_col)
+    )
+    d = df.select(
+        F.col(id_col),
+        t.alias("__t"),
+    ).select(
+        id_col,
+        "__t",
+        F.length("__t").cast("bigint").alias("n_chars_used"),
+        F.expr("array_sort(array_distinct(filter(split(__t, ''), x -> x <> '')))").alias("__cs"),
+    )
+    term_sum = (
+        "aggregate(transform(__cs, ch -> CAST(round("
+        "(n_chars_used - length(replace(__t, ch, ''))) * "
+        "ln(n_chars_used - length(replace(__t, ch, ''))) * 1000000) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return d.select(
+        id_col,
+        F.coalesce("n_chars_used", F.lit(0).cast("bigint")).alias("n_chars_used"),
+        F.coalesce(F.size("__cs"), F.lit(0)).cast("bigint").alias("n_unique_chars"),
+        # term_sum >= 0 (c*ln(c) >= 0), so plain integer `div` is the floor
+        F.expr(
+            "CASE WHEN n_chars_used > 0 THEN "
+            "CAST(round(ln(n_chars_used) * 1000000) AS BIGINT)"
+            f" - ({term_sum}) div n_chars_used END"
+        ).alias("entropy_micro"),
     )

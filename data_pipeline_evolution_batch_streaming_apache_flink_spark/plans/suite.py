@@ -3839,3 +3839,256 @@ ORACLE["standardize"] = """
       END AS z
     FROM q LEFT JOIN stats ON q.event_type = stats.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence / PMI (operators/basket.py)
+# ---------------------------------------------------------------------------
+
+def q_cooccur_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier co-occurrence within orders, top 100 pairs by support
+    with exact-integer PMI (operators/basket.py cooccurrence_pmi) —
+    the collocation-mining shape (PMI over exact bigint counts, one
+    micro-rounded ln per pair). Per-basket self-join is bounded by
+    basket size; the top-k is a TakeOrdered, not a full sort."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.basket import cooccurrence_pmi
+
+    t = load_tables(spark, sf, ("lineitem",))
+    obs = t["lineitem"].select(
+        F.col("l_orderkey").alias("basket"), F.col("l_suppkey").alias("item")
+    )
+    pmi = cooccurrence_pmi(obs, "basket", "item", min_pair_count=2)
+    return pmi.orderBy(
+        F.col("pair_count").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(100)
+
+
+QUERIES["cooccur_pmi"] = q_cooccur_pmi
+
+ORACLE["cooccur_pmi"] = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+      FROM lineitem WHERE l_suppkey IS NOT NULL
+    ),
+    nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+    ic AS (SELECT it, count(*) AS c FROM b GROUP BY 1),
+    p AS (
+      SELECT l.it AS a, r.it AS b2, count(*) AS pc
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT p.a AS item_a, p.b2 AS item_b,
+           CAST(pc AS BIGINT) AS pair_count,
+           CAST(ca.c AS BIGINT) AS count_a,
+           CAST(cb.c AS BIGINT) AS count_b,
+           CAST((SELECT n FROM nb) AS BIGINT) AS n_baskets,
+           CAST(round(ln(CAST(pc * (SELECT n FROM nb) AS DOUBLE)
+                         / CAST(ca.c * cb.c AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+    FROM p JOIN ic ca ON p.a = ca.it JOIN ic cb ON p.b2 = cb.it
+    ORDER BY pair_count DESC, item_a, item_b LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle census (operators/graph.py triangle_stats)
+# ---------------------------------------------------------------------------
+
+def q_triangle_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order >= 2 times): degree-oriented wedge join, exact counts + the
+    micro-rounded global clustering coefficient in one summary row."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import triangle_stats
+
+    t = load_tables(spark, sf, ("lineitem",))
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    edges = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("src"), F.col("r.it").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_stats(edges)
+
+
+QUERIES["triangle_census"] = q_triangle_census
+
+ORACLE["triangle_census"] = """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    e AS (
+      SELECT l.it AS a, r.it AS b2
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b2 FROM e) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b2) THEN e.a ELSE e.b2 END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b2) THEN e.b2 ELSE e.a END AS v
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b2 = db.n
+    ),
+    w AS (
+      SELECT o1.v AS x1, o2.v AS x2
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+    ),
+    t AS (SELECT count(*) AS nt FROM w JOIN e ON w.x1 = e.a AND w.x2 = e.b2),
+    agg AS (
+      SELECT (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e) AS n_edges,
+             (SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg) AS n_wedges,
+             (SELECT nt FROM t) AS n_triangles
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges > 0 THEN CAST(round(CAST(3 * n_triangles AS DOUBLE)
+                / CAST(n_wedges AS DOUBLE) * 1000000) AS BIGINT) END AS gcc_micro
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (operators/quality.py char_entropy)
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character entropy in exact micro-nats — zero
+    shuffle, zero UDF; every accumulation an exact bigint sum, one
+    micro-rounded ln per (doc, distinct char)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import char_entropy
+
+    t = load_tables(spark, sf, ("documents",))
+    return char_entropy(t["documents"], "doc_id", "text", max_chars=4000)
+
+
+QUERIES["char_entropy"] = q_char_entropy
+
+ORACLE["char_entropy"] = """
+    WITH q AS (SELECT doc_id, substr(text, 1, 4000) AS t FROM documents),
+    d AS (
+      SELECT doc_id, t, length(t) AS n,
+             list_sort(list_distinct(list_filter(string_split(t, ''), x -> x <> ''))) AS cs
+      FROM q
+    )
+    SELECT doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_chars_used,
+           CAST(coalesce(len(cs), 0) AS BIGINT) AS n_unique_chars,
+           CASE WHEN n > 0 THEN
+             CAST(round(ln(n) * 1000000) AS BIGINT)
+             - CAST(coalesce(list_sum(list_transform(cs, ch ->
+                 CAST(round((n - length(replace(t, ch, ''))) *
+                      ln(n - length(replace(t, ch, ''))) * 1000000) AS BIGINT))), 0) AS BIGINT) // n
+           END AS entropy_micro
+    FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Runtime-filter pattern, engine-portable: a Bloom filter built
+    from BUILDING-segment customers (one broadcast row of sorted bit
+    positions) prunes the orders scan row-locally before any join;
+    ``is_member`` exposes the exact membership so the bounded
+    false-positive fraction is visible in the result."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bloom import bloom_build, bloom_prune
+
+    t = load_tables(spark, sf, ("customer", "orders"))
+    dim = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    bloom = bloom_build(dim, "c_custkey", m=_BLOOM_M, k=_BLOOM_K)
+    probe = t["orders"].select("o_orderkey", "o_custkey")
+    pruned = bloom_prune(probe, "o_custkey", bloom, m=_BLOOM_M, k=_BLOOM_K)
+    keys = dim.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    return pruned.join(
+        F.broadcast(keys.withColumn("__hit", F.lit(True))), "o_custkey", "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("__hit", F.lit(False)).alias("is_member"),
+    )
+
+
+QUERIES["bloom_prune"] = q_bloom_prune
+
+
+def _bloom_pos_sql(col: str, salt: int, m: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5('b{salt}|' || CAST({col} AS VARCHAR)), i, 1)) - 1 AS BIGINT))), "
+        f"(acc, d) -> acc * 16 + d) % {m}"
+    )
+
+
+ORACLE["bloom_prune"] = f"""
+    WITH dim AS (
+      SELECT DISTINCT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey IS NOT NULL
+    ),
+    bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT {_bloom_pos_sql('c_custkey', 0, _BLOOM_M)} AS pos FROM dim
+        UNION ALL SELECT {_bloom_pos_sql('c_custkey', 1, _BLOOM_M)} FROM dim
+        UNION ALL SELECT {_bloom_pos_sql('c_custkey', 2, _BLOOM_M)} FROM dim
+      )
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             {_bloom_pos_sql('o_custkey', 0, _BLOOM_M)} AS p0,
+             {_bloom_pos_sql('o_custkey', 1, _BLOOM_M)} AS p1,
+             {_bloom_pos_sql('o_custkey', 2, _BLOOM_M)} AS p2
+      FROM orders WHERE o_custkey IS NOT NULL
+    )
+    SELECT o_orderkey, o_custkey,
+           (o_custkey IN (SELECT c_custkey FROM dim)) AS is_member
+    FROM probe
+    WHERE p0 IN (SELECT pos FROM bits)
+      AND p1 IN (SELECT pos FROM bits)
+      AND p2 IN (SELECT pos FROM bits)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions (§2.7 analytic surface: ntile /
+# percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation customer-balance distribution ranks: quartile
+    (ntile 4), percent_rank and cume_dist micro-rounded. The ordering
+    key (acctbal, custkey) is a total order, so every rank function is
+    deterministic; one shuffle on the nation key shared by all three."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf, ("customer", "nation"))
+    j = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return j.select(
+        "c_custkey",
+        F.col("n_name").alias("nation"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w) * 1000000).cast("bigint").alias("pr_micro"),
+        F.round(F.cume_dist().over(w) * 1000000).cast("bigint").alias("cd_micro"),
+    )
+
+
+QUERIES["window_distribution"] = q_window_distribution
+
+ORACLE["window_distribution"] = """
+    SELECT c_custkey, n_name AS nation,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           CAST(round(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro,
+           CAST(round(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+"""

@@ -42,7 +42,13 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # distinct) grows with the facts while the distinct node/edge set
            # saturates — the join is the scaling surface; standardize scales
            # with events under constant group count
-           "pagerank", "standardize")
+           "pagerank", "standardize",
+           # round-4 session-4: co-occurrence/triangles — baskets (orders)
+           # replicate while the item universe saturates, so pair/edge
+           # cardinality is constant and the counted shuffle is the scaling
+           # surface; bloom_prune's probe side (orders) grows, the filter
+           # row stays fixed-width
+           "cooccur_pmi", "triangle_census", "bloom_prune")
 
 
 def build(spark, factor: int, out_dir: str) -> None:

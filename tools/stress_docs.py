@@ -39,6 +39,9 @@ QUERIES = (
     # replica token mutation keeps duplicated grams replica-local, so work
     # scales linearly with the corpus
     "duplicate_spans", "mask_dup_spans", "lm_scores", "hashed_features",
+    # round-4 session-4: char entropy is row-local (linear by construction;
+    # included to pin the constant)
+    "char_entropy",
 )
 
 
