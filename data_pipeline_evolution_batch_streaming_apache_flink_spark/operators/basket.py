@@ -61,6 +61,13 @@ def cooccurrence_pmi(
     key partitioning, pair count (1), two item-keyed count joins (the
     item-count side is #items rows — broadcastable when the vocabulary
     is small, left to the optimizer/AQE otherwise).
+
+    The ``(basket, item)`` distinct feeds FOUR consumers (pair join
+    left/right, item counts, basket count); it is lazily
+    ``localCheckpoint``-ed so all four share ONE materialization by RDD
+    identity — AQE's canonical-plan stage reuse catches this only
+    opportunistically (it races on stage submission order), and without
+    either the input would be scanned and deduplicated four times.
     """
     b = (
         df.select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it"))
@@ -70,6 +77,7 @@ def cooccurrence_pmi(
     if max_basket is not None:
         sizes = b.groupBy("__bk").agg(F.count(F.lit(1)).alias("__sz"))
         b = b.join(sizes.where(F.col("__sz") <= max_basket).select("__bk"), "__bk")
+    b = b.localCheckpoint(eager=False)
     n_baskets = b.select("__bk").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

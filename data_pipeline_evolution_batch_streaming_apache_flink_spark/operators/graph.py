@@ -135,6 +135,12 @@ def triangle_stats(
     by endpoint, wedge self-join + closing join keyed by vertex/pair.
     All equi-joins; the degree table is #nodes rows (broadcastable for
     dimension-sized graphs, shuffle-joined otherwise — left to AQE).
+
+    ``e``/``deg``/``oriented`` each feed multiple consumers, so each is
+    lazily ``localCheckpoint``-ed: RDD identity guarantees one
+    materialization per stage (AQE's stage reuse is submission-order
+    opportunistic) — the upstream edge derivation runs exactly once
+    however expensive it was.
     """
     e = (
         edges.select(
@@ -143,12 +149,14 @@ def triangle_stats(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient each edge from smaller (deg, id) endpoint to larger
     oriented = (
@@ -164,6 +172,7 @@ def triangle_stats(
             .alias("__o")
         )
         .select("__o.u", "__o.v")
+        .localCheckpoint(eager=False)
     )
     wedges = (
         oriented.select(F.col("u"), F.col("v").alias("__v1"))

@@ -272,3 +272,44 @@ def test_hashed_features_fold_not_duplicated_below_fanout(spark, sf_dir):
     # in a pushed-down Filter below the exchange ("split(trim(text"
     # survives the plan-string truncation; "sequence(1, 15" does not)
     assert plan.count("split(trim(text") == 1
+
+
+def test_session4_queries_no_cartesian_and_pruned_scans(spark, sf_dir):
+    # co-occurrence/triangle: every candidate join is an equi-join (the
+    # only nested-loop allowed is the 1-row summary/count crossJoin);
+    # char_entropy reads exactly (doc_id, text)
+    for q in ("cooccur_pmi", "triangle_census"):
+        plan = _plan(suite.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+    plan = _plan(suite.QUERIES["char_entropy"](spark, sf_dir))
+    assert "Exchange" not in plan  # row-local: zero shuffle
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bloom_probe_side_has_no_shuffle(spark, sf_dir):
+    # the prune itself is a scan + broadcast-nested-loop against the
+    # 1-row filter + row-local predicate: the probe side must see NO
+    # exchange of its rows and the key filter must reach the scan
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bloom import bloom_build, bloom_prune
+
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bloom = bloom_build(dim, "c_custkey", m=1024, k=3)
+    probe = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    plan = _plan(bloom_prune(probe, "o_custkey", bloom, m=1024, k=3))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters: [IsNotNull(o_custkey)]" in plan
+
+
+def test_cooccur_and_triangle_scan_fact_table_once(spark, sf_dir):
+    # the (basket, item) distinct / canonical edge list feed several
+    # consumers each; lazy localCheckpoint shares ONE materialization by
+    # RDD identity, so the fact table appears in the main plan at most
+    # once (AQE stage reuse alone is submission-order opportunistic)
+    for q in ("cooccur_pmi", "triangle_census"):
+        plan = _plan(suite.QUERIES[q](spark, sf_dir))
+        assert plan.count("FileScan parquet") <= 1, q
