@@ -100,6 +100,7 @@ BENCH_QUERIES = (
     "char_entropy",
     "bloom_prune",
     "window_distribution",
+    "dataset_split",
 )
 
 

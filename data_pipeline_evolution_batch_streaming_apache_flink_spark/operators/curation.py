@@ -186,6 +186,44 @@ def stratified_sample(
     return df.filter(sample_hash(id_col) < rate * F.lit(float(_MOD)))
 
 
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint fold assignment (train/val/test): each row
+    gets the first split whose cumulative hash threshold its
+    :func:`sample_hash` falls under. The thresholds are EXACT integer
+    literals (``floor(cum_fraction * 2^32)`` computed once in Python),
+    so fold membership is reproducible across engines, retries, layouts
+    and corpus growth — adding documents never moves an existing
+    document between folds, which is the property that keeps eval sets
+    honest as a corpus is re-crawled.
+
+    ``splits`` is an ordered list of ``(name, fraction)``; fractions
+    must be positive and sum to at most 1 (+1e-9 slack). If they sum to
+    less than 1, the remaining hash range gets a NULL ``out_col`` —
+    held-out rows, filterable. Map-side only: zero shuffle, zero UDF.
+    """
+    if not splits:
+        raise ValueError("splits must be a non-empty list of (name, fraction)")
+    total = 0.0
+    cuts: list[tuple[str, int]] = []
+    for name, frac in splits:
+        if frac <= 0:
+            raise ValueError(f"split {name!r} has non-positive fraction {frac}")
+        total += frac
+        cuts.append((name, min(int(total * _MOD), _MOD)))
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total}, must be <= 1")
+    h = sample_hash(id_col)
+    expr: Column = F.lit(None).cast("string")
+    for name, cut in reversed(cuts):
+        expr = F.when(h < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str | Column,

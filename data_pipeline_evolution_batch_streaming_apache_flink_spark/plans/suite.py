@@ -4092,3 +4092,42 @@ ORACLE["window_distribution"] = """
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split (operators/curation.py dataset_split)
+# ---------------------------------------------------------------------------
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _split_cuts() -> list[tuple[str, int]]:
+    total, cuts, mod = 0.0, [], 4294967296
+    for name, frac in _SPLITS:
+        total += frac
+        cuts.append((name, min(int(total * mod), mod)))
+    return cuts
+
+
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test fold assignment by exact integer hash thresholds —
+    growth-stable (new docs never move old docs between folds), zero
+    shuffle, zero UDF."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import dataset_split
+
+    t = load_tables(spark, sf, ("documents",))
+    return dataset_split(t["documents"].select("doc_id", "lang"), "doc_id", _SPLITS)
+
+
+QUERIES["dataset_split"] = q_dataset_split
+
+_CUTS_SQL = " ".join(
+    f"WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < {cut} THEN '{name}'"
+    for name, cut in _split_cuts()
+)
+
+ORACLE["dataset_split"] = f"""
+    SELECT doc_id, lang,
+           CASE {_CUTS_SQL} END AS split
+    FROM documents
+"""

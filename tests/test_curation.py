@@ -226,3 +226,32 @@ def test_curriculum_order_global_ordering(spark):
     ids = sorted(d)
     for a, b in zip(ids, ids[1:]):
         assert min(d[a]) >= max(d[b])
+
+
+def test_dataset_split_disjoint_stable_and_validated(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import dataset_split
+
+    import pytest
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = dataset_split(df, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows.values()) == {"train", "val", "test"}  # sums to 1: no NULLs
+    counts = {s: sum(1 for v in rows.values() if v == s) for s in ("train", "val", "test")}
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # growth stability: folds computed on a superset agree on the overlap
+    big = dataset_split(
+        spark.range(0, 4000).withColumnRenamed("id", "doc_id"),
+        "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    rows_big = {r.doc_id: r.split for r in big.collect()}
+    assert all(rows_big[k] == v for k, v in rows.items())
+    # under-allocated range -> NULL held-out rows
+    held = dataset_split(df, "doc_id", [("train", 0.5)])
+    assert held.where("split IS NULL").count() > 0
+    with pytest.raises(ValueError, match="non-positive"):
+        dataset_split(df, "doc_id", [("a", 0.0)])
+    with pytest.raises(ValueError, match="sum"):
+        dataset_split(df, "doc_id", [("a", 0.8), ("b", 0.4)])
+    # zero shuffle
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
