@@ -214,6 +214,43 @@ def main() -> None:
     edges = pairs.selectExpr("c AS src", "s AS dst").union(pairs.selectExpr("s AS src", "c AS dst"))
     pagerank(edges, iterations=3).orderBy(F.col("rank_micro").desc()).show(5)
 
+    print("supplier co-occurrence: strongest within-order associations (PMI):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.basket import cooccurrence_pmi
+
+    obs = li.select(F.col("l_orderkey").alias("basket"), F.col("l_suppkey").alias("item"))
+    cooccurrence_pmi(obs, "basket", "item", min_pair_count=2).orderBy(
+        F.col("pmi_micro").desc()
+    ).show(5)
+
+    print("triangle census of the part co-purchase graph:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import triangle_stats
+
+    b = li.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")).distinct()
+    copurchase = (
+        b.alias("l").join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("src"), F.col("r.it").alias("dst"))
+        .count().where("count >= 2").select("src", "dst")
+    )
+    triangle_stats(copurchase).show()
+
+    print("character entropy: least-diverse documents (gibberish signal):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import char_entropy
+
+    char_entropy(docs, max_chars=4000).orderBy("entropy_micro").show(3)
+
+    print("Bloom-pruned probe: orders likely from BUILDING-segment customers:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bloom import bloom_build, bloom_prune
+
+    cust = read_parquet(spark, f"{sf}/customer.parquet")
+    bloom = bloom_build(cust.where("c_mktsegment = 'BUILDING'"), "c_custkey", m=4096, k=3)
+    pruned = bloom_prune(orders_t.select("o_orderkey", "o_custkey"), "o_custkey", bloom, m=4096, k=3)
+    print(f"  probe kept {pruned.count()} of {orders_t.count()} orders before the real join")
+
+    print("growth-stable train/val/test folds:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import dataset_split
+
+    dataset_split(docs.select("doc_id"), "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]) \
+        .groupBy("split").count().orderBy("split").show()
 
 
 if __name__ == "__main__":
