@@ -330,3 +330,114 @@ def test_histogram_quantile_within_bin_width(spark, vals):
         rank = -(-len(sv) * q_micro // 1_000_000)  # ceil
         exact = sv[max(int(rank) - 1, 0)]
         assert abs(est - exact) <= width + 1e-9, (q_micro, est, exact)
+
+
+# ------------------------------------------------------- session-4 operators
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=25
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=graph_edges)
+def test_triangle_stats_match_bruteforce(spark, edges):
+    """Triangle/wedge counts must equal the O(n^3) brute force on any
+    small random graph (self-loops and duplicate/reversed edges
+    normalized away)."""
+    from itertools import combinations
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import triangle_stats
+
+    eset = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({n for e in eset for n in e})
+    deg = {n: sum(1 for e in eset if n in e) for n in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(None, None)], "src int, dst int"
+    ).where("src IS NOT NULL")
+    r = triangle_stats(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (
+        len(nodes), len(eset), wedges, tris
+    )
+
+
+basket_obs = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 4)), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(obs=basket_obs)
+def test_cooccurrence_counts_match_python_reference(spark, obs):
+    """Pair/item/basket counts must equal the sequential reference on
+    random (basket, item) observations (presence semantics)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.basket import cooccurrence_pmi
+
+    dedup = sorted(set(obs))
+    baskets: dict[int, set[int]] = {}
+    for bk, it in dedup:
+        baskets.setdefault(bk, set()).add(it)
+    item_counts = Counter(it for bk, its in baskets.items() for it in its)
+    pair_counts = Counter(
+        p for its in baskets.values() for p in combinations(sorted(its), 2)
+    )
+    df = spark.createDataFrame(
+        obs or [(None, None)], "basket int, item int"
+    ).where("basket IS NOT NULL")
+    got = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pmi(df, "basket", "item").collect()
+    }
+    assert set(got) == set(pair_counts)
+    for (a, b), r in got.items():
+        assert r.pair_count == pair_counts[(a, b)]
+        assert r.count_a == item_counts[a]
+        assert r.count_b == item_counts[b]
+        assert r.n_baskets == len(baskets)
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=texts_strategy)
+def test_char_entropy_matches_python_reference(spark, texts):
+    """entropy_micro must equal the exact decomposition computed
+    sequentially (UTF-16 code-unit counting, like Spark's length())."""
+    import math
+    from collections import Counter
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import char_entropy
+
+    def ref(t: str):
+        # Spark counts UTF-16 code units for BMP text; the strategy stays
+        # below the astral range so code units == codepoints
+        n = len(t)
+        if n == 0:
+            return None
+        c = Counter(t)
+        s = sum(round(v * math.log(v) * 1e6) for v in c.values())
+        return round(math.log(n) * 1e6) - s // n
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r.entropy_micro for r in char_entropy(df).collect()}
+    want = {i: ref(t) for i, t in enumerate(texts)}
+    assert got == want
