@@ -220,3 +220,42 @@ def txid_complete_transactions(
     return df.groupBy(txid_col).applyInPandasWithState(
         fn, out_schema, "state binary", "append", timeout_conf
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+    watermark_left: str = "10 seconds",
+    watermark_right: str = "10 seconds",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream event-time interval join (SURVEY §2.4 J6, streaming
+    side) — unlike the as-of join this one IS native Structured
+    Streaming surface: watermark both sides, then the identical
+    key-equality + time-range predicate as the batch
+    :func:`~..operators.joins.interval_join` (which this delegates to,
+    so the predicate can never drift between the two).
+
+    The watermarks plus the two-sided time bound are what let Spark
+    evict state: each side's buffered rows are dropped once the other
+    side's watermark passes the farthest instant that could still match
+    them (right state lives ~``watermark_left + upper``, left state
+    ~``watermark_right + lower``) — bounded state per key however long
+    the streams run, exactly Flink's interval-join state contract
+    (reference README.md:539). ``how='inner'`` emits as matches arrive;
+    ``'left_outer'``/``'right_outer'`` additionally emit null-padded
+    rows once the watermark proves no match can arrive (Spark requires
+    the time bound for outer stream-stream joins — already present).
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import interval_join
+
+    return interval_join(
+        left.withWatermark(left_ts, watermark_left),
+        right.withWatermark(right_ts, watermark_right),
+        key, left_ts, right_ts, lower, upper, how,
+    )

@@ -809,3 +809,50 @@ def test_streaming_asof_state_survives_query_restart(spark, tmp_path):
     }
     # both facts match the dim version that arrived BEFORE the restart
     assert got == {(100, 5), (101, 5)}
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """J6 streaming: the native watermarked stream-stream interval join
+    emits exactly the batch interval_join's row set on the same data."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import interval_join
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_interval_join
+
+    order_rows = [
+        {"k": 1, "oid": 1, "ots": "2024-01-01 10:00:00"},
+        {"k": 1, "oid": 2, "ots": "2024-01-01 10:10:00"},
+        {"k": 2, "oid": 3, "ots": "2024-01-01 10:05:00"},
+    ]
+    ship_rows = [
+        {"k": 1, "sid": 10, "sts": "2024-01-01 10:02:00"},  # in [o1-1m, o1+5m]; in [o2-1m..]? 10:02 < 10:09 no
+        {"k": 1, "sid": 11, "sts": "2024-01-01 10:14:00"},  # matches oid 2 (within +5m)
+        {"k": 2, "sid": 12, "sts": "2024-01-01 10:20:00"},  # outside oid 3's window
+        {"k": 3, "sid": 13, "sts": "2024-01-01 10:00:00"},  # keyless
+    ]
+    l_dir, r_dir = str(tmp_path / "ivl_l"), str(tmp_path / "ivl_r")
+    _write_batches(l_dir, [order_rows[:1], order_rows[1:]])
+    _write_batches(r_dir, [ship_rows[:2], ship_rows[2:]])
+
+    joined = streaming_interval_join(
+        json_file_stream(spark, l_dir, "k int, oid int, ots timestamp"),
+        json_file_stream(spark, r_dir, "k int, sid int, sts timestamp"),
+        key="k", left_ts="ots", right_ts="sts",
+        lower="1 minute", upper="5 minutes",
+        watermark_left="0 seconds", watermark_right="0 seconds",
+    ).select("oid", "sid")
+    out_dir = _run_available_now(joined, tmp_path, "ivl")
+    got = {(r["oid"], r["sid"]) for r in spark.read.parquet(out_dir).collect()}
+
+    orders_b = spark.createDataFrame(
+        [(r["k"], r["oid"], r["ots"]) for r in order_rows], "k int, oid int, ots string"
+    ).withColumn("ots", F.to_timestamp("ots"))
+    ships_b = spark.createDataFrame(
+        [(r["k"], r["sid"], r["sts"]) for r in ship_rows], "k int, sid int, sts string"
+    ).withColumn("sts", F.to_timestamp("sts"))
+    expected = {
+        (r["oid"], r["sid"])
+        for r in interval_join(
+            orders_b, ships_b, "k", "ots", "sts", "1 minute", "5 minutes"
+        ).select("oid", "sid").collect()
+    }
+    assert got == expected
+    assert got == {(1, 10), (2, 11)}
