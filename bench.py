@@ -101,6 +101,7 @@ BENCH_QUERIES = (
     "bloom_prune",
     "window_distribution",
     "dataset_split",
+    "range_join_pairs",
 )
 
 

@@ -242,3 +242,64 @@ def interval_join(
         F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
     )
     return l.join(r, cond, how)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """KEYLESS event-time range join — ``right_ts BETWEEN left_ts -
+    lower_ms AND left_ts + upper_ms`` with no equi-key — executed as an
+    equi-join via time binning instead of the BroadcastNestedLoopJoin
+    Catalyst would otherwise plan (the Databricks "range join
+    optimization" / binned-join technique, absent from OSS Spark).
+
+    Bin width = the window length, so every right row lands in exactly
+    one bin and every left row's window spans AT MOST TWO consecutive
+    bins: the left side explodes to its (<= 2 distinct) candidate bins,
+    both sides equi-join on the bin id — ONE hash shuffle per side —
+    and the exact predicate filters bin-mates outside the window. Each
+    qualifying pair is produced exactly once (the right row's bin is
+    unique). The exact comparison is in MICROSECONDS (parquet timestamp
+    precision), so boundary rows agree bit-for-bit with an engine
+    comparing raw timestamps.
+
+    Scale: shuffle volume is |left|*<=2 + |right| rows keyed by bin —
+    never the |left|x|right| nested loop. Skew = hot bins (a traffic
+    burst); mitigate by narrowing the window or pre-filtering, the
+    standard bursty-data play. Inner semantics only (compose anti/outer
+    from it); column names must be disjoint — rename before calling
+    (this is usually a self-join).
+    """
+    if lower_ms < 0 or upper_ms < 0:
+        raise ValueError(f"lower_ms/upper_ms must be >= 0, got {lower_ms}/{upper_ms}")
+    overlap = sorted(set(left.columns) & set(right.columns))
+    if overlap:
+        raise ValueError(
+            f"left and right share column names {overlap} — rename before range_join"
+        )
+    width_us = max((lower_ms + upper_ms) * 1000, 1)
+    lo_us, up_us = lower_ms * 1000, upper_ms * 1000
+    lts = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    rts = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l = left.withColumn(
+        "__bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((lts - F.lit(lo_us)) / F.lit(width_us)),
+                    F.floor((lts + F.lit(up_us)) / F.lit(width_us)),
+                )
+            )
+        ),
+    )
+    r = right.withColumn("__bin", F.floor(rts / F.lit(width_us)))
+    return (
+        l.join(r, "__bin")
+        .where((rts >= lts - F.lit(lo_us)) & (rts <= lts + F.lit(up_us)))
+        .drop("__bin")
+    )

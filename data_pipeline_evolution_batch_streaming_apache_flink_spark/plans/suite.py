@@ -4131,3 +4131,49 @@ ORACLE["dataset_split"] = f"""
            CASE {_CUTS_SQL} END AS split
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyless binned range join (operators/joins.py range_join)
+# ---------------------------------------------------------------------------
+
+def q_range_join_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-user co-activity: pairs of events from DIFFERENT users
+    within 2 seconds of each other — a PURE range join (no equi-key),
+    executed as a binned equi-join (one hash shuffle per side) instead
+    of the nested loop Catalyst plans for a bare range predicate. The
+    exact filter compares microseconds, so boundary pairs agree with a
+    raw-timestamp engine bit-for-bit."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import range_join
+
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"]
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("user_id").alias("a_user"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+        F.col("user_id").alias("b_user"),
+    )
+    joined = range_join(a, b, "a_ts", "b_ts", lower_ms=0, upper_ms=2000)
+    return joined.where(
+        (F.col("a_id") < F.col("b_id")) & (F.col("a_user") != F.col("b_user"))
+    ).select(
+        "a_id",
+        "b_id",
+        (_millis("b_ts") - _millis("a_ts")).alias("delta_ms"),
+    )
+
+
+QUERIES["range_join_pairs"] = q_range_join_pairs
+
+ORACLE["range_join_pairs"] = """
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           CAST(epoch_ms(b.ts) - epoch_ms(a.ts) AS BIGINT) AS delta_ms
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 SECOND
+     AND a.event_id < b.event_id AND a.user_id <> b.user_id
+"""

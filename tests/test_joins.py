@@ -213,3 +213,62 @@ def test_asof_nearest_single_exchange(spark):
     df = asof_join(fact, dim, "k", "fts", "ts", direction="nearest")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------------ keyless range join
+
+def test_range_join_matches_nested_loop_reference(spark):
+    import random
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import range_join
+
+    rnd = random.Random(7)
+    base = 1_700_000_000_000
+    lrows = [(i, base + rnd.randrange(0, 60_000)) for i in range(40)]
+    rrows = [(i, base + rnd.randrange(0, 60_000)) for i in range(40)]
+    l = spark.createDataFrame(lrows, "l_id int, l_ms long").selectExpr(
+        "l_id", "timestamp_millis(l_ms) AS l_ts"
+    )
+    r = spark.createDataFrame(rrows, "r_id int, r_ms long").selectExpr(
+        "r_id", "timestamp_millis(r_ms) AS r_ts"
+    )
+    got = {
+        (x.l_id, x.r_id)
+        for x in range_join(l, r, "l_ts", "r_ts", 1500, 3000).collect()
+    }
+    want = {
+        (li, ri)
+        for li, lt in lrows
+        for ri, rt in rrows
+        if lt - 1500 <= rt <= lt + 3000
+    }
+    assert got == want and want  # non-trivial by seed
+
+
+def test_range_join_boundaries_inclusive_and_errors(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import range_join
+
+    import pytest
+
+    l = spark.sql("SELECT 1 AS l_id, timestamp_millis(10000) AS l_ts")
+    r = spark.sql(
+        "SELECT * FROM VALUES (1, timestamp_millis(8000)), (2, timestamp_millis(8001)),"
+        " (3, timestamp_millis(13000)), (4, timestamp_millis(13001)) AS t(r_id, r_ts)"
+    )
+    got = sorted(x.r_id for x in range_join(l, r, "l_ts", "r_ts", 2000, 3000).collect())
+    assert got == [1, 2, 3]  # both window edges inclusive, outside excluded
+    with pytest.raises(ValueError, match="share column names"):
+        range_join(l, l, "l_ts", "l_ts", 0, 1000)
+    with pytest.raises(ValueError, match=">= 0"):
+        range_join(l, r, "l_ts", "r_ts", -1, 1000)
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark, sf_dir):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    plan = (
+        suite.QUERIES["range_join_pairs"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
