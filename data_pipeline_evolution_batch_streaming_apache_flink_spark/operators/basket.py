@@ -71,7 +71,9 @@ def cooccurrence_pmi(
     """
     b = (
         df.select(F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it"))
-        .where(F.col(item_col).isNotNull())
+        # null baskets can never pair (null keys don't equi-join), so they
+        # must not count toward n_baskets either
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
         .distinct()
     )
     if max_basket is not None:

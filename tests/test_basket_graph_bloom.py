@@ -35,6 +35,15 @@ def test_pmi_counts_and_value(spark):
     assert ("b", "c") not in got
 
 
+def test_pmi_null_baskets_and_items_excluded(spark):
+    rows = [(1, "a"), (1, "b"), (None, "a"), (None, "z"), (2, None), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = {(r.item_a, r.item_b): r for r in cooccurrence_pmi(df, "basket", "item").collect()}
+    ab = out[("a", "b")]
+    # null basket contributes neither to n_baskets nor to item counts
+    assert (ab.pair_count, ab.count_a, ab.count_b, ab.n_baskets) == (2, 2, 2, 2)
+
+
 def test_pmi_duplicates_collapse_and_min_count(spark):
     # duplicate (basket,item) observations count once
     rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
