@@ -10,14 +10,19 @@ Bloom pre-filter broadcasts a few KB of bits and kills non-members at
 the scan, so only (matches + a bounded false-positive fraction) ever
 reach the exchange.
 
-Hashing is the house md5-fold (``sketches.hash60``: first 15 hex chars
-of md5 folded into a 60-bit bigint — exact on any engine), salted per
-hash function exactly like ``sketches.cms_state`` rows. The filter
-"bits" are kept as the SORTED array of set positions — at most ``m``
-ints, broadcast as one row; membership is ``array_contains`` per
-function. Determinism: everything is integer md5 arithmetic — zero
-floats — so pass/fail per row is bit-identical across engines, false
-positives included.
+Hashing is md5-derived like the house ``sketches.hash60``, but CHEAP
+on the probe's hot path: ONE md5 digest serves THREE hash functions
+(hash ``i`` reads the 10-hex-char chunk ``i % 3`` of digest ``i // 3``
+— 40 exact bits each, the chunked-digest variant of
+Kirsch-Mitzenmacher double hashing), and the hex→int fold is Spark's
+codegen'd ``conv(hex, 16, 10)`` instead of a lambda fold — identical
+integers (Σ dᵢ·16^(9-i) IS base conversion), reproducible by a digit
+fold on any engine with md5 + string ops. The filter "bits" are kept
+as the SORTED array of set positions — at most ``m`` ints, broadcast
+as one row; membership is ``array_contains`` per function.
+Determinism: everything is integer md5 arithmetic — zero floats — so
+pass/fail per row is bit-identical across engines, false positives
+included.
 
 Sizing: false-positive rate ~= (1 - e^(-k*n/m))^k; m=8192, k=3 at
 n=1000 keys gives ~2%. Build shuffles only ``k*n`` position ints; the
@@ -31,16 +36,17 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["bloom_build", "bloom_prune"]
 
-_HEX = "0123456789abcdef"
-
-
-def _position(col: str, salt: int, m: int) -> Column:
-    """Set-bit position for hash function ``salt``: salted md5-fold
-    mod m (fold is non-negative, so ``%`` == pmod on every engine)."""
+def _position(col: str, i: int, m: int) -> Column:
+    """Set-bit position for hash function ``i``: a 10-hex-char (40-bit)
+    chunk of the salted digest, base-converted and reduced mod m (the
+    value is non-negative, so ``%`` == pmod on every engine). Hashes
+    come in groups of three per digest — one md5 per row covers the
+    default k=3."""
+    grp, off = divmod(i, 3)
+    start = 1 + 10 * off
     return F.expr(
-        f"CAST(aggregate(transform(sequence(1, 15), i -> "
-        f"CAST(locate(substr(md5(CONCAT('b{salt}|', CAST({col} AS STRING))), i, 1), '{_HEX}') - 1 AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d) % {m} AS INT)"
+        f"CAST(CAST(conv(substr(md5(CONCAT('b{grp}|', CAST({col} AS STRING))), "
+        f"{start}, 10), 16, 10) AS BIGINT) % {m} AS INT)"
     )
 
 
@@ -79,11 +85,13 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame, m: int = 8192, k:
     bound is structural, same discipline as the IVF probed-cell
     collect) — so the build job runs exactly once, the (m, k) contract
     is validated with an actionable error BEFORE any probe work, and
-    the probe side stays a row-local codegen filter (k
-    ``array_contains`` probes against one re-broadcast row) — no
-    shuffle, no UDF. Downstream still does the real join: Bloom passes
-    false positives (bounded by the sizing formula), never false
-    negatives.
+    the sparse position list expands to a DENSE length-``m`` boolean
+    array before re-broadcast: each of the k probes is then an O(1)
+    ``element_at``, not an O(set-bits) ``array_contains`` linear scan —
+    at 150k probe rows x k=3 x thousands of set bits the linear scan
+    was the entire runtime. No shuffle, no UDF. Downstream still does
+    the real join: Bloom passes false positives (bounded by the sizing
+    formula), never false negatives.
     """
     row = bloom.first()
     if row is None or row["bits"] is None:
@@ -93,12 +101,17 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame, m: int = 8192, k:
             f"bloom filter was built with (m={row['m']}, k={row['k']}) "
             f"but probed with (m={m}, k={k})"
         )
+    present = [False] * m
+    for p in row["bits"]:
+        present[p] = True
     b = df.sparkSession.createDataFrame(
-        [(list(row["bits"]),)], "__bloom_bits array<int>"
+        [(present,)], "__bloom_bits array<boolean>"
     )
     member = F.lit(True)
     for i in range(k):
-        member = member & F.array_contains(F.col("__bloom_bits"), _position(key_col, i, m))
+        member = member & F.element_at(
+            F.col("__bloom_bits"), _position(key_col, i, m) + F.lit(1)
+        )
     return (
         df.where(F.col(key_col).isNotNull())
         .crossJoin(F.broadcast(b))

@@ -4020,10 +4020,15 @@ def q_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["bloom_prune"] = q_bloom_prune
 
 
-def _bloom_pos_sql(col: str, salt: int, m: int) -> str:
+def _bloom_pos_sql(col: str, i: int, m: int) -> str:
+    # hash i = 10-hex chunk (i % 3) of digest (i // 3), digit-folded —
+    # the same integer Spark's conv(substr(md5, ...), 16, 10) produces
+    grp, off = divmod(i, 3)
+    start = 1 + 10 * off
+    digest = f"md5('b{grp}|' || CAST({col} AS VARCHAR))"
     return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16), "
-        f"i -> CAST(strpos('0123456789abcdef', substr(md5('b{salt}|' || CAST({col} AS VARCHAR)), i, 1)) - 1 AS BIGINT))), "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range({start}, {start + 10}), "
+        f"i -> CAST(strpos('0123456789abcdef', substr({digest}, i, 1)) - 1 AS BIGINT))), "
         f"(acc, d) -> acc * 16 + d) % {m}"
     )
 
