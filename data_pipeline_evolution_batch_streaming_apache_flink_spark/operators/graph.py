@@ -59,7 +59,12 @@ def pagerank(
     """
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the edge list is read EVERY iteration: pin one materialization by
+    # RDD identity, or each round re-executes the caller's whole edge
+    # derivation (for the suite query: an orders⋈lineitem distinct)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
