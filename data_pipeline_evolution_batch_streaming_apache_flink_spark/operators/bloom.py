@@ -18,8 +18,9 @@ Kirsch-Mitzenmacher double hashing), and the hex→int fold is Spark's
 codegen'd ``conv(hex, 16, 10)`` instead of a lambda fold — identical
 integers (Σ dᵢ·16^(9-i) IS base conversion), reproducible by a digit
 fold on any engine with md5 + string ops. The filter "bits" are kept
-as the SORTED array of set positions — at most ``m`` ints, broadcast
-as one row; membership is ``array_contains`` per function.
+as the SORTED array of set positions — at most ``m`` ints, mergeable
+by union (:func:`bloom_merge`); the probe expands them to a dense
+boolean array once so membership is O(1) ``element_at`` per function.
 Determinism: everything is integer md5 arithmetic — zero floats — so
 pass/fail per row is bit-identical across engines, false positives
 included.
@@ -34,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bloom_build", "bloom_prune"]
+__all__ = ["bloom_build", "bloom_prune", "bloom_merge"]
 
 def _position(col: str, i: int, m: int) -> Column:
     """Set-bit position for hash function ``i``: a 10-hex-char (40-bit)
@@ -118,3 +119,23 @@ def bloom_prune(df: DataFrame, key_col: str, bloom: DataFrame, m: int = 8192, k:
         .where(member)
         .drop("__bloom_bits")
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union-merge Bloom filters built with the same (m, k): the merged
+    filter's bit set is the union of position sets — exactly how
+    per-shard/per-day filters roll up losslessly (a key is in the
+    union's maybe-set iff it was in some shard's), the same associative
+    combine contract as ``sketches.hll_merge``/``cms_merge``. The (m, k)
+    agreement is enforced at probe time by :func:`bloom_prune`; merging
+    mismatched widths fails there, not silently here."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        F.explode("bits").alias("__pos"), "m", "k"
+    ).groupBy("m", "k").agg(
+        F.array_sort(F.collect_set("__pos")).alias("bits")
+    ).select("bits", "m", "k")

@@ -187,3 +187,22 @@ def test_bloom_null_keys_dropped_and_empty_dim(spark):
     assert bloom_prune(probe, "k", bloom, m=256, k=2).count() == 0
     with pytest.raises(ValueError, match="positive"):
         bloom_build(dim, "k", m=0, k=1)
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bloom import bloom_merge
+
+    a = spark.createDataFrame([(i,) for i in range(0, 30)], "k int")
+    b = spark.createDataFrame([(i,) for i in range(20, 60)], "k int")
+    merged = bloom_merge(
+        bloom_build(a, "k", m=512, k=2), bloom_build(b, "k", m=512, k=2)
+    )
+    whole = bloom_build(
+        spark.createDataFrame([(i,) for i in range(0, 60)], "k int"), "k", m=512, k=2
+    )
+    assert merged.first()["bits"] == whole.first()["bits"]
+    # merged filter probes identically to the monolithic build
+    probe = spark.createDataFrame([(i,) for i in range(0, 200)], "k int")
+    got = {r.k for r in bloom_prune(probe, "k", merged, m=512, k=2).collect()}
+    want = {r.k for r in bloom_prune(probe, "k", whole, m=512, k=2).collect()}
+    assert got == want and set(range(60)) <= got
