@@ -856,3 +856,60 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert got == {(1, 10), (2, 11)}
+
+
+def test_streaming_asof_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill-and-restart recovery for the applyInPandasWithState as-of
+    join: a dim version learned in run 1 must match a fact that only
+    arrives in run 2 on the SAME checkpoint — proving per-key state is
+    restored from the state store, not rebuilt from the (gone) input."""
+    dim_dir = str(tmp_path / "rst_dim")
+    fact_dir = str(tmp_path / "rst_fact")
+    out_dir = str(tmp_path / "rst_out")
+    ckpt = str(tmp_path / "rst_ckpt")
+
+    def run_once():
+        joined = streaming_asof_join(
+            json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp"),
+            json_file_stream(spark, dim_dir, "k int, dts timestamp, price int"),
+            key="k", fact_ts="fts", dim_ts="dts", how="left",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: dim version + one matching fact + heartbeat to advance wm
+    _write_batches(dim_dir, [[{"k": 1, "dts": "2024-01-01 10:00:00", "price": 5}]])
+    _write_batches(fact_dir, [
+        [{"k": 1, "fid": 1, "fts": "2024-01-01 10:01:00"}],
+        [{"k": 99, "fid": 999, "fts": "2024-01-01 11:00:00"}],
+    ])
+    run_once()
+
+    # run 2 (restart, same checkpoint): a NEW fact for k=1 arrives; the
+    # dim file from run 1 is already consumed — only recovered state can
+    # price it. (mtimes continue increasing past run 1's batches.)
+    import json as _json
+    import os as _os
+    p = _os.path.join(fact_dir, "batch_100.json")
+    with open(p, "w") as fh:
+        fh.write(_json.dumps({"k": 1, "fid": 2, "fts": "2024-01-01 11:30:00"}) + "\n")
+    _os.utime(p, (1_700_010_000, 1_700_010_000))
+    p2 = _os.path.join(fact_dir, "batch_101.json")
+    with open(p2, "w") as fh:
+        fh.write(_json.dumps({"k": 98, "fid": 998, "fts": "2024-01-01 13:00:00"}) + "\n")
+    _os.utime(p2, (1_700_010_010, 1_700_010_010))
+    run_once()
+
+    got = {
+        (r["fid"], r["price"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["fid"] not in (999, 998)
+    }
+    assert got == {(1, 5), (2, 5)}  # fid 2 priced purely from recovered state
