@@ -102,6 +102,7 @@ BENCH_QUERIES = (
     "window_distribution",
     "dataset_split",
     "range_join_pairs",
+    "rrf_fusion",
 )
 
 

@@ -314,3 +314,55 @@ def bm25_topk(
         totals.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (BM25 + dense + priors) for
+    hard-negative mining and RAG candidate pooling: a document's fused
+    score is ``Σ_lists 1/(k + rank)``, needing only RANKS, never the
+    incomparable raw scores.
+
+    Exact-integer discipline: each contribution is
+    ``round(1e6 / (k + rank))`` as bigint (ONE division then
+    micro-round, per house policy), so the fused sum and the resulting
+    order are bit-identical on any engine/layout. A document absent
+    from a list simply contributes nothing (union semantics).
+    ``fused_rank`` breaks score ties by ``doc_col`` — fully
+    deterministic.
+
+    Scale shape: union of the lists (already tiny: top-k per query per
+    ranker) → one grouped sum keyed by (query, doc) → one per-query
+    window over ≤ N·k rows. Cost is bounded by the candidate pools,
+    never the corpus.
+
+    Returns ``(query_col, doc_col, rrf_micro, n_lists, fused_rank)``.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    slim = [
+        r.select(
+            F.col(query_col), F.col(doc_col),
+            F.expr(f"CAST(round(1000000.0 / ({k} + {rank_col})) AS BIGINT)").alias("__c"),
+        )
+        for r in rankings
+    ]
+    uni = slim[0]
+    for s in slim[1:]:
+        uni = uni.unionByName(s)
+    fused = uni.groupBy(query_col, doc_col).agg(
+        F.sum("__c").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(doc_col)
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w))

@@ -4182,3 +4182,58 @@ ORACLE["range_join_pairs"] = """
       ON b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 SECOND
      AND a.event_id < b.event_id AND a.user_id <> b.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (operators/textops.py rrf_fuse)
+# ---------------------------------------------------------------------------
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 top-5 per query with a
+    query-independent length-prior top-5 (the prior-fusion shape of
+    hard-negative mining) by reciprocal ranks — exact integer
+    contributions, fully deterministic fused order."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rrf_fuse
+    from pyspark.sql import Window
+
+    bm = q_bm25_topk(spark, sf).select("query_id", "doc_id", "rank")
+    t = load_tables(spark, sf, ("documents",))
+    wp = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    prior_docs = (
+        t["documents"].select("doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(wp))
+        .where(F.col("rank") <= 5)
+        .drop("n_chars")
+    )
+    qids = spark.createDataFrame([(1,), (2,), (3,)], "query_id bigint")
+    prior = qids.crossJoin(F.broadcast(prior_docs))
+    return rrf_fuse([bm, prior])
+
+
+QUERIES["rrf_fusion"] = q_rrf_fusion
+
+ORACLE["rrf_fusion"] = f"""
+    WITH bm AS ({ORACLE["bm25_topk"]}),
+    prior_docs AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents
+      ) WHERE rank <= 5
+    ),
+    qids AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(query_id)),
+    uni AS (
+      SELECT query_id, doc_id, rank FROM bm
+      UNION ALL
+      SELECT q.query_id, p.doc_id, p.rank FROM qids q CROSS JOIN prior_docs p
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(sum(CAST(round(1000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf_micro,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM uni GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, rrf_micro, n_lists,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id)
+                AS INTEGER) AS fused_rank
+    FROM fused
+"""

@@ -206,3 +206,27 @@ def test_bloom_merge_equals_union_build(spark):
     got = {r.k for r in bloom_prune(probe, "k", merged, m=512, k=2).collect()}
     want = {r.k for r in bloom_prune(probe, "k", whole, m=512, k=2).collect()}
     assert got == want and set(range(60)) <= got
+
+
+# -------------------------------------------------------------------- rrf
+
+def test_rrf_fuse_hand_checked(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rrf_fuse
+
+    import pytest
+
+    a = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 2)], "query_id int, doc_id string, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, "y", 1), (1, "z", 2)], "query_id int, doc_id string, rank int"
+    )
+    got = {r.doc_id: r for r in rrf_fuse([a, b]).collect()}
+    c = lambda r: round(1e6 / (60 + r))
+    # y appears in both lists: 1/(60+2) + 1/(60+1)
+    assert got["y"].rrf_micro == c(2) + c(1) and got["y"].n_lists == 2
+    assert got["x"].rrf_micro == c(1) and got["x"].n_lists == 1
+    assert got["z"].rrf_micro == c(2)
+    assert [got[d].fused_rank for d in ("y", "x", "z")] == [1, 2, 3]
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
