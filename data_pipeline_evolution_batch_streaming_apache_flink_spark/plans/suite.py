@@ -4198,11 +4198,14 @@ def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
 
     bm = q_bm25_topk(spark, sf).select("query_id", "doc_id", "rank")
     t = load_tables(spark, sf, ("documents",))
+    # top-5 via TakeOrdered (distributed), THEN rank the 5 survivors —
+    # never a global un-partitioned window over the corpus
     wp = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     prior_docs = (
         t["documents"].select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(5)
         .withColumn("rank", F.row_number().over(wp))
-        .where(F.col("rank") <= 5)
         .drop("n_chars")
     )
     qids = spark.createDataFrame([(1,), (2,), (3,)], "query_id bigint")
