@@ -103,6 +103,7 @@ BENCH_QUERIES = (
     "dataset_split",
     "range_join_pairs",
     "rrf_fusion",
+    "hop_distinct_users",
 )
 
 

@@ -4240,3 +4240,40 @@ ORACLE["rrf_fusion"] = f"""
                 AS INTEGER) AS fused_rank
     FROM fused
 """
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct users (windowed distinct aggregation)
+# ---------------------------------------------------------------------------
+
+def q_hop_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct users per sliding hour (15-minute slide) — the
+    windowed COUNT(DISTINCT) shape of live-audience dashboards. Exact
+    distinct per window is one Expand pass; at extreme cardinality the
+    HLL-register variant (`approx_distinct` family) is the bounded-state
+    swap-in, with the same window assignment."""
+    t = load_tables(spark, sf, ("events",))
+    w = hop_window(t["events"], "ts", "1 hour", "15 minutes")
+    return (
+        w.groupBy("window_start")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(_millis("window_start").alias("window_start_ms"), "n_users", "n_events")
+    )
+
+
+QUERIES["hop_distinct_users"] = q_hop_distinct_users
+
+ORACLE["hop_distinct_users"] = """
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+    ), w AS (
+      SELECT user_id,
+             (ts_ms // 900000) * 900000 - k * 900000 AS win_start_ms
+      FROM e, unnest(generate_series(0, 3)) AS u(k)
+    )
+    SELECT win_start_ms AS window_start_ms,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1
+"""
