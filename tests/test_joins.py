@@ -272,3 +272,15 @@ def test_range_join_plans_hash_join_not_nested_loop(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_microsecond_boundary_exact(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import range_join
+
+    l = spark.sql("SELECT 1 AS l_id, timestamp_micros(10000000) AS l_ts")
+    r = spark.sql(
+        "SELECT * FROM VALUES (1, timestamp_micros(12000000)),"
+        " (2, timestamp_micros(12000001)) AS t(r_id, r_ts)"
+    )
+    got = sorted(x.r_id for x in range_join(l, r, "l_ts", "r_ts", 0, 2000).collect())
+    assert got == [1]  # +2s inclusive at exactly 12.000000s; 1 microsecond past excluded

@@ -313,3 +313,21 @@ def test_cooccur_and_triangle_scan_fact_table_once(spark, sf_dir):
     for q in ("cooccur_pmi", "triangle_census"):
         plan = _plan(suite.QUERIES[q](spark, sf_dir))
         assert plan.count("FileScan parquet") <= 1, q
+
+
+def test_session4_results_layout_independent(spark, sf_dir):
+    # determinism claim of the new families pinned at the SUITE level:
+    # same rows whatever the shuffle-partition count / input layout
+    import pytest
+
+    for q in ("cooccur_pmi", "triangle_census", "char_entropy", "rrf_fusion",
+              "dataset_split", "range_join_pairs", "hop_distinct_users"):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            a = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b, q
