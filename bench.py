@@ -104,6 +104,7 @@ BENCH_QUERIES = (
     "range_join_pairs",
     "rrf_fusion",
     "hop_distinct_users",
+    "pagerank_weighted",
 )
 
 

@@ -29,14 +29,24 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     scale: int = 10**12,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list.
 
     Per iteration, with integer division throughout::
 
-        contrib(u)   = rank(u) div outdeg(u)          -- u's share per edge
-        rank'(v)     = base + (damping_pct * Σ_in contrib(u)) div 100
-        base         = ((100 - damping_pct) * scale) div (100 * N)
+        contrib(u->v) = (rank(u) * w(u,v)) div W(u)   -- u's share per edge
+        rank'(v)      = base + (damping_pct * Σ_in contrib(u->v)) div 100
+        base          = ((100 - damping_pct) * scale) div (100 * N)
+
+    where ``w`` is the optional INTEGER edge weight column (``weight``;
+    parallel edges sum) and ``W(u)`` its out-sum — unweighted input is
+    the ``w = 1`` special case (then ``W = outdeg`` and the contrib
+    reduces to the classic ``rank div outdeg``). Integer weights keep
+    the arithmetic exact: ``rank * w`` stays within bigint for
+    ``scale * Σw < 2^63`` (at the default scale, total weight per node
+    up to ~9e6 — co-occurrence counts and affinity scores fit; rescale
+    down for heavier weights).
 
     Nodes are everything appearing as ``src`` or ``dst``; initial rank is
     ``scale div N``. Dangling nodes (no out-edges) keep receiving rank
@@ -62,13 +72,27 @@ def pagerank(
     # the edge list is read EVERY iteration: pin one materialization by
     # RDD identity, or each round re-executes the caller's whole edge
     # derivation (for the suite query: an orders⋈lineitem distinct)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=False
-    )
+    if weight is None:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        # collapse parallel edges by weight sum; non-positive weights drop
+        e = (
+            edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst"),
+                F.col(weight).cast("bigint").alias("__w"),
+            )
+            .where(F.col("__w") > 0)
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+    e = e.localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight is None:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    else:
+        outdeg = e.groupBy("src").agg(F.sum("__w").alias("outdeg"))
     # node table with degree (0-outdeg dangling nodes carried with NULL->no contrib)
     base_nodes = nodes.join(
         outdeg.withColumnRenamed("src", "node"), "node", "left"
@@ -80,16 +104,20 @@ def pagerank(
     base = ((100 - damping_pct) * scale) // (100 * n)
 
     ranks = base_nodes.select("node", "outdeg", F.lit(init).cast("bigint").alias("rank_micro"))
+    contrib = (
+        "rank_micro div outdeg" if weight is None
+        else "(rank_micro * __w) div outdeg"
+    )
     for _ in range(iterations):
         contribs = (
             e.join(
                 ranks.filter(F.col("outdeg").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    F.expr("rank_micro div outdeg").alias("__contrib"),
+                    F.col("node").alias("src"), "rank_micro", "outdeg"
                 ),
                 "src",
             )
-            .groupBy(F.col("dst").alias("node"))
+            .select(F.col("dst").alias("node"), F.expr(contrib).alias("__contrib"))
+            .groupBy("node")
             .agg(F.sum("__contrib").alias("__in"))
         )
         ranks = (

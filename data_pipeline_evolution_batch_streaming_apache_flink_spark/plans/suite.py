@@ -4277,3 +4277,75 @@ ORACLE["hop_distinct_users"] = """
            CAST(count(*) AS BIGINT) AS n_events
     FROM w GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (operators/graph.py pagerank(weight=...))
+# ---------------------------------------------------------------------------
+
+_WPR_ITER = 3
+
+
+def q_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the supplier co-occurrence graph, edge
+    weight = co-purchase support: influence flows proportionally to
+    association strength, with every contribution an exact integer
+    ``(rank * w) div W`` — bit-identical on any layout/engine."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf, ("lineitem",))
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("bk"), F.col("l_suppkey").alias("it")
+    ).distinct()
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = pairs.selectExpr("a AS src", "b2 AS dst", "w").unionByName(
+        pairs.selectExpr("b2 AS src", "a AS dst", "w")
+    )
+    return pagerank(edges, iterations=_WPR_ITER, weight="w")
+
+
+QUERIES["pagerank_weighted"] = q_pagerank_weighted
+
+
+def _pagerank_weighted_oracle(iterations: int = _WPR_ITER) -> str:
+    scale, damp = 10**12, 85
+    prev, ctes = "r0", [
+        """b AS (SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it FROM lineitem)""",
+        """p AS (
+          SELECT l.it AS a, r.it AS b2, CAST(count(*) AS BIGINT) AS w
+          FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it GROUP BY 1, 2
+        )""",
+        """e AS (
+          SELECT a AS src, b2 AS dst, w FROM p
+          UNION ALL SELECT b2, a, w FROM p
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """bn AS (
+          SELECT n.node, d.outdeg FROM nodes n
+          LEFT JOIN (SELECT src, sum(w) AS outdeg FROM e GROUP BY 1) d
+            ON n.node = d.src
+        )""",
+        "meta AS (SELECT count(*) AS n FROM bn)",
+        f"r0 AS (SELECT node, outdeg, CAST({scale} // (SELECT n FROM meta) AS BIGINT) AS r FROM bn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT bn.node, bn.outdeg,
+            CAST(({100 - damp} * {scale}::BIGINT) // (100 * (SELECT n FROM meta))
+               + ({damp} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+          FROM bn LEFT JOIN (
+            SELECT e.dst AS node, sum((r.r * e.w) // r.outdeg) AS s
+            FROM e JOIN {prev} r ON e.src = r.node WHERE r.outdeg IS NOT NULL
+            GROUP BY 1
+          ) c ON bn.node = c.node
+        )""")
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, CAST(r AS BIGINT) AS rank_micro FROM {prev}"
+
+
+ORACLE["pagerank_weighted"] = _pagerank_weighted_oracle()

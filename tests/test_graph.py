@@ -56,3 +56,35 @@ def test_pagerank_empty_and_bad_damping(spark):
     one = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank(one, damping_pct=100)
+
+
+def test_pagerank_weighted_follows_weight_mass(spark):
+    # hub receives from a (weight 9) and b (weight 1) via c's out-edges:
+    # u gets 90% of c's damped mass, v gets 10%
+    edges = [("c", "u", 9), ("c", "v", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = {r.node: r.rank_micro for r in pagerank(df, iterations=1, weight="w").collect()}
+    scale = 10**12
+    init = scale // 3
+    base = (15 * scale) // (100 * 3)
+    assert got["u"] == base + (85 * ((init * 9) // 10)) // 100
+    assert got["v"] == base + (85 * ((init * 1) // 10)) // 100
+    assert got["c"] == base
+
+
+def test_pagerank_weight_one_matches_unweighted_on_simple_graph(spark):
+    # no parallel edges -> w=1 weighted equals the unweighted computation
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    un = spark.createDataFrame(edges, "src string, dst string")
+    w1 = un.withColumn("w", __import__("pyspark").sql.functions.lit(1))
+    got_u = {r.node: r.rank_micro for r in pagerank(un, iterations=4).collect()}
+    got_w = {r.node: r.rank_micro for r in pagerank(w1, iterations=4, weight="w").collect()}
+    assert got_u == got_w
+
+
+def test_pagerank_weighted_drops_nonpositive_and_collapses_parallel(spark):
+    edges = [("a", "b", 2), ("a", "b", 3), ("a", "x", 0), ("a", "y", -4), ("b", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = {r.node: r.rank_micro for r in pagerank(df, iterations=1, weight="w").collect()}
+    # x and y only appeared via dropped edges -> not in the graph at all
+    assert set(got) == {"a", "b"}
