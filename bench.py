@@ -105,6 +105,7 @@ BENCH_QUERIES = (
     "rrf_fusion",
     "hop_distinct_users",
     "pagerank_weighted",
+    "k_hop_reach",
 )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "triangle_stats"]
+__all__ = ["pagerank", "triangle_stats", "k_hop_reach"]
 
 
 def pagerank(
@@ -232,4 +232,60 @@ def triangle_stats(
                 " / CAST(n_wedges AS DOUBLE) * 1000000) AS BIGINT) END"
             ).alias("gcc_micro"),
         )
+    )
+
+
+def k_hop_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str | None = None,
+) -> DataFrame:
+    """Bounded-depth reachability census — per hop ``h`` in 0..hops, how
+    many distinct nodes are within ``h`` edges of the seed set. The
+    crawl-frontier / influence-spread shape: "how far does this
+    brand/domain/source reach in k steps", exact and engine-portable
+    (set arithmetic only, no floats anywhere).
+
+    Frontier BFS with the standard distributed optimization: each round
+    joins only the CURRENT FRONTIER against the edge list (not the
+    whole reached set), then anti-joins out already-reached nodes — per
+    round two keyed shuffles bounded by frontier size, lineage truncated
+    via localCheckpoint exactly like :func:`pagerank` rounds. The edge
+    list is checkpointed once and reused by every round. Directed
+    semantics: pass both directions for undirected graphs.
+
+    Returns ``(hop, n_reached, n_new)`` — hops+1 rows; hop 0 counts the
+    distinct seeds themselves (whether or not they appear in the graph).
+    """
+    if hops < 0:
+        raise ValueError(f"hops must be >= 0, got {hops}")
+    scol = seed_col or seeds.columns[0]
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
+    frontier = seeds.select(F.col(scol).alias("node")).distinct().localCheckpoint(eager=True)
+    reached = frontier
+    n0 = reached.count()
+    rows = [(0, n0, n0)]
+    for h in range(1, hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_new = nxt.count()
+        reached = reached.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        rows.append((h, rows[-1][1] + n_new, n_new))
+        if n_new == 0:
+            # frontier exhausted: remaining hops add nothing
+            rows.extend((i, rows[-1][1], 0) for i in range(h + 1, hops + 1))
+            break
+    return seeds.sparkSession.createDataFrame(
+        rows, "hop int, n_reached bigint, n_new bigint"
     )

@@ -4349,3 +4349,56 @@ def _pagerank_weighted_oracle(iterations: int = _WPR_ITER) -> str:
 
 
 ORACLE["pagerank_weighted"] = _pagerank_weighted_oracle()
+
+
+# ---------------------------------------------------------------------------
+# K-hop reachability (operators/graph.py k_hop_reach)
+# ---------------------------------------------------------------------------
+
+def q_k_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Influence spread: how many parts are within 0-3 co-purchase hops
+    of Brand#4's parts (edges = pairs sharing >= 2 orders). Frontier
+    BFS joining only the frontier per round; exact set arithmetic."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_hop_reach
+
+    t = load_tables(spark, sf, ("lineitem", "part"))
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    edges = pairs.selectExpr("a AS src", "b2 AS dst").unionByName(
+        pairs.selectExpr("b2 AS src", "a AS dst")
+    )
+    seeds = t["part"].where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    return k_hop_reach(edges, seeds, hops=3)
+
+
+QUERIES["k_hop_reach"] = q_k_hop_reach
+
+ORACLE["k_hop_reach"] = """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    p AS (
+      SELECT l.it AS a, r.it AS b2
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS src, b2 AS dst FROM p UNION ALL SELECT b2, a FROM p),
+    r0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_brand = 'Brand#4'),
+    r1 AS (SELECT node FROM r0 UNION SELECT e.dst FROM e JOIN r0 ON e.src = r0.node),
+    r2 AS (SELECT node FROM r1 UNION SELECT e.dst FROM e JOIN r1 ON e.src = r1.node),
+    r3 AS (SELECT node FROM r2 UNION SELECT e.dst FROM e JOIN r2 ON e.src = r2.node),
+    c AS (
+      SELECT (SELECT count(*) FROM r0) AS c0, (SELECT count(*) FROM r1) AS c1,
+             (SELECT count(*) FROM r2) AS c2, (SELECT count(*) FROM r3) AS c3
+    )
+    SELECT CAST(0 AS INTEGER) AS hop, CAST(c0 AS BIGINT) AS n_reached, CAST(c0 AS BIGINT) AS n_new FROM c
+    UNION ALL SELECT 1, CAST(c1 AS BIGINT), CAST(c1 - c0 AS BIGINT) FROM c
+    UNION ALL SELECT 2, CAST(c2 AS BIGINT), CAST(c2 - c1 AS BIGINT) FROM c
+    UNION ALL SELECT 3, CAST(c3 AS BIGINT), CAST(c3 - c2 AS BIGINT) FROM c
+"""

@@ -88,3 +88,30 @@ def test_pagerank_weighted_drops_nonpositive_and_collapses_parallel(spark):
     got = {r.node: r.rank_micro for r in pagerank(df, iterations=1, weight="w").collect()}
     # x and y only appeared via dropped edges -> not in the graph at all
     assert set(got) == {"a", "b"}
+
+
+def test_k_hop_reach_path_graph(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_hop_reach
+
+    import pytest
+
+    # path a-b-c-d-e (undirected: both directions), seed {a}
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.hop: (r.n_reached, r.n_new) for r in k_hop_reach(edges, seeds, 3).collect()}
+    assert got == {0: (1, 1), 1: (2, 1), 2: (3, 1), 3: (4, 1)}
+    with pytest.raises(ValueError, match=">= 0"):
+        k_hop_reach(edges, seeds, -1)
+
+
+def test_k_hop_reach_exhausts_and_pads(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_hop_reach
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("z",)], "node string")  # z isolated
+    got = {r.hop: (r.n_reached, r.n_new) for r in k_hop_reach(edges, seeds, 4).collect()}
+    # hop0: {a, z}; hop1 adds b; frontier then exhausts, padding stays flat
+    assert got == {0: (2, 2), 1: (3, 1), 2: (3, 0), 3: (3, 0), 4: (3, 0)}
