@@ -48,7 +48,9 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # cardinality is constant and the counted shuffle is the scaling
            # surface; bloom_prune's probe side (orders) grows, the filter
            # row stays fixed-width
-           "cooccur_pmi", "triangle_census", "bloom_prune")
+           "cooccur_pmi", "triangle_census", "bloom_prune",
+           # weighted ranks / frontier BFS on the same saturating graphs
+           "pagerank_weighted", "k_hop_reach")
 
 
 def build(spark, factor: int, out_dir: str) -> None:
