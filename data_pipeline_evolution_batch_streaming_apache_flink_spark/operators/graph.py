@@ -259,6 +259,9 @@ def k_hop_reach(
 
     Returns ``(hop, n_reached, n_new)`` — hops+1 rows; hop 0 counts the
     distinct seeds themselves (whether or not they appear in the graph).
+    EAGER: the BFS rounds execute at call time (each round's count
+    drives the next — same driver-side-loop contract as ``pagerank``'s
+    node count); the returned DataFrame is the materialized census.
     """
     if hops < 0:
         raise ValueError(f"hops must be >= 0, got {hops}")
