@@ -252,6 +252,13 @@ def main() -> None:
     dataset_split(docs.select("doc_id"), "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]) \
         .groupBy("split").count().orderBy("split").show()
 
+    print("co-purchase influence spread of one brand (k-hop BFS census):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_hop_reach
+
+    seeds = read_parquet(spark, f"{sf}/part.parquet").where("p_brand = 'Brand#4'").select("p_partkey")
+    undirected = copurchase.union(copurchase.selectExpr("dst AS src", "src AS dst"))
+    k_hop_reach(undirected, seeds, hops=3).show()
+
 
 if __name__ == "__main__":
     main()
