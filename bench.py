@@ -106,6 +106,7 @@ BENCH_QUERIES = (
     "hop_distinct_users",
     "pagerank_weighted",
     "k_hop_reach",
+    "pagerank_personalized",
 )
 
 

@@ -30,6 +30,8 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     weight: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list.
 
@@ -47,6 +49,14 @@ def pagerank(
     ``scale * Σw < 2^63`` (at the default scale, total weight per node
     up to ~9e6 — co-occurrence counts and affinity scores fit; rescale
     down for heavier weights).
+
+    ``seeds`` switches to PERSONALIZED PageRank (random walk with
+    restart): the teleport mass lands only on the seed set — initial
+    rank and the per-round base term are ``scale div |S ∩ nodes|`` /
+    ``((100-damping)·scale) div (100·|S ∩ nodes|)`` for seed nodes and
+    ZERO elsewhere — so ranks measure relevance TO the seeds (topic- /
+    segment-conditioned importance), not global importance. Seeds
+    absent from the graph are ignored; same exact-integer discipline.
 
     Nodes are everything appearing as ``src`` or ``dst``; initial rank is
     ``scale div N``. Dangling nodes (no out-edges) keep receiving rank
@@ -96,14 +106,32 @@ def pagerank(
     # node table with degree (0-outdeg dangling nodes carried with NULL->no contrib)
     base_nodes = nodes.join(
         outdeg.withColumnRenamed("src", "node"), "node", "left"
-    ).localCheckpoint(eager=True)
+    )
+    if seeds is not None:
+        scol = seed_col or seeds.columns[0]
+        seed_nodes = seeds.select(F.col(scol).alias("node")).distinct()
+        base_nodes = base_nodes.join(
+            seed_nodes.withColumn("__seed", F.lit(True)), "node", "left"
+        ).withColumn("__seed", F.coalesce("__seed", F.lit(False)))
+    base_nodes = base_nodes.localCheckpoint(eager=True)
     n = base_nodes.count()
     if n == 0:
         return base_nodes.select("node", F.lit(0).cast("bigint").alias("rank_micro"))
-    init = scale // n
-    base = ((100 - damping_pct) * scale) // (100 * n)
+    if seeds is not None:
+        n_seed = base_nodes.where("__seed").count()
+        if n_seed == 0:
+            raise ValueError("no seed appears in the graph — personalized ranks undefined")
+        init_col = F.when(F.col("__seed"), F.lit(scale // n_seed)).otherwise(F.lit(0))
+        base_expr = (
+            f"CASE WHEN __seed THEN {((100 - damping_pct) * scale) // (100 * n_seed)}"
+            " ELSE 0 END"
+        )
+    else:
+        init_col = F.lit(scale // n)
+        base_expr = str(((100 - damping_pct) * scale) // (100 * n))
+    carry = ["node", "outdeg"] + (["__seed"] if seeds is not None else [])
 
-    ranks = base_nodes.select("node", "outdeg", F.lit(init).cast("bigint").alias("rank_micro"))
+    ranks = base_nodes.select(*carry, init_col.cast("bigint").alias("rank_micro"))
     contrib = (
         "rank_micro div outdeg" if weight is None
         else "(rank_micro * __w) div outdeg"
@@ -123,10 +151,9 @@ def pagerank(
         ranks = (
             base_nodes.join(contribs, "node", "left")
             .select(
-                "node",
-                "outdeg",
+                *carry,
                 (
-                    F.lit(base)
+                    F.expr(base_expr)
                     + F.expr(f"({damping_pct} * coalesce(__in, 0)) div 100")
                 ).cast("bigint").alias("rank_micro"),
             )

@@ -4402,3 +4402,92 @@ ORACLE["k_hop_reach"] = """
     UNION ALL SELECT 2, CAST(c2 AS BIGINT), CAST(c2 - c1 AS BIGINT) FROM c
     UNION ALL SELECT 3, CAST(c3 AS BIGINT), CAST(c3 - c2 AS BIGINT) FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (operators/graph.py pagerank(seeds=...))
+# ---------------------------------------------------------------------------
+
+_PPR_ITER = 3
+
+
+def q_pagerank_personalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Random walk with restart over the customer↔supplier purchase
+    graph, teleporting only to BUILDING-segment customers: ranks are
+    relevance TO that segment (supplier affinity), not global
+    importance. Exact integer mass; seeds outside the graph ignored."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf, ("orders", "lineitem", "customer"))
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    return pagerank(edges, iterations=_PPR_ITER, seeds=seeds)
+
+
+QUERIES["pagerank_personalized"] = q_pagerank_personalized
+
+
+def _ppr_oracle(iterations: int = _PPR_ITER) -> str:
+    scale, damp = 10**12, 85
+    prev, ctes = "r0", [
+        """e AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          UNION
+          SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+                          'c' || CAST(o_custkey AS VARCHAR)
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        """sd AS (
+          SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+        )""",
+        """bn AS (
+          SELECT n.node, d.outdeg, (sd.node IS NOT NULL) AS seed
+          FROM nodes n
+          LEFT JOIN (SELECT src, count(*) AS outdeg FROM e GROUP BY 1) d
+            ON n.node = d.src
+          LEFT JOIN sd ON n.node = sd.node
+        )""",
+        "meta AS (SELECT count(*) FILTER (seed) AS ns FROM bn)",
+        f"""r0 AS (
+          SELECT node, outdeg, seed,
+                 CAST(CASE WHEN seed THEN {scale} // (SELECT ns FROM meta)
+                           ELSE 0 END AS BIGINT) AS r
+          FROM bn
+        )""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT bn.node, bn.outdeg, bn.seed,
+            CAST(CASE WHEN bn.seed
+                      THEN ({100 - damp} * {scale}::BIGINT) // (100 * (SELECT ns FROM meta))
+                      ELSE 0 END
+               + ({damp} * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+          FROM bn LEFT JOIN (
+            SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+            FROM e JOIN {prev} r ON e.src = r.node WHERE r.outdeg IS NOT NULL
+            GROUP BY 1
+          ) c ON bn.node = c.node
+        )""")
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, CAST(r AS BIGINT) AS rank_micro FROM {prev}"
+
+
+ORACLE["pagerank_personalized"] = _ppr_oracle()

@@ -115,3 +115,21 @@ def test_k_hop_reach_exhausts_and_pads(spark):
     got = {r.hop: (r.n_reached, r.n_new) for r in k_hop_reach(edges, seeds, 4).collect()}
     # hop0: {a, z}; hop1 adds b; frontier then exhausts, padding stays flat
     assert got == {0: (2, 2), 1: (3, 1), 2: (3, 0), 3: (3, 0), 4: (3, 0)}
+
+
+def test_pagerank_personalized_mass_stays_near_seeds(spark):
+    from pyspark.sql import functions as F
+
+    import pytest
+
+    # two disjoint 2-cycles; seed only {a}: the b-component gets ZERO mass
+    edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.rank_micro for r in pagerank(df, iterations=4, seeds=seeds).collect()}
+    assert got["x"] == 0 and got["y"] == 0
+    assert got["a"] > got["b"] > 0  # restart biases the seed itself
+    # all-outside seed set is an error, not silent zeros
+    bad = spark.createDataFrame([("zzz",)], "node string")
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, iterations=1, seeds=bad)
