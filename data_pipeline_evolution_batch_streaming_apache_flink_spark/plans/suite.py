@@ -4491,3 +4491,80 @@ def _ppr_oracle(iterations: int = _PPR_ITER) -> str:
 
 
 ORACLE["pagerank_personalized"] = _ppr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (functions/url.py)
+# ---------------------------------------------------------------------------
+
+def q_url_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus URL hygiene: collapse scheme/host case, ``www.``,
+    default ports, trailing slashes, fragments, tracking params, and
+    query-param order into one canonical key, then count events and raw
+    spellings per key. The messy URL is derived deterministically from
+    real event columns (six independent variation axes keyed on
+    ``event_id`` residues); the oracle does NOT reimplement the
+    canonicalizer — it constructs the expected canonical string directly
+    from the same columns, so the two sides agree only if the
+    canonicalizer collapses exactly the intended variant classes.
+    Pure codegen until the one groupBy shuffle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.url import canonical_url
+
+    t = load_tables(spark, sf, ("events",))
+    eid = F.col("event_id")
+    k = F.get_json_object(F.col("props"), "$.k")
+    qs = (
+        F.when(
+            eid % 2 == 0,
+            F.concat(F.lit("?utm_source=news&id="), k, F.lit("&q="), F.col("event_type")),
+        ).otherwise(F.concat(F.lit("?q="), F.col("event_type"), F.lit("&id="), k))
+    )
+    url = F.concat(
+        F.when(eid % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(eid % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Shop.Example."),
+        F.when(eid % 2 == 0, F.lit("COM")).otherwise(F.lit("com")),
+        F.when(eid % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/u/"),
+        F.col("user_id").cast("string"),
+        F.when(eid % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        qs,
+        F.when(eid % 6 == 0, F.lit("#s2")).otherwise(F.lit("")),
+    )
+    return (
+        t["events"]
+        .select(url.alias("url"))
+        .groupBy(canonical_url("url").alias("canon_url"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("url").cast("bigint").alias("n_variants"),
+        )
+    )
+
+
+QUERIES["url_dedup"] = q_url_dedup
+
+ORACLE["url_dedup"] = r"""
+    WITH m AS (
+      SELECT
+        (CASE WHEN event_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+        || '://' || (CASE WHEN event_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || 'Shop.Example.' || (CASE WHEN event_id % 2 = 0 THEN 'COM' ELSE 'com' END)
+        || (CASE WHEN event_id % 7 = 0 THEN ':443' ELSE '' END)
+        || '/u/' || CAST(user_id AS VARCHAR)
+        || (CASE WHEN event_id % 4 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN event_id % 2 = 0
+            THEN '?utm_source=news&id=' || json_extract_string(props, '$.k')
+                 || '&q=' || event_type
+            ELSE '?q=' || event_type || '&id=' || json_extract_string(props, '$.k') END)
+        || (CASE WHEN event_id % 6 = 0 THEN '#s2' ELSE '' END) AS url,
+        'https://shop.example.com/u/' || CAST(user_id AS VARCHAR)
+        || '?id=' || json_extract_string(props, '$.k') || '&q=' || event_type AS canon_url
+      FROM events
+    )
+    SELECT canon_url,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants
+    FROM m GROUP BY 1
+"""
