@@ -577,3 +577,34 @@ def curriculum_order(
         cols = [c.desc() for c in cols]
     out = df.repartitionByRange(shards, *cols).sortWithinPartitions(*cols)
     return out.withColumn("curriculum_shard", F.spark_partition_id())
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_by: str | Column | list[str | Column],
+    out_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense, contiguous, 0-based global row ids in a total order — the
+    stable-id primitive every sharded training corpus needs (shard
+    manifests, resumable loaders, example-level provenance).
+
+    Why not the two obvious Spark spellings:
+
+    - ``monotonically_increasing_id()`` is sparse and layout-dependent —
+      re-reading the same data with a different split plan renumbers
+      everything;
+    - ``row_number() OVER (ORDER BY ...)`` with no partition key collapses
+      the whole dataset into ONE task — a non-starter at 100 TB.
+
+    This is :func:`global_running_sum` with value 1 (range repartition →
+    in-partition window → add per-partition offsets; one range shuffle +
+    a ≤ num_partitions-row driver round-trip), so ids are independent of
+    input layout provided ``order_by`` forms a UNIQUE key (include a
+    tiebreaker column; descending order = negate a numeric component).
+    """
+    cols = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    tagged = df.withColumn("__ord", F.struct(*cols))
+    out = global_running_sum(tagged, "__ord", F.lit(1).cast("long"), out_col, num_partitions)
+    return out.withColumn(out_col, (F.col(out_col) - 1).cast("long")).drop("__ord")

@@ -4568,3 +4568,32 @@ ORACLE["url_dedup"] = r"""
            CAST(count(DISTINCT url) AS BIGINT) AS n_variants
     FROM m GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Stable global row ids (operators/curation.py assign_global_ids)
+# ---------------------------------------------------------------------------
+
+def q_global_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense 0-based ids over the documents corpus in curriculum order
+    (longest first, doc_id tiebreak) — distributed two-pass prefix sum,
+    never a single-partition window; ids are layout-independent because
+    the order key is unique. Oracle is the definitional row_number."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import assign_global_ids
+
+    t = load_tables(spark, sf, ("documents",))
+    out = assign_global_ids(
+        t["documents"],
+        [(-F.col("n_chars")).cast("long"), F.col("doc_id")],
+        out_col="row_id",
+    )
+    return out.select("doc_id", F.col("row_id").cast("bigint").alias("row_id"))
+
+
+QUERIES["global_ids"] = q_global_ids
+
+ORACLE["global_ids"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+"""

@@ -255,3 +255,24 @@ def test_dataset_split_disjoint_stable_and_validated(spark):
         dataset_split(df, "doc_id", [("a", 0.8), ("b", 0.4)])
     # zero shuffle
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assign_global_ids_dense_and_layout_independent(spark):
+    """Ids are row_number()-1 in the declared total order, regardless of
+    the input's partition layout; negated numeric component gives DESC."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import assign_global_ids
+
+    rows = [(i, (i * 37) % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, score int")
+
+    def ids(frame):
+        out = assign_global_ids(
+            frame, [(-F.col("score")).cast("long"), F.col("k")], num_partitions=7
+        )
+        return {r["k"]: r["row_id"] for r in out.collect()}
+
+    got = ids(df)
+    expected_order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    assert got == {k: i for i, (k, _) in enumerate(expected_order)}
+    assert ids(df.repartition(13)) == got
+    assert ids(df.coalesce(1)) == got
