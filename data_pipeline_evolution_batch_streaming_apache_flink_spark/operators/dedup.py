@@ -950,3 +950,63 @@ def mask_duplicate_spans(
     return df.join(rebuilt, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    min_size: int = 1,
+) -> DataFrame:
+    """Directed near-superset pairs by shingle containment
+    ``C(A in B) = |A ∩ B| / |A|`` (Broder's containment score).
+
+    Symmetric Jaccard misses the commonest web-corpus duplication shape:
+    a short document living whole inside a long one (truncated mirrors,
+    quoted articles, boilerplate-wrapped copies). A 50-shingle doc fully
+    contained in a 5000-shingle doc has J ≈ 0.01 but C = 1.0.
+
+    Same inverted-index equi-join shape as :func:`ngram_jaccard_pairs`
+    (shingles sharing nothing never meet; one shuffle for the shared
+    count), and the asymmetry is free: each undirected pair is aggregated
+    once (id_a < id_b) and both directions are projected from the one
+    shared count (``shared/sa`` and ``shared/sb``).
+
+    ``max_df`` is the stop-shingle guard (a shingle in k docs makes k^2
+    join rows); ``min_size`` drops docs with fewer distinct shingles than
+    that (a 1-shingle doc is "contained" everywhere — pure noise).
+
+    Returns (id_sub, id_super, containment) with containment >= threshold,
+    rounded to 6dp for cross-engine determinism.
+    """
+    sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
+    if min_size > 1:
+        sh = sh.filter(F.col("__size") >= min_size)
+    inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
+    if max_df is not None:
+        df_counts = (
+            inv.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
+        )
+        inv = inv.join(df_counts.select("__s"), "__s")
+    a = inv.select(F.col("__id").alias("id_a"), F.col("__size").alias("sa"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), F.col("__size").alias("sb"), "__s")
+    shared = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count("*").alias("__shared"))
+    )
+    fwd = shared.select(
+        F.col("id_a").alias("id_sub"),
+        F.col("id_b").alias("id_super"),
+        F.round(F.col("__shared") / F.col("sa"), 6).alias("containment"),
+    )
+    rev = shared.select(
+        F.col("id_b").alias("id_sub"),
+        F.col("id_a").alias("id_super"),
+        F.round(F.col("__shared") / F.col("sb"), 6).alias("containment"),
+    )
+    return fwd.union(rev).filter(F.col("containment") >= threshold)

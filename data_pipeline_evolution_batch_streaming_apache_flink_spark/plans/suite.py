@@ -4597,3 +4597,60 @@ ORACLE["global_ids"] = """
            CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS row_id
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (operators/dedup.py ngram_containment_pairs)
+# ---------------------------------------------------------------------------
+
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-superset detection: the corpus is documents plus a truncated
+    twin (first 12 words) of every 10th document — the classic
+    short-doc-inside-long-doc shape symmetric Jaccard misses. Directed
+    containment C(A in B)=|A∩B|/|A| via the shared inverted-index join;
+    each twin must surface with containment 1.0 against its original."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import ngram_containment_pairs
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    originals = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), F.col("text")
+    )
+    twins = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 12), " ").alias("text"),
+    )
+    corpus = originals.union(twins)
+    return ngram_containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9)
+
+
+QUERIES["dedup_containment"] = q_dedup_containment
+
+ORACLE["dedup_containment"] = r"""
+    WITH corpus AS (
+      SELECT doc_id * 2 AS doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1,
+             array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus)
+    ),
+    inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, count(*) AS shared
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    directed AS (
+      SELECT id_a AS id_sub, id_b AS id_super, round(shared / sa, 6) AS containment FROM pairs
+      UNION ALL
+      SELECT id_b, id_a, round(shared / sb, 6) FROM pairs
+    )
+    SELECT id_sub, id_super, containment FROM directed WHERE containment >= 0.9
+"""

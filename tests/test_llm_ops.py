@@ -532,3 +532,74 @@ def test_pil_real_resize_when_available(spark):
     row = resize_images(df, 3, 2).collect()[0]
     meta = real_image_decode(bytes(row["payload"]))
     assert (meta["width"], meta["height"]) == (3, 2)
+
+
+def test_containment_finds_truncated_twin(spark):
+    """A prefix-truncated copy is fully contained in its original
+    (C = 1.0, directed sub -> super), while symmetric Jaccard at the
+    same threshold misses it."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_words = [f"w{i}" for i in range(200)]
+    rows = [
+        (1, " ".join(long_words)),
+        (2, " ".join(long_words[:20])),   # prefix twin: contained, tiny Jaccard
+        (3, " ".join(f"x{i}" for i in range(50))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert got == {(2, 1): 1.0}
+    assert ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).count() == 0
+
+
+def test_containment_matches_brute_force(spark):
+    """Directed scores equal the set-arithmetic definition on a random
+    small corpus (every pair, both directions, no threshold loss)."""
+    import random
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import ngram_containment_pairs
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30)))) for i in range(25)]
+    n = 2
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    want = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i == j:
+                continue
+            si, sj = shingles(ti), shingles(tj)
+            c = round(len(si & sj) / len(si), 6)
+            if c >= 0.5:
+                want[(i, j)] = c
+
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_sub"], r["id_super"]): r["containment"]
+        for r in ngram_containment_pairs(df, "doc_id", "text", n=n, threshold=0.5).collect()
+    }
+    assert got == want
+
+
+def test_containment_min_size_guard(spark):
+    """min_size drops sub-threshold docs from BOTH roles (a one-shingle
+    doc is contained everywhere — noise, and the guard's whole point)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import ngram_containment_pairs
+
+    rows = [(1, "a b"), (2, "a b c d e f g h")]  # doc 1 has one 2-shingle
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert ngram_containment_pairs(df, "doc_id", "text", n=2, threshold=0.9).count() == 1
+    assert (
+        ngram_containment_pairs(df, "doc_id", "text", n=2, threshold=0.9, min_size=2).count() == 0
+    )
