@@ -141,3 +141,41 @@ def normalize_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-free text from raw HTML — the very first transform of
+    a web-crawl corpus (CommonCrawl WET-style extraction), as a pure
+    codegen'd regexp chain (no UDF, runs inside the scan projection).
+
+    Steps, in order (each pattern is valid in BOTH Java regex and RE2 so
+    the DuckDB oracle replays them verbatim): drop <script>/<style>
+    subtrees and comments wholesale (their text is never content), turn
+    block-level boundaries (p/div/br/h1-6/li/tr/table) into newlines so
+    words from adjacent blocks don't fuse, strip every remaining tag,
+    decode the six entities that dominate real pages, collapse intra-line
+    whitespace and blank lines.
+
+    Deliberately NOT a browser: malformed nesting degrades to extra
+    whitespace, never to dropped content. Heavier readability scoring
+    (link density, line quality) belongs in operators/quality.py gates
+    applied downstream of this function.
+    """
+    x = _c(col)
+    # two passes, no backreference — RE2 (the oracle's engine) has none
+    x = F.regexp_replace(x, r"(?is)<script[^>]*>.*?</script\s*>", " ")
+    x = F.regexp_replace(x, r"(?is)<style[^>]*>.*?</style\s*>", " ")
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(x, r"(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)\b[^>]*>", "\n")
+    x = F.regexp_replace(x, r"(?s)<[^>]*>", " ")
+    # &amp; decodes LAST: doing it earlier turns &amp;lt; into &lt; and a
+    # second rule would then double-decode it to a bare '<'
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    x = F.regexp_replace(x, r"[ \t\r]+", " ")
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    x = F.regexp_replace(x, r"\n+", "\n")
+    return F.regexp_replace(F.trim(x), r"^\n+|\n+$", "")

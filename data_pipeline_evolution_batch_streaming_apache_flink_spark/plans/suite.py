@@ -4654,3 +4654,66 @@ ORACLE["dedup_containment"] = r"""
     )
     SELECT id_sub, id_super, containment FROM directed WHERE containment >= 0.9
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (functions/text.py html_to_text)
+# ---------------------------------------------------------------------------
+
+def q_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-crawl text extraction: every document is wrapped in a real
+    HTML skeleton (head with style+script whose bodies must vanish, a
+    comment, block tags, entities) and run through the codegen'd
+    regexp-chain extractor. The oracle replays the identical RE2-safe
+    chain in DuckDB — backreference-free patterns by design."""
+    t = load_tables(spark, sf, ("documents",))
+    html = F.concat(
+        F.lit('<html><head><title>ignored</title><style>p {color: red}</style>'
+              '<script>var x = "<p>not text</p>";</script></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><!-- hidden --><div>tail&nbsp;&amp;<br>end</div></body></html>'),
+    )
+    salted = t["documents"].select("doc_id", html.alias("html"))
+    extracted = TXT.html_to_text("html")
+    return salted.select(
+        "doc_id",
+        F.md5(extracted).alias("text_md5"),
+        F.length(extracted).cast("bigint").alias("n_chars_text"),
+    )
+
+
+QUERIES["html_extract"] = q_html_extract
+
+ORACLE["html_extract"] = r"""
+    WITH salted AS (
+      SELECT doc_id,
+             '<html><head><title>ignored</title><style>p {color: red}</style>'
+             || '<script>var x = "<p>not text</p>";</script></head><body><h1>Doc '
+             || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+             || '</p><!-- hidden --><div>tail&nbsp;&amp;<br>end</div></body></html>' AS html
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id,
+        regexp_replace(trim(
+          regexp_replace(regexp_replace(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                html,
+                '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+                '(?i)</?(p|div|br|h[1-6]|li|tr|table|ul|ol)\b[^>]*>', e'\n', 'g'),
+                '(?s)<[^>]*>', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+            '[ \t\r]+', ' ', 'g'),
+            ' ?\n ?', e'\n', 'g'),
+            '\n+', e'\n', 'g')
+        ), '^\n+|\n+$', '', 'g') AS t
+      FROM salted
+    )
+    SELECT doc_id, md5(t) AS text_md5, CAST(len(t) AS BIGINT) AS n_chars_text FROM ext
+"""

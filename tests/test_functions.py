@@ -46,3 +46,25 @@ def test_from_base64_roundtrip(spark):
     df = spark.createDataFrame([("hello dpe",)], "s string")
     row = df.select(EF.from_base64_str(F.base64(F.col("s").cast("binary"))).alias("rt")).collect()[0]
     assert row["rt"] == "hello dpe"
+
+
+def test_html_to_text_extraction(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import html_to_text
+
+    cases = [
+        # script/style subtrees vanish, including markup inside them
+        ('<style>p{}</style><script>a="<p>x</p>";</script><p>Hi</p>', "Hi"),
+        # block tags separate lines; inline tags don't
+        ("<h1>A</h1><p>b <b>c</b></p><div>d</div>", "A\nb c\nd"),
+        # entity decode, &amp; LAST: &amp;lt; is a literal "&lt;", not "<"
+        ("x &amp; y &lt;z&gt; &amp;lt;", 'x & y <z> &lt;'),
+        # comments and leftover tags strip; whitespace collapses
+        ("a<!-- no -->  b\t<span attr='v'>c</span>", "a b c"),
+        # malformed markup degrades to whitespace, never eats content
+        ("<p>open<p>again", "open\nagain"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
+    got = [r["t"] for r in df.select(html_to_text("h").alias("t")).collect()]
+    for (h, want), g in zip(cases, got):
+        assert g == want, f"{h!r} -> {g!r}"
