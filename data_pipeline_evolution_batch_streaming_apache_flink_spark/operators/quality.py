@@ -432,3 +432,86 @@ def char_entropy(
             f" - ({term_sum}) div n_chars_used END"
         ).alias("entropy_micro"),
     )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic at corpus scale.
+
+    ``D = sup_x |F_a(x) - F_b(x)|`` — the sharpest standard drift test for
+    a continuous feature between two corpus snapshots (PSI needs binning;
+    KS does not). For step CDFs the sup is attained on the merged set of
+    jump points, so the exact computation is: per-distinct-value counts
+    (one hash shuffle with map-side combine), cumulative counts in value
+    order via the two-pass distributed prefix sum (range shuffle over
+    DISTINCT values + a <= num_partitions-row offsets collect — same
+    machinery as ``curation.global_running_sum``, never a one-partition
+    window), then a max over ``|cum_a*n_b - cum_b*n_a|`` in exact integer
+    cross-multiplied units — overflow-safe while ``n_a * n_b < 2^63``
+    (corpora to ~3e9 rows per side).
+
+    Returns one row: ``ks_stat`` (double, 6dp), ``ks_at`` (the smallest
+    value attaining the sup — deterministic under ties), ``n_a``, ``n_b``.
+    NULL values are ignored on both sides.
+    """
+    from pyspark.sql import Window
+
+    spark = a.sparkSession
+    sa = a.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(1))
+    sb = b.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(0))
+    u = sa.union(sb).filter(F.col("__v").isNotNull())
+    counts = u.groupBy("__v").agg(
+        F.sum("__ia").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__ia")).cast("long").alias("__cb"),
+    )
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        counts.repartitionByRange(n, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # totals collect + final agg share one materialization
+    )
+    w = Window.partitionBy("__pid").orderBy("__v")
+    local = ranged.withColumn("__la", F.sum("__ca").over(w)).withColumn(
+        "__lb", F.sum("__cb").over(w)
+    )
+    totals = sorted(
+        (r["__pid"], r["ta"], r["tb"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("__ca").alias("ta"), F.sum("__cb").alias("tb"))
+        .collect()
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for pid, ta, tb in totals:
+        offsets.append((pid, acc_a, acc_b))
+        acc_a += ta or 0
+        acc_b += tb or 0
+    na, nb = acc_a, acc_b
+    if na == 0 or nb == 0:
+        raise ValueError(f"ks_drift needs non-empty sides, got n_a={na}, n_b={nb}")
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __oa long, __ob long")
+    )
+    scored = (
+        local.join(off, "__pid")
+        .select(
+            "__v",
+            F.abs(
+                (F.col("__la") + F.col("__oa")) * F.lit(nb)
+                - (F.col("__lb") + F.col("__ob")) * F.lit(na)
+            ).alias("__d"),
+        )
+    )
+    # one aggregate: max diff, and min value attaining it (max of -v)
+    m = scored.agg(
+        F.max(F.struct(F.col("__d").alias("d"), (-F.col("__v")).alias("nv"))).alias("m")
+    )
+    return m.select(
+        F.round(F.col("m.d") / F.lit(float(na * nb)), 6).alias("ks_stat"),
+        (-F.col("m.nv")).alias("ks_at"),
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+    )

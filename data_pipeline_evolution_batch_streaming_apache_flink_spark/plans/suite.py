@@ -4717,3 +4717,52 @@ ORACLE["html_extract"] = r"""
     )
     SELECT doc_id, md5(t) AS text_md5, CAST(len(t) AS BIGINT) AS n_chars_text FROM ext
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact KS drift (operators/quality.py ks_drift)
+# ---------------------------------------------------------------------------
+
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift of the event value between the 'view' and
+    'purchase' segments: exact two-sample KS on the merged jump points,
+    integer cross-multiplied comparison, distributed prefix-sum CDFs.
+    The oracle is the definitional window-cumsum formulation."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import ks_drift
+
+    t = load_tables(spark, sf, ("events",))
+    e = t["events"]
+    return ks_drift(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+QUERIES["ks_drift"] = q_ks_drift
+
+ORACLE["ks_drift"] = """
+    WITH u AS (
+      SELECT value AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+    ),
+    c AS (SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM u GROUP BY v),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+    cum AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb
+      FROM c
+    ),
+    d AS (
+      SELECT v,
+             abs(cuma * (SELECT nb FROM t) - cumb * (SELECT na FROM t)) AS dd
+      FROM cum
+    ),
+    m AS (SELECT max(dd) AS dmax FROM d)
+    SELECT round((SELECT dmax FROM m) / CAST((SELECT na FROM t) * (SELECT nb FROM t) AS DOUBLE), 6) AS ks_stat,
+           (SELECT min(v) FROM d WHERE dd = (SELECT dmax FROM m)) AS ks_at,
+           CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM t) AS BIGINT) AS n_b
+"""

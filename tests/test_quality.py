@@ -242,3 +242,54 @@ def test_gopher_rules_empty_and_boundary(spark):
     out = _gopher(spark, docs, min_words=50)
     assert out[0].n_words == 0 and not out[0].passes
     assert out[1].r_word_count and out[1].r_mean_word_len
+
+
+def _ks_reference(xs, ys):
+    """Sequential exact two-sample KS over the merged jump points."""
+    grid = sorted(set(xs) | set(ys))
+    na, nb = len(xs), len(ys)
+    best, best_at = -1, None
+    for v in grid:
+        d = abs(sum(x <= v for x in xs) * nb - sum(y <= v for y in ys) * na)
+        if d > best:
+            best, best_at = d, v
+    return round(best / (na * nb), 6), best_at
+
+
+def test_ks_drift_matches_sequential_reference(spark):
+    import random
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import ks_drift
+
+    rng = random.Random(11)
+    xs = [round(rng.gauss(0.0, 1.0), 3) for _ in range(400)]
+    ys = [round(rng.gauss(0.4, 1.3), 3) for _ in range(300)]
+    a = spark.createDataFrame([(v,) for v in xs], "value double")
+    b = spark.createDataFrame([(v,) for v in ys], "value double")
+    row = ks_drift(a, b, "value").first()
+    want_stat, want_at = _ks_reference(xs, ys)
+    assert row["ks_stat"] == want_stat
+    assert row["ks_at"] == want_at
+    assert (row["n_a"], row["n_b"]) == (400, 300)
+
+    # layout independence: same answer from a repartitioned copy
+    row2 = ks_drift(a.repartition(13), b.coalesce(1), "value", num_partitions=5).first()
+    assert (row2["ks_stat"], row2["ks_at"]) == (want_stat, want_at)
+
+
+def test_ks_drift_extremes(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import ks_drift
+    import pytest
+
+    same = spark.createDataFrame([(float(i % 7),) for i in range(70)], "value double")
+    assert ks_drift(same, same, "value").first()["ks_stat"] == 0.0
+
+    lo = spark.createDataFrame([(float(i),) for i in range(10)], "value double")
+    hi = spark.createDataFrame([(float(i + 100),) for i in range(10)], "value double")
+    row = ks_drift(lo, hi, "value").first()
+    assert row["ks_stat"] == 1.0
+    assert row["ks_at"] == 9.0  # end of the low sample — first full separation
+
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(ValueError):
+        ks_drift(lo, empty, "value")
