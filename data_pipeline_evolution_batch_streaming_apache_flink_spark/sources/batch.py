@@ -80,3 +80,48 @@ def write_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+    lenient: bool = False,
+) -> DataFrame:
+    """CSV corpus reader with the same contract as :func:`read_jsonl`:
+    schema is REQUIRED (inference is a full extra pass over the data —
+    never acceptable at 100 TB), malformed rows FAIL the job by default,
+    and ``lenient=True`` switches to PERMISSIVE with a
+    ``_corrupt_record`` column for quarantine routing. Quoted fields,
+    embedded delimiters/newlines (``multiLine`` stays off — it makes
+    files unsplittable; pre-clean instead), and .gz inputs decode
+    transparently."""
+    mode = "PERMISSIVE" if lenient else "FAILFAST"
+    if lenient:
+        schema = schema + ", _corrupt_record string"
+    return (
+        spark.read.schema(schema)
+        .option("header", "true" if header else "false")
+        .option("sep", delimiter)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a lenient read into (clean, quarantined) — clean rows with
+    the corrupt column dropped, bad rows as their raw text for repair.
+    Works for both read_csv and read_jsonl lenient modes."""
+    from pyspark.sql import functions as F
+
+    if "_corrupt_record" not in df.columns:
+        raise ValueError("quarantine_split needs a lenient read (PERMISSIVE with _corrupt_record)")
+    df = df.localCheckpoint(eager=False)  # both halves share one scan
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return clean, bad

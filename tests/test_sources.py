@@ -261,3 +261,43 @@ def test_jsonl_roundtrip_and_failfast(spark, tmp_path):
     rows = lenient.collect()
     assert len(rows) == 2
     assert sum(1 for r in rows if r._corrupt_record is not None) == 1
+
+
+def test_csv_read_failfast_and_quarantine(spark, tmp_path):
+    """Schema-enforced CSV: clean file round-trips; a malformed row fails
+    the strict read and routes to quarantine under lenient."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import (
+        quarantine_split,
+        read_csv,
+    )
+
+    good = tmp_path / "good.csv"
+    good.write_text('id,name,score\n1,"a,comma",2.5\n2,plain,3.0\n')
+    df = read_csv(spark, str(good), "id int, name string, score double")
+    rows = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    assert rows == {(1, "a,comma", 2.5), (2, "plain", 3.0)}
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,name,score\n1,ok,2.5\nnot_an_int,x,nope\n")
+    with pytest.raises(Py4JJavaError):
+        read_csv(spark, str(bad), "id int, name string, score double").collect()
+
+    lenient = read_csv(
+        spark, str(bad), "id int, name string, score double", lenient=True
+    )
+    clean, quarantined = quarantine_split(lenient)
+    assert {(r["id"], r["name"]) for r in clean.collect()} == {(1, "ok")}
+    assert [r["raw"] for r in quarantined.collect()] == ["not_an_int,x,nope"]
+
+
+def test_quarantine_split_requires_lenient(spark):
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import quarantine_split
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        quarantine_split(df)
