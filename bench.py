@@ -107,6 +107,12 @@ BENCH_QUERIES = (
     "pagerank_weighted",
     "k_hop_reach",
     "pagerank_personalized",
+    "url_dedup",
+    "global_ids",
+    "dedup_containment",
+    "html_extract",
+    "ks_drift",
+    "pca_project",
 )
 
 

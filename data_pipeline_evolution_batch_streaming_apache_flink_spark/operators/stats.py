@@ -121,3 +121,124 @@ def standardize(
         # greatest/least IGNORE nulls (both engines) — clip only real scores
         z = F.when(z.isNotNull(), F.least(F.greatest(z, F.lit(-clip)), F.lit(clip)))
     return out.select(*df.columns, z.alias("z"))
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    scale: int = 10**6,
+) -> dict:
+    """Exact-moment distributed PCA fit for an embedding column.
+
+    The only scale-relevant work — the d×d second-moment matrix — is one
+    ``mapInPandas`` pass emitting ONE partial row per partition (count,
+    component sums, outer-product sums), all in ARBITRARY-PRECISION
+    integers over ``scale``-quantized values, serialized as decimal
+    strings. The driver combines ≤ num_partitions such rows, forms the
+    covariance from exact integer numerators
+    ``n*O_ij - S_i*S_j`` (no float accumulation anywhere), and runs the
+    d×d eigendecomposition locally (d is the embedding width — always
+    driver-sized; the CORPUS never leaves the cluster).
+
+    Layout/engine independence: integer sums are order-insensitive, so
+    the covariance handed to the eigensolver is bit-identical on any
+    partitioning — re-runs and repartitioned inputs give the same
+    components. Eigenvector sign is pinned: the largest-|x| entry of
+    each component (first index on ties) is made positive.
+
+    Returns ``{"mean", "components" (k×d, rows = top components by
+    eigenvalue, descending), "explained_var", "n"}`` as numpy arrays.
+    """
+    import numpy as np
+
+    part_schema = "n long, s array<string>, o array<string>"
+
+    def _partials(batches):
+        import pandas as pd
+
+        # int64 matmul per Arrow batch (vectorized; safe while
+        # (scale*|x|max)^2 * batch_rows < 2^63 — i.e. scale*|x|max up to
+        # ~3e7 at the default 10k-row batches), accumulated into
+        # arbitrary-precision object arrays BETWEEN batches so partition
+        # size never overflows.
+        n, s, o = 0, None, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy())
+            q = np.rint(m.astype(np.float64) * scale).astype(np.int64)
+            n += len(q)
+            ps = q.sum(axis=0, dtype=np.int64).astype(object)
+            po = (q.T @ q).ravel().astype(object)
+            s = ps if s is None else s + ps
+            o = po if o is None else o + po
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {"n": [n], "s": [[str(x) for x in s]], "o": [[str(x) for x in o]]}
+        )
+
+    rows = df.select(vec_col).mapInPandas(_partials, part_schema).collect()
+    if not rows:
+        raise ValueError("pca_fit on an empty DataFrame")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    S = [0] * d
+    O = [0] * (d * d)
+    for r in rows:
+        for i, x in enumerate(r["s"]):
+            S[i] += int(x)
+        for i, x in enumerate(r["o"]):
+            O[i] += int(x)
+    # covariance in exact integer numerators over n^2 * scale^2
+    denom = float(n) * float(n) * float(scale) * float(scale)
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = float(n * O[i * d + j] - S[i] * S[j]) / denom
+    mean = np.array([float(x) for x in S], dtype=np.float64) / (n * scale)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        pivot = int(np.argmax(np.abs(row)))
+        if row[pivot] < 0:
+            row *= -1.0
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained_var": vals[order].copy(),
+        "n": n,
+    }
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    model: dict,
+    out_col: str = "pca",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Project embeddings onto a :func:`pca_fit` model: ``(x - mean) @ Vᵀ``
+    as an Arrow-batched numpy matmul (components broadcast with the
+    closure — k×d floats, always tiny). Zero shuffle; rounds to
+    ``round_dp`` so downstream comparisons are reproducible."""
+    import numpy as np
+
+    mean = model["mean"]
+    comps = model["components"]
+    out_schema = f"{id_col} {dict(df.dtypes)[id_col]}, {out_col} array<double>"
+
+    def _proj(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            p = np.round((m - mean) @ comps.T, round_dp)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(_proj, out_schema)

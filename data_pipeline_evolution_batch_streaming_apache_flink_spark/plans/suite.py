@@ -4766,3 +4766,25 @@ ORACLE["ks_drift"] = """
            CAST((SELECT na FROM t) AS BIGINT) AS n_a,
            CAST((SELECT nb FROM t) AS BIGINT) AS n_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (operators/stats.py pca_fit / pca_project)
+# ---------------------------------------------------------------------------
+
+def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding dimensionality reduction: exact-integer covariance (one
+    mapInPandas pass, one partial row per partition), driver-side d×d
+    eigendecomposition with pinned sign convention, Arrow-batched
+    projection. No DuckDB oracle — an eigensolver is not SQL-expressible
+    (rows-only check, like bpe_tokenize); determinism is pinned instead
+    by the layout-independence and numpy-parity tests in
+    tests/test_stats.py."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import pca_fit, pca_project
+
+    t = load_tables(spark, sf, ("embeddings",))
+    model = pca_fit(t["embeddings"], "embedding", k=8)
+    return pca_project(t["embeddings"], "vec_id", "embedding", model)
+
+
+QUERIES["pca_project"] = q_pca_project

@@ -99,3 +99,59 @@ def test_standardize_all_null_group_passes_through(spark):
     got = {r.id: r.z for r in standardize(df, "x", ["g"]).collect()}
     assert set(got) == {1, 2, 3, 4}  # group z not dropped
     assert got[3] is None and got[4] is None
+
+
+def test_pca_matches_numpy_and_layout_independent(spark):
+    """Components/projection equal a driver-side numpy reference built
+    from the SAME exact-integer covariance; repartitioned input gives a
+    bit-identical model (integer sums are order-insensitive)."""
+    import numpy as np
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import pca_fit, pca_project
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 3)) @ np.diag([3.0, 1.0, 0.2])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    model = pca_fit(df, "embedding", k=2, scale=10**6)
+    model2 = pca_fit(df.repartition(7), "embedding", k=2, scale=10**6)
+    assert np.array_equal(model["components"], model2["components"])
+    assert np.array_equal(model["mean"], model2["mean"])
+    assert model["n"] == 200
+
+    # numpy reference over the identically quantized data
+    q = np.rint(base * 10**6) / 10**6
+    mu = q.mean(axis=0)
+    cov = (q - mu).T @ (q - mu) / len(q)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    ref = vecs[:, order].T.copy()
+    for row in ref:
+        p = int(np.argmax(np.abs(row)))
+        if row[p] < 0:
+            row *= -1.0
+    assert np.allclose(model["components"], ref, atol=1e-9)
+    assert (
+        model["explained_var"][0] >= model["explained_var"][1] >= 0 - 1e-12
+    )
+
+    proj = {
+        r["vec_id"]: r["pca"]
+        for r in pca_project(df, "vec_id", "embedding", model).collect()
+    }
+    # projection runs on the RAW vectors; quantization exists only for
+    # the exact moment sums, so the reference must do the same
+    want = np.round((base - model["mean"]) @ model["components"].T, 6)
+    for i in range(200):
+        assert proj[i] == list(want[i])
+
+
+def test_pca_fit_empty_raises(spark):
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import pca_fit
+
+    df = spark.createDataFrame([], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", k=2)
