@@ -608,3 +608,61 @@ def assign_global_ids(
     tagged = df.withColumn("__ord", F.struct(*cols))
     out = global_running_sum(tagged, "__ord", F.lit(1).cast("long"), out_col, num_partitions)
     return out.withColumn(out_col, (F.col(out_col) - 1).cast("long")).drop("__ord")
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: ``k``
+    pseudo-random partner rows per anchor WITHOUT a cross join.
+
+    The trick is :func:`assign_global_ids`: dense 0..N-1 ids turn "a
+    random row of the corpus" into "the row at a computed index" — an
+    EQUI-join on ``pick == idx`` (one hash shuffle per side, uniform
+    keys), where a naive formulation is an N×N sample. The draw is the
+    same overflow-safe integer arithmetic as :func:`sample_hash`
+    (Knuth multiplicative + a per-draw offset, every step exact in
+    int64 on both engines), so the sample is reproducible across runs,
+    layouts, and engines — the property replay-debugging a training
+    run depends on.
+
+    An anchor never draws itself: self-collisions are dropped, so a few
+    anchors carry k-1 negatives (deterministically — rerunning cannot
+    resurrect them). Filter known positives downstream with an
+    anti-join on (anchor_id, neg_id) before use.
+
+    Returns (anchor_id, j, neg_id) with j in [0, k).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ids = assign_global_ids(df.select(id_col), id_col, "__idx")
+    n = ids.count()
+    if n < 2:
+        raise ValueError(f"need at least 2 rows to draw negatives, got {n}")
+    draws = (
+        ids.select(F.col(id_col).alias("anchor_id"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "__pick",
+            F.pmod(
+                F.pmod(
+                    F.pmod(F.col("anchor_id").cast("long"), F.lit(2147483648))
+                    * F.lit(_KNUTH),
+                    F.lit(_MOD),
+                )
+                + (F.col("j") + 1) * F.lit(97003969)
+                + F.lit(seed),
+                F.lit(_MOD),
+            )
+            % F.lit(n),
+        )
+    )
+    cands = ids.select(F.col(id_col).alias("neg_id"), F.col("__idx").alias("__pick"))
+    return (
+        draws.join(cands, "__pick")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "j", "neg_id")
+    )

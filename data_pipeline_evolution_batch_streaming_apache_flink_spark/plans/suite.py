@@ -4788,3 +4788,37 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES["pca_project"] = q_pca_project
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (operators/curation.py negative_sample)
+# ---------------------------------------------------------------------------
+
+def q_negative_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training negatives: 3 pseudo-random partners per
+    document via dense-id equi-join — no cross join anywhere. The
+    oracle replays the identical overflow-safe integer draw on a
+    row_number index."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import negative_sample
+
+    t = load_tables(spark, sf, ("documents",))
+    return negative_sample(t["documents"], "doc_id", k=3, seed=7)
+
+
+QUERIES["negative_sample"] = q_negative_sample
+
+ORACLE["negative_sample"] = """
+    WITH ids AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents
+    ),
+    meta AS (SELECT count(*) AS n FROM ids),
+    draws AS (
+      SELECT a.doc_id AS anchor_id, j,
+             (((a.doc_id % 2147483648) * 2654435761) % 4294967296
+              + (j + 1) * 97003969 + 7) % 4294967296 % (SELECT n FROM meta) AS pick
+      FROM ids a CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+    )
+    SELECT d.anchor_id, CAST(d.j AS INT) AS j, c.doc_id AS neg_id
+    FROM draws d JOIN ids c ON d.pick = c.idx
+    WHERE c.doc_id <> d.anchor_id
+"""

@@ -276,3 +276,38 @@ def test_assign_global_ids_dense_and_layout_independent(spark):
     assert got == {k: i for i, (k, _) in enumerate(expected_order)}
     assert ids(df.repartition(13)) == got
     assert ids(df.coalesce(1)) == got
+
+
+def test_negative_sample_deterministic_no_self(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import negative_sample
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = negative_sample(df, "doc_id", k=4, seed=3)
+    rows = {(r["anchor_id"], r["j"], r["neg_id"]) for r in out.collect()}
+    # never self; j in range; at most k per anchor, k-1 only via self-collision
+    assert all(a != n for a, _, n in rows)
+    assert all(0 <= j < 4 for _, j, _ in rows)
+    per_anchor = {}
+    for a, j, n in rows:
+        per_anchor.setdefault(a, set()).add(j)
+    assert set(per_anchor) == set(range(50))
+    assert all(len(js) >= 3 for js in per_anchor.values())
+
+    # layout independence: identical draw from a repartitioned copy
+    rows2 = {
+        (r["anchor_id"], r["j"], r["neg_id"])
+        for r in negative_sample(df.repartition(11), "doc_id", k=4, seed=3).collect()
+    }
+    assert rows2 == rows
+
+
+def test_negative_sample_guards(spark):
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import negative_sample
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        negative_sample(df, "doc_id", k=0)
+    with pytest.raises(ValueError):
+        negative_sample(df, "doc_id", k=2)
