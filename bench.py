@@ -113,6 +113,8 @@ BENCH_QUERIES = (
     "html_extract",
     "ks_drift",
     "pca_project",
+    "negative_sample",
+    "lpa_communities",
 )
 
 

@@ -319,3 +319,77 @@ def k_hop_reach(
     return seeds.sparkSession.createDataFrame(
         rows, "hop int, n_reached bigint, n_new bigint"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (LPA, Raghavan et al.
+    2007): community detection WITHIN components — the complement of
+    :func:`connected_components` (which only finds the components) on
+    the same edge-list machinery.
+
+    Every node starts labeled with itself; each round every node adopts
+    the most-voted label among its IN-neighbors (its own current label
+    does not vote), with the classic nondeterminism removed: votes are
+    exact integer counts and ties break to the SMALLEST label, so the
+    result is identical on any layout, any engine, any run. Node ids
+    must be numeric (the deterministic argmax is ``max(struct(votes,
+    -label))``). Undirected graphs: pass both edge directions, same
+    contract as :func:`pagerank`. Nodes with no in-edges this round
+    keep their previous label.
+
+    Scale shape per round: one equi-join of the edge list with the
+    N-row label table + one (node, label) count + one per-node argmax —
+    key-hash shuffles of bounded width, no driver data movement;
+    ``localCheckpoint`` truncates lineage so K rounds don't stack K
+    plans. Fixed iteration count, no convergence collect: at corpus
+    scale you run a budget, not a fixpoint test (the oracle unrolls the
+    identical rounds).
+
+    Returns ``(node, label)`` — equal labels = one community.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("src"),
+            F.col(dst).cast("bigint").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):
+        votes = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        picked = (
+            votes.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("votes"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).cast("bigint").alias("__new"))
+        )
+        labels = (
+            labels.join(picked, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

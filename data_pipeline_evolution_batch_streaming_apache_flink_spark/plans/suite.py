@@ -4822,3 +4822,76 @@ ORACLE["negative_sample"] = """
     FROM draws d JOIN ids c ON d.pick = c.idx
     WHERE c.doc_id <> d.anchor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (operators/graph.py label_propagation)
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = 4
+
+
+def q_lpa_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Communities in the customer↔supplier purchase graph (numeric node
+    ids: even=customer, odd=supplier; both directions). Deterministic
+    synchronous LPA — exact integer votes, smallest-label ties — so the
+    oracle can unroll the identical rounds in SQL."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import label_propagation
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return label_propagation(edges, iterations=_LPA_ITER)
+
+
+QUERIES["lpa_communities"] = q_lpa_communities
+
+
+def _lpa_oracle(iterations: int = _LPA_ITER) -> str:
+    ctes = [
+        """e AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          UNION
+          SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )""",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT node, node AS label FROM n)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        ctes.append(f"""v{i} AS (
+          SELECT e.dst AS node, l.label, count(*) AS c
+          FROM e JOIN {prev} l ON e.src = l.node
+          GROUP BY 1, 2
+        )""")
+        ctes.append(f"""p{i} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+            FROM v{i}
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""l{i} AS (
+          SELECT l.node, coalesce(p.label, l.label) AS label
+          FROM {prev} l LEFT JOIN p{i} p ON l.node = p.node
+        )""")
+        prev = f"l{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(label AS BIGINT) AS label FROM {prev}"
+    )
+
+
+ORACLE["lpa_communities"] = _lpa_oracle()

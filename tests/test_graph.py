@@ -133,3 +133,75 @@ def test_pagerank_personalized_mass_stays_near_seeds(spark):
     bad = spark.createDataFrame([("zzz",)], "node string")
     with pytest.raises(ValueError, match="no seed"):
         pagerank(df, iterations=1, seeds=bad)
+
+
+def _lpa_reference(edges, iterations):
+    """Sequential synchronous LPA with the operator's exact tie rule."""
+    from collections import Counter
+
+    nodes = {x for e in edges for x in e}
+    labels = {v: v for v in nodes}
+    in_nbrs = {}
+    for s, d in set(edges):
+        in_nbrs.setdefault(d, []).append(s)
+    for _ in range(iterations):
+        new = {}
+        for v in nodes:
+            votes = Counter(labels[u] for u in in_nbrs.get(v, []))
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = labels[v]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_sequential_reference(spark):
+    import random
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    # two planted cliques plus sparse noise, symmetrized
+    edges = []
+    for group in ([0, 1, 2, 3, 4], [10, 11, 12, 13]):
+        for a in group:
+            for b in group:
+                if a != b:
+                    edges.append((a, b))
+    for _ in range(10):
+        a, b = rng.randrange(20), rng.randrange(20)
+        if a != b:
+            edges += [(a, b), (b, a)]
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=iters).collect()
+        }
+        assert got == _lpa_reference(edges, iters), f"iterations={iters}"
+
+    # layout independence
+    got7 = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(7), iterations=3).collect()
+    }
+    assert got7 == _lpa_reference(edges, 3)
+
+
+def test_label_propagation_two_cliques_separate(spark):
+    """Disconnected cliques converge to distinct min-id labels."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import label_propagation
+
+    edges = []
+    for group in ([1, 2, 3], [7, 8, 9]):
+        for a in group:
+            for b in group:
+                if a != b:
+                    edges.append((a, b))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[7], got[8], got[9]} == {7}
