@@ -115,6 +115,7 @@ BENCH_QUERIES = (
     "pca_project",
     "negative_sample",
     "lpa_communities",
+    "equidepth_bins",
 )
 
 

@@ -242,3 +242,43 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(p)})
 
     return df.select(id_col, vec_col).mapInPandas(_proj, out_schema)
+
+
+def ntile_global(
+    df: DataFrame,
+    order_by: list,
+    bins: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact global ``NTILE(bins)`` — equi-depth binning / feature
+    discretization — without the one-partition window a keyless
+    ``ntile() OVER (ORDER BY ...)`` plans.
+
+    Global 0-based ranks come from the two-pass distributed prefix sum
+    (:func:`...curation.assign_global_ids`: range shuffle + bounded
+    offsets collect), then the bucket is ANSI NTILE's exact assignment
+    computed arithmetically: with ``q = n div bins`` and ``r = n mod
+    bins``, the first ``r`` buckets take ``q+1`` rows. ``order_by``
+    must be a total order (append a unique tiebreaker) — that is also
+    what makes ntile-over-ties deterministic enough to hash-compare
+    across engines, which the SQL form alone does not guarantee.
+
+    Returns the input plus ``out_col`` (1-based bucket, bigint).
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import assign_global_ids
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    ranked = assign_global_ids(df, order_by, "__rank")
+    n = ranked.count()
+    q, r = divmod(n, bins)
+    if q == 0:  # fewer rows than bins: rank+1 IS the bucket (ANSI ntile)
+        bucket = F.col("__rank") + 1
+    else:
+        cut = r * (q + 1)
+        bucket = (
+            F.when(F.col("__rank") < cut, F.floor(F.col("__rank") / (q + 1)))
+            .otherwise(r + F.floor((F.col("__rank") - cut) / q))
+            + 1
+        )
+    return ranked.withColumn(out_col, bucket.cast("bigint")).drop("__rank")

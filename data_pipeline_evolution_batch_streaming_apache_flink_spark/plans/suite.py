@@ -4895,3 +4895,32 @@ def _lpa_oracle(iterations: int = _LPA_ITER) -> str:
 
 
 ORACLE["lpa_communities"] = _lpa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact global NTILE (operators/stats.py ntile_global)
+# ---------------------------------------------------------------------------
+
+def q_equidepth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth discretization of event values into 16 exact quantile
+    buckets — ANSI NTILE semantics from the distributed prefix sum, no
+    single-partition window anywhere. The (value, event_id) total order
+    makes tie handling deterministic so the hashes match."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ntile_global
+
+    t = load_tables(spark, sf, ("events",))
+    binned = ntile_global(
+        t["events"].select("event_id", "value"),
+        ["value", "event_id"],
+        bins=16,
+    )
+    return binned.select("event_id", "value", F.col("bin"))
+
+
+QUERIES["equidepth_bins"] = q_equidepth_bins
+
+ORACLE["equidepth_bins"] = """
+    SELECT event_id, value,
+           CAST(ntile(16) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
+    FROM events
+"""

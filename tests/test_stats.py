@@ -155,3 +155,41 @@ def test_pca_fit_empty_raises(spark):
     df = spark.createDataFrame([], "vec_id int, embedding array<double>")
     with pytest.raises(ValueError):
         pca_fit(df, "embedding", k=2)
+
+
+def test_ntile_global_matches_window_and_is_layout_independent(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ntile_global
+
+    rows = [(i, float((i * 13) % 7)) for i in range(103)]  # heavy ties
+    df = spark.createDataFrame(rows, "id int, v double")
+    got = {
+        r["id"]: r["bin"]
+        for r in ntile_global(df, ["v", "id"], bins=10).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["nt"]
+        for r in df.withColumn("nt", F.ntile(10).over(w)).collect()
+    }
+    assert got == want
+    got7 = {
+        r["id"]: r["bin"]
+        for r in ntile_global(df.repartition(7), ["v", "id"], bins=10).collect()
+    }
+    assert got7 == want
+
+
+def test_ntile_global_fewer_rows_than_bins(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ntile_global
+    import pytest
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    got = sorted(
+        (r["id"], r["bin"]) for r in ntile_global(df, ["id"], bins=5).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    with pytest.raises(ValueError):
+        ntile_global(df, ["id"], bins=0)
