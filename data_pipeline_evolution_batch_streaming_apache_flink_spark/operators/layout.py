@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bucketize", "zvalue2", "zorder_write", "compact_files"]
+__all__ = ["bucketize", "zvalue2", "zorder_write", "compact_files", "compact_partitioned"]
 
 #: magic-mask bit spread (16 bits -> even positions of 32), the classic
 #: "Interleave bits by Binary Magic Numbers" construction (public
@@ -151,3 +151,56 @@ def compact_files(
         if f.endswith(".parquet")
     )
     return {"files_before": len(sizes), "files_after": after, "bytes": total}
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    mode: str = "coalesce",
+) -> dict:
+    """Per-partition small-file compaction for a Hive-partitioned table
+    (``path/key=value/...``) — the realistic production shape: a
+    streaming sink drips files into today's date partition while old
+    partitions are already well-packed, so compaction must (a) size each
+    partition's bins independently and (b) leave untouched partitions'
+    files alone (object stores bill per request; rewriting cold data is
+    pure cost).
+
+    Walks one level of ``key=value`` directories and applies
+    :func:`compact_files` to each whose file count could shrink —
+    partitions already at or under their bin count are skipped entirely.
+    Each partition swaps atomically on its own; a failure mid-table
+    leaves every completed partition valid (idempotent to re-run).
+
+    Returns ``{"partitions", "compacted", "files_before", "files_after"}``.
+    """
+    import math
+    import os
+
+    parts = sorted(
+        d for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    )
+    if not parts:
+        raise FileNotFoundError(f"no key=value partition directories under {path}")
+    stats = {"partitions": len(parts), "compacted": 0, "files_before": 0, "files_after": 0}
+    for d in parts:
+        pdir = os.path.join(path, d)
+        sizes = [
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(pdir)
+            for f in files
+            if f.endswith(".parquet")
+        ]
+        if not sizes:
+            continue
+        n_out = max(1, math.ceil(sum(sizes) / target_bytes))
+        stats["files_before"] += len(sizes)
+        if len(sizes) <= n_out:
+            stats["files_after"] += len(sizes)
+            continue
+        r = compact_files(spark, pdir, target_bytes, mode)
+        stats["compacted"] += 1
+        stats["files_after"] += r["files_after"]
+    return stats

@@ -154,3 +154,42 @@ def test_compact_files_errors(spark, tmp_path):
         compact_files(spark, empty)
     with pytest.raises(ValueError):
         compact_files(spark, empty, mode="sort")
+
+
+def test_compact_partitioned_only_touches_fragmented_partitions(spark, tmp_path):
+    """Fragmented partition shrinks; already-packed partition's files are
+    left byte-identical (no rewrite of cold data)."""
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import compact_partitioned
+
+    path = str(tmp_path / "table")
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 2).alias("day")
+    )
+    # day=0 written fragmented (32 files), day=1 written packed (1 file)
+    df.filter("day = 0").repartition(32).write.partitionBy("day").parquet(path)
+    df.filter("day = 1").coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+
+    day1 = os.path.join(path, "day=1")
+    before = {
+        f: os.path.getmtime(os.path.join(day1, f))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    assert len(before) == 1
+
+    stats = compact_partitioned(spark, path, target_bytes=1 << 40)
+    assert stats["partitions"] == 2
+    assert stats["compacted"] == 1          # only day=0
+    assert stats["files_after"] == 2        # one bin each
+
+    after = {
+        f: os.path.getmtime(os.path.join(day1, f))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    assert after == before                   # cold partition untouched
+    got = spark.read.parquet(path)
+    assert got.count() == 4000
+    assert got.filter("day = 0").count() == 2000
