@@ -259,6 +259,64 @@ def main() -> None:
     undirected = copurchase.union(copurchase.selectExpr("dst AS src", "src AS dst"))
     k_hop_reach(undirected, seeds, hops=3).show()
 
+    print("URL hygiene: canonical keys collapse tracking-param/case variants:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.url import canonical_url
+
+    ev = read_parquet(spark, f"{sf}/events.parquet")
+    messy = ev.select(
+        F.concat(
+            F.lit("https://Shop.Example.com/u/"), F.col("user_id"),
+            F.lit("?utm_source=news&id="), F.get_json_object("props", "$.k"),
+        ).alias("url")
+    )
+    messy.groupBy(canonical_url("url").alias("canon")).count().orderBy(
+        F.col("count").desc()
+    ).show(3, truncate=False)
+
+    print("exact KS drift between event segments (no binning):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import ks_drift
+
+    ks_drift(
+        ev.where("event_type = 'view'"), ev.where("event_type = 'purchase'"), "value"
+    ).show()
+
+    print("near-superset containment: truncated twin caught at C=1.0:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import ngram_containment_pairs
+
+    corpus = docs.select((F.col("doc_id") * 2).alias("doc_id"), "text").union(
+        docs.limit(5).select(
+            (F.col("doc_id") * 2 + 1).alias("doc_id"),
+            F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 12), " ").alias("text"),
+        )
+    )
+    ngram_containment_pairs(corpus, "doc_id", "text", n=3, threshold=0.9).show(5)
+
+    print("dense global ids -> deterministic contrastive negatives:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import negative_sample
+
+    negative_sample(docs.select("doc_id"), "doc_id", k=2, seed=7).show(5)
+
+    print("PCA on embeddings (exact-integer covariance, deterministic):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import pca_fit, pca_project
+
+    emb = read_parquet(spark, f"{sf}/embeddings.parquet")
+    model = pca_fit(emb, "embedding", k=4)
+    print(f"  explained variance (top 4): {[round(float(v), 4) for v in model['explained_var']]}")
+    pca_project(emb, "vec_id", "embedding", model).show(3)
+
+    print("label-propagation communities on the purchase graph:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import label_propagation
+
+    npairs = (
+        orders_t.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select((F.col("o_custkey") * 2).alias("c"), (F.col("l_suppkey") * 2 + 1).alias("s"))
+        .distinct()
+    )
+    nedges = npairs.selectExpr("c AS src", "s AS dst").union(npairs.selectExpr("s AS src", "c AS dst"))
+    label_propagation(nedges, iterations=3).groupBy("label").count().orderBy(
+        F.col("count").desc()
+    ).show(5)
+
 
 if __name__ == "__main__":
     main()
