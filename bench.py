@@ -116,6 +116,7 @@ BENCH_QUERIES = (
     "negative_sample",
     "lpa_communities",
     "equidepth_bins",
+    "k_anonymity",
 )
 
 

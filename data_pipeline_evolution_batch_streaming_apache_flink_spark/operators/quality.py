@@ -515,3 +515,41 @@ def ks_drift(
         F.lit(na).cast("long").alias("n_a"),
         F.lit(nb).cast("long").alias("n_b"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """k-anonymity audit over quasi-identifier columns: every row whose
+    (quasi_cols) combination appears in fewer than ``k`` rows is a
+    re-identification risk — the standard release gate before sharing a
+    curated dataset (Sweeney 2002). NULL combinations group together
+    (NULL is itself identifying).
+
+    One hash aggregation with map-side combine (group sizes), broadcast
+    back onto the rows is wrong at scale — group count can be huge — so
+    the sizes REJOIN on the quasi key: one shuffle each side, AQE
+    handles skewed combinations. Returns the input plus ``group_size``
+    (bigint) and ``at_risk`` (group_size < k); aggregate downstream for
+    the release decision (suite query reports the risky-group census).
+    """
+    if not quasi_cols:
+        raise ValueError("k_anonymity needs at least one quasi-identifier column")
+    if k < 2:
+        raise ValueError(f"k must be >= 2 to mean anything, got {k}")
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    # null-safe join keys (<=>): a plain equi-join would silently drop
+    # every NULL-valued combination — exactly the rows most at risk.
+    # EqualNullSafe still plans as a hash-partitioned equi-join.
+    left, right = df.alias("__ka_l"), sizes.alias("__ka_r")
+    cond = None
+    for c in quasi_cols:
+        clause = F.col(f"__ka_l.{c}").eqNullSafe(F.col(f"__ka_r.{c}"))
+        cond = clause if cond is None else cond & clause
+    return left.join(right, cond).select(
+        *[F.col(f"__ka_l.{c}") for c in df.columns],
+        F.col("__ka_r.group_size"),
+        (F.col("__ka_r.group_size") < k).alias("at_risk"),
+    )

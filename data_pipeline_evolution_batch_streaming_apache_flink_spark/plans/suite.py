@@ -4924,3 +4924,44 @@ ORACLE["equidepth_bins"] = """
            CAST(ntile(16) OVER (ORDER BY value, event_id) AS BIGINT) AS bin
     FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (operators/quality.py k_anonymity)
+# ---------------------------------------------------------------------------
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """Re-identification risk census of the customer table under the
+    (nation, market segment) quasi-identifier at k=8: how many groups
+    and customers fall below the anonymity threshold, per nation."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import k_anonymity
+
+    t = load_tables(spark, sf, ("customer",))
+    audited = k_anonymity(t["customer"], ["c_nationkey", "c_mktsegment"], k=8)
+    return (
+        audited.groupBy("c_nationkey")
+        .agg(
+            F.count_distinct(F.when(F.col("at_risk"), F.col("c_mktsegment"))).cast("bigint").alias("risky_groups"),
+            F.sum(F.when(F.col("at_risk"), 1).otherwise(0)).cast("bigint").alias("risky_rows"),
+            F.count("*").cast("bigint").alias("rows"),
+        )
+    )
+
+
+QUERIES["k_anonymity"] = q_k_anonymity
+
+ORACLE["k_anonymity"] = """
+    WITH sizes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+      FROM customer GROUP BY 1, 2
+    ),
+    audited AS (
+      SELECT c.c_nationkey, c.c_mktsegment, s.group_size, s.group_size < 8 AS at_risk
+      FROM customer c JOIN sizes s USING (c_nationkey, c_mktsegment)
+    )
+    SELECT c_nationkey,
+           CAST(count(DISTINCT CASE WHEN at_risk THEN c_mktsegment END) AS BIGINT) AS risky_groups,
+           CAST(sum(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT) AS risky_rows,
+           CAST(count(*) AS BIGINT) AS rows
+    FROM audited GROUP BY 1
+"""

@@ -293,3 +293,25 @@ def test_ks_drift_extremes(spark):
     empty = spark.createDataFrame([], "value double")
     with pytest.raises(ValueError):
         ks_drift(lo, empty, "value")
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import k_anonymity
+    import pytest
+
+    rows = (
+        [(i, "US", "M") for i in range(5)]
+        + [(10, "US", "F"), (11, "US", "F")]
+        + [(20, None, "M")]
+    )
+    df = spark.createDataFrame(rows, "id int, country string, gender string")
+    got = {r["id"]: (r["group_size"], r["at_risk"]) for r in k_anonymity(df, ["country", "gender"], k=3).collect()}
+    for i in range(5):
+        assert got[i] == (5, False)
+    assert got[10] == (2, True) and got[11] == (2, True)
+    assert got[20] == (1, True)  # NULL combination is itself identifying
+
+    with pytest.raises(ValueError):
+        k_anonymity(df, [], k=3)
+    with pytest.raises(ValueError):
+        k_anonymity(df, ["country"], k=1)
