@@ -331,3 +331,20 @@ def test_session4_results_layout_independent(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert a == b, q
+
+
+def test_session5_results_layout_independent(spark, sf_dir):
+    """Round-4 session-5 families: same rows at shuffle partitions 5 vs 17
+    (url/global-id/containment/KS/ntile/negatives/LPA/k-anonymity)."""
+    for q in ("url_dedup", "global_ids", "dedup_containment", "ks_drift",
+              "equidepth_bins", "negative_sample", "lpa_communities",
+              "k_anonymity", "html_extract"):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            a = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b, q

@@ -50,7 +50,13 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # row stays fixed-width
            "cooccur_pmi", "triangle_census", "bloom_prune",
            # weighted ranks / frontier BFS on the same saturating graphs
-           "pagerank_weighted", "k_hop_reach")
+           "pagerank_weighted", "k_hop_reach",
+           # round-4 session-5: URL hygiene and equi-depth bins scale with
+           # events (zero-/one-shuffle map work); exact KS over a FIXED value
+           # grid (2dp values saturate) pins the prefix-sum constant; LPA and
+           # k-anonymity ride the saturating purchase graph / customer dims
+           "url_dedup", "ks_drift", "equidepth_bins", "lpa_communities",
+           "k_anonymity")
 
 
 def build(spark, factor: int, out_dir: str) -> None:

@@ -42,6 +42,10 @@ QUERIES = (
     # round-4 session-4: char entropy is row-local (linear by construction;
     # included to pin the constant)
     "char_entropy",
+    # round-4 session-5: containment shares the inverted-index machinery
+    # (replica-local shingles => linear candidates); html extraction is
+    # row-local regexp work; global ids are the two-pass prefix sum
+    "dedup_containment", "html_extract", "global_ids", "negative_sample",
 )
 
 
