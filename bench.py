@@ -117,6 +117,7 @@ BENCH_QUERIES = (
     "lpa_communities",
     "equidepth_bins",
     "k_anonymity",
+    "cohort_retention",
 )
 
 

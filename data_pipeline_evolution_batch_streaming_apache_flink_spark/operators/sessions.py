@@ -112,3 +112,61 @@ def session_stats(
         *extra,
     )
 
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    period (the cohort), tracked across subsequent periods — the
+    standard activation/retention readout of an event stream.
+
+    Two hash aggregations, no window, no self-join of the fact table:
+    (1) first activity per user (map-side-combined min); (2) the fact
+    rows REJOIN the per-user cohort on the user key (broadcast is wrong
+    at scale — user count grows with the corpus) and distinct users
+    count per (cohort_period, periods_since). ``retained_pct`` is exact
+    integer basis points against the cohort's size.
+
+    ``period``: 'week' | 'month' | 'day' (``date_trunc`` units — ANSI,
+    both engines). Returns (cohort, periods_since, n_users,
+    cohort_size, retained_bp).
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
+    ts = F.col(ts_col).cast("timestamp")
+    firsts = (
+        df.groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(F.date_trunc(period, ts)).alias("cohort"))
+    )
+    per_period = df.select(
+        F.col(user_col).alias("__u"), F.date_trunc(period, ts).alias("__p")
+    ).distinct()
+    if period == "day":
+        since = F.datediff(F.col("__p"), F.col("cohort"))
+    elif period == "week":
+        since = F.floor(F.datediff(F.col("__p"), F.col("cohort")) / 7)
+    else:
+        since = (F.year("__p") - F.year("cohort")) * 12 + (
+            F.month("__p") - F.month("cohort")
+        )
+    activity = (
+        per_period.join(firsts, "__u")
+        .groupBy("cohort", since.cast("bigint").alias("periods_since"))
+        .agg(F.count_distinct("__u").cast("bigint").alias("n_users"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        activity.join(sizes, "cohort")
+        .withColumn(
+            "retained_bp",
+            # floor through the double division (suite determinism rule:
+            # DuckDB CAST rounds, Spark truncates — floor agrees everywhere)
+            F.floor(F.col("n_users") * 10000 / F.col("cohort_size")).cast("bigint"),
+        )
+    )

@@ -4965,3 +4965,48 @@ ORACLE["k_anonymity"] = """
            CAST(count(*) AS BIGINT) AS rows
     FROM audited GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (operators/sessions.py cohort_retention)
+# ---------------------------------------------------------------------------
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly activation cohorts of the event stream: users bucketed by
+    first-activity week, distinct-user retention per week since, exact
+    basis points. Two aggregations + one user-key rejoin — no window,
+    no fact self-join."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import cohort_retention
+
+    t = load_tables(spark, sf, ("events",))
+    out = cohort_retention(t["events"], "user_id", "ts", period="week")
+    return out.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "periods_since", "n_users", "cohort_size", "retained_bp",
+    )
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+
+ORACLE["cohort_retention"] = """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort
+      FROM events GROUP BY 1
+    ),
+    per_period AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p
+      FROM events
+    ),
+    activity AS (
+      SELECT f.cohort,
+             CAST(floor(date_diff('day', f.cohort, pp.p) / 7) AS BIGINT) AS periods_since,
+             CAST(count(DISTINCT pp.user_id) AS BIGINT) AS n_users
+      FROM per_period pp JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts GROUP BY 1)
+    SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort_week,
+           a.periods_since, a.n_users, s.cohort_size,
+           CAST(floor(a.n_users * 10000 / s.cohort_size) AS BIGINT) AS retained_bp
+    FROM activity a JOIN sizes s USING (cohort)
+"""

@@ -176,3 +176,36 @@ def test_session_window_exact_gap_merges(spark):
     ms = df.select("user_id", F.unix_millis("ts").alias("ts_ms"))
     batch = sessionize(ms, "user_id", "ts_ms", "30 minutes")
     assert sorted(r["session_seq"] for r in batch.collect()) == [1, 1, 2]
+
+
+def test_cohort_retention_matrix(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import cohort_retention
+    import pytest
+
+    rows = [
+        # cohort week of 2024-01-01: users 1,2 — user 1 returns week+1,
+        # user 2 returns week+2; user 1 twice in week 0 (distinct-counted)
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-03 11:00:00"),
+        (2, "2024-01-04 09:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-16 10:00:00"),
+        # cohort week of 2024-01-15: user 3 only ever appears once
+        (3, "2024-01-17 08:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string")
+    got = {
+        (r["cohort"].strftime("%Y-%m-%d"), r["periods_since"]): (
+            r["n_users"], r["cohort_size"], r["retained_bp"]
+        )
+        for r in cohort_retention(df, "user_id", "ts", period="week").collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 10000)
+    assert got[("2024-01-01", 1)] == (1, 2, 5000)
+    assert got[("2024-01-01", 2)] == (1, 2, 5000)
+    assert got[("2024-01-15", 0)] == (1, 1, 10000)
+    assert len(got) == 4
+
+    with pytest.raises(ValueError):
+        cohort_retention(df, "user_id", "ts", period="hour")
