@@ -32,8 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for the declared queries — ``suite.ORACLE`` carries
     one SQL string per ``suite.QUERIES`` entry (approximate operators
-    pin recall-1.0 configs so exact SQL twins apply), except
-    ``bpe_tokenize``: an ordered data-dependent rewrite system has no
-    SQL twin, so it is intentionally rows-only (exactness is pinned by
-    tests/test_bpe.py against a sequential reference)."""
+    pin recall-1.0 configs so exact SQL twins apply), except two
+    intentionally rows-only entries with no SQL twin: ``bpe_tokenize``
+    (ordered data-dependent rewrite system; exactness pinned by
+    tests/test_bpe.py against a sequential reference) and
+    ``pca_project`` (eigendecomposition; determinism pinned by the
+    numpy-parity and layout tests in tests/test_stats.py)."""
     return dict(suite.ORACLE)
