@@ -460,7 +460,6 @@ def ks_drift(
     """
     from pyspark.sql import Window
 
-    spark = a.sparkSession
     sa = a.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(1))
     sb = b.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(0))
     u = sa.union(sb).filter(F.col("__v").isNotNull())
@@ -468,6 +467,31 @@ def ks_drift(
         F.sum("__ia").cast("long").alias("__ca"),
         F.sum(1 - F.col("__ia")).cast("long").alias("__cb"),
     )
+    return ks_from_counts(counts, "__v", "__ca", "__cb", num_partitions)
+
+
+def ks_from_counts(
+    counts: DataFrame,
+    value_col: str,
+    count_a_col: str,
+    count_b_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`ks_drift` from pre-aggregated per-value counts — the form a
+    STREAMING drift monitor needs: maintain a value histogram of the live
+    stream (a native update-mode groupBy count, bounded state = distinct
+    values), histogram the reference corpus once, full-outer the two on
+    the value, and hand the merged counts here. Same exact integer
+    cross-multiplied sup, same deterministic ``ks_at``. Missing counts
+    (value seen on one side only) may be NULL — treated as zero."""
+    from pyspark.sql import Window
+
+    spark = counts.sparkSession
+    counts = counts.select(
+        F.col(value_col).alias("__v"),
+        F.coalesce(F.col(count_a_col), F.lit(0)).cast("long").alias("__ca"),
+        F.coalesce(F.col(count_b_col), F.lit(0)).cast("long").alias("__cb"),
+    ).filter(F.col("__v").isNotNull())
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
         counts.repartitionByRange(n, F.col("__v"))

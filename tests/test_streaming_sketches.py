@@ -49,3 +49,51 @@ def test_streaming_hll_equals_batch(spark, tmp_path):
         for r in hll_estimate(hll_registers(batch_df, ["g"], "v", p=9), ["g"], p=9).collect()
     }
     assert est_stream == est_batch
+
+
+def test_streaming_ks_drift_monitor_equals_batch(spark, tmp_path):
+    """Live drift gate: the stream maintains a per-value histogram as a
+    native update-mode count (bounded state = distinct values); KS
+    against a reference corpus comes from ks_from_counts on the
+    full-outer of the two histograms and equals the batch ks_drift on
+    the same data."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import ks_drift, ks_from_counts
+
+    in_dir = str(tmp_path / "ks_in")
+    os.makedirs(in_dir)
+    live_vals = [round(0.1 * ((i * 7) % 40), 1) for i in range(900)]
+    for b in range(3):
+        with open(os.path.join(in_dir, f"b{b}.json"), "w") as fh:
+            for v in live_vals[b * 300 : (b + 1) * 300]:
+                fh.write(json.dumps({"v": v}) + "\n")
+
+    stream = json_file_stream(spark, in_dir, "v double")
+    hist = stream.groupBy("v").count()
+    q = (
+        hist.writeStream.format("memory")
+        .queryName("ks_hist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    ref_vals = [round(0.1 * ((i * 11) % 55), 1) for i in range(700)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    ref_hist = ref.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("ref_count")
+    )
+    merged = (
+        spark.sql("SELECT v, count AS live_count FROM ks_hist")
+        .join(ref_hist, "v", "full_outer")
+    )
+    got = ks_from_counts(merged, "v", "live_count", "ref_count").first()
+
+    live = spark.createDataFrame([(v,) for v in live_vals], "value double")
+    want = ks_drift(live, ref, "value").first()
+    assert (got["ks_stat"], got["ks_at"], got["n_a"], got["n_b"]) == (
+        want["ks_stat"], want["ks_at"], want["n_a"], want["n_b"],
+    )
+    assert got["ks_stat"] > 0  # the two generators genuinely differ
