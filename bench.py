@@ -118,6 +118,8 @@ BENCH_QUERIES = (
     "equidepth_bins",
     "k_anonymity",
     "cohort_retention",
+    "hits_scores",
+    "link_prediction",
 )
 
 

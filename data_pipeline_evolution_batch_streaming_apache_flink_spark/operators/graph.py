@@ -19,7 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "triangle_stats", "k_hop_reach"]
+__all__ = [
+    "pagerank",
+    "triangle_stats",
+    "k_hop_reach",
+    "label_propagation",
+    "hits",
+    "link_prediction",
+]
 
 
 def pagerank(
@@ -393,3 +400,197 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact-integer HITS (Kleinberg hubs & authorities) over a
+    directed edge list — the link-analysis complement of
+    :func:`pagerank`: authorities are the pointed-AT nodes worth
+    keeping (canonical sources in a crawl, best-selling suppliers in
+    the reference's purchase graph), hubs the pointers-TO worth
+    trusting as curators.
+
+    Power iteration with MAX-normalization, all in exact integers::
+
+        auth_raw(v) = Σ_{(u,v)∈E} hub(u)          -- one join + one sum
+        auth(v)     = (auth_raw(v) * scale) div max_v auth_raw
+        hub_raw(u)  = Σ_{(u,v)∈E} auth(v)
+        hub(u)      = (hub_raw(u) * scale) div max_u hub_raw
+
+    Any positive per-round rescaling leaves power iteration's fixpoint
+    direction unchanged; max-normalization (vs the textbook L2) keeps
+    every quantity a bigint so the result is bit-identical on any
+    layout/engine and an unrolled SQL twin reproduces it exactly —
+    same determinism contract as :func:`pagerank` /
+    ``semantic.kmeans_quantized``. No floats anywhere.
+
+    Overflow bound: ``raw ≤ d_max·scale`` and the normalize product is
+    ``raw·scale``, so ``d_max·scale² < 2^63`` — at the default
+    micro-scale that supports max in/out-degree ~9.2e6; lower ``scale``
+    for heavier hub degrees (ordering is insensitive well past 1e3).
+
+    Scale shape per round: two edge⋈scores equi-joins + two grouped
+    sums + two 1-row max aggregates (broadcast back via crossJoin — no
+    driver collect); ``localCheckpoint`` truncates lineage per round.
+    Parallel edges collapse first (presence, not multiplicity).
+
+    Returns ``(node, hub_micro, auth_micro)`` for every node; nodes
+    with no out-edges have hub 0, no in-edges auth 0.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _half(scores: DataFrame, join_on: str, emit: str) -> DataFrame:
+        # scores: (node, s). Contributions flow join_on -> emit.
+        raw = (
+            e.join(scores.select(F.col("node").alias(join_on), "s"), join_on)
+            .groupBy(F.col(emit).alias("node"))
+            .agg(F.sum("s").alias("__raw"))
+        )
+        mx = raw.agg(F.max("__raw").alias("__mx"))
+        normed = (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"(__raw * {scale}) div __mx").cast("bigint").alias("s"),
+            )
+        )
+        return (
+            nodes.join(normed, "node", "left")
+            .select("node", F.coalesce("s", F.lit(0)).cast("bigint").alias("s"))
+        )
+
+    hub = nodes.select("node", F.lit(scale).cast("bigint").alias("s"))
+    for _ in range(iterations):
+        auth = _half(hub, "src", "dst").localCheckpoint(eager=True)
+        hub = _half(auth, "dst", "src").localCheckpoint(eager=True)
+    return (
+        hub.withColumnRenamed("s", "hub_micro")
+        .join(auth.withColumnRenamed("s", "auth_micro"), "node")
+        .select("node", "hub_micro", "auth_micro")
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 2,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected graph:
+    for every NON-adjacent node pair sharing ≥ ``min_common``
+    neighbors, the three classic scores — common-neighbor count,
+    Adamic–Adar, and neighborhood Jaccard. This is "which pairs should
+    be edges": record-linkage candidates from co-citation, related-item
+    suggestions from co-purchase, near-dup doc pairs from shared-host
+    link structure.
+
+    Determinism contract (house PMI policy): counts and degrees are
+    exact bigints; each float enters as ONE double expression
+    immediately micro-rounded —
+
+        aa term(z)    = round(1e6 / ln(deg(z)))      -- per shared
+                        neighbor z, then EXACT bigint sum
+        jaccard_micro = round(cn * 1e6 / (deg_a + deg_b - cn))
+
+    (a wedge center z is adjacent to two distinct nodes, so deg(z) ≥ 2
+    and ``ln`` is never 0). Pairs are canonical ``node_a < node_b``;
+    input direction is ignored (both orientations are unioned and
+    deduped first).
+
+    Scale shape: wedge generation is the adjacency self-join on the
+    center — Σ_z deg(z)² rows, the same hot-hub quadratic as
+    :func:`triangle_stats`, EXCEPT link prediction needs both wedge
+    orientations so degree-orientation can't bound it. ``max_degree``
+    is the guard: centers with more neighbors drop out of wedge
+    generation entirely (standard practice — a 10^6-degree hub
+    contributes ~0 Adamic–Adar per pair and 10^12 wedges; cap it).
+    Everything else is key-hash equi-joins and one counted shuffle; the
+    existing-edge removal is a broadcast-friendly anti-join.
+
+    Returns ``(node_a, node_b, common_neighbors, deg_a, deg_b,
+    adamic_adar_micro, jaccard_micro)``.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    adj = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # wedge centers: z with its degree-derived Adamic-Adar term, hubs
+    # capped. Degree-1 centers can't form a wedge — drop them BEFORE the
+    # term evaluates (ln(1)=0 would divide-by-zero under ANSI mode).
+    centers = adj.join(
+        deg.where(F.col("deg") >= 2).withColumnRenamed("u", "v"), "v"
+    ).select(
+        F.col("v").alias("z"),
+        F.col("u").alias("leaf"),
+        F.expr("CAST(round(1e6 / ln(CAST(deg AS DOUBLE)), 0) AS BIGINT)").alias(
+            "__aa"
+        ),
+        "deg",
+    )
+    if max_degree is not None:
+        centers = centers.where(F.col("deg") <= max_degree)
+    left = centers.select("z", F.col("leaf").alias("node_a"), "__aa")
+    right = centers.select("z", F.col("leaf").alias("node_b"))
+    pairs = (
+        left.join(right, "z")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("__aa").alias("adamic_adar_micro"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    # drop already-adjacent pairs (canonical orientation suffices: adj
+    # holds both directions, so (a<b) adjacency appears as (u=a, v=b))
+    existing = adj.where(F.col("u") < F.col("v")).select(
+        F.col("u").alias("node_a"), F.col("v").alias("node_b")
+    )
+    candidates = pairs.join(existing, ["node_a", "node_b"], "left_anti")
+    return (
+        candidates.join(
+            deg.select(F.col("u").alias("node_a"), F.col("deg").alias("deg_a")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("u").alias("node_b"), F.col("deg").alias("deg_b")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            "adamic_adar_micro",
+            F.expr(
+                "CAST(round(common_neighbors * 1e6 /"
+                " (deg_a + deg_b - common_neighbors), 0) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )

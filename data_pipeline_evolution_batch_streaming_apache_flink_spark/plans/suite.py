@@ -4493,6 +4493,145 @@ def _ppr_oracle(iterations: int = _PPR_ITER) -> str:
 ORACLE["pagerank_personalized"] = _ppr_oracle()
 
 
+_HITS_ITER = 3
+
+
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities on the directed customer→supplier
+    purchase graph: authorities = the suppliers good customers buy
+    from, hubs = the customers whose baskets point at good suppliers.
+    Exact-integer max-normalized power iteration (operators/graph.py
+    hits) — bit-identical to the oracle's unrolled rounds."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=_HITS_ITER)
+
+
+QUERIES["hits_scores"] = q_hits
+
+
+def _hits_oracle(iterations: int = _HITS_ITER, scale: int = 10**6) -> str:
+    ctes = [
+        """e AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                          's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )""",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS s FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ar{i} AS (
+          SELECT e.dst AS node, sum(h.s) AS raw
+          FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY 1
+        )""")
+        ctes.append(f"""a{i} AS (
+          SELECT n.node,
+            CAST(coalesce((ar.raw * {scale}) // (SELECT max(raw) FROM ar{i}), 0)
+                 AS BIGINT) AS s
+          FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node
+        )""")
+        ctes.append(f"""hr{i} AS (
+          SELECT e.src AS node, sum(a.s) AS raw
+          FROM e JOIN a{i} a ON e.dst = a.node GROUP BY 1
+        )""")
+        ctes.append(f"""h{i} AS (
+          SELECT n.node,
+            CAST(coalesce((hr.raw * {scale}) // (SELECT max(raw) FROM hr{i}), 0)
+                 AS BIGINT) AS s
+          FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT h.node, h.s AS hub_micro, a.s AS auth_micro"
+        f"\nFROM h{iterations} h JOIN a{iterations} a ON h.node = a.node"
+    )
+
+
+ORACLE["hits_scores"] = _hits_oracle()
+
+
+_LP_MAX_DEG, _LP_MIN_CN = 40, 3
+
+
+def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
+    """Neighborhood-overlap link prediction on the undirected purchase
+    graph: which supplier pairs share ≥3 customers without sharing an
+    edge (the graph is bipartite, so every candidate pair is same-side
+    and never adjacent — the anti-join is load-bearing on general
+    graphs and a verified no-op here). Wedge centers are capped at
+    degree ≤40, which drops the hub suppliers (thousands of customers
+    each) exactly as the operator's quadratic guard is designed to —
+    candidates flow through shared CUSTOMERS only."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
+
+    t = load_tables(spark, sf, ("orders", "lineitem"))
+    edges = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return link_prediction(
+        edges, min_common=_LP_MIN_CN, max_degree=_LP_MAX_DEG
+    )
+
+
+QUERIES["link_prediction"] = q_link_prediction
+
+ORACLE["link_prediction"] = f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                  's' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+adj AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+centers AS (
+  SELECT a.v AS z, a.u AS leaf,
+         CAST(round(1e6 / ln(CAST(d.deg AS DOUBLE)), 0) AS BIGINT) AS aa
+  FROM adj a JOIN deg d ON a.v = d.u
+  WHERE d.deg BETWEEN 2 AND {_LP_MAX_DEG}
+),
+pairs AS (
+  SELECT l.leaf AS node_a, r.leaf AS node_b,
+         count(*) AS common_neighbors, sum(l.aa) AS adamic_adar_micro
+  FROM centers l JOIN centers r ON l.z = r.z AND l.leaf < r.leaf
+  GROUP BY 1, 2
+  HAVING count(*) >= {_LP_MIN_CN}
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj x
+    WHERE x.u = p.node_a AND x.v = p.node_b
+  )
+)
+SELECT c.node_a, c.node_b, c.common_neighbors,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(c.adamic_adar_micro AS BIGINT) AS adamic_adar_micro,
+       CAST(round(c.common_neighbors * 1e6
+                  / (da.deg + db.deg - c.common_neighbors), 0) AS BIGINT)
+         AS jaccard_micro
+FROM cand c
+JOIN deg da ON c.node_a = da.u
+JOIN deg db ON c.node_b = db.u
+"""
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization + URL-level dedup (functions/url.py)
 # ---------------------------------------------------------------------------

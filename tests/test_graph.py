@@ -205,3 +205,149 @@ def test_label_propagation_two_cliques_separate(spark):
     got = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
     assert {got[1], got[2], got[3]} == {1}
     assert {got[7], got[8], got[9]} == {7}
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+def _hits_reference(edges, iterations, scale=10**6):
+    """Sequential mirror of the exact-integer max-normalized rounds."""
+    edges = sorted(set(edges))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    hub = {n: scale for n in nodes}
+    auth = {n: 0 for n in nodes}
+    for _ in range(iterations):
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[v] += hub[u]
+        mx = max(raw.values())
+        auth = {n: (raw[n] * scale) // mx for n in nodes}
+        raw = {n: 0 for n in nodes}
+        for u, v in edges:
+            raw[u] += auth[v]
+        mx = max(raw.values())
+        hub = {n: (raw[n] * scale) // mx for n in nodes}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def test_hits_matches_sequential_reference(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
+
+    edges = [(f"n{i}", f"n{(i * i + 5) % 17}") for i in range(60)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub_micro, r.auth_micro) for r in hits(df, iterations=3).collect()}
+    assert got == _hits_reference(edges, 3)
+
+
+def test_hits_bipartite_split(spark):
+    # pure bipartite pointers: left side are pure hubs, right pure
+    # authorities; the most-pointed-at right node gets auth == scale
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
+
+    edges = [("l1", "r1"), ("l2", "r1"), ("l3", "r1"), ("l1", "r2")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub_micro, r.auth_micro) for r in hits(df, iterations=3).collect()}
+    assert got["r1"][1] == 10**6 and got["r1"][0] == 0
+    assert got["l2"][1] == 0 and got["l2"][0] > 0
+    assert got["l1"][0] == 10**6  # points at both authorities -> top hub
+    assert got["l1"][0] > got["l2"][0] == got["l3"][0]
+
+
+def test_hits_layout_independent(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
+
+    edges = [(f"a{i % 9}", f"b{(i * 3 + 1) % 13}") for i in range(80)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r.node: (r.hub_micro, r.auth_micro) for r in hits(df, iterations=3).collect()}
+    r2 = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in hits(df.repartition(13, "dst"), iterations=3).collect()
+    }
+    assert r1 == r2
+
+
+def test_hits_rejects_zero_iterations(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
+
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits(one, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# link prediction (common neighbors / Adamic-Adar / Jaccard)
+# ---------------------------------------------------------------------------
+
+def _lp_reference(edges, min_common, max_degree=None):
+    import math
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {n: len(ns) for n, ns in adj.items()}
+    out = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if b in adj[a]:
+                continue
+            common = [
+                z for z in adj[a] & adj[b]
+                if max_degree is None or deg[z] <= max_degree
+            ]
+            if len(common) < min_common:
+                continue
+            aa = sum(round(1e6 / math.log(deg[z])) for z in common)
+            jac = round(len(common) * 1e6 / (deg[a] + deg[b] - len(common)))
+            out[(a, b)] = (len(common), deg[a], deg[b], aa, jac)
+    return out
+
+
+def test_link_prediction_matches_sequential_reference(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
+
+    edges = [(f"n{i}", f"n{(i * 5 + 2) % 19}") for i in range(70)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.node_a, r.node_b): (
+            r.common_neighbors, r.deg_a, r.deg_b,
+            r.adamic_adar_micro, r.jaccard_micro,
+        )
+        for r in link_prediction(df, min_common=1).collect()
+    }
+    assert got == _lp_reference(edges, 1)
+
+
+def test_link_prediction_excludes_adjacent_pairs(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
+
+    # triangle + pendant: (a,b),(b,c),(a,c),(c,d) — every 2-common pair
+    # is already an edge; only (a,d)/(b,d) qualify via center c
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.node_a, r.node_b) for r in link_prediction(df, min_common=1).collect()}
+    assert got == {("a", "d"), ("b", "d")}
+
+
+def test_link_prediction_max_degree_drops_hub_centers(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
+
+    # star: hub adjacent to 6 leaves; all leaf pairs share only the hub
+    edges = [("hub", f"l{i}") for i in range(6)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    assert link_prediction(df, min_common=1).count() == 15
+    assert link_prediction(df, min_common=1, max_degree=5).count() == 0
+
+
+def test_link_prediction_rejects_bad_min_common(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
+
+    one = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="min_common"):
+        link_prediction(one, min_common=0)
