@@ -120,6 +120,7 @@ BENCH_QUERIES = (
     "cohort_retention",
     "hits_scores",
     "link_prediction",
+    "winnow_pairs",
 )
 
 

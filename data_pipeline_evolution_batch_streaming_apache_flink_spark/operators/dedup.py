@@ -1010,3 +1010,137 @@ def ngram_containment_pairs(
         F.round(F.col("__shared") / F.col("sb"), 6).alias("containment"),
     )
     return fwd.union(rev).filter(F.col("containment") >= threshold)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): position-bearing local fingerprints with the
+    guarantee that any shared substring of length ``k + window - 1``
+    produces at least one shared fingerprint — the standard plagiarism /
+    code-clone / boilerplate localizer, complementing the house
+    global near-dup family (MinHash is set-level, ``duplicate_spans``
+    is exact-span; winnowing is the sub-linear-index middle ground).
+
+    Per document: hash every character ``k``-gram (first 15 hex chars of
+    md5 folded to a 60-bit int — the house portable hash), then in every
+    sliding window of ``window`` consecutive gram hashes select the
+    MINIMUM, ties to the RIGHTMOST position (the paper's robust-winnowing
+    rule, which makes the selection deterministic); duplicate selections
+    collapse. Documents shorter than ``k`` emit nothing; documents with
+    1..window-1 grams emit the minimum of what exists (one truncated
+    window), so every hashable document yields ≥1 fingerprint.
+
+    Everything is row-local codegen'd SQL (one ``transform`` building the
+    gram structs, one ``transform``+``aggregate`` doing the O(m·window)
+    argmin sweep, no UDF, no shuffle); ``fan_out`` spreads the md5-heavy
+    projection across cores first. Expected fingerprint density is
+    ``2/(window+1)`` grams — the index is ~``2m/(window+1)`` rows per
+    m-char document.
+
+    Returns ``(id, pos, fp)`` — 1-based gram start position and 60-bit
+    fingerprint hash.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    base = fan_out(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    )
+    gram_h = (
+        f"CAST(conv(substr(md5(substring(__t, p, {k})), 1, 15), 16, 10) AS BIGINT)"
+    )
+    ps = (
+        f"CASE WHEN length(__t) >= {k} THEN "
+        f"transform(sequence(1, length(__t) - {k} + 1), "
+        f"p -> named_struct('h', {gram_h}, 'p', p)) "
+        f"ELSE CAST(array() AS array<struct<h: bigint, p: int>>) END"
+    )
+    sels = (
+        f"transform(sequence(1, greatest(size(__ps) - {window} + 1, 1)), s -> "
+        f"aggregate(slice(__ps, s, {window}), "
+        f"CAST(NULL AS struct<h: bigint, p: int>), "
+        f"(acc, x) -> CASE WHEN acc IS NULL OR x.h < acc.h "
+        f"OR (x.h = acc.h AND x.p > acc.p) THEN x ELSE acc END))"
+    )
+    return (
+        base.select("__id", F.expr(ps).alias("__ps"))
+        .select("__id", F.explode(F.expr(f"array_distinct({sels})")).alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__fp.p").alias("pos"),
+            F.col("__fp.h").alias("fp"),
+        )
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing winnowing fingerprints — the MOSS match
+    step: candidate plagiarism/boilerplate pairs ranked by how many
+    local fingerprints they share.
+
+    Positions are dropped (presence per doc), then the inverted
+    fingerprint index self-joins exactly like ``ngram_jaccard_pairs``:
+    pairs sharing nothing never meet a hash join. ``max_df`` drops
+    fingerprints present in more than that many documents BEFORE both
+    the join and the per-doc totals (a fingerprint shared by c docs
+    contributes c² join rows — same stop-shingle quadratic, same guard;
+    totals use the filtered set so ``shared <= least(fp_a, fp_b)`` holds
+    exactly). ``overlap_micro`` is exact integer containment vs the
+    smaller filtered fingerprint set.
+
+    Returns ``(id_a, id_b, shared_fps, fp_a, fp_b, overlap_micro)``
+    with ``id_a < id_b`` and ``shared_fps >= min_shared``.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, window=window)
+        .select("id", "fp")
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+        )
+        fps = fps.join(keep.select("fp"), "fp")
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    withn = fps.join(sizes, "id")
+    a = withn.select(
+        F.col("id").alias("id_a"), F.col("__n").alias("fp_a"), "fp"
+    )
+    b = withn.select(
+        F.col("id").alias("id_b"), F.col("__n").alias("fp_b"), "fp"
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "fp_a", "fp_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            "fp_a",
+            "fp_b",
+            F.expr("(shared_fps * 1000000) div least(fp_a, fp_b)")
+            .cast("bigint")
+            .alias("overlap_micro"),
+        )
+    )

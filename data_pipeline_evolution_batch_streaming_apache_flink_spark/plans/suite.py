@@ -4795,6 +4795,69 @@ ORACLE["dedup_containment"] = r"""
 """
 
 
+_WIN_K, _WIN_W, _WIN_MAXDF, _WIN_MINSH = 8, 4, 5, 2
+
+
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style winnowing: local fingerprints (min-of-window char-gram
+    hashes, rightmost ties — operators/dedup.py winnow_fingerprints)
+    then pairs sharing ≥2 rare fingerprints. Every step is exact
+    integer md5 arithmetic, so the oracle replays the identical
+    algorithm relationally (grams → windowed argmin via row_number →
+    df-filtered inverted index)."""
+    t = load_tables(spark, sf, ("documents",))
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(
+        t["documents"], "doc_id", "text",
+        k=_WIN_K, window=_WIN_W,
+        min_shared=_WIN_MINSH, max_df=_WIN_MAXDF,
+    )
+
+
+QUERIES["winnow_pairs"] = q_winnow_pairs
+
+ORACLE["winnow_pairs"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {_WIN_K}),
+grams AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         ('0x' || substr(md5(substr(text, CAST(p AS INT), {_WIN_K})), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {_WIN_K} + 1)) AS p
+        FROM d)
+),
+gm AS (SELECT doc_id, max(p) AS m FROM grams GROUP BY 1),
+starts AS (
+  SELECT doc_id, CAST(s AS INT) AS s
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, greatest(m - {_WIN_W} + 1, 1))) AS s
+        FROM gm)
+),
+sel AS (
+  SELECT starts.doc_id, starts.s, grams.h, grams.p,
+         row_number() OVER (PARTITION BY starts.doc_id, starts.s
+                            ORDER BY grams.h ASC, grams.p DESC) AS rn
+  FROM starts JOIN grams ON starts.doc_id = grams.doc_id
+  WHERE grams.p BETWEEN starts.s AND starts.s + {_WIN_W} - 1
+),
+fps AS (SELECT DISTINCT doc_id, h FROM sel WHERE rn = 1),
+kept AS (SELECT h FROM fps GROUP BY h HAVING count(*) <= {_WIN_MAXDF}),
+ffps AS (SELECT f.doc_id, f.h FROM fps f JOIN kept USING (h)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ffps GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ffps a JOIN ffps b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {_WIN_MINSH}
+)
+SELECT p.id_a, p.id_b, CAST(p.shared AS BIGINT) AS shared_fps,
+       CAST(sa.n AS BIGINT) AS fp_a, CAST(sb.n AS BIGINT) AS fp_b,
+       CAST((p.shared * 1000000) // least(sa.n, sb.n) AS BIGINT) AS overlap_micro
+FROM pairs p
+JOIN sizes sa ON p.id_a = sa.doc_id
+JOIN sizes sb ON p.id_b = sb.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML -> text extraction (functions/text.py html_to_text)
 # ---------------------------------------------------------------------------
