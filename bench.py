@@ -121,6 +121,7 @@ BENCH_QUERIES = (
     "hits_scores",
     "link_prediction",
     "winnow_pairs",
+    "ewma_features",
 )
 
 

@@ -58,3 +58,85 @@ def interpolate_linear(
         .otherwise(interp)
     )
     return df.withColumn(out_col, filled)
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    window: int = 8,
+    decay_num: int = 1,
+    decay_den: int = 2,
+    quantize: int = 100,
+    out_scale: int = 10**4,
+    out_col: str = "ewma_micro",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key — the
+    smoothing feature under anomaly gates and trend monitors — in EXACT
+    integer arithmetic (house determinism policy: bit-identical on any
+    layout/engine, reproducible by a SQL twin).
+
+    Over the last ``window`` observations (ordered by ``ts_col``,
+    ties by ``tiebreak_cols``), with retention ``r = decay_num /
+    decay_den`` (weight of an observation ``j`` steps back ∝ ``r^j``;
+    the default 1/2 is the classic one-step half-decay)::
+
+        x_t   = floor(value * quantize)            -- exact input grid
+        n     = Σ_idx x_idx · decay_num^(s-1-idx) · decay_den^idx
+        w     = Σ_idx       decay_num^(s-1-idx) · decay_den^idx
+        ewma  = floor_div(n · out_scale, w)        -- integer output units
+
+    (``idx`` ascending within the window, ``s ≤ window`` actual rows —
+    leading rows use the shorter prefix, the standard ``adjust=True``
+    truncated form). ``n``/``w`` build in ONE left-to-right ``aggregate``
+    recurrence — ``n' = decay_num·n + p·x, w' = decay_num·w + p,
+    p' = decay_den·p`` — so no floating pow anywhere; the final division
+    is FLOOR division via ``(n - pmod(n, w)) div w`` (Spark ``div``
+    truncates toward zero; DuckDB/Python floor — pmod reconciles them
+    for negative inputs).
+
+    Overflow bound: ``|n·out_scale| ≤ max|x| · window · decay_den^window
+    · out_scale`` must stay under 2^63 — defaults support cent-quantized
+    values up to ~$3.5e10 per observation; widen ``window`` or
+    ``decay_den`` only with correspondingly smaller scales.
+
+    Scale shape: one key-hash shuffle + one in-partition sort (the
+    window), then row-local HOF codegen — the ``collect_list`` frame
+    holds ≤ ``window`` bigints per row, never the whole key history.
+
+    Returns the input plus ``out_col`` (bigint, ``quantize·out_scale``
+    units per input unit).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 0 < decay_num < decay_den:
+        raise ValueError(
+            f"need 0 < decay_num < decay_den, got {decay_num}/{decay_den}"
+        )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, *tiebreak_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    cents = F.expr(
+        f"CAST(floor({val_col} * {quantize}) AS BIGINT)"
+    )
+    xs = F.collect_list(cents).over(w)
+    agg = (
+        "aggregate(__xs, "
+        "named_struct('n', CAST(0 AS BIGINT), 'w', CAST(0 AS BIGINT), "
+        "'p', CAST(1 AS BIGINT)), "
+        f"(acc, x) -> named_struct("
+        f"'n', {decay_num} * acc.n + acc.p * x, "
+        f"'w', {decay_num} * acc.w + acc.p, "
+        f"'p', {decay_den} * acc.p), "
+        f"acc -> CAST((acc.n * {out_scale} - pmod(acc.n * {out_scale}, acc.w))"
+        f" div acc.w AS BIGINT))"
+    )
+    return (
+        df.withColumn("__xs", xs)
+        .withColumn(out_col, F.expr(agg))
+        .drop("__xs")
+    )

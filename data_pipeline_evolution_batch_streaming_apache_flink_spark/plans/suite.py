@@ -3178,6 +3178,44 @@ ORACLE["interpolate"] = """
     FROM n
 """
 
+def q_ewma(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated exact-integer EWMA (operators/timeseries.py ewma) of
+    per-user event values, classic half-decay over the last 8
+    observations. One user-key shuffle + shared sort; the weighted sum
+    is a single HOF recurrence — no floating pow, floor-division parity
+    pinned against the oracle's bit-shift weights."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ewma
+
+    t = load_tables(spark, sf, ("events",))
+    out = ewma(
+        t["events"], "user_id", "ts", "value",
+        window=8, tiebreak_cols=("event_id",),
+    )
+    return out.select("user_id", "event_id", "ewma_micro")
+
+
+QUERIES["ewma_features"] = q_ewma
+
+ORACLE["ewma_features"] = """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    agg AS (
+      SELECT a.user_id, a.event_id,
+             sum(b.cents * (1::BIGINT <<
+                 CAST(least(a.rn, 8) - 1 - (a.rn - b.rn) AS INT))) AS n,
+             sum(1::BIGINT <<
+                 CAST(least(a.rn, 8) - 1 - (a.rn - b.rn) AS INT)) AS w
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+      GROUP BY 1, 2
+    )
+    SELECT user_id, event_id, CAST((n * 10000) // w AS BIGINT) AS ewma_micro
+    FROM agg
+"""
+
 ORACLE["hist_quantiles"] = """
     WITH src AS (
       SELECT o_orderpriority AS priority, CAST(o_totalprice AS DOUBLE) AS x

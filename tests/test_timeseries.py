@@ -121,3 +121,76 @@ def test_histogram_and_psi_ignore_nan(spark):
     assert hq[0].total == 90
     psi = psi_drift(df, df, "x", 0.0, 100.0, bins=5).collect()
     assert sum(r.n_a for r in psi) == 90
+
+
+# ---------------------------------------------------------------------------
+# truncated exact-integer EWMA
+# ---------------------------------------------------------------------------
+
+def _ewma_ref(vals, L, dn=1, dd=2, q=100, so=10**4):
+    import math
+
+    cents = [math.floor(v * q) for v in vals]
+    out = []
+    for i in range(len(vals)):
+        win = cents[max(0, i - L + 1):i + 1]
+        s = len(win)
+        n = sum(x * dn ** (s - 1 - idx) * dd ** idx for idx, x in enumerate(win))
+        w = sum(dn ** (s - 1 - idx) * dd ** idx for idx in range(s))
+        out.append((n * so) // w)  # python // floors, the pinned semantic
+    return out
+
+
+def test_ewma_matches_reference_including_negatives(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ewma
+
+    vals = [3.5, -1.2, 7.77, 0.0, 2.25, 9.99, -5.5, 1.01, -0.07]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, t int, v double"
+    )
+    got = {r.t: r.ewma_micro for r in ewma(df, "k", "t", "v", window=4).collect()}
+    assert [got[i] for i in range(len(vals))] == _ewma_ref(vals, 4)
+
+
+def test_ewma_slow_decay_rational(spark):
+    # retention 3/4: the general-rational recurrence path
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ewma
+
+    vals = [10.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, t int, v double"
+    )
+    got = {
+        r.t: r.ewma_micro
+        for r in ewma(df, "k", "t", "v", window=4, decay_num=3, decay_den=4).collect()
+    }
+    assert [got[i] for i in range(4)] == _ewma_ref(vals, 4, dn=3, dd=4)
+    # slow decay keeps more of the old value than the default would
+    fast = {r.t: r.ewma_micro for r in ewma(df, "k", "t", "v", window=4).collect()}
+    assert got[3] > fast[3]
+
+
+def test_ewma_keys_independent_and_layout_stable(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ewma
+
+    rows = [(k, i, float((i * 7 + hash(k)) % 50) / 3) for k in "abc" for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    a = sorted(map(tuple, ewma(df, "k", "t", "v", window=5).collect()))
+    b = sorted(map(tuple, ewma(df.repartition(7, "t"), "k", "t", "v", window=5).collect()))
+    assert a == b
+    for k in "abc":
+        vals = [v for kk, _, v in rows if kk == k]
+        got = [x[-1] for x in sorted(a) if x[0] == k]
+        assert got == _ewma_ref(vals, 5)
+
+
+def test_ewma_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, t int, v double")
+    with _pytest.raises(ValueError, match="window"):
+        ewma(df, "k", "t", "v", window=0)
+    with _pytest.raises(ValueError, match="decay_num"):
+        ewma(df, "k", "t", "v", decay_num=2, decay_den=2)
