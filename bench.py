@@ -122,6 +122,7 @@ BENCH_QUERIES = (
     "link_prediction",
     "winnow_pairs",
     "ewma_features",
+    "nb_classify",
 )
 
 

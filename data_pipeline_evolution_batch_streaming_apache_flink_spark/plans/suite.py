@@ -4833,6 +4833,69 @@ ORACLE["dedup_containment"] = r"""
 """
 
 
+def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-trained multinomial Naive Bayes language router
+    (operators/classify.py): train on the 4/5 of documents with
+    doc_id % 5 != 0, classify the held-out fifth. Every log-prob is one
+    micro-rounded ln of an exact integer ratio; doc scores are exact
+    bigint sums, ties to the smallest label — the oracle replays the
+    identical model."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.classify import naive_bayes_classify
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"].where(F.col("text").isNotNull())
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    return naive_bayes_classify(train, test, "lang", "text", "doc_id")
+
+
+QUERIES["nb_classify"] = q_nb_classify
+
+ORACLE["nb_classify"] = r"""
+WITH docs AS (SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL),
+tr AS (SELECT * FROM docs WHERE doc_id % 5 != 0),
+te AS (SELECT doc_id, text FROM docs WHERE doc_id % 5 = 0),
+tr_tok AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM tr
+),
+cond AS (SELECT lang, tok, count(*) AS c FROM tr_tok GROUP BY 1, 2),
+cls AS (SELECT lang, sum(c) AS tc FROM cond GROUP BY 1),
+v AS (SELECT count(DISTINCT tok) AS v FROM cond),
+n AS (SELECT count(*) AS n FROM tr),
+priors AS (
+  SELECT lang,
+         CAST(round(ln(CAST(count(*) AS DOUBLE)
+              / CAST((SELECT n FROM n) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS prior
+  FROM tr GROUP BY 1
+),
+te_tok AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM te
+  ) GROUP BY 1, 2
+),
+scored AS (
+  SELECT tt.doc_id, cl.lang,
+         p.prior + sum(tt.cnt *
+           CAST(round(ln(CAST(coalesce(cd.c, 0) + 1 AS DOUBLE)
+                / CAST(cl.tc + (SELECT v FROM v) AS DOUBLE)) * 1e6, 0)
+                AS BIGINT)) AS score
+  FROM te_tok tt
+  CROSS JOIN cls cl
+  JOIN priors p ON p.lang = cl.lang
+  LEFT JOIN cond cd ON cd.lang = cl.lang AND cd.tok = tt.tok
+  GROUP BY 1, 2, p.prior
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT doc_id AS id, lang AS label, CAST(score AS BIGINT) AS score_micro
+FROM best WHERE rn = 1
+"""
+
+
 _WIN_K, _WIN_W, _WIN_MAXDF, _WIN_MINSH = 8, 4, 5, 2
 
 
