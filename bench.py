@@ -123,6 +123,8 @@ BENCH_QUERIES = (
     "winnow_pairs",
     "ewma_features",
     "nb_classify",
+    "variant_shred",
+    "xml_ingest",
 )
 
 

@@ -4833,6 +4833,98 @@ ORACLE["dedup_containment"] = r"""
 """
 
 
+def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT semi-structured ingestion (sources/semistructured.py):
+    events are wrapped into a nested JSON payload, parsed ONCE into
+    Spark 4's variant encoding, and shredded back into typed columns
+    via lazy path extraction — then aggregated. The oracle derives the
+    same numbers straight from the base columns, so the round trip
+    through the variant binary format is what's being verified."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.semistructured import shred_variant
+
+    t = load_tables(spark, sf, ("events",))
+    payload = t["events"].select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.struct(
+                    F.col("value").alias("v"),
+                    F.get_json_object("props", "$.k").cast("int").alias("k"),
+                ).alias("m"),
+            )
+        ).alias("payload")
+    )
+    shredded = shred_variant(
+        payload,
+        "payload",
+        {
+            "p_type": ("$.type", "string"),
+            "p_v": ("$.m.v", "double"),
+            "p_k": ("$.m.k", "int"),
+        },
+    )
+    return shredded.groupBy(F.col("p_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(floor(p_v * 100) AS BIGINT)")).alias("cents"),
+        F.sum("p_k").cast("bigint").alias("k_sum"),
+    )
+
+
+QUERIES["variant_shred"] = q_variant_shred
+
+ORACLE["variant_shred"] = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_sum
+    FROM events
+    GROUP BY 1
+"""
+
+
+def q_xml_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Native XML decode (sources/semistructured.py decode_xml, Spark 4
+    from_xml): orders serialized as XML order records, parsed back with
+    an element schema, aggregated per status. The oracle builds and
+    regexp-parses its own XML — an independent derivation of the same
+    contract."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.semistructured import decode_xml
+
+    t = load_tables(spark, sf, ("orders",))
+    xml = t["orders"].select(
+        F.concat(
+            F.lit("<order><status>"), F.col("o_orderstatus"),
+            F.lit("</status><total>"), F.col("o_totalprice").cast("string"),
+            F.lit("</total></order>"),
+        ).alias("x")
+    )
+    dec = decode_xml(xml, "x", "status STRING, total DOUBLE")
+    return dec.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(floor(total * 100) AS BIGINT)")).alias("cents"),
+    )
+
+
+QUERIES["xml_ingest"] = q_xml_ingest
+
+ORACLE["xml_ingest"] = """
+    WITH x AS (
+      SELECT '<order><status>' || o_orderstatus || '</status><total>'
+             || CAST(o_totalprice AS VARCHAR) || '</total></order>' AS x
+      FROM orders
+    ),
+    parsed AS (
+      SELECT regexp_extract(x, '<status>([^<]*)</status>', 1) AS status,
+             CAST(regexp_extract(x, '<total>([^<]*)</total>', 1) AS DOUBLE)
+               AS total
+      FROM x
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(total * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM parsed GROUP BY 1
+"""
+
+
 def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
     """Self-trained multinomial Naive Bayes language router
     (operators/classify.py): train on the 4/5 of documents with
