@@ -913,3 +913,42 @@ def test_streaming_asof_state_survives_checkpoint_restart(spark, tmp_path):
         if r["fid"] not in (999, 998)
     }
     assert got == {(1, 5), (2, 5)}  # fid 2 priced purely from recovered state
+
+
+def test_streaming_interval_join_left_outer_emits_null_padded(spark, tmp_path):
+    """J6 streaming, outer mode: an order with no shipment inside its
+    window must surface null-padded — but only once BOTH watermarks
+    prove no match can still arrive (heartbeats push them past the
+    window). Matched rows must not double-emit."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_interval_join
+
+    order_rows = [
+        {"k": 1, "oid": 1, "ots": "2024-01-01 10:00:00"},  # ship 10 matches
+        {"k": 2, "oid": 2, "ots": "2024-01-01 10:05:00"},  # no match -> null pad
+    ]
+    ship_rows = [
+        {"k": 1, "sid": 10, "sts": "2024-01-01 10:02:00"},
+    ]
+    # heartbeats (filtered from the result) advance BOTH watermarks far
+    # past every window so the unmatched left row's state is finalized
+    hb_l = {"k": 99, "oid": 999, "ots": "2024-01-01 12:00:00"}
+    hb_r = {"k": 99, "sid": 999, "sts": "2024-01-01 12:00:00"}
+    l_dir, r_dir = str(tmp_path / "ivlo_l"), str(tmp_path / "ivlo_r")
+    _write_batches(l_dir, [order_rows, [hb_l]])
+    _write_batches(r_dir, [ship_rows, [hb_r]])
+
+    joined = streaming_interval_join(
+        json_file_stream(spark, l_dir, "k int, oid int, ots timestamp"),
+        json_file_stream(spark, r_dir, "k int, sid int, sts timestamp"),
+        key="k", left_ts="ots", right_ts="sts",
+        lower="1 minute", upper="5 minutes",
+        watermark_left="0 seconds", watermark_right="0 seconds",
+        how="left_outer",
+    ).select("oid", "sid")
+    out_dir = _run_available_now(joined, tmp_path, "ivlo")
+    got = sorted(
+        (r["oid"], r["sid"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["oid"] != 999
+    )
+    assert got == [(1, 10), (2, None)]
