@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bucketize", "zvalue2", "zorder_write", "compact_files", "compact_partitioned"]
+__all__ = ["bucketize", "zvalue2", "zorder_write", "compact_files", "compact_partitioned", "manifest_stats", "read_pruned"]
 
 #: magic-mask bit spread (16 bits -> even positions of 32), the classic
 #: "Interleave bits by Binary Magic Numbers" construction (public
@@ -204,3 +204,94 @@ def compact_partitioned(
         stats["compacted"] += 1
         stats["files_after"] += r["files_after"]
     return stats
+
+
+def manifest_stats(spark, path: str, columns: list[str]) -> DataFrame:
+    """Per-file min/max/null-count manifest for a parquet directory —
+    the data-skipping index Delta keeps in its transaction log and
+    Iceberg in manifest files, built engine-side with one aggregation.
+
+    One scan of the listed columns grouped by ``input_file_name()``
+    produces, per file: ``n_rows`` plus ``min_<c>``, ``max_<c>``,
+    ``nulls_<c>`` for every requested column (min/max ignore nulls, the
+    parquet-stats convention). Build it ONCE after a write/compaction,
+    persist it next to the data, and every subsequent range query can
+    prune files without touching their footers — at 100 TB the manifest
+    is ~one row per file (KBs per TB), while the scan it avoids is the
+    single largest cost in the system.
+
+    Scale shape: map-side combine into ≤ n_files groups — the shuffle
+    carries one partial row per (task, file). Column pruning applies:
+    only ``columns`` are read.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+    df = read_parquet(spark, path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}"),
+        ]
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def read_pruned(
+    spark,
+    path: str,
+    manifest: DataFrame,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Range-predicate read that opens ONLY the files whose manifest
+    interval intersects the predicate — file-level skipping on top of
+    (not instead of) parquet's own row-group stats.
+
+    ``ranges`` maps column -> (lo, hi), inclusive; ``None`` bounds are
+    open-ended. A file qualifies when every predicate interval
+    intersects its ``[min_<c>, max_<c>]``; files that are all-null in a
+    predicate column cannot match a range comparison and are skipped
+    (their manifest min/max are NULL — the null-safe guard below keeps
+    them out without special cases). The residual row filter is still
+    applied, so correctness never depends on manifest freshness FOR
+    PRUNED-IN files — a STALE manifest may prune out files with new
+    matching rows; rebuild after writes (same contract as any
+    stats-based skipping index).
+
+    The surviving file list round-trips through the driver — bounded by
+    the file count you were about to hand the scheduler anyway (the
+    same order of driver state as Delta's log replay). Empty survivor
+    set returns an empty DataFrame with the source schema.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import _nano_timestamp_cols, read_parquet
+
+    cond = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            cond = cond & (F.col(f"max_{c}") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"min_{c}") <= F.lit(hi))
+    files = [r["file"] for r in manifest.where(cond).select("file").collect()]
+    base = read_parquet(spark, path)
+    if not files:
+        return base.limit(0)
+    # same nano-timestamp normalization as read_parquet, against the
+    # directory's schema (per-file schemas are identical by contract)
+    try:
+        nano_cols = _nano_timestamp_cols(path)
+    except Exception:
+        nano_cols = []
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = spark.read.parquet(*files)
+    for c in nano_cols:
+        out = out.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            out = out.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(c) <= F.lit(hi))
+    return out

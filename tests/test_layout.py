@@ -193,3 +193,74 @@ def test_compact_partitioned_only_touches_fragmented_partitions(spark, tmp_path)
     got = spark.read.parquet(path)
     assert got.count() == 4000
     assert got.filter("day = 0").count() == 2000
+
+
+# ---------------------------------------------------------------------------
+# manifest-stats file pruning
+# ---------------------------------------------------------------------------
+
+def test_manifest_stats_per_file_minmax(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import manifest_stats
+
+    p = str(tmp_path / "mstats")
+    # two files with disjoint value ranges via range-partitioned write
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS n"
+    )
+    df.repartitionByRange(2, "id").write.mode("overwrite").parquet(p)
+    m = manifest_stats(spark, p, ["v", "n"]).collect()
+    assert len(m) == 2
+    total = sum(r.n_rows for r in m)
+    assert total == 1000
+    for r in m:
+        assert r.min_v <= r.max_v
+    assert sum(r.nulls_n for r in m) == 100  # every 10th id is null
+    # file ranges are disjoint (range partitioning)
+    (a, b) = sorted(m, key=lambda r: r.min_v)
+    assert a.max_v < b.min_v
+
+
+def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import manifest_stats, read_pruned
+
+    p = str(tmp_path / "mprune")
+    df = spark.range(0, 4000).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    df.repartitionByRange(8, "id").write.mode("overwrite").parquet(p)
+    m = manifest_stats(spark, p, ["v"])
+    pruned = read_pruned(spark, p, m, {"v": (100.0, 299.0)})
+    # only the files covering [100, 299] open — not all 8
+    assert 0 < len(pruned.inputFiles()) < 8
+    got = sorted(r.id for r in pruned.collect())
+    assert got == list(range(100, 300))
+    # open-ended bound
+    hi = read_pruned(spark, p, m, {"v": (3900.0, None)})
+    assert sorted(r.id for r in hi.collect()) == list(range(3900, 4000))
+    assert len(hi.inputFiles()) < 8
+
+
+def test_read_pruned_empty_survivor_set(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import manifest_stats, read_pruned
+
+    p = str(tmp_path / "mempty")
+    spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS v").write.mode(
+        "overwrite"
+    ).parquet(p)
+    m = manifest_stats(spark, p, ["v"])
+    out = read_pruned(spark, p, m, {"v": (1e9, 2e9)})
+    assert out.count() == 0
+    assert out.columns == ["id", "v"]
+
+
+def test_read_pruned_all_null_file_skipped(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import manifest_stats, read_pruned
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "mnull")
+    good = spark.range(0, 10).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    nulls = spark.range(10, 20).select("id", F.lit(None).cast("double").alias("v"))
+    good.coalesce(1).write.mode("overwrite").parquet(p)
+    nulls.coalesce(1).write.mode("append").parquet(p)
+    m = manifest_stats(spark, p, ["v"])
+    out = read_pruned(spark, p, m, {"v": (0.0, 100.0)})
+    assert len(out.inputFiles()) == 1  # the all-null file never opens
+    assert sorted(r.id for r in out.collect()) == list(range(10))
