@@ -125,6 +125,7 @@ BENCH_QUERIES = (
     "nb_classify",
     "variant_shred",
     "xml_ingest",
+    "record_linkage",
 )
 
 

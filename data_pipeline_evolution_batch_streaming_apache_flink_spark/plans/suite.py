@@ -4833,6 +4833,84 @@ ORACLE["dedup_containment"] = r"""
 """
 
 
+_FS_W = "CAST(round(ln(CAST({m} AS DOUBLE) / CAST({u} AS DOUBLE)) * 1e6, 0) AS BIGINT)"
+
+
+def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage
+    (operators/linkage.py) over nation-blocked customer pairs: name
+    (typo-tolerant, edit distance ≤ 2), market segment, account-balance
+    bucket, and phone area code, each with configured m/u per-mille
+    weights. Non-links are filtered so the result is the
+    link + clerical-review set."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter
+
+    t = load_tables(spark, sf, ("customer",))
+    c = t["customer"].select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal"),
+        F.expr("CAST(c_acctbal >= 0 AS STRING)").alias("pos"),
+    )
+    scored = fellegi_sunter(
+        c, "id", ["blk"],
+        [
+            {"col": "name", "m_pm": 900, "u_pm": 100, "max_dist": 2},
+            {"col": "seg", "m_pm": 900, "u_pm": 200},
+            {"col": "bal", "m_pm": 850, "u_pm": 90},
+            {"col": "pos", "m_pm": 900, "u_pm": 500},
+        ],
+        upper_micro=7_000_000,
+        lower_micro=0,
+    )
+    return scored.where(F.col("decision") != "non_link")
+
+
+QUERIES["record_linkage"] = q_record_linkage
+
+ORACLE["record_linkage"] = f"""
+WITH c AS (
+  SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
+         c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal,
+         CAST(c_acctbal >= 0 AS VARCHAR) AS pos
+  FROM customer
+),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         a.name AS an, b.name AS bn, a.seg AS asg, b.seg AS bsg,
+         a.bal AS ab, b.bal AS bb, a.pos AS aa, b.pos AS ba
+  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+    CAST(
+      (CASE WHEN an IS NULL OR bn IS NULL THEN 0
+            WHEN levenshtein(an, bn) <= 2 THEN {_FS_W.format(m=900, u=100)}
+            ELSE {_FS_W.format(m=100, u=900)} END)
+    + (CASE WHEN asg IS NULL OR bsg IS NULL THEN 0
+            WHEN asg = bsg THEN {_FS_W.format(m=900, u=200)}
+            ELSE {_FS_W.format(m=100, u=800)} END)
+    + (CASE WHEN ab IS NULL OR bb IS NULL THEN 0
+            WHEN ab = bb THEN {_FS_W.format(m=850, u=90)}
+            ELSE {_FS_W.format(m=150, u=910)} END)
+    + (CASE WHEN aa IS NULL OR ba IS NULL THEN 0
+            WHEN aa = ba THEN {_FS_W.format(m=900, u=500)}
+            ELSE {_FS_W.format(m=100, u=500)} END)
+    AS BIGINT) AS score_micro
+  FROM p
+)
+SELECT id_a, id_b, score_micro,
+       CASE WHEN score_micro >= 7000000 THEN 'link'
+            WHEN score_micro <= 0 THEN 'non_link'
+            ELSE 'possible' END AS decision
+FROM scored
+WHERE score_micro > 0
+"""
+
+
 def q_variant_shred(spark: SparkSession, sf: str) -> DataFrame:
     """VARIANT semi-structured ingestion (sources/semistructured.py):
     events are wrapped into a nested JSON payload, parsed ONCE into
