@@ -126,6 +126,7 @@ BENCH_QUERIES = (
     "variant_shred",
     "xml_ingest",
     "record_linkage",
+    "table_digest",
 )
 
 

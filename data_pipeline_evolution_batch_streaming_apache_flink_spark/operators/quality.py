@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 __all__ = [
     "expect_not_null", "expect_range", "expect_in_set", "expect_regex",
     "expect_unique", "validate_expectations", "gopher_rules", "char_entropy",
+    "table_digest",
 ]
 
 #: the Gopher paper's "must contain 2 of" stop words (Rae et al. 2021,
@@ -576,4 +577,43 @@ def k_anonymity(
         *[F.col(f"__ka_l.{c}") for c in df.columns],
         F.col("__ka_r.group_size"),
         (F.col("__ka_r.group_size") < k).alias("at_risk"),
+    )
+
+
+def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive content digest of a table slice — the
+    cross-engine "did the rewrite change anything?" audit that pairs
+    with ``layout.compact_files`` / ``layout.zorder_write`` /
+    migrations: digest before, digest after, compare one row.
+
+    Per row, the listed columns are rendered canonically
+    (``coalesce(CAST(c AS STRING), '\\u0001null')``, '|'-joined — NULL
+    is distinct from the string 'null') and hashed with the house
+    60-bit md5 fold. Three commutative-associative reductions make the
+    digest order- and layout-independent AND mergeable across shards
+    (combine shard digests with xor / sum / sum):
+
+    - ``n_rows``   exact count
+    - ``xor60``    bit_xor of the row hashes (overflow-free; its known
+      blind spot — duplicate rows cancelling in pairs — is covered by:)
+    - ``sum31``    exact sum of ``hash mod 2^31`` (safe to ~4e12 rows)
+
+    Contract: only use columns whose string rendering is engine-stable
+    (ints, strings, exact decimals, booleans). Doubles and timestamps
+    format differently across engines — derive an exact integer (floor
+    cents, epoch micros) FIRST, as everywhere else in the house rules.
+
+    Scale shape: map-side combine into ONE row; the shuffle carries one
+    partial per task. Column pruning limits the scan to ``cols``.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    rendered = " || '|' || ".join(
+        f"coalesce(CAST({c} AS STRING), '\\u0001null')" for c in cols
+    )
+    h = f"CAST(conv(substr(md5({rendered}), 1, 15), 16, 10) AS BIGINT)"
+    return df.select(F.expr(h).alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h)").cast("bigint").alias("xor60"),
+        F.expr("sum(__h % 2147483648)").cast("bigint").alias("sum31"),
     )

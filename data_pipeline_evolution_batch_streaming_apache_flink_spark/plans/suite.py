@@ -4833,6 +4833,40 @@ ORACLE["dedup_containment"] = r"""
 """
 
 
+def q_table_digest(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive content digest (operators/quality.py
+    table_digest) of the lineitem fact — the one-row audit that proves
+    a compaction / z-order / migration preserved content. Doubles enter
+    as floor-cents integers per the house rendering contract."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    t = load_tables(spark, sf, ("lineitem",))
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return table_digest(li, ["l_orderkey", "l_linenumber", "l_returnflag", "cents"])
+
+
+QUERIES["table_digest"] = q_table_digest
+
+ORACLE["table_digest"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor60,
+           CAST(sum(h % 2147483648) AS BIGINT) AS sum31
+    FROM (
+      SELECT ('0x' || substr(md5(
+               coalesce(CAST(l_orderkey AS VARCHAR), chr(1) || 'null') || '|' ||
+               coalesce(CAST(l_linenumber AS VARCHAR), chr(1) || 'null') || '|' ||
+               coalesce(CAST(l_returnflag AS VARCHAR), chr(1) || 'null') || '|' ||
+               coalesce(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                             AS VARCHAR), chr(1) || 'null')
+             ), 1, 15))::BIGINT AS h
+      FROM lineitem
+    )
+"""
+
+
 _FS_W = "CAST(round(ln(CAST({m} AS DOUBLE) / CAST({u} AS DOUBLE)) * 1e6, 0) AS BIGINT)"
 
 

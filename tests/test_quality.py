@@ -315,3 +315,67 @@ def test_k_anonymity_flags_small_groups(spark):
         k_anonymity(df, [], k=3)
     with pytest.raises(ValueError):
         k_anonymity(df, ["country"], k=1)
+
+
+# ---------------------------------------------------------------------------
+# order-insensitive table digest
+# ---------------------------------------------------------------------------
+
+def test_table_digest_layout_and_order_independent(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(200)], "id int, s string"
+    )
+    d1 = tuple(table_digest(df, ["id", "s"]).collect()[0])
+    d2 = tuple(table_digest(df.repartition(13, "s"), ["id", "s"]).collect()[0])
+    d3 = tuple(
+        table_digest(df.orderBy(F.col("id").desc()), ["id", "s"]).collect()[0]
+    )
+    assert d1 == d2 == d3
+
+
+def test_table_digest_detects_single_row_change_and_null_vs_literal(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    base = spark.createDataFrame([(1, "a"), (2, None), (3, "c")], "id int, s string")
+    d = tuple(table_digest(base, ["id", "s"]).collect()[0])
+    changed = spark.createDataFrame([(1, "a"), (2, None), (3, "C")], "id int, s string")
+    assert tuple(table_digest(changed, ["id", "s"]).collect()[0]) != d
+    # NULL must not collide with the string 'null'
+    lit = spark.createDataFrame([(1, "a"), (2, "null"), (3, "c")], "id int, s string")
+    assert tuple(table_digest(lit, ["id", "s"]).collect()[0]) != d
+
+
+def test_table_digest_shard_merge(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    df = spark.createDataFrame([(i, str(i * 3)) for i in range(100)], "id int, s string")
+    whole = table_digest(df, ["id", "s"]).collect()[0]
+    a = table_digest(df.where("id < 40"), ["id", "s"]).collect()[0]
+    b = table_digest(df.where("id >= 40"), ["id", "s"]).collect()[0]
+    # the three reductions are all commutative-associative: shard
+    # digests combine with (sum, xor, sum)
+    assert (a.n_rows + b.n_rows, a.xor60 ^ b.xor60, a.sum31 + b.sum31) == (
+        whole.n_rows, whole.xor60, whole.sum31,
+    )
+
+
+def test_table_digest_duplicate_rows_not_invisible(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    one = spark.createDataFrame([(1, "a")], "id int, s string")
+    tri = spark.createDataFrame([(1, "a")] * 3, "id int, s string")
+    d1, d3 = (tuple(table_digest(x, ["id", "s"]).collect()[0]) for x in (one, tri))
+    # xor alone would cancel the pair; n_rows and sum31 still differ
+    assert d1 != d3
+
+
+def test_table_digest_rejects_empty_cols(spark):
+    import pytest as _pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with _pytest.raises(ValueError, match="cols"):
+        table_digest(df, [])
