@@ -127,6 +127,7 @@ BENCH_QUERIES = (
     "xml_ingest",
     "record_linkage",
     "table_digest",
+    "hop_hll_users",
 )
 
 

@@ -4317,6 +4317,72 @@ ORACLE["hop_distinct_users"] = """
 """
 
 
+def q_hop_hll_users(spark: SparkSession, sf: str) -> DataFrame:
+    """The bounded-state twin of `hop_distinct_users`: HyperLogLog
+    distinct users per sliding hour. Exact windowed COUNT(DISTINCT)
+    keeps every (window, user) pair in the aggregation state — at
+    extreme cardinality that IS the memory bill; the register sketch
+    caps state at 512 rows per window forever, and registers from
+    shards/windows union-merge (sketches.hll_merge). Same deterministic
+    md5-fold HLL as `approx_distinct`, so the oracle runs the identical
+    algorithm over the identical window expansion."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import approx_ndv
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.windows import hop_window
+
+    t = load_tables(spark, sf, ("events",))
+    w = hop_window(t["events"], "ts", "1 hour", "15 minutes")
+    out = approx_ndv(
+        w.select(_millis("window_start").alias("window_start_ms"), "user_id"),
+        ["window_start_ms"], "user_id", p=9,
+    )
+    return out
+
+
+QUERIES["hop_hll_users"] = q_hop_hll_users
+
+ORACLE["hop_hll_users"] = f"""
+    WITH e AS (
+      SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      WHERE user_id IS NOT NULL
+    ), w AS (
+      SELECT user_id,
+             (ts_ms // 900000) * 900000 - k * 900000 AS window_start_ms
+      FROM e, unnest(generate_series(0, 3)) AS u(k)
+    ),
+    h AS (
+      SELECT window_start_ms,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+               (acc, d) -> acc * 16 + d) AS hv
+      FROM w
+    ),
+    regs AS (
+      SELECT window_start_ms, hv % 512 AS bucket,
+             max(CASE WHEN hv // 512 = 0 THEN 52
+                      ELSE 51 - len(bin(hv // 512)) + 1 END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT window_start_ms,
+             sum(CAST(2 ** (52 - r) AS BIGINT)) AS s,
+             count(*) AS occ
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT window_start_ms,
+             CAST(512 - occ AS DOUBLE) AS zeros,
+             {{alpha}} / ((512 - occ) + CAST(s AS DOUBLE) / 4503599627370496.0) AS raw
+      FROM agg
+    )
+    SELECT window_start_ms,
+           round(CASE WHEN raw <= 1280.0 AND zeros > 0
+                      THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 6) AS ndv_est
+    FROM est
+""".replace("{alpha}", _HLL_ALPHA_M2)
+
+
 # ---------------------------------------------------------------------------
 # Weighted PageRank (operators/graph.py pagerank(weight=...))
 # ---------------------------------------------------------------------------
