@@ -317,6 +317,56 @@ def main() -> None:
         F.col("count").desc()
     ).show(5)
 
+    print("HITS: which suppliers are authorities, which customers hubs:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits, link_prediction
+
+    dedges = npairs.selectExpr("c AS src", "s AS dst")
+    hits(dedges, iterations=3).orderBy(F.col("auth_micro").desc()).show(5)
+
+    print("link prediction: supplier pairs that share customers but no edge:")
+    link_prediction(
+        dedges.selectExpr("CAST(src AS STRING) AS src", "CAST(dst AS STRING) AS dst"),
+        min_common=3, max_degree=40,
+    ).orderBy(F.col("adamic_adar_micro").desc()).show(5)
+
+    print("winnowing fingerprints localize shared boilerplate:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import winnow_pairs
+
+    winnow_pairs(docs, "doc_id", "text", k=8, window=4, min_shared=2, max_df=5).orderBy(
+        F.col("overlap_micro").desc()
+    ).show(5)
+
+    print("Naive Bayes language routing (train on 4/5, score the rest):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.classify import naive_bayes_classify
+
+    naive_bayes_classify(
+        docs.where("doc_id % 5 != 0"), docs.where("doc_id % 5 = 0"),
+        "lang", "text", "doc_id",
+    ).show(5)
+
+    print("Fellegi-Sunter record linkage on nation-blocked customers:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter
+
+    cust = read_parquet(spark, f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("blk"),
+        F.col("c_name").alias("name"), F.col("c_mktsegment").alias("seg"),
+    )
+    fellegi_sunter(
+        cust, "id", ["blk"],
+        [{"col": "name", "m_pm": 900, "u_pm": 100, "max_dist": 2},
+         {"col": "seg", "m_pm": 900, "u_pm": 200}],
+        upper_micro=3_000_000, lower_micro=0,
+    ).where("decision = 'link'").show(5)
+
+    print("table digest before/after a rewrite (order-insensitive):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    li_slim = li.select("l_orderkey", "l_linenumber", "l_returnflag")
+    table_digest(li_slim, ["l_orderkey", "l_linenumber", "l_returnflag"]).show()
+    table_digest(
+        li_slim.repartition(17), ["l_orderkey", "l_linenumber", "l_returnflag"]
+    ).show()
+
 
 if __name__ == "__main__":
     main()

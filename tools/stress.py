@@ -56,7 +56,16 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # grid (2dp values saturate) pins the prefix-sum constant; LPA and
            # k-anonymity ride the saturating purchase graph / customer dims
            "url_dedup", "ks_drift", "equidepth_bins", "lpa_communities",
-           "k_anonymity")
+           "k_anonymity",
+           # round-4 session-6: HITS and link prediction ride the saturating
+           # purchase graph (edge extraction is the scaling surface, like
+           # pagerank/LPA); EWMA replicates events with shifted users (keys
+           # scale, per-key history constant); the digest is row-local map
+           # work into ONE row; windowed HLL keeps 512 registers per window
+           # while the count shuffle grows; variant shredding is row-local
+           # decode
+           "hits_scores", "link_prediction", "ewma_features", "table_digest",
+           "hop_hll_users", "variant_shred")
 
 
 def build(spark, factor: int, out_dir: str) -> None:

@@ -46,6 +46,10 @@ QUERIES = (
     # (replica-local shingles => linear candidates); html extraction is
     # row-local regexp work; global ids are the two-pass prefix sum
     "dedup_containment", "html_extract", "global_ids", "negative_sample",
+    # round-4 session-6: winnowing grams are replica-local after token
+    # mutation (linear candidates); NB's vocab/conditional table grows with
+    # the mutated token universe — join keys scale, per-key state bounded
+    "winnow_pairs", "nb_classify",
 )
 
 
