@@ -348,3 +348,31 @@ def test_session5_results_layout_independent(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert a == b, q
+
+
+def test_session6_results_layout_independent(spark, sf_dir):
+    """Round-4 session-6 families: same rows at shuffle partitions 5 vs 17
+    (HITS/link-prediction/winnowing/EWMA/NB/variant/XML/linkage/digest/
+    windowed HLL)."""
+    for q in ("hits_scores", "link_prediction", "winnow_pairs",
+              "ewma_features", "nb_classify", "variant_shred", "xml_ingest",
+              "record_linkage", "table_digest", "hop_hll_users"):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            a = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b, q
+
+
+def test_session6_pair_generators_never_cartesian(spark, sf_dir):
+    """The session-6 pair generators (wedge join, fingerprint index,
+    blocked linkage) must stay pure equi-joins — no
+    CartesianProduct/BroadcastNestedLoopJoin anywhere in their plans."""
+    for q in ("link_prediction", "winnow_pairs", "record_linkage"):
+        plan = suite.QUERIES[q](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
