@@ -102,6 +102,17 @@ def ewma(
     values up to ~$3.5e10 per observation; widen ``window`` or
     ``decay_den`` only with correspondingly smaller scales.
 
+    Null contract (pinned by test): a NULL value is a MISSING
+    observation — it contributes to no window (``collect_list`` skips
+    nulls), and every row's EWMA covers the non-null values among its
+    last ``window`` ROWS (row frame, not observation count), with the
+    weight denominator matching exactly the values present. A row whose
+    own value is null still gets the EWMA of its surviving frame (the
+    natural "current smoothed estimate" semantics; pair with
+    ``interpolate_linear`` first when repair is wanted instead). The
+    suite oracle covers the null-free path; the null path is pinned by
+    the unit reference.
+
     Scale shape: one key-hash shuffle + one in-partition sort (the
     window), then row-local HOF codegen — the ``collect_list`` frame
     holds ≤ ``window`` bigints per row, never the whole key history.

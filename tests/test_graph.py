@@ -351,3 +351,10 @@ def test_link_prediction_rejects_bad_min_common(spark):
     one = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="min_common"):
         link_prediction(one, min_common=0)
+
+
+def test_hits_empty_graph(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty).count() == 0

@@ -194,3 +194,19 @@ def test_ewma_rejects_bad_params(spark):
         ewma(df, "k", "t", "v", window=0)
     with _pytest.raises(ValueError, match="decay_num"):
         ewma(df, "k", "t", "v", decay_num=2, decay_den=2)
+
+
+def test_ewma_null_values_are_missing_observations(spark):
+    # NULLs contribute to no frame; the weight denominator covers only
+    # the values present (docstring contract)
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ewma
+
+    rows = [("a", 0, 4.0), ("a", 1, None), ("a", 2, 8.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {r.t: r.ewma_micro for r in ewma(df, "k", "t", "v", window=3).collect()}
+    # t=0: [400] -> 400*1e4
+    assert got[0] == 4_000_000
+    # t=1: frame (4.0, NULL) -> only 400 survives, weights [1]
+    assert got[1] == 4_000_000
+    # t=2: frame (4.0, NULL, 8.0) -> [400, 800], weights [1, 2]/3
+    assert got[2] == (400 * 1 + 800 * 2) * 10**4 // 3
