@@ -128,6 +128,7 @@ BENCH_QUERIES = (
     "record_linkage",
     "table_digest",
     "hop_hll_users",
+    "source_overlap",
 )
 
 

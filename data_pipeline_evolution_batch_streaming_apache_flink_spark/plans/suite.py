@@ -5229,6 +5229,60 @@ JOIN sizes sb ON p.id_b = sb.doc_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: winnowing near-dup pairs
+    rolled up to (source_a, source_b) — 'how much of feed X is also in
+    feed Y', the audit that decides dedup order and licensing risk
+    before mixing corpora. Pure composition: winnow_pairs × the doc
+    dimension × one counted rollup (sources canonicalized least/greatest
+    so the matrix is upper-triangular incl. the within-source diagonal)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import winnow_pairs
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    pairs = winnow_pairs(
+        docs, "doc_id", "text",
+        k=_WIN_K, window=_WIN_W, min_shared=_WIN_MINSH, max_df=_WIN_MAXDF,
+    )
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "src_b"), "id_b")
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "shared_fps",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("shared_fps").cast("bigint").alias("total_shared"),
+        )
+    )
+
+
+QUERIES["source_overlap"] = q_source_overlap
+
+# the winnow oracle IS the pair generator — reuse it verbatim as a
+# subquery so the two can never drift
+ORACLE["source_overlap"] = f"""
+WITH pairs AS ({{winnow}}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(p.shared_fps) AS BIGINT) AS total_shared
+FROM pairs p
+JOIN src sa ON p.id_a = sa.doc_id
+JOIN src sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
+""".replace("{winnow}", ORACLE["winnow_pairs"])
+
+
 # ---------------------------------------------------------------------------
 # HTML -> text extraction (functions/text.py html_to_text)
 # ---------------------------------------------------------------------------
