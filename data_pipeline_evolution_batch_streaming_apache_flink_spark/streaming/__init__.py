@@ -259,3 +259,113 @@ def streaming_interval_join(
         right.withWatermark(right_ts, watermark_right),
         key, left_ts, right_ts, lower, upper, how,
     )
+
+
+def streaming_rolling_agg(
+    df: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    val_col: str,
+    window_rows: int = 8,
+    delay: str = "0 seconds",
+    quantize: int = 100,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Flink-style OVER window on a stream: per key, each event emits
+    ONE row carrying the aggregate of its trailing ``window_rows``
+    events in EVENT-TIME order (``ROWS BETWEEN N-1 PRECEDING AND
+    CURRENT ROW``) — the running-feature shape Flink's streaming OVER
+    aggregation provides and Spark has no native operator for
+    (stream windows in Spark are time-bucketed, not row-bounded).
+
+    Emission is append-mode and FINAL: an event's aggregate fires only
+    once the watermark passes its timestamp, at which point no earlier
+    event can still arrive, so the trailing window is complete
+    (in-order finality instead of Flink's eager emission + no
+    retraction — same trade as ``streaming_asof_join``). Ties at equal
+    timestamp order by ``tiebreak_cols`` — pass one (an id) whenever
+    timestamps can collide, or cross-run order is undefined.
+
+    Values are quantized to exact integers (``floor(v * quantize)``) so
+    the sums are reproducible bit-for-bit against the batch window twin
+    (``sum`` over a double frame is accumulation-order-dependent; cents
+    aren't). NULL values are dropped at the input (document repair with
+    ``interpolate_linear`` upstream if needed).
+
+    State per key: the last ``window_rows - 1`` emitted cents plus
+    events still above the watermark — bounded by window size + batch
+    skew, never by stream length. An event-time timeout re-fires idle
+    keys so buffered rows drain when the watermark advances without new
+    data (same idle-source caveat as the as-of join).
+
+    Returns the input columns + ``roll_n``, ``roll_sum_cents``,
+    ``roll_min_cents``, ``roll_max_cents``.
+    """
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(df.columns)
+    out_schema = T.StructType(
+        [df.schema[c] for c in cols]
+        + [
+            T.StructField("roll_n", T.IntegerType(), False),
+            T.StructField("roll_sum_cents", T.LongType(), False),
+            T.StructField("roll_min_cents", T.LongType(), False),
+            T.StructField("roll_max_cents", T.LongType(), False),
+        ]
+    )
+    src = (
+        df.where(F.col(val_col).isNotNull())
+        .withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withColumn(
+            "__cents", F.expr(f"CAST(floor({val_col} * {quantize}) AS BIGINT)")
+        )
+        .withWatermark("__ts", delay)
+    )
+    tb = list(tiebreak_cols)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        buf, pending = pickle.loads(state.get[0]) if state.exists else ([], [])
+        for pdf in pdfs:
+            for r in pdf.to_dict(orient="records"):
+                pending.append(
+                    (
+                        _ms(r["__ts"]),
+                        tuple(r[c] for c in tb),
+                        int(r["__cents"]),
+                        tuple(r[c] for c in cols),
+                    )
+                )
+        wm = state.getCurrentWatermarkMs()
+        pending.sort(key=lambda x: (x[0], x[1]))
+        ready = [p for p in pending if p[0] <= wm]
+        pending = [p for p in pending if p[0] > wm]
+
+        out_rows = []
+        for _ts, _tb, cents, row in ready:
+            buf.append(cents)
+            if len(buf) > window_rows:
+                buf.pop(0)
+            out_rows.append(
+                row + (len(buf), sum(buf), min(buf), max(buf))
+            )
+        buf = buf[-(window_rows - 1):] if window_rows > 1 else []
+
+        if pending or buf:
+            state.update((pickle.dumps((buf, pending)),))
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(min(p[0] for p in pending), wm + 1)
+                )
+        else:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=cols
+                + ["roll_n", "roll_sum_cents", "roll_min_cents", "roll_max_cents"],
+            )
+
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, "state binary", "append", GroupStateTimeout.EventTimeTimeout
+    )

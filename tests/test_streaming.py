@@ -952,3 +952,77 @@ def test_streaming_interval_join_left_outer_emits_null_padded(spark, tmp_path):
         if r["oid"] != 999
     )
     assert got == [(1, 10), (2, None)]
+
+
+def test_streaming_rolling_agg_matches_batch_window(spark, tmp_path):
+    """Flink OVER-window parity: the streaming trailing-N aggregate
+    equals the batch ROWS-frame window on the same data, in exact
+    cents."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_rolling_agg
+
+    rows = [
+        {"k": 1, "eid": 1, "ts": "2024-01-01 10:00:00", "v": 3.5},
+        {"k": 1, "eid": 2, "ts": "2024-01-01 10:01:00", "v": 1.25},
+        {"k": 1, "eid": 3, "ts": "2024-01-01 10:02:00", "v": 9.0},
+        {"k": 1, "eid": 4, "ts": "2024-01-01 10:03:00", "v": 0.75},
+        {"k": 2, "eid": 5, "ts": "2024-01-01 10:00:30", "v": 7.0},
+        {"k": 2, "eid": 6, "ts": "2024-01-01 10:02:30", "v": 2.5},
+    ]
+    hb = [
+        {"k": 9, "eid": 99, "ts": "2024-01-01 12:00:00", "v": 0.0},
+    ]
+    d = str(tmp_path / "roll_in")
+    _write_batches(d, [rows[:3], rows[3:], hb])
+    stream = json_file_stream(spark, d, "k int, eid int, ts timestamp, v double")
+    out = streaming_rolling_agg(
+        stream, "k", "ts", "v", window_rows=3, tiebreak_cols=("eid",)
+    )
+    out_dir = _run_available_now(out, tmp_path, "roll")
+    got = {
+        r["eid"]: (r["roll_n"], r["roll_sum_cents"], r["roll_min_cents"], r["roll_max_cents"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["eid"] != 99
+    }
+
+    batch = spark.createDataFrame(
+        [(r["k"], r["eid"], r["ts"], r["v"]) for r in rows],
+        "k int, eid int, ts string, v double",
+    ).selectExpr("k", "eid", "CAST(ts AS TIMESTAMP) AS ts",
+                 "CAST(floor(v * 100) AS BIGINT) AS cents")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("k").orderBy("ts", "eid").rowsBetween(-2, 0)
+    exp = {
+        r["eid"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in batch.select(
+            "eid",
+            F.count("cents").over(w).cast("int").alias("n"),
+            F.sum("cents").over(w).alias("s"),
+            F.min("cents").over(w).alias("mn"),
+            F.max("cents").over(w).alias("mx"),
+        ).collect()
+    }
+    assert got == exp
+    assert got[3] == (3, 350 + 125 + 900, 125, 900)
+
+
+def test_streaming_rolling_agg_state_bounded_and_null_dropped(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_rolling_agg
+
+    rows = [
+        {"k": 1, "eid": i, "ts": f"2024-01-01 10:{i:02d}:00", "v": float(i)}
+        for i in range(1, 10)
+    ] + [{"k": 1, "eid": 50, "ts": "2024-01-01 10:30:00", "v": None}]
+    hb = [{"k": 9, "eid": 99, "ts": "2024-01-01 12:00:00", "v": 0.0}]
+    d = str(tmp_path / "rollb_in")
+    _write_batches(d, [rows, hb])
+    stream = json_file_stream(spark, d, "k int, eid int, ts timestamp, v double")
+    out_dir = _run_available_now(
+        streaming_rolling_agg(stream, "k", "ts", "v", window_rows=4,
+                              tiebreak_cols=("eid",)),
+        tmp_path, "rollb",
+    )
+    res = {r["eid"]: r for r in spark.read.parquet(out_dir).collect() if r["eid"] < 50}
+    # the 9th event's window covers only the trailing 4
+    assert (res[9]["roll_n"], res[9]["roll_sum_cents"]) == (4, (6 + 7 + 8 + 9) * 100)
+    # null-valued event emitted nothing
+    assert 50 not in res
