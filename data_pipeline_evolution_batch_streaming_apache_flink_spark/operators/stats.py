@@ -282,3 +282,71 @@ def ntile_global(
             + 1
         )
     return ranked.withColumn(out_col, bucket.cast("bigint")).drop("__rank")
+
+
+def mannwhitney_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) at corpus scale.
+
+    The nonparametric companion to :func:`...quality.ks_drift`: KS is
+    sharpest on shape changes, rank-sum on location shift — a streaming
+    drift gate wants both. ``U_b = #{(x,y): x in A, y in B, x < y} +
+    ties/2`` is computed EXACTLY in integers: per-distinct-value counts
+    (one hash shuffle, map-side combine), cumulative A-counts in value
+    order via the two-pass distributed prefix sum
+    (:func:`...curation.global_running_sum` — range shuffle + bounded
+    offsets collect, never a one-partition window), then one aggregate.
+    Doubled units (``u2 = 2*U_b``) keep the half-tie term integral.
+
+    Per-term bound ``sum(cb * cumA) <= n_a * n_b`` makes bigint safe to
+    ~3e9 rows per side (same bound as KS); the tie-correction cubes run
+    in decimal(38,0), safe to ~4.6e9 duplicates of one value.
+
+    The normal-approximation z-score uses the tie-corrected variance
+    ``n_a*n_b/12 * ((N+1) - sum(t^3-t)/(N(N-1)))`` and is evaluated with
+    the same literal float expression the DuckDB oracle uses — both
+    engines start from bit-identical integers, so 6dp rounding is
+    engine-stable. All-values-tied degenerates to z = NULL.
+
+    Returns one row: ``n_a``, ``n_b``, ``u2_b`` (doubled U of side B,
+    bigint), ``z`` (6dp), ``rank_biserial`` (6dp effect size,
+    ``2*U_b/(n_a*n_b) - 1``). NULLs ignored on both sides.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import global_running_sum
+
+    sa = a.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(1))
+    sb = b.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(0))
+    u = sa.union(sb).filter(F.col("__v").isNotNull())
+    counts = u.groupBy("__v").agg(
+        F.sum("__ia").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__ia")).cast("long").alias("__cb"),
+    )
+    cum = global_running_sum(counts, "__v", F.col("__ca"), "__cuma", num_partitions)
+    t = F.col("__ca") + F.col("__cb")
+    agg = cum.agg(
+        F.sum("__ca").alias("na"),
+        F.sum("__cb").alias("nb"),
+        F.sum(F.col("__cb") * (F.col("__cuma") - F.col("__ca"))).alias("below"),
+        F.sum(F.col("__ca") * F.col("__cb")).alias("ties"),
+        F.sum((t.cast("decimal(38,0)") * t * t) - t).alias("tcorr"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    nn = (F.col("na") + F.col("nb")).cast("double")
+    u2 = (F.lit(2) * F.col("below") + F.col("ties")).cast("long")
+    var_u = (
+        na * nb / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("tcorr").cast("double") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.round(((u2.cast("double") - na * nb) / F.lit(2.0)) / F.sqrt(var_u), 6)
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        u2.alias("u2_b"),
+        F.when(var_u > 0, z).alias("z"),
+        F.round(u2.cast("double") / (na * nb) - F.lit(1.0), 6).alias("rank_biserial"),
+    )

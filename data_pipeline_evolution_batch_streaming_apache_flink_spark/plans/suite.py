@@ -5637,3 +5637,62 @@ ORACLE["cohort_retention"] = """
            CAST(floor(a.n_users * 10000 / s.cohort_size) AS BIGINT) AS retained_bp
     FROM activity a JOIN sizes s USING (cohort)
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Mann-Whitney rank-sum drift (operators/stats.py mannwhitney_drift)
+# ---------------------------------------------------------------------------
+
+def q_mannwhitney_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Location-shift drift of the event value between the 'view' and
+    'click' segments: exact integer rank-sum (doubled-rank units carry
+    the tie halves), distributed prefix-sum CDF, tie-corrected normal z.
+    The rank-based companion to ks_drift — same scale shape, different
+    sensitivity."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import mannwhitney_drift
+
+    t = load_tables(spark, sf, ("events",))
+    e = t["events"]
+    return mannwhitney_drift(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+        "value",
+    )
+
+
+QUERIES["mannwhitney_drift"] = q_mannwhitney_drift
+
+ORACLE["mannwhitney_drift"] = """
+    WITH u AS (
+      SELECT value AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ),
+    c AS (SELECT v, sum(ia) AS ca, sum(1 - ia) AS cb FROM u GROUP BY v),
+    cum AS (
+      SELECT v, ca, cb, sum(ca) OVER (ORDER BY v) - ca AS bela
+      FROM c
+    ),
+    t AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb,
+             sum(cb * bela) AS below, sum(ca * cb) AS ties,
+             sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS tcorr
+      FROM cum
+    ),
+    f AS (
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             CAST(2 * below + ties AS BIGINT) AS u2_b,
+             CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+               ((CAST(na + nb AS DOUBLE) + 1.0) -
+                CAST(tcorr AS DOUBLE) /
+                (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0))) AS var_u,
+             CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+      FROM t
+    )
+    SELECT n_a, n_b, u2_b,
+           CASE WHEN var_u > 0 THEN
+             round(((CAST(u2_b AS DOUBLE) - nad * nbd) / 2.0) / sqrt(var_u), 6)
+           END AS z,
+           round(CAST(u2_b AS DOUBLE) / (nad * nbd) - 1.0, 6) AS rank_biserial
+    FROM f
+"""

@@ -193,3 +193,77 @@ def test_ntile_global_fewer_rows_than_bins(spark):
     assert got == [(1, 1), (2, 2), (3, 3)]
     with pytest.raises(ValueError):
         ntile_global(df, ["id"], bins=0)
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney_drift
+# ---------------------------------------------------------------------------
+
+def _mwu_reference(xs, ys):
+    """Textbook U_b + tie-corrected z on average ranks (pure Python)."""
+    merged = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    n = len(merged)
+    ranks = {}
+    i = 0
+    tcorr = 0
+    while i < n:
+        j = i
+        while j < n and merged[j][0] == merged[i][0]:
+            j += 1
+        t = j - i
+        tcorr += t * t * t - t
+        avg = (i + 1 + j) / 2  # average of ranks i+1 .. j
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    r_b = sum(ranks[k] for k in range(n) if merged[k][1] == 1)
+    na, nb = len(xs), len(ys)
+    u_b = r_b - nb * (nb + 1) / 2
+    var = na * nb / 12 * ((n + 1) - tcorr / (n * (n - 1)))
+    z = (u_b - na * nb / 2) / math.sqrt(var) if var > 0 else None
+    return u_b, z
+
+
+def test_mannwhitney_matches_reference_and_layout_independent(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import mannwhitney_drift
+
+    rng = random.Random(11)
+    xs = [rng.randint(0, 40) for _ in range(500)]          # many ties
+    ys = [rng.randint(5, 45) for _ in range(300)]          # shifted up
+    a = spark.createDataFrame([(v,) for v in xs], "v int")
+    b = spark.createDataFrame([(v,) for v in ys], "v int")
+    row = mannwhitney_drift(a, b, "v").collect()[0]
+    u_b, z = _mwu_reference(xs, ys)
+    assert row.n_a == 500 and row.n_b == 300
+    assert row.u2_b == round(2 * u_b)          # doubled units are integral
+    assert abs(row.z - round(z, 6)) < 2e-6
+    assert abs(row.rank_biserial - (2 * u_b / (500 * 300) - 1)) < 2e-6
+    # shifted-up B: most (a, b) pairs have a < b, so U_b is large, z > 0
+    assert row.z > 3
+
+    again = mannwhitney_drift(
+        a.repartition(13), b.repartition(7), "v", num_partitions=5
+    ).collect()[0]
+    assert again == row  # bit-identical under any layout
+
+
+def test_mannwhitney_all_tied_yields_null_z(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import mannwhitney_drift
+
+    a = spark.createDataFrame([(7,)] * 4, "v int")
+    b = spark.createDataFrame([(7,)] * 6, "v int")
+    row = mannwhitney_drift(a, b, "v").collect()[0]
+    assert row.z is None
+    assert row.u2_b == 2 * 4 * 6 // 2 * 1  # all ties: U_b = na*nb/2 -> u2 = na*nb
+    assert row.rank_biserial == 0.0
+
+
+def test_mannwhitney_nulls_ignored_and_disjoint_sides(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import mannwhitney_drift
+
+    a = spark.createDataFrame([(1,), (2,), (None,)], "v int")
+    b = spark.createDataFrame([(10,), (None,), (20,)], "v int")
+    row = mannwhitney_drift(a, b, "v").collect()[0]
+    assert (row.n_a, row.n_b) == (2, 2)
+    assert row.u2_b == 2 * 4          # every pair a < b: U_b = na*nb = 4
+    assert row.rank_biserial == 1.0   # maximal effect
