@@ -5696,3 +5696,59 @@ ORACLE["mannwhitney_drift"] = """
            round(CAST(u2_b AS DOUBLE) / (nad * nbd) - 1.0, 6) AS rank_biserial
     FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact CUSUM changepoint scores (operators/timeseries.py cusum)
+# ---------------------------------------------------------------------------
+
+def q_cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sided CUSUM drift scores per user event series: the 'inherently
+    sequential' recurrence rewritten as prefix-sum minus running extremum
+    (s+_i = P_i - min_{j<=i} P_j), so the detector is pure window codegen
+    over ONE per-key sort. Exact bigint cents; the oracle replays the
+    identical closed form."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import cusum
+
+    t = load_tables(spark, sf, ("events",))
+    return cusum(
+        t["events"], "user_id", "ts", "value",
+        ref_cents=5000, threshold_cents=20000, slack_cents=500,
+        tiebreak_cols=("event_id",),
+    ).select("user_id", "event_id", "cusum_hi", "cusum_lo", "alert")
+
+
+QUERIES["cusum_alerts"] = q_cusum_alerts
+
+ORACLE["cusum_alerts"] = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             value IS NOT NULL AS obs
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, obs,
+             sum(cents - 5500) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_hi,
+             sum(cents - 4500) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_lo
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             CASE WHEN obs THEN p_hi - least(0, min(p_hi) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS cusum_hi,
+             CASE WHEN obs THEN greatest(0, max(p_lo) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p_lo END AS cusum_lo
+      FROM p
+    )
+    SELECT user_id, event_id,
+           CAST(cusum_hi AS BIGINT) AS cusum_hi,
+           CAST(cusum_lo AS BIGINT) AS cusum_lo,
+           CASE WHEN cusum_hi IS NOT NULL
+                THEN (cusum_hi >= 20000 OR cusum_lo >= 20000) END AS alert
+    FROM s
+"""

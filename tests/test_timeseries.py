@@ -3,6 +3,9 @@ quantiles (operators/sketches.py histogram_quantiles)."""
 
 from __future__ import annotations
 
+import math
+import random
+
 import pytest
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import histogram_quantiles
@@ -210,3 +213,80 @@ def test_ewma_null_values_are_missing_observations(spark):
     assert got[1] == 4_000_000
     # t=2: frame (4.0, NULL, 8.0) -> [400, 800], weights [1, 2]/3
     assert got[2] == (400 * 1 + 800 * 2) * 10**4 // 3
+
+
+# ---------------------------------------------------------------------------
+# cusum
+# ---------------------------------------------------------------------------
+
+def _cusum_reference(values, ref, slack):
+    """Textbook sequential recurrence (the form the operator avoids)."""
+    s_hi, s_lo, out = 0, 0, []
+    for v in values:
+        if v is None:
+            out.append((None, None))
+            continue
+        c = math.floor(v * 100)
+        s_hi = max(0, s_hi + (c - ref - slack))
+        s_lo = max(0, s_lo - (c - ref + slack))
+        out.append((s_hi, s_lo))
+    return out
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import cusum
+
+    rng = random.Random(3)
+    rows = []
+    for uid in range(5):
+        vals = [rng.uniform(0, 120) for _ in range(60)]
+        if uid == 2:  # injected upward shift mid-series
+            vals[30:] = [v + 80 for v in vals[30:]]
+        rows += [(uid, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "uid int, seq int, value double")
+    out = cusum(df, "uid", "seq", "value", ref_cents=5000, threshold_cents=150000)
+    got = {(r.uid, r.seq): (r.cusum_hi, r.cusum_lo, r.alert) for r in out.collect()}
+    fired = 0
+    for uid in range(5):
+        vals = [v for u, _, v in rows if u == uid]
+        for i, (hi, lo) in enumerate(_cusum_reference(vals, 5000, 0)):
+            ghi, glo, alert = got[(uid, i)]
+            assert (ghi, glo) == (hi, lo)
+            assert alert == (hi >= 150000 or lo >= 150000)
+            fired += alert
+    assert fired > 0  # the injected shift must trip the threshold
+
+    again = cusum(
+        df.repartition(13), "uid", "seq", "value",
+        ref_cents=5000, threshold_cents=150000,
+    ).collect()
+    assert {(r.uid, r.seq): (r.cusum_hi, r.cusum_lo, r.alert) for r in again} == got
+
+
+def test_cusum_nulls_pass_through_unscored(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import cusum
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, 90.0)], "uid int, seq int, value double"
+    )
+    rows = {r.seq: r for r in cusum(df, "uid", "seq", "value", 5000, 1000).collect()}
+    assert rows[1].cusum_hi is None and rows[1].alert is None
+    # the null contributes nothing: row 2 continues from row 0's state
+    want = _cusum_reference([10.0, 90.0], 5000, 0)[1]
+    assert (rows[2].cusum_hi, rows[2].cusum_lo) == want
+    assert rows[2].alert == (want[0] >= 1000 or want[1] >= 1000)
+
+
+def test_cusum_slack_suppresses_small_drift(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import cusum
+
+    # constant small excess of +0.30 over ref: dies under slack >= 30 cents
+    df = spark.createDataFrame(
+        [(1, i, 50.30) for i in range(50)], "uid int, seq int, value double"
+    )
+    tight = cusum(df, "uid", "seq", "value", ref_cents=5000, threshold_cents=500)
+    assert tight.filter("alert").count() > 0
+    slacked = cusum(
+        df, "uid", "seq", "value", ref_cents=5000, threshold_cents=500, slack_cents=30
+    )
+    assert slacked.filter("alert").count() == 0
