@@ -350,3 +350,71 @@ def mannwhitney_drift(
         F.when(var_u > 0, z).alias("z"),
         F.round(u2.cast("double") / (na * nb) - F.lit(1.0), 6).alias("rank_biserial"),
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str | Column,
+    y_col: str | Column,
+    slope_unit: float = 1.0,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) with engine-stable values.
+
+    The per-key trend extractor for feature pipelines ("is this user's
+    spend drifting up?"): one hash aggregation computes the five exact
+    integer moments (n, Sx, Sy, Sxx, Sxy, Syy) per group, then the
+    closed-form finish
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) * slope_unit
+        intercept = (Sy - slope_q * Sx) / n
+        r2        = (n*Sxy - Sx*Sy)^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2))
+
+    runs in doubles FROM the exact sums — same rationale as
+    :func:`corr_matrix`: float accumulation order varies with partition
+    layout, exact decimal(38,0) sums do not, and the identical literal
+    float expression on bit-identical integers is reproducible across
+    engines, so 6dp rounding hash-matches a SQL oracle.
+
+    ``x_col``/``y_col`` must already be integer-valued expressions (the
+    caller quantizes — e.g. epoch-millis offsets and cents); magnitudes
+    to ~1e18 are accepted (decimal(18,0) inputs, decimal(37,0) products,
+    decimal(38,0) sums: overflow-free to ~10 rows per key at the 1e18
+    extreme, ~1e9 rows per key at 1e14 products). ``slope_unit``
+    rescales the reported slope (e.g. 86400000.0 => per-day when x is
+    milliseconds). Rows with a NULL in x or y are dropped (listwise).
+
+    Degenerate groups keep exact semantics: constant x => slope,
+    intercept, r2 all NULL; constant y under varying x => slope 0,
+    r2 NULL (zero variance explained is undefined, not 1).
+
+    Returns ``key_cols`` + ``n`` (bigint), ``slope``, ``intercept``,
+    ``r2`` (doubles, 6dp).
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("decimal(18,0)")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("decimal(18,0)")
+    clean = df.where(x.isNotNull() & y.isNotNull())
+    agg = clean.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    det = nd * sxx - sx * sx
+    num = nd * sxy - sx * sy
+    deny = nd * syy - sy * sy
+    return agg.select(
+        *key_cols,
+        F.col("n").cast("long").alias("n"),
+        F.when(det > 0, F.round(num / det * F.lit(float(slope_unit)), 6)).alias("slope"),
+        F.when(det > 0, F.round((sy - num / det * sx) / nd, 6)).alias("intercept"),
+        F.when(det > 0, F.when(deny > 0, F.round(num * num / (det * deny), 6))).alias("r2"),
+    )

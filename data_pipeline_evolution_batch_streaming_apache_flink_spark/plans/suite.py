@@ -5752,3 +5752,63 @@ ORACLE["cusum_alerts"] = """
                 THEN (cusum_hi >= 20000 OR cusum_lo >= 20000) END AS alert
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS trend (operators/stats.py ols_trend)
+# ---------------------------------------------------------------------------
+
+def q_trend_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user spend trend: slope (cents/day), intercept, and r2 of
+    event value-cents against time, from ONE hash aggregation of exact
+    decimal moments with the corr_matrix float-finish discipline. x is
+    epoch-millis offset from 2024-01-01 so products stay < 1e19."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ols_trend
+
+    t = load_tables(spark, sf, ("events",))
+    e = t["events"]
+    return ols_trend(
+        e,
+        ["user_id"],
+        _millis("ts") - F.lit(1704067200000),
+        F.floor(F.col("value") * 100).cast("bigint"),
+        slope_unit=86400000.0,
+    )
+
+
+QUERIES["trend_lines"] = q_trend_lines
+
+ORACLE["trend_lines"] = """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) - 1704067200000 AS HUGEINT) AS x,
+             CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT) AS y
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM e GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy
+      FROM m
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CASE WHEN nd * sxx - sx * sx > 0 THEN
+             round((nd * sxy - sx * sy) / (nd * sxx - sx * sx) * 86400000.0, 6)
+           END AS slope,
+           CASE WHEN nd * sxx - sx * sx > 0 THEN
+             round((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd, 6)
+           END AS intercept,
+           CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0 THEN
+             round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                   / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+           END AS r2
+    FROM d
+"""

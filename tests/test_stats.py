@@ -267,3 +267,52 @@ def test_mannwhitney_nulls_ignored_and_disjoint_sides(spark):
     assert (row.n_a, row.n_b) == (2, 2)
     assert row.u2_b == 2 * 4          # every pair a < b: U_b = na*nb = 4
     assert row.rank_biserial == 1.0   # maximal effect
+
+
+# ---------------------------------------------------------------------------
+# ols_trend
+# ---------------------------------------------------------------------------
+
+def test_ols_trend_recovers_line_and_layout_independent(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ols_trend
+
+    rng = random.Random(7)
+    rows = []
+    for g, (a, b) in enumerate([(3, 40), (-2, 500), (0, 17)]):
+        for x in range(200):
+            noise = rng.randint(-5, 5) if g < 2 else 0
+            rows.append((g, x, a * x + b + noise))
+    df = spark.createDataFrame(rows, "g int, x int, y int")
+    out = {r.g: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert out[0].n == 200 and abs(out[0].slope - 3) < 0.05 and abs(out[0].intercept - 40) < 6
+    assert abs(out[1].slope - (-2)) < 0.05 and out[1].r2 > 0.99
+    # exact line, zero noise: slope/intercept exact, constant-y r2 rules don't apply
+    assert out[2].slope == 0.0 and out[2].intercept == 17.0 and out[2].r2 is None
+
+    again = {r.g: r for r in ols_trend(df.repartition(13), ["g"], "x", "y").collect()}
+    assert again == out  # exact moments -> bit-identical under any layout
+
+
+def test_ols_trend_degenerate_groups(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ols_trend
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (1, 5, 20),   # constant x
+         (2, 1, 7),                # single point
+         (3, 1, 2), (3, 2, None), (3, 3, 8)],  # null y dropped
+        "g int, x int, y int",
+    )
+    out = {r.g: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert out[1].slope is None and out[1].intercept is None and out[1].r2 is None
+    assert out[2].n == 1 and out[2].slope is None
+    assert out[3].n == 2 and out[3].slope == 3.0 and out[3].intercept == -1.0 and out[3].r2 == 1.0
+
+
+def test_ols_trend_slope_unit_rescales(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ols_trend
+
+    df = spark.createDataFrame([(1, i, 2 * i) for i in range(10)], "g int, x int, y int")
+    base = ols_trend(df, ["g"], "x", "y").collect()[0]
+    scaled = ols_trend(df, ["g"], "x", "y", slope_unit=1000.0).collect()[0]
+    assert base.slope == 2.0 and scaled.slope == 2000.0
+    assert base.intercept == scaled.intercept == 0.0
