@@ -418,3 +418,73 @@ def ols_trend(
         F.when(det > 0, F.round((sy - num / det * sx) / nd, 6)).alias("intercept"),
         F.when(det > 0, F.when(deny > 0, F.round(num * num / (det * deny), 6))).alias("r2"),
     )
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-squared test of independence + Cramér's V.
+
+    The categorical-association screen (feature-vs-label selection,
+    segment-vs-outcome drift). Observed cells come from one hash
+    aggregation; the missing-cell problem (absent (a,b) pairs still
+    contribute ``e`` to the naive sum) is eliminated by the algebraic
+    identity ``chi2 = sum_present(n^2 * N / (r_a * c_b)) - N``, so only
+    present cells are ever touched.
+
+    Layout independence without exact big-rationals: each cell term is
+    evaluated in doubles FROM exact integers with one literal
+    expression, micro-rounded to 1e-6, and summed as bigints (the
+    engine's Naive-Bayes discipline) — float accumulation order can
+    then never change the result, and the DuckDB oracle reproduces it
+    bit-for-bit. Worst-case micro-rounding error is ``5e-7 * cells``.
+
+    Scale shape: cells aggregate (one shuffle), marginals are two
+    aggregations OF THE CELLS (already tiny), broadcast back — the raw
+    table is scanned once. Assumes category cardinalities are
+    broadcastable (thousands, not billions), the standard regime for a
+    chi-squared test. NULL in either column drops the row (listwise).
+
+    Returns one row: ``chi2`` (6dp), ``dof`` (bigint,
+    ``(|A|-1)(|B|-1)``), ``n_obs`` (bigint), ``cramers_v`` (6dp, NULL
+    when ``min(|A|,|B|) < 2``).
+    """
+    c = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ra = c.groupBy(col_a).agg(F.sum("__n").alias("__ra"))
+    cb = c.groupBy(col_b).agg(F.sum("__n").alias("__cb"))
+    tot = c.agg(
+        F.sum("__n").alias("__nn"),
+        F.countDistinct(col_a).alias("__ka"),
+        F.countDistinct(col_b).alias("__kb"),
+    )
+    nd = F.col("__nn").cast("double")
+    term = (
+        F.col("__n").cast("double") * F.col("__n").cast("double") * nd
+        / (F.col("__ra").cast("double") * F.col("__cb").cast("double"))
+    )
+    cells = (
+        c.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = cells.agg(
+        F.sum(F.round(term * F.lit(1000000.0)).cast("long")).alias("__micro"),
+        F.first("__nn").alias("__nn"),
+        F.first("__ka").alias("__ka"),
+        F.first("__kb").alias("__kb"),
+    )
+    nd2 = F.col("__nn").cast("double")
+    chi2 = F.greatest(
+        F.lit(0.0), F.col("__micro").cast("double") / F.lit(1000000.0) - nd2
+    )
+    kmin = F.least(F.col("__ka"), F.col("__kb")) - 1
+    return agg.select(
+        F.round(chi2, 6).alias("chi2"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).cast("long").alias("dof"),
+        F.col("__nn").cast("long").alias("n_obs"),
+        F.when(
+            kmin >= 1, F.round(F.sqrt(chi2 / (nd2 * kmin.cast("double"))), 6)
+        ).alias("cramers_v"),
+    )

@@ -5812,3 +5812,54 @@ ORACLE["trend_lines"] = """
            END AS r2
     FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared independence (operators/stats.py chi2_independence)
+# ---------------------------------------------------------------------------
+
+def q_chi2_priority_status(spark: SparkSession, sf: str) -> DataFrame:
+    """Association screen between order priority and order status:
+    present-cells-only chi-squared via n^2*N/(ra*cb) - N, micro-rounded
+    terms summed as bigints (layout- and engine-stable), Cramér's V
+    effect size. One fact shuffle; marginals aggregate the tiny cell
+    table and broadcast back."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import chi2_independence
+
+    t = load_tables(spark, sf, ("orders",))
+    return chi2_independence(t["orders"], "o_orderpriority", "o_orderstatus")
+
+
+QUERIES["chi2_independence"] = q_chi2_priority_status
+
+ORACLE["chi2_independence"] = """
+    WITH c AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS n
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(n) AS ra FROM c GROUP BY a),
+    cb AS (SELECT b, sum(n) AS cb FROM c GROUP BY b),
+    tot AS (SELECT sum(n) AS nn, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM c),
+    cell AS (
+      SELECT CAST(round(
+               CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE) * CAST(t.nn AS DOUBLE)
+               / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE)) * 1000000.0
+             ) AS BIGINT) AS micro
+      FROM c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT sum(micro) AS micro, (SELECT nn FROM tot) AS nn,
+             (SELECT ka FROM tot) AS ka, (SELECT kb FROM tot) AS kb
+      FROM cell
+    )
+    SELECT round(greatest(0.0, CAST(micro AS DOUBLE) / 1000000.0 - CAST(nn AS DOUBLE)), 6) AS chi2,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+           CAST(nn AS BIGINT) AS n_obs,
+           CASE WHEN least(ka, kb) - 1 >= 1 THEN
+             round(sqrt(greatest(0.0, CAST(micro AS DOUBLE) / 1000000.0 - CAST(nn AS DOUBLE))
+                        / (CAST(nn AS DOUBLE) * CAST(least(ka, kb) - 1 AS DOUBLE))), 6)
+           END AS cramers_v
+    FROM agg
+"""

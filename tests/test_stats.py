@@ -316,3 +316,63 @@ def test_ols_trend_slope_unit_rescales(spark):
     scaled = ols_trend(df, ["g"], "x", "y", slope_unit=1000.0).collect()[0]
     assert base.slope == 2.0 and scaled.slope == 2000.0
     assert base.intercept == scaled.intercept == 0.0
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence
+# ---------------------------------------------------------------------------
+
+def _chi2_reference(pairs):
+    """Textbook full-table chi-squared over the FULL expected grid."""
+    from collections import Counter
+    obs = Counter(pairs)
+    ra, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    n = len(pairs)
+    chi2 = sum(
+        (obs.get((a, b), 0) - ra[a] * cb[b] / n) ** 2 / (ra[a] * cb[b] / n)
+        for a in ra for b in cb
+    )
+    return chi2, (len(ra) - 1) * (len(cb) - 1)
+
+
+def test_chi2_matches_reference_including_missing_cells(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import chi2_independence
+
+    rng = random.Random(13)
+    pairs = []
+    for _ in range(3000):
+        a = rng.choice("xyz")
+        # dependent: b leans toward a's index; cell ('z','q') never occurs
+        b = rng.choice({"x": "ppq", "y": "pqq", "z": "pp"}[a])
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    row = chi2_independence(df, "a", "b").collect()[0]
+    want, dof = _chi2_reference(pairs)
+    assert row.dof == dof and row.n_obs == 3000
+    # micro-rounded term sum: within 5e-7 * cells of the exact value
+    assert abs(row.chi2 - want) < 1e-4
+    assert abs(row.cramers_v - math.sqrt(want / (3000 * 1))) < 1e-4
+
+    again = chi2_independence(df.repartition(17), "a", "b").collect()[0]
+    assert again == row  # integer micro-sum -> layout-independent
+
+
+def test_chi2_independent_columns_near_zero_and_degenerate(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import chi2_independence
+
+    # perfectly balanced grid: chi2 exactly 0
+    rows = [(a, b) for a in "xy" for b in "pq" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = chi2_independence(df, "a", "b").collect()[0]
+    assert row.chi2 == 0.0 and row.dof == 1 and row.cramers_v == 0.0
+
+    # single category on one side: dof 0, V undefined
+    one = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r1 = chi2_independence(one, "a", "b").collect()[0]
+    assert r1.dof == 0 and r1.cramers_v is None
+
+    # nulls dropped listwise
+    withnull = spark.createDataFrame(
+        [("x", "p"), (None, "q"), ("y", None), ("y", "q")], "a string, b string"
+    )
+    assert chi2_independence(withnull, "a", "b").collect()[0].n_obs == 2
