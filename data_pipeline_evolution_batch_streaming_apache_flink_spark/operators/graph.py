@@ -594,3 +594,66 @@ def link_prediction(
             ).alias("jaccard_micro"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps degree
+    >= k — the standard dense-community / spam-farm extractor (a node
+    survives only if k neighbors THEMSELVES survive, so peeling
+    cascades).
+
+    Iterative peel: each round one degree aggregation over the live
+    edges plus two semi-joins dropping edges touching sub-k nodes;
+    lineage truncated per round with localCheckpoint (the engine's
+    pagerank/connected-components discipline) so plans stay flat at any
+    depth. Early-stops at the fixpoint — a round that removes nothing
+    proves every later round is the identity, which is also what lets a
+    bounded SQL unroll (the oracle) agree with the converged answer.
+    Exact set arithmetic only; result is layout-independent.
+
+    Undirected graphs pass both edge directions (the engine's
+    convention — degree counts out-edges). Self-loops count toward
+    their node's degree once per direction supplied.
+
+    Returns the surviving nodes with their within-core degree:
+    ``(node, degree)``. Empty result when the k-core is empty.
+    EAGER: peel rounds execute at call time (each round's edge count
+    drives the early stop).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .where(F.col("__d") >= k)
+            .select("src")
+        )
+        pruned = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_next = pruned.count()
+        e = pruned
+        if n_next == n_edges:
+            break  # fixpoint: every node already has degree >= k
+        n_edges = n_next
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )

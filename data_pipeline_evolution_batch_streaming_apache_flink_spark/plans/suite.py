@@ -5863,3 +5863,61 @@ ORACLE["chi2_independence"] = """
            END AS cramers_v
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (operators/graph.py k_core)
+# ---------------------------------------------------------------------------
+
+def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense co-purchase community: the 3-core of the parts graph (edges
+    = pairs sharing >= 2 orders). Peeling cascades ~11 rounds at sf0.01
+    — each round one degree agg + two semi-joins on the shrinking edge
+    set, lineage checkpointed. The oracle unrolls 14 idempotent peel
+    rounds (fixpoint reached earlier; extra rounds are the identity)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_core
+
+    t = load_tables(spark, sf, ("lineitem",))
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    edges = pairs.selectExpr("a AS src", "b2 AS dst").unionByName(
+        pairs.selectExpr("b2 AS src", "a AS dst")
+    )
+    return k_core(edges, k=3)
+
+
+QUERIES["kcore"] = q_kcore
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"n{i} AS MATERIALIZED (SELECT src FROM e{i-1} GROUP BY src HAVING count(*) >= {k}),\n"
+            f"    e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i-1} e\n"
+            f"             JOIN n{i} a ON e.src = a.src JOIN n{i} b ON e.dst = b.src)"
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    p AS (
+      SELECT l.it AS a, r.it AS b2
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e0 AS MATERIALIZED (SELECT a AS src, b2 AS dst FROM p UNION ALL SELECT b2, a FROM p),
+    {chain}
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src
+"""
+
+
+ORACLE["kcore"] = _kcore_oracle()

@@ -358,3 +358,53 @@ def test_hits_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert hits(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+def _both(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_k_core_peels_cascade(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_core
+
+    # triangle {1,2,3} + a pendant path 3-4-5: 2-core is exactly the
+    # triangle, and node 4 only falls AFTER node 5 (cascading peel)
+    edges = spark.createDataFrame(
+        _both([(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]), "src int, dst int"
+    )
+    got = {r.node: r.degree for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # 3-core of a triangle is empty
+    assert k_core(edges, k=3).count() == 0
+
+
+def test_k_core_k1_keeps_every_connected_node_and_layout(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_core
+
+    import random as _r
+    rng = _r.Random(9)
+    pairs = {(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(150)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(_both(pairs), "src int, dst int")
+    one = {(r.node, r.degree) for r in k_core(edges, k=1).collect()}
+    # k=1 drops nothing (every listed node has an edge): degrees = raw degrees
+    from collections import Counter
+    deg = Counter(a for a, _ in _both(pairs))
+    assert one == set(deg.items())
+
+    a = {(r.node, r.degree) for r in k_core(edges, k=3).collect()}
+    b = {(r.node, r.degree) for r in k_core(edges.repartition(13), k=3).collect()}
+    assert a == b  # layout-independent
+
+
+def test_k_core_validates_and_handles_empty(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([], "src int, dst int")
+    assert k_core(edges, k=2).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(edges, k=0)
