@@ -617,3 +617,45 @@ def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
         F.expr("bit_xor(__h)").cast("bigint").alias("xor60"),
         F.expr("sum(__h % 2147483648)").cast("bigint").alias("sum31"),
     )
+
+
+def fk_orphans(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit for one FK relation.
+
+    The warehouse health check the engine's inner joins silently assume
+    (FK-violating rows just vanish from join results — reference-parity
+    behavior, but an audit should SEE them): counts fact rows whose FK
+    has no match in the dimension's PK. ANSI FK semantics: a NULL FK is
+    not a violation (reported separately as ``n_null_fk``).
+
+    One column-pruned scan of each side: the deduped PK set left-joins
+    onto the fact keys (Catalyst broadcasts a small dim, AQE handles a
+    big one) and a single aggregation produces the audit row. Min/max
+    orphan keys are included as actionable repro pointers.
+
+    Returns one row: ``relation``, ``n_rows``, ``n_null_fk``,
+    ``n_orphans``, ``n_orphan_keys``, ``min_orphan_key``,
+    ``max_orphan_key``.
+    """
+    keys = dim.select(F.col(pk_col).alias("__pk")).where(
+        F.col("__pk").isNotNull()
+    ).distinct().withColumn("__hit", F.lit(1))
+    j = fact.select(F.col(fk_col).alias("__fk")).join(
+        keys, F.col("__fk") == F.col("__pk"), "left"
+    )
+    orphan = F.col("__fk").isNotNull() & F.col("__hit").isNull()
+    return j.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("__fk").isNull().cast("long")).cast("long").alias("n_null_fk"),
+        F.sum(orphan.cast("long")).cast("long").alias("n_orphans"),
+        F.count_distinct(F.when(orphan, F.col("__fk"))).cast("long").alias("n_orphan_keys"),
+        F.min(F.when(orphan, F.col("__fk"))).alias("min_orphan_key"),
+        F.max(F.when(orphan, F.col("__fk"))).alias("max_orphan_key"),
+    )

@@ -5921,3 +5921,58 @@ def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:
 
 
 ORACLE["kcore"] = _kcore_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (operators/quality.py fk_orphans)
+# ---------------------------------------------------------------------------
+
+def q_fk_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Warehouse FK health check across the five core relations: each
+    audit is one column-pruned dedup + left join + single aggregation
+    (dims broadcast); the union is the audit report. Zero counts ARE
+    the verified result on intact data — the operator's negative path
+    is pinned by unit tests with fabricated orphans."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import fk_orphans
+
+    t = load_tables(
+        spark, sf, ("lineitem", "orders", "customer", "supplier", "part", "nation")
+    )
+    audits = [
+        fk_orphans(t["lineitem"], t["orders"], "l_orderkey", "o_orderkey", "lineitem.orderkey->orders"),
+        fk_orphans(t["lineitem"], t["part"], "l_partkey", "p_partkey", "lineitem.partkey->part"),
+        fk_orphans(t["lineitem"], t["supplier"], "l_suppkey", "s_suppkey", "lineitem.suppkey->supplier"),
+        fk_orphans(t["orders"], t["customer"], "o_custkey", "c_custkey", "orders.custkey->customer"),
+        fk_orphans(t["customer"], t["nation"], "c_nationkey", "n_nationkey", "customer.nationkey->nation"),
+    ]
+    out = audits[0]
+    for more in audits[1:]:
+        out = out.unionByName(more)
+    return out.withColumn("min_orphan_key", F.col("min_orphan_key").cast("long")).withColumn(
+        "max_orphan_key", F.col("max_orphan_key").cast("long")
+    )
+
+
+QUERIES["fk_audit"] = q_fk_audit
+
+
+def _fk_audit_leg(fact: str, dim: str, fk: str, pk: str, name: str) -> str:
+    return f"""
+      SELECT '{name}' AS relation,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN f.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+             CAST(sum(CASE WHEN f.{fk} IS NOT NULL AND d.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+             CAST(count(DISTINCT CASE WHEN f.{fk} IS NOT NULL AND d.__pk IS NULL THEN f.{fk} END) AS BIGINT) AS n_orphan_keys,
+             CAST(min(CASE WHEN f.{fk} IS NOT NULL AND d.__pk IS NULL THEN f.{fk} END) AS BIGINT) AS min_orphan_key,
+             CAST(max(CASE WHEN f.{fk} IS NOT NULL AND d.__pk IS NULL THEN f.{fk} END) AS BIGINT) AS max_orphan_key
+      FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} AS __pk FROM {dim} WHERE {pk} IS NOT NULL) d
+        ON f.{fk} = d.__pk"""
+
+
+ORACLE["fk_audit"] = " UNION ALL ".join([
+    _fk_audit_leg("lineitem", "orders", "l_orderkey", "o_orderkey", "lineitem.orderkey->orders"),
+    _fk_audit_leg("lineitem", "part", "l_partkey", "p_partkey", "lineitem.partkey->part"),
+    _fk_audit_leg("lineitem", "supplier", "l_suppkey", "s_suppkey", "lineitem.suppkey->supplier"),
+    _fk_audit_leg("orders", "customer", "o_custkey", "c_custkey", "orders.custkey->customer"),
+    _fk_audit_leg("customer", "nation", "c_nationkey", "n_nationkey", "customer.nationkey->nation"),
+])

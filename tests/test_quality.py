@@ -379,3 +379,38 @@ def test_table_digest_rejects_empty_cols(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with _pytest.raises(ValueError, match="cols"):
         table_digest(df, [])
+
+
+# ---------------------------------------------------------------------------
+# fk_orphans
+# ---------------------------------------------------------------------------
+
+def test_fk_orphans_counts_violations_and_nulls(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import fk_orphans
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (7,), (9,), (None,), (None,)], "fk bigint"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,), (2,)], "pk bigint")  # dup pk deduped
+    row = fk_orphans(fact, dim, "fk", "pk", "fact->dim").collect()[0]
+    assert row.relation == "fact->dim"
+    assert row.n_rows == 7
+    assert row.n_null_fk == 2            # NULL FK is not a violation
+    assert row.n_orphans == 2            # 7 and 9
+    assert row.n_orphan_keys == 2
+    assert (row.min_orphan_key, row.max_orphan_key) == (7, 9)
+
+
+def test_fk_orphans_clean_relation_reports_zeros(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import fk_orphans
+
+    fact = spark.createDataFrame([(i % 3,) for i in range(30)], "fk int")
+    dim = spark.createDataFrame([(0,), (1,), (2,)], "pk int")
+    row = fk_orphans(fact, dim, "fk", "pk", "r").collect()[0]
+    assert (row.n_rows, row.n_null_fk, row.n_orphans, row.n_orphan_keys) == (30, 0, 0, 0)
+    assert row.min_orphan_key is None and row.max_orphan_key is None
+
+    # duplicate orphan FK values count per-row but once per key
+    fact2 = spark.createDataFrame([(5,), (5,), (5,)], "fk int")
+    row2 = fk_orphans(fact2, dim, "fk", "pk", "r").collect()[0]
+    assert (row2.n_orphans, row2.n_orphan_keys) == (3, 1)
