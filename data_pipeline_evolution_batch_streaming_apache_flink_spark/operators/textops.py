@@ -366,3 +366,99 @@ def rrf_fuse(
         F.col("rrf_micro").desc(), F.col(doc_col)
     )
     return fused.withColumn("fused_rank", F.row_number().over(w))
+
+
+RAKE_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "in", "is", "it", "of", "on", "or", "that", "the", "this", "to",
+    "was", "with",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    max_words: int = 4,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per document.
+
+    Candidate phrases are maximal runs of content words — stopwords and
+    punctuation act as delimiters. Word scores are the classic
+    ``deg(w)/freq(w)`` computed WITHIN each document (the canonical
+    single-document algorithm): ``freq`` = occurrences of the word in
+    the doc's candidate phrases, ``deg`` = sum of the lengths of the
+    phrases containing each occurrence. A phrase scores the sum of its
+    words' scores; the doc keeps its ``top_k`` phrases.
+
+    Engine-stable numerics: each word score is ONE micro-rounded
+    integer ratio (``round(deg*1e6/freq)`` — the NB discipline), so
+    phrase scores are exact bigint sums and float accumulation order
+    can never reorder the ranking. Ties rank lexicographically.
+
+    Scale shape: phrase extraction is per-row regex codegen (stopword
+    masking + split — no per-word loop); word stats, the score join,
+    and the phrase regroup are all keyed by (doc_id, ...), so nothing
+    global is ever built — hot keys are impossible and the plan scales
+    linearly with the corpus. The per-doc top-k is a bounded window.
+
+    Returns ``(id_col, keyword, score_micro, n_words, occurrences)``,
+    ``top_k`` rows per doc with at least one candidate phrase.
+    """
+    if not stopwords:
+        raise ValueError("stopwords must be non-empty")
+    stop_re = r"\b(" + "|".join(stopwords) + r")\b"
+    phrases = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col(text_col)), stop_re, "|"),
+                    r"[^a-z0-9| ]",
+                    "|",
+                ),
+                r"\|",
+            )
+        ).alias("__pid", "__raw"),
+    ).select(
+        F.col(id_col),
+        F.col("__pid"),
+        F.regexp_replace(F.trim(F.col("__raw")), r"\s+", " ").alias("keyword"),
+    ).where(F.col("keyword") != "")
+    phrases = phrases.withColumn("__words", F.split(F.col("keyword"), " ")).where(
+        F.size("__words") <= max_words
+    )
+    words = phrases.select(
+        id_col, "__pid", "keyword",
+        F.size("__words").cast("long").alias("__plen"),
+        F.explode("__words").alias("__w"),
+    )
+    stats = words.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).alias("__freq"), F.sum("__plen").alias("__deg")
+    )
+    scored = words.join(stats, [id_col, "__w"]).withColumn(
+        "__wscore",
+        F.round(
+            F.col("__deg").cast("double") * F.lit(1000000.0) / F.col("__freq").cast("double")
+        ).cast("long"),
+    )
+    per_phrase = scored.groupBy(id_col, "__pid", "keyword").agg(
+        F.sum("__wscore").alias("score_micro"), F.first("__plen").alias("n_words")
+    )
+    collapsed = per_phrase.groupBy(id_col, "keyword").agg(
+        F.max("score_micro").alias("score_micro"),
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("keyword").asc()
+    )
+    return (
+        collapsed.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= top_k)
+        .drop("__rk")
+    )

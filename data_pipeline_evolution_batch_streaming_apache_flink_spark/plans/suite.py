@@ -5976,3 +5976,77 @@ ORACLE["fk_audit"] = " UNION ALL ".join([
     _fk_audit_leg("orders", "customer", "o_custkey", "c_custkey", "orders.custkey->customer"),
     _fk_audit_leg("customer", "nation", "c_nationkey", "n_nationkey", "customer.nationkey->nation"),
 ])
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (operators/textops.py rake_keywords)
+# ---------------------------------------------------------------------------
+
+def q_rake_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document RAKE keywords: stopword-masked phrase runs, within-doc
+    deg/freq word scores as micro-rounded integer ratios, exact bigint
+    phrase sums, deterministic top-3 (max_words=8 — this corpus is
+    stopword-sparse, so candidate runs are long). Every stage keys on doc_id — no
+    global state, linear scale-out."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rake_keywords
+
+    t = load_tables(spark, sf, ("documents",))
+    return rake_keywords(t["documents"], top_k=3, max_words=8)
+
+
+QUERIES["rake_keywords"] = q_rake_keywords
+
+_RAKE_STOP_RE = r"\b(a|an|and|are|as|at|be|by|for|from|in|is|it|of|on|or|that|the|this|to|was|with)\b"
+
+ORACLE["rake_keywords"] = rf"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(
+               regexp_replace(
+                 regexp_replace(lower(text), '{_RAKE_STOP_RE}', '|', 'g'),
+                 '[^a-z0-9| ]', '|', 'g'),
+               '\|') AS parts
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(parts) + 1),
+                                   i -> {{'pid': i, 'raw': parts[i]}})) AS s
+      FROM base
+    ),
+    p1 AS (
+      SELECT doc_id, s.pid AS pid,
+             trim(regexp_replace(s.raw, '\s+', ' ', 'g')) AS keyword
+      FROM ph
+    ),
+    p2 AS (
+      SELECT doc_id, pid, keyword, string_split(keyword, ' ') AS ws
+      FROM p1 WHERE keyword != ''
+    ),
+    p3 AS (
+      SELECT doc_id, pid, keyword, CAST(len(ws) AS BIGINT) AS plen, ws
+      FROM p2 WHERE len(ws) <= 8
+    ),
+    w AS (SELECT doc_id, pid, keyword, plen, unnest(ws) AS wd FROM p3),
+    st AS (SELECT doc_id, wd, count(*) AS freq, sum(plen) AS deg FROM w GROUP BY 1, 2),
+    sc AS (
+      SELECT w.doc_id, w.pid, w.keyword, w.plen,
+             CAST(round(CAST(st.deg AS DOUBLE) * 1000000.0 / CAST(st.freq AS DOUBLE)) AS BIGINT) AS wscore
+      FROM w JOIN st ON w.doc_id = st.doc_id AND w.wd = st.wd
+    ),
+    pp AS (
+      SELECT doc_id, pid, keyword, sum(wscore) AS score_micro, max(plen) AS n_words
+      FROM sc GROUP BY 1, 2, 3
+    ),
+    col AS (
+      SELECT doc_id, keyword, max(score_micro) AS score_micro,
+             max(n_words) AS n_words, count(*) AS occurrences
+      FROM pp GROUP BY 1, 2
+    )
+    SELECT doc_id, keyword,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(occurrences AS BIGINT) AS occurrences
+    FROM col
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, keyword ASC) <= 3
+"""

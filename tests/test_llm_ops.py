@@ -603,3 +603,64 @@ def test_containment_min_size_guard(spark):
     assert (
         ngram_containment_pairs(df, "doc_id", "text", n=2, threshold=0.9, min_size=2).count() == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# rake_keywords (operators/textops.py)
+# ---------------------------------------------------------------------------
+
+def test_rake_scores_hand_computed(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rake_keywords
+
+    # Classic RAKE toy: phrases "red apple pie", "red apple", "pie".
+    # freq: red=2 apple=2 pie=2; deg: red=5 apple=5 pie=4
+    # scores: red=apple=2.5, pie=2.0
+    # => "red apple pie" = 7.0, "red apple" = 5.0, "pie" = 2.0
+    df = spark.createDataFrame(
+        [(1, "red apple pie and the red apple, of pie")], "doc_id int, text string"
+    )
+    rows = {r.keyword: r for r in rake_keywords(df, top_k=5).collect()}
+    assert rows["red apple pie"].score_micro == 7_000_000
+    assert rows["red apple"].score_micro == 5_000_000
+    assert rows["pie"].score_micro == 2_000_000
+    assert rows["red apple pie"].n_words == 3
+    assert rows["pie"].occurrences == 1
+
+
+def test_rake_top_k_ordering_ties_and_duplicates(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rake_keywords
+
+    # "x y" twice and "z w" once; all words freq=deg-balanced so the
+    # duplicate phrase collapses with occurrences=2
+    df = spark.createDataFrame(
+        [(1, "x y and x y and z w")], "doc_id int, text string"
+    )
+    out = rake_keywords(df, top_k=2).collect()
+    kws = {r.keyword: r.occurrences for r in out}
+    assert kws == {"x y": 2, "z w": 1}
+
+    # punctuation delimits phrases; empty docs yield nothing
+    df2 = spark.createDataFrame([(1, "alpha, beta"), (2, "the of and")],
+                                "doc_id int, text string")
+    got = rake_keywords(df2, top_k=3).collect()
+    assert {r.keyword for r in got} == {"alpha", "beta"}
+    assert all(r.doc_id == 1 for r in got)
+
+
+def test_rake_max_words_filter_and_layout(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rake_keywords
+
+    long_run = " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(i, f"{long_run} and short phrase here") for i in range(20)],
+        "doc_id int, text string",
+    )
+    out = rake_keywords(df, top_k=3, max_words=8).collect()
+    # the 9-word run is dropped entirely; the 3-word phrase survives
+    assert {r.keyword for r in out} == {"short phrase here"}
+    a = sorted((r.doc_id, r.keyword, r.score_micro) for r in out)
+    b = sorted(
+        (r.doc_id, r.keyword, r.score_micro)
+        for r in rake_keywords(df.repartition(7), top_k=3, max_words=8).collect()
+    )
+    assert a == b
