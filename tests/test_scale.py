@@ -376,3 +376,31 @@ def test_session6_pair_generators_never_cartesian(spark, sf_dir):
         plan = suite.QUERIES[q](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_session7_results_layout_independent(spark, sf_dir):
+    """Round-4 session-7 families: same rows at shuffle partitions 5 vs 17
+    (Mann-Whitney/CUSUM/OLS-trend/chi-squared/k-core/FK-audit/RAKE)."""
+    for q in ("mannwhitney_drift", "cusum_alerts", "trend_lines",
+              "chi2_independence", "kcore", "fk_audit", "rake_keywords"):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            a = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b, q
+
+
+def test_session7_plan_shapes(spark, sf_dir):
+    """CUSUM must stay a single-exchange window cascade; the chi-squared
+    marginals must come back as broadcast joins (no sort-merge on the
+    tiny cell table)."""
+    plan = _plan(suite.QUERIES["cusum_alerts"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+    plan2 = _plan(suite.QUERIES["chi2_independence"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan2
