@@ -129,6 +129,13 @@ BENCH_QUERIES = (
     "table_digest",
     "hop_hll_users",
     "source_overlap",
+    "mannwhitney_drift",
+    "cusum_alerts",
+    "trend_lines",
+    "chi2_independence",
+    "kcore",
+    "fk_audit",
+    "rake_keywords",
 )
 
 

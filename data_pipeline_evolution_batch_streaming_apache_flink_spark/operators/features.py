@@ -86,3 +86,81 @@ def hashed_features(
         .withColumn(out_col, F.expr(feats))
         .drop("__pairs")
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str | Column,
+    smoothing: bool = True,
+) -> DataFrame:
+    """Weight of Evidence / Information Value per category of a feature.
+
+    The classic supervised categorical-feature screen (credit-scoring
+    lineage, equally standard for "does `source` predict quality-label"
+    questions in corpus curation): per category ``WOE = ln((good_i/G) /
+    (bad_i/B))`` and ``IV_i = (good_i/G - bad_i/B) * WOE_i``; the
+    feature's IV is the sum. Rule of thumb: IV < 0.02 useless,
+    > 0.5 suspicious.
+
+    Engine-stable numerics: with the standard +0.5 zero-cell smoothing
+    applied to cells only, ``WOE = ln((2*good_i+1)*B / ((2*bad_i+1)*G))``
+    — ONE micro-rounded natural log of an exact integer ratio per
+    category (the NB discipline), so no float accumulates anywhere.
+    Each category's IV term is likewise one micro-rounded literal
+    expression; the total IV is an exact bigint sum of those terms,
+    broadcast back onto every row (1-row crossJoin, no driver collect).
+
+    ``label_col`` must evaluate to a boolean ("bad"/positive = true).
+    NULL feature categories form their own bucket (missingness is
+    signal); NULL labels are dropped. One hash aggregation over the
+    fact table; everything after runs on the tiny category table.
+
+    Returns one row per category: ``category`` (string, NULL kept),
+    ``n_good``, ``n_bad``, ``woe_micro`` (bigint, 1e-6 units),
+    ``iv_micro`` (bigint), ``iv_total_micro`` (bigint, same on every
+    row).
+    """
+    lab = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    )
+    base = df.select(
+        F.col(feature_col).cast("string").alias("category"), lab.alias("__bad")
+    ).where(F.col("__bad").isNotNull())
+    cells = base.groupBy("category").agg(
+        F.sum((~F.col("__bad")).cast("long")).alias("n_good"),
+        F.sum(F.col("__bad").cast("long")).alias("n_bad"),
+    )
+    tot = cells.agg(
+        F.sum("n_good").alias("__g"), F.sum("n_bad").alias("__b")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    if smoothing:
+        gi = 2 * F.col("n_good") + 1
+        bi = 2 * F.col("n_bad") + 1
+        gt = 2 * F.col("__g")
+        bt = 2 * F.col("__b")
+    else:
+        gi, bi = F.col("n_good"), F.col("n_bad")
+        gt, bt = F.col("__g"), F.col("__b")
+    woe = F.round(
+        F.log(
+            gi.cast("double") * bt.cast("double")
+            / (bi.cast("double") * gt.cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    diff = (
+        gi.cast("double") / gt.cast("double") - bi.cast("double") / bt.cast("double")
+    )
+    scored = j.select(
+        "category",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        woe.alias("woe_micro"),
+        F.round(diff * woe.cast("double")).cast("long").alias("iv_micro"),
+    )
+    total = scored.agg(F.sum("iv_micro").alias("iv_total_micro"))
+    return scored.crossJoin(F.broadcast(total)).withColumn(
+        "iv_total_micro", F.col("iv_total_micro").cast("long")
+    )

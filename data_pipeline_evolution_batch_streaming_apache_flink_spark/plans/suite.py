@@ -6050,3 +6050,61 @@ ORACLE["rake_keywords"] = rf"""
     FROM col
     QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, keyword ASC) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Weight of Evidence / Information Value (operators/features.py woe_iv)
+# ---------------------------------------------------------------------------
+
+def q_woe_iv(spark: SparkSession, sf: str) -> DataFrame:
+    """Does order priority predict fulfillment? WOE per priority bucket
+    against label 'status = F', +0.5 cell smoothing as exact integer
+    ratios, one micro-rounded ln per category, bigint IV total broadcast
+    onto every row. One fact shuffle; the rest runs on the category
+    table."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import woe_iv
+
+    t = load_tables(spark, sf, ("orders",))
+    return woe_iv(t["orders"], "o_orderpriority", F.col("o_orderstatus") == "F")
+
+
+QUERIES["woe_iv"] = q_woe_iv
+
+ORACLE["woe_iv"] = """
+    WITH base AS (
+      SELECT CAST(o_orderpriority AS VARCHAR) AS category,
+             (o_orderstatus = 'F') AS bad
+      FROM orders
+      WHERE (o_orderstatus = 'F') IS NOT NULL
+    ),
+    cells AS (
+      SELECT category,
+             sum(CASE WHEN bad THEN 0 ELSE 1 END) AS n_good,
+             sum(CASE WHEN bad THEN 1 ELSE 0 END) AS n_bad
+      FROM base GROUP BY category
+    ),
+    tot AS (SELECT sum(n_good) AS g, sum(n_bad) AS b FROM cells),
+    j AS (
+      SELECT category, n_good, n_bad,
+             2 * n_good + 1 AS gi, 2 * n_bad + 1 AS bi,
+             2 * t.g AS gt, 2 * t.b AS bt
+      FROM cells CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT category,
+             CAST(n_good AS BIGINT) AS n_good,
+             CAST(n_bad AS BIGINT) AS n_bad,
+             CAST(round(ln(CAST(gi AS DOUBLE) * CAST(bt AS DOUBLE)
+                           / (CAST(bi AS DOUBLE) * CAST(gt AS DOUBLE))) * 1000000.0) AS BIGINT) AS woe_micro,
+             CAST(gi AS DOUBLE) / CAST(gt AS DOUBLE) - CAST(bi AS DOUBLE) / CAST(bt AS DOUBLE) AS diff
+      FROM j
+    ),
+    iv AS (
+      SELECT category, n_good, n_bad, woe_micro,
+             CAST(round(diff * CAST(woe_micro AS DOUBLE)) AS BIGINT) AS iv_micro
+      FROM scored
+    )
+    SELECT category, n_good, n_bad, woe_micro, iv_micro,
+           CAST((SELECT sum(iv_micro) FROM iv) AS BIGINT) AS iv_total_micro
+    FROM iv
+"""

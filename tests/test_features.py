@@ -86,3 +86,64 @@ def test_fast_hash_mode_same_shape_different_indexes(spark):
     }
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# woe_iv (operators/features.py)
+# ---------------------------------------------------------------------------
+
+def test_woe_iv_hand_computed_with_smoothing(spark):
+    import math
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import woe_iv
+
+    rows = (
+        [("A", False)] * 3 + [("A", True)] * 1
+        + [("B", False)] * 1 + [("B", True)] * 3
+        + [("C", False)] * 2          # zero bad cell: smoothing must save the ln
+    )
+    df = spark.createDataFrame(rows, "f string, bad boolean")
+    out = {r.category: r for r in woe_iv(df, "f", "bad").collect()}
+    G, B = 6, 4
+
+    def want_woe(g, b):
+        return round(math.log((2 * g + 1) * (2 * B) / ((2 * b + 1) * (2 * G))) * 1e6)
+
+    assert out["A"].woe_micro == want_woe(3, 1)
+    assert out["B"].woe_micro == want_woe(1, 3)
+    assert out["C"].woe_micro == want_woe(2, 0)   # finite thanks to +0.5
+    assert out["A"].woe_micro > 0 > out["B"].woe_micro
+    # IV total identical on every row and equals the bigint sum of terms
+    totals = {r.iv_total_micro for r in out.values()}
+    assert totals == {sum(r.iv_micro for r in out.values())}
+
+
+def test_woe_iv_null_category_bucket_and_null_label_drop(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import woe_iv
+
+    df = spark.createDataFrame(
+        [("x", True), (None, False), (None, True), ("x", None)],
+        "f string, bad boolean",
+    )
+    out = {r.category: r for r in woe_iv(df, "f", "bad").collect()}
+    assert set(out) == {"x", None}          # NULL category kept as its own bucket
+    assert out["x"].n_good == 0 and out["x"].n_bad == 1  # null label dropped
+    assert out[None].n_good == 1 and out[None].n_bad == 1
+
+
+def test_woe_iv_layout_independent_and_informative_ordering(spark):
+    import random as _r
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import woe_iv
+
+    rng = _r.Random(21)
+    rows = []
+    for _ in range(2000):
+        c = rng.choice("pqrs")
+        p_bad = {"p": 0.9, "q": 0.6, "r": 0.4, "s": 0.1}[c]
+        rows.append((c, rng.random() < p_bad))
+    df = spark.createDataFrame(rows, "f string, bad boolean")
+    a = sorted(map(str, woe_iv(df, "f", "bad").collect()))
+    b = sorted(map(str, woe_iv(df.repartition(13), "f", "bad").collect()))
+    assert a == b
+    out = {r.category: r.woe_micro for r in woe_iv(df, "f", "bad").collect()}
+    # monotone: more bad -> lower WOE
+    assert out["s"] > out["r"] > out["q"] > out["p"]
