@@ -222,3 +222,94 @@ def cusum(
             | (F.col("cusum_lo") >= threshold_cents),
         ),
     )
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key autocorrelation function at lags 1..max_lag.
+
+    The seasonality/persistence probe that decides EWMA spans, CUSUM
+    references, and feature lags. Definitional estimator with the
+    full-series mean:
+
+        r_l = (sum x_t*x_{t-l} - mu*(Sh_l + St_l) + m_l*mu^2)
+              / (SS - n*mu^2),            mu = S/n
+
+    where every sum on the right is EXACT (cents quantized, decimal(38)
+    moments — the corr_matrix discipline) so the one float finish,
+    evaluated with the identical literal expression in the DuckDB
+    oracle, is layout- and engine-stable at 6dp.
+
+    Scale shape: the lag columns come from ONE per-key window sort
+    (all lags share it), stacked via posexplode — map-side after the
+    single shuffle; the per-(key,lag) and per-key aggregations are hash
+    aggs with map-side combine. No self-join, no Python.
+
+    The series is the key's NON-NULL observations in
+    ``(order_col, *tiebreak_cols)`` order (nulls are dropped before
+    lagging, the standard listwise ACF). Keys with a constant series or
+    fewer than ``lag + 1`` observations report NULL ``r`` at that lag.
+
+    Returns ``(key, lag, n_pairs, r)``, ``max_lag`` rows per key.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    cents = F.floor(F.col(value_col) * 100).cast("decimal(18,0)")
+    obs = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("__k"), F.col(order_col).alias("__o"),
+        *[F.col(c) for c in tiebreak_cols], cents.alias("__x"),
+    )
+    w = Window.partitionBy("__k").orderBy(
+        F.col("__o"), *[F.col(c) for c in tiebreak_cols]
+    )
+    staged = obs.select(
+        "__k", "__x",
+        *[F.lag("__x", lag).over(w).alias(f"__y{lag}") for lag in range(1, max_lag + 1)],
+    )
+    lags = staged.select(
+        "__k", "__x",
+        F.posexplode(
+            F.array(*[F.col(f"__y{lag}") for lag in range(1, max_lag + 1)])
+        ).alias("__l0", "__y"),
+    ).withColumn("lag", F.col("__l0") + 1)
+    pair = (
+        lags.where(F.col("__y").isNotNull())
+        .groupBy("__k", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.sum(F.col("__x") * F.col("__y")).alias("__cross"),
+            F.sum("__x").alias("__sh"),
+            F.sum("__y").alias("__st"),
+        )
+    )
+    tot = obs.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    )
+    # every key emits all lags (grid join) so short series report NULL
+    grid = tot.crossJoin(
+        tot.sparkSession.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    )
+    j = grid.join(pair, ["__k", "lag"], "left")
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nd
+    md = F.col("__m").cast("double")
+    den = F.col("__ss").cast("double") - nd * mu * mu
+    num = (
+        F.col("__cross").cast("double")
+        - mu * (F.col("__sh").cast("double") + F.col("__st").cast("double"))
+        + md * mu * mu
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("lag").cast("int").alias("lag"),
+        F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.when(F.col("__m").isNotNull() & (den > 0), F.round(num / den, 6)).alias("r"),
+    )

@@ -6108,3 +6108,64 @@ ORACLE["woe_iv"] = """
            CAST((SELECT sum(iv_micro) FROM iv) AS BIGINT) AS iv_total_micro
     FROM iv
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-key autocorrelation (operators/timeseries.py acf)
+# ---------------------------------------------------------------------------
+
+def q_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistence probe of each user's value series: ACF at lags 1-3
+    from one shared per-key window sort (all lags stacked via
+    posexplode), exact decimal moments, one literal float finish. Short
+    and constant series report NULL r — pinned by the lag grid."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import acf
+
+    t = load_tables(spark, sf, ("events",))
+    return acf(t["events"], "user_id", "ts", "value", max_lag=3,
+               tiebreak_cols=("event_id",))
+
+
+QUERIES["acf_features"] = q_acf
+
+ORACLE["acf_features"] = """
+    WITH obs AS (
+      SELECT user_id AS k, ts, event_id,
+             CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    l0 AS (
+      SELECT k, x,
+             lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2, lag(x, 3) OVER w AS y3
+      FROM obs WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)
+    ),
+    stacked AS (
+      SELECT k, x,
+             unnest([{'lag': 1, 'y': y1}, {'lag': 2, 'y': y2}, {'lag': 3, 'y': y3}]) AS s
+      FROM l0
+    ),
+    pair AS (
+      SELECT k, s.lag AS lag, count(*) AS m,
+             sum(x * s.y) AS crs, sum(x) AS sh, sum(s.y) AS st
+      FROM stacked WHERE s.y IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT k, count(*) AS n, sum(x) AS s, sum(x * x) AS ss FROM obs GROUP BY k),
+    grid AS (
+      SELECT t.k, t.n, t.s, t.ss, g.lag
+      FROM tot t CROSS JOIN (SELECT unnest([1, 2, 3]) AS lag) g
+    ),
+    j AS (
+      SELECT grid.k, grid.lag, grid.n, grid.s, grid.ss, pair.m, pair.crs, pair.sh, pair.st,
+             CAST(grid.n AS DOUBLE) AS nd,
+             CAST(grid.s AS DOUBLE) / CAST(grid.n AS DOUBLE) AS mu
+      FROM grid LEFT JOIN pair ON grid.k = pair.k AND grid.lag = pair.lag
+    )
+    SELECT k AS user_id, CAST(lag AS INTEGER) AS lag,
+           CAST(coalesce(m, 0) AS BIGINT) AS n_pairs,
+           CASE WHEN m IS NOT NULL AND CAST(ss AS DOUBLE) - nd * mu * mu > 0 THEN
+             round((CAST(crs AS DOUBLE) - mu * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+                    + CAST(m AS DOUBLE) * mu * mu)
+                   / (CAST(ss AS DOUBLE) - nd * mu * mu), 6)
+           END AS r
+    FROM j
+"""

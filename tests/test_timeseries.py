@@ -290,3 +290,60 @@ def test_cusum_slack_suppresses_small_drift(spark):
         df, "uid", "seq", "value", ref_cents=5000, threshold_cents=500, slack_cents=30
     )
     assert slacked.filter("alert").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# acf
+# ---------------------------------------------------------------------------
+
+def _acf_reference(xs, lag):
+    """Definitional full-series-mean estimator on cent-quantized values."""
+    cs = [math.floor(v * 100) for v in xs]
+    n = len(cs)
+    mu = sum(cs) / n
+    den = sum((c - mu) ** 2 for c in cs)
+    num = sum((cs[t] - mu) * (cs[t - lag] - mu) for t in range(lag, n))
+    return num / den if den > 0 else None
+
+
+def test_acf_matches_reference_and_detects_period(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import acf
+
+    rng = random.Random(17)
+    # period-2 alternation: strong negative r at lag 1, positive at lag 2
+    xs = [(50.0 if i % 2 == 0 else 10.0) + rng.uniform(0, 2) for i in range(120)]
+    df = spark.createDataFrame([(1, i, v) for i, v in enumerate(xs)],
+                               "k int, seq int, value double")
+    out = {r.lag: r for r in acf(df, "k", "seq", "value", max_lag=3).collect()}
+    for lag in (1, 2, 3):
+        want = _acf_reference(xs, lag)
+        assert abs(out[lag].r - round(want, 6)) < 2e-6, lag
+        assert out[lag].n_pairs == 120 - lag
+    assert out[1].r < -0.8 and out[2].r > 0.8
+
+    again = {r.lag: r for r in
+             acf(df.repartition(7), "k", "seq", "value", max_lag=3).collect()}
+    assert again == out
+
+
+def test_acf_null_drop_constant_and_short_series(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import acf
+
+    df = spark.createDataFrame(
+        # k=1: nulls dropped -> series (1, 3, 5) keeps lag-1 pairs across the gap
+        [(1, 0, 1.0), (1, 1, None), (1, 2, 3.0), (1, 3, 5.0),
+         # k=2: constant -> NULL r, pairs still counted
+         (2, 0, 7.0), (2, 1, 7.0), (2, 2, 7.0),
+         # k=3: single point -> lag grid present, zero pairs
+         (3, 0, 2.0)],
+        "k int, seq int, value double",
+    )
+    out = {(r.k, r.lag): r for r in acf(df, "k", "seq", "value", max_lag=2).collect()}
+    assert len(out) == 6                      # 3 keys x 2 lags, grid complete
+    assert out[(1, 1)].n_pairs == 2
+    want = _acf_reference([1.0, 3.0, 5.0], 1)
+    assert abs(out[(1, 1)].r - round(want, 6)) < 2e-6
+    assert out[(2, 1)].r is None and out[(2, 1)].n_pairs == 2
+    assert out[(3, 1)].n_pairs == 0 and out[(3, 1)].r is None
+    with pytest.raises(ValueError, match="max_lag"):
+        acf(df, "k", "seq", "value", max_lag=0)
