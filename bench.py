@@ -136,6 +136,8 @@ BENCH_QUERIES = (
     "kcore",
     "fk_audit",
     "rake_keywords",
+    "woe_iv",
+    "acf_features",
 )
 
 

@@ -382,7 +382,8 @@ def test_session7_results_layout_independent(spark, sf_dir):
     """Round-4 session-7 families: same rows at shuffle partitions 5 vs 17
     (Mann-Whitney/CUSUM/OLS-trend/chi-squared/k-core/FK-audit/RAKE)."""
     for q in ("mannwhitney_drift", "cusum_alerts", "trend_lines",
-              "chi2_independence", "kcore", "fk_audit", "rake_keywords"):
+              "chi2_independence", "kcore", "fk_audit", "rake_keywords",
+              "woe_iv", "acf_features"):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "5")
