@@ -6169,3 +6169,84 @@ ORACLE["acf_features"] = """
            END AS r
     FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL audience overlap (operators/sketches.py hll_overlap)
+# ---------------------------------------------------------------------------
+
+def q_hll_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Viewer/purchaser audience overlap WITHOUT a distinct-pair join:
+    inclusion-exclusion over max-merged HLL register states — bounded
+    state per side (512 rows), shardable merge, 1-row finish. Each
+    estimate is 6dp-rounded before the arithmetic so the derived
+    intersection/Jaccard stay engine-stable."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import hll_overlap
+
+    t = load_tables(spark, sf, ("events",))
+    e = t["events"]
+    return hll_overlap(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+
+
+QUERIES["hll_overlap"] = q_hll_overlap
+
+
+def _hll_est_leg(regs: str, out: str) -> str:
+    return f"""
+    agg_{out} AS (
+      SELECT sum(CAST(2 ** (52 - r) AS BIGINT)) AS s, count(*) AS occ FROM {regs}
+    ),
+    est_{out} AS (
+      SELECT CAST(512 - occ AS DOUBLE) AS zeros,
+             {_HLL_ALPHA_M2} / ((512 - occ) + CAST(s AS DOUBLE) / 4503599627370496.0) AS raw
+      FROM agg_{out}
+    ),
+    v_{out} AS (
+      SELECT round(CASE WHEN raw <= 1280.0 AND zeros > 0
+                        THEN 512.0 * ln(512.0 / zeros) ELSE raw END, 6) AS ndv
+      FROM est_{out}
+    )"""
+
+
+ORACLE["hll_overlap"] = f"""
+    WITH h AS (
+      SELECT event_type,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef',
+                                  substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+               (acc, d) -> acc * 16 + d) AS hv
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+    ),
+    regs_a AS (
+      SELECT hv % 512 AS bucket,
+             max(CASE WHEN hv // 512 = 0 THEN 52
+                      ELSE 51 - len(bin(hv // 512)) + 1 END) AS r
+      FROM h WHERE event_type = 'view' GROUP BY 1
+    ),
+    regs_b AS (
+      SELECT hv % 512 AS bucket,
+             max(CASE WHEN hv // 512 = 0 THEN 52
+                      ELSE 51 - len(bin(hv // 512)) + 1 END) AS r
+      FROM h WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    regs_u AS (
+      SELECT hv % 512 AS bucket,
+             max(CASE WHEN hv // 512 = 0 THEN 52
+                      ELSE 51 - len(bin(hv // 512)) + 1 END) AS r
+      FROM h GROUP BY 1
+    ),{_hll_est_leg("regs_a", "a")},{_hll_est_leg("regs_b", "b")},{_hll_est_leg("regs_u", "u")},
+    fin AS (
+      SELECT v_a.ndv AS ndv_a, v_b.ndv AS ndv_b, v_u.ndv AS ndv_union,
+             greatest(0.0, round(v_a.ndv + v_b.ndv - v_u.ndv, 6)) AS inter
+      FROM v_a CROSS JOIN v_b CROSS JOIN v_u
+    )
+    SELECT ndv_a, ndv_b, ndv_union, inter AS ndv_intersection,
+           CASE WHEN ndv_union > 0 THEN round(inter / ndv_union, 6) END AS jaccard_est
+    FROM fin
+"""

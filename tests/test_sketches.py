@@ -158,3 +158,37 @@ def test_cms_bad_params(spark):
     df = spark.createDataFrame([("x",)], "s string")
     with pytest.raises(ValueError, match="depth"):
         cms_state(df, "s", depth=0)
+
+
+# ---------------------------------------------------------------------------
+# hll_overlap (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def test_hll_overlap_tracks_true_intersection(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import hll_overlap
+
+    # A = 0..5999, B = 4000..9999 -> true inter 2000, union 10000
+    a = spark.range(0, 6000).select(F.col("id").alias("v"))
+    b = spark.range(4000, 10000).select(F.col("id").alias("v"))
+    row = hll_overlap(a, b, "v").collect()[0]
+    assert abs(row.ndv_a - 6000) / 6000 < 0.15
+    assert abs(row.ndv_union - 10000) / 10000 < 0.15
+    assert abs(row.ndv_intersection - 2000) / 2000 < 0.5  # differenced error
+    assert 0.05 < row.jaccard_est < 0.4                    # true 0.2
+
+    again = hll_overlap(a.repartition(7), b.repartition(3), "v").collect()[0]
+    assert again == row  # register states are layout-independent
+
+
+def test_hll_overlap_disjoint_clamps_to_zero(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import hll_overlap
+
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(100000, 103000).select(F.col("id").alias("v"))
+    row = hll_overlap(a, b, "v").collect()[0]
+    assert row.ndv_intersection >= 0.0          # clamp, never negative
+    assert row.ndv_intersection / 3000 < 0.25   # near-zero overlap signal
+    # identical corpora: intersection ~ either side, jaccard ~ 1
+    same = hll_overlap(a, a, "v").collect()[0]
+    assert same.ndv_a == same.ndv_b == same.ndv_union == same.ndv_intersection
+    assert same.jaccard_est == 1.0

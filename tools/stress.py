@@ -8,7 +8,7 @@ Fact keys are offset per replica so key cardinality grows with the data
 (no artificial hot keys); the as-of self-join keeps o_custkey, so
 versions-per-key grows N× — deliberately stressing the window operator.
 
-Usage: python tools/stress.py [factors...]   (default: 1 4 16)
+Usage: python tools/stress.py [factors...] [--only=q1,q2]   (default: 1 4 16)
 Prints one timing row per (factor, query) and a final JSON line.
 """
 
@@ -65,7 +65,14 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # while the count shuffle grows; variant shredding is row-local
            # decode
            "hits_scores", "link_prediction", "ewma_features", "table_digest",
-           "hop_hll_users", "variant_shred")
+           "hop_hll_users", "variant_shred",
+           # round-4 session-7: rank-sum/OLS/ACF/CUSUM ride events (value
+           # grid and per-key history saturate, keys/counts grow);
+           # chi-squared and WOE ride orders with a CONSTANT cell table;
+           # the FK audit grows linearly on every join side; k-core rides
+           # the saturating co-purchase graph like triangle_census
+           "mannwhitney_drift", "cusum_alerts", "trend_lines", "acf_features",
+           "chi2_independence", "woe_iv", "fk_audit", "kcore")
 
 
 def build(spark, factor: int, out_dir: str) -> None:
@@ -117,7 +124,14 @@ def build(spark, factor: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    only: tuple[str, ...] | None = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = tuple(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+    factors = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="dpe_stress_")
@@ -129,7 +143,7 @@ def main() -> None:
             build(spark, factor, d)
             rows[factor] = spark.read.parquet(os.path.join(d, "lineitem.parquet")).count()
             results[str(factor)] = {}
-            for q in QUERIES:
+            for q in (only or QUERIES):
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.time()
