@@ -659,3 +659,59 @@ def fk_orphans(
         F.min(F.when(orphan, F.col("__fk"))).alias("min_orphan_key"),
         F.max(F.when(orphan, F.col("__fk"))).alias("max_orphan_key"),
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law.
+
+    The classic fabricated-data / broken-feed screen (Nigrini): natural
+    multi-magnitude positive amounts follow ``P(d) = log10(1 + 1/d)``;
+    uniform synthetic data, truncation bugs, and copy-paste rows do
+    not. The audit reports the observed digit mix, the expected law,
+    and the mean absolute deviation (MAD, Nigrini's statistic —
+    > ~0.015 on amounts is "nonconformity").
+
+    Exactness: the first digit comes from the DECIMAL STRING of the
+    cent-quantized bigint (``floor(value*100)``) — never from
+    ``floor(log10(x))``, whose float boundary at powers of ten
+    misclassifies 1000.0 on some engines. Digits with zero observations
+    still report (1..9 grid). Percentages are 6dp-rounded before the
+    deviation arithmetic, deviations are exact micro-units, and the MAD
+    is their bigint sum div 9 — engine- and layout-stable throughout.
+    Non-positive and NULL values are excluded (Benford applies to
+    positive amounts).
+
+    One hash aggregation (9 groups) + broadcast total; nothing scales
+    with input beyond the scan.
+
+    Returns 9 rows: ``digit``, ``n_obs``, ``pct``, ``expected_pct``,
+    ``dev_micro``, ``mad_micro`` (same on every row).
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    pos = df.select(cents.alias("__c")).where(F.col("__c") > 0)
+    counts = pos.groupBy(
+        F.substring(F.col("__c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    spark = df.sparkSession
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = counts.agg(F.sum("__n").alias("__nn"))
+    full = (
+        grid.join(counts, "digit", "left")
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    pct = F.round(F.col("__n").cast("double") / F.col("__nn").cast("double"), 6)
+    expected = F.round(
+        F.log10((F.col("digit") + 1).cast("double") / F.col("digit").cast("double")), 6
+    )
+    scored = full.select(
+        "digit",
+        F.col("__n").cast("long").alias("n_obs"),
+        pct.alias("pct"),
+        expected.alias("expected_pct"),
+        F.round(F.abs(pct - expected) * F.lit(1000000.0)).cast("long").alias("dev_micro"),
+    )
+    mad = scored.agg(
+        (F.sum("dev_micro") - F.sum("dev_micro") % 9).alias("__s")
+    ).select((F.col("__s") / 9).cast("long").alias("mad_micro"))
+    return scored.crossJoin(F.broadcast(mad))
