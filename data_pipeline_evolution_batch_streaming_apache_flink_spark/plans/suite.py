@@ -6250,3 +6250,54 @@ ORACLE["hll_overlap"] = f"""
            CASE WHEN ndv_union > 0 THEN round(inter / ndv_union, 6) END AS jaccard_est
     FROM fin
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (operators/quality.py benford_audit)
+# ---------------------------------------------------------------------------
+
+def q_benford(spark: SparkSession, sf: str) -> DataFrame:
+    """Fabrication screen on order amounts: observed first-digit mix vs
+    log10(1+1/d), digit taken from the decimal STRING of cent-quantized
+    bigints (no floor(log10) float boundary), MAD as exact micro-units.
+    The synthetic uniform prices rightly FAIL Benford — the audit
+    reports that honestly."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import benford_audit
+
+    t = load_tables(spark, sf, ("orders",))
+    return benford_audit(t["orders"], "o_totalprice")
+
+
+QUERIES["benford_audit"] = q_benford
+
+ORACLE["benford_audit"] = """
+    WITH pos AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0
+    ),
+    counts AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n
+      FROM pos GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nn FROM counts),
+    grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+    full_g AS (
+      SELECT g.digit, coalesce(c.n, 0) AS n, t.nn
+      FROM grid g LEFT JOIN counts c ON g.digit = c.digit CROSS JOIN tot t
+    ),
+    scored AS (
+      SELECT CAST(digit AS INTEGER) AS digit, CAST(n AS BIGINT) AS n_obs,
+             round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS pct,
+             round(log10(CAST(digit + 1 AS DOUBLE) / CAST(digit AS DOUBLE)), 6) AS expected_pct
+      FROM full_g
+    ),
+    dev AS (
+      SELECT digit, n_obs, pct, expected_pct,
+             CAST(round(abs(pct - expected_pct) * 1000000.0) AS BIGINT) AS dev_micro
+      FROM scored
+    )
+    SELECT digit, n_obs, pct, expected_pct, dev_micro,
+           CAST((SELECT (sum(dev_micro) - sum(dev_micro) % 9) / 9 FROM dev) AS BIGINT) AS mad_micro
+    FROM dev
+"""

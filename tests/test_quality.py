@@ -414,3 +414,47 @@ def test_fk_orphans_clean_relation_reports_zeros(spark):
     fact2 = spark.createDataFrame([(5,), (5,), (5,)], "fk int")
     row2 = fk_orphans(fact2, dim, "fk", "pk", "r").collect()[0]
     assert (row2.n_orphans, row2.n_orphan_keys) == (3, 1)
+
+
+# ---------------------------------------------------------------------------
+# benford_audit
+# ---------------------------------------------------------------------------
+
+def test_benford_conforming_and_uniform_data(spark):
+    import math
+    import random as _r
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import benford_audit
+
+    rng = _r.Random(31)
+    # log-uniform magnitudes follow Benford closely
+    conforming = [(10 ** rng.uniform(0, 5),) for _ in range(20000)]
+    rows = {r.digit: r for r in benford_audit(
+        spark.createDataFrame(conforming, "v double"), "v").collect()}
+    assert set(rows) == set(range(1, 10))
+    for d in range(1, 10):
+        assert abs(rows[d].pct - math.log10(1 + 1 / d)) < 0.02, d
+        assert rows[d].expected_pct == round(math.log10(1 + 1 / d), 6)
+    assert rows[1].mad_micro < 15000          # conformity: MAD < 0.015
+
+    # uniform data on one magnitude: flat digit mix, large MAD
+    uniform = [(rng.uniform(1000, 9999),) for _ in range(20000)]
+    urows = benford_audit(spark.createDataFrame(uniform, "v double"), "v").collect()
+    assert urows[0].mad_micro > 40000
+    assert len({r.mad_micro for r in urows}) == 1   # broadcast same on every row
+
+
+def test_benford_string_digit_extraction_and_filters(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import benford_audit
+
+    # 1000.00 -> cents 100000 -> digit 1 (the floor(log10) hazard case);
+    # 0, negatives and NULL excluded; 0.05 -> cents 5 -> digit 5
+    df = spark.createDataFrame(
+        [(1000.0,), (0.05,), (-77.0,), (0.0,), (None,), (9.99,)], "v double"
+    )
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert rows[1].n_obs == 1
+    assert rows[5].n_obs == 1
+    assert rows[9].n_obs == 1
+    assert sum(r.n_obs for r in rows.values()) == 3
+    # zero-count digits still present in the grid
+    assert rows[2].n_obs == 0 and rows[2].pct == 0.0
