@@ -138,6 +138,8 @@ BENCH_QUERIES = (
     "rake_keywords",
     "woe_iv",
     "acf_features",
+    "hll_overlap",
+    "benford_audit",
 )
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["cooccurrence_pmi"]
+__all__ = ["cooccurrence_pmi", "association_rules"]
 
 
 def cooccurrence_pmi(
@@ -116,3 +116,64 @@ def cooccurrence_pmi(
             " / CAST(count_a * count_b AS DOUBLE)) * 1000000) AS BIGINT)"
         ).alias("pmi_micro"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_basket: int | None = None,
+    min_confidence_micro: int = 0,
+) -> DataFrame:
+    """Directed association rules (antecedent => consequent) with
+    support / confidence / lift — the Apriori readout for 2-itemsets,
+    which in practice carries most of the recommendation/affinity
+    signal (higher orders explode combinatorially for marginal lift).
+
+    Built on :func:`cooccurrence_pmi`'s canonical pair counts (same
+    dedup, same basket-size guard, same single pair shuffle): each
+    unordered pair emits both directions, then per rule
+
+        support_micro    = round(pair * 1e6 / n_baskets)
+        confidence_micro = round(pair * 1e6 / count_antecedent)
+        lift_micro       = round(pair * n_baskets * 1e6
+                                 / (count_antecedent * count_consequent))
+
+    — each ONE micro-rounded double expression over exact bigints
+    (house determinism policy), so rules rank identically on any
+    layout/engine. ``min_confidence_micro`` prunes weak rules after
+    scoring (confidence is direction-specific, so pruning cannot happen
+    at the undirected stage).
+
+    Returns ``(antecedent, consequent, pair_count, support_micro,
+    confidence_micro, lift_micro)``. Lift is symmetric; confidence is
+    not — both directions of a pair appear unless pruned.
+    """
+    pmi = cooccurrence_pmi(
+        df, basket_col, item_col,
+        min_pair_count=min_pair_count, max_basket=max_basket,
+    )
+    fwd = pmi.select(
+        F.col("item_a").alias("antecedent"), F.col("item_b").alias("consequent"),
+        "pair_count", F.col("count_a").alias("__ante"),
+        F.col("count_b").alias("__cons"), "n_baskets",
+    )
+    rev = pmi.select(
+        F.col("item_b").alias("antecedent"), F.col("item_a").alias("consequent"),
+        "pair_count", F.col("count_b").alias("__ante"),
+        F.col("count_a").alias("__cons"), "n_baskets",
+    )
+    both = fwd.unionByName(rev)
+    pc = F.col("pair_count").cast("double")
+    nb = F.col("n_baskets").cast("double")
+    ante = F.col("__ante").cast("double")
+    cons = F.col("__cons").cast("double")
+    scored = both.select(
+        "antecedent", "consequent",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.round(pc * F.lit(1000000.0) / nb).cast("long").alias("support_micro"),
+        F.round(pc * F.lit(1000000.0) / ante).cast("long").alias("confidence_micro"),
+        F.round(pc * nb * F.lit(1000000.0) / (ante * cons)).cast("long").alias("lift_micro"),
+    )
+    return scored.where(F.col("confidence_micro") >= min_confidence_micro)

@@ -6301,3 +6301,63 @@ ORACLE["benford_audit"] = """
            CAST((SELECT (sum(dev_micro) - sum(dev_micro) % 9) / 9 FROM dev) AS BIGINT) AS mad_micro
     FROM dev
 """
+
+
+# ---------------------------------------------------------------------------
+# Association rules (operators/basket.py association_rules)
+# ---------------------------------------------------------------------------
+
+def q_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier affinity rules within orders: both directions of each
+    co-occurring pair scored with support/confidence/lift as single
+    micro-rounded ratios of exact counts, weak rules pruned at 5%
+    confidence (supplier baskets are wide, so per-rule confidence is
+    naturally low). Same bounded per-basket pair join as cooccur_pmi."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.basket import association_rules
+
+    t = load_tables(spark, sf, ("lineitem",))
+    obs = t["lineitem"].select(
+        F.col("l_orderkey").alias("basket"), F.col("l_suppkey").alias("item")
+    )
+    return association_rules(
+        obs, "basket", "item", min_pair_count=2, min_confidence_micro=50000
+    )
+
+
+QUERIES["association_rules"] = q_association_rules
+
+ORACLE["association_rules"] = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_suppkey AS it
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    nb AS (SELECT count(DISTINCT bk) AS n FROM b),
+    ic AS (SELECT it, count(*) AS c FROM b GROUP BY it),
+    p AS (
+      SELECT l.it AS a, r.it AS b2, count(*) AS pc
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    dirs AS (
+      SELECT a AS antecedent, b2 AS consequent, pc FROM p
+      UNION ALL
+      SELECT b2, a, pc FROM p
+    ),
+    j AS (
+      SELECT d.antecedent, d.consequent, d.pc,
+             ca.c AS ante, cc.c AS cons, (SELECT n FROM nb) AS n
+      FROM dirs d
+      JOIN ic ca ON d.antecedent = ca.it
+      JOIN ic cc ON d.consequent = cc.it
+    ),
+    scored AS (
+      SELECT antecedent, consequent, CAST(pc AS BIGINT) AS pair_count,
+             CAST(round(CAST(pc AS DOUBLE) * 1000000.0 / CAST(n AS DOUBLE)) AS BIGINT) AS support_micro,
+             CAST(round(CAST(pc AS DOUBLE) * 1000000.0 / CAST(ante AS DOUBLE)) AS BIGINT) AS confidence_micro,
+             CAST(round(CAST(pc AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0
+                        / (CAST(ante AS DOUBLE) * CAST(cons AS DOUBLE))) AS BIGINT) AS lift_micro
+      FROM j
+    )
+    SELECT * FROM scored WHERE confidence_micro >= 50000
+"""

@@ -230,3 +230,40 @@ def test_rrf_fuse_hand_checked(spark):
     assert [got[d].fused_rank for d in ("y", "x", "z")] == [1, 2, 3]
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+# ---------------------------------------------------------------------------
+# association_rules (operators/basket.py)
+# ---------------------------------------------------------------------------
+
+def test_association_rules_hand_computed(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.basket import association_rules
+
+    # baskets: {x,y} {x,y} {x,z} {y} -> n=4, cx=3, cy=3, cz=1, pair(x,y)=2, (x,z)=1
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = {(r.antecedent, r.consequent): r
+           for r in association_rules(df, "bk", "it").collect()}
+    xy = out[("x", "y")]
+    assert xy.pair_count == 2
+    assert xy.support_micro == 500000                  # 2/4
+    assert xy.confidence_micro == round(2 / 3 * 1e6)   # 2/cx
+    assert xy.lift_micro == round(2 * 4 / (3 * 3) * 1e6)
+    zx = out[("z", "x")]
+    assert zx.confidence_micro == 1000000              # 1/cz -> certain rule
+    assert out[("x", "z")].confidence_micro == round(1 / 3 * 1e6)
+    # lift symmetric, confidence not
+    assert xy.lift_micro == out[("y", "x")].lift_micro
+
+
+def test_association_rules_confidence_prune_and_layout(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.basket import association_rules
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z"), (4, "y")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    strict = association_rules(df, "bk", "it", min_confidence_micro=900000)
+    assert {(r.antecedent, r.consequent) for r in strict.collect()} == {("z", "x")}
+
+    a = sorted(map(str, association_rules(df, "bk", "it").collect()))
+    b = sorted(map(str, association_rules(df.repartition(5), "bk", "it").collect()))
+    assert a == b
