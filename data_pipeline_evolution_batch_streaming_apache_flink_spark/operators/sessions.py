@@ -170,3 +170,58 @@ def cohort_retention(
             F.floor(F.col("n_users") * 10000 / F.col("cohort_size")).cast("bigint"),
         )
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences — the path-analysis readout ("after a view, what
+    happens next?") and the generator behind funnel simulators and
+    next-event baselines.
+
+    One per-key window sort produces each event's successor state
+    (``lead``); transitions then collapse in ONE counted shuffle with
+    map-side combine. Probabilities are conditioned per source state —
+    ``P(next|prev) = n(prev,next) / n(prev,*)`` — each ONE
+    micro-rounded double ratio of exact bigints (house determinism
+    policy). A key's last event has no successor and is counted in
+    ``n_from`` of nothing (standard convention: transitions, not
+    states, are the unit).
+
+    NULL states are dropped before sequencing (a null can't name a
+    matrix cell); keys with a single event contribute nothing.
+
+    Returns ``(prev_state, next_state, n_trans, n_from, p_micro)`` —
+    rows for observed transitions only (absent cells are structural
+    zeros).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(order_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    seq = df.where(F.col(state_col).isNotNull()).select(
+        F.col(state_col).alias("prev_state"),
+        F.lead(state_col).over(w).alias("next_state"),
+    )
+    trans = (
+        seq.where(F.col("next_state").isNotNull())
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    from_tot = trans.groupBy("prev_state").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        trans.join(F.broadcast(from_tot), "prev_state")
+        .select(
+            "prev_state", "next_state",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            F.col("n_from").cast("long").alias("n_from"),
+            F.round(
+                F.col("n_trans").cast("double") * F.lit(1000000.0)
+                / F.col("n_from").cast("double")
+            ).cast("long").alias("p_micro"),
+        )
+    )

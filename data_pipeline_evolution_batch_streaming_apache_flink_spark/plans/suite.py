@@ -6361,3 +6361,43 @@ ORACLE["association_rules"] = """
     )
     SELECT * FROM scored WHERE confidence_micro >= 50000
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (operators/sessions.py transition_matrix)
+# ---------------------------------------------------------------------------
+
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type path analysis per user: successor via one per-key
+    window sort, transitions in one counted shuffle, P(next|prev) as a
+    single micro-rounded ratio of exact counts. Matrix cells are keyed
+    by (prev, next) — 25 rows however large the corpus."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import transition_matrix
+
+    t = load_tables(spark, sf, ("events",))
+    return transition_matrix(
+        t["events"], "user_id", "ts", "event_type", tiebreak_cols=("event_id",)
+    )
+
+
+QUERIES["transition_matrix"] = q_transition_matrix
+
+ORACLE["transition_matrix"] = """
+    WITH seq AS (
+      SELECT event_type AS prev_state,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_state
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    trans AS (
+      SELECT prev_state, next_state, count(*) AS n_trans
+      FROM seq WHERE next_state IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT prev_state, sum(n_trans) AS n_from FROM trans GROUP BY 1)
+    SELECT t.prev_state, t.next_state,
+           CAST(t.n_trans AS BIGINT) AS n_trans,
+           CAST(o.n_from AS BIGINT) AS n_from,
+           CAST(round(CAST(t.n_trans AS DOUBLE) * 1000000.0
+                      / CAST(o.n_from AS DOUBLE)) AS BIGINT) AS p_micro
+    FROM trans t JOIN tot o ON t.prev_state = o.prev_state
+"""

@@ -209,3 +209,45 @@ def test_cohort_retention_matrix(spark):
 
     with pytest.raises(ValueError):
         cohort_retention(df, "user_id", "ts", period="hour")
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix (operators/sessions.py)
+# ---------------------------------------------------------------------------
+
+def test_transition_matrix_hand_computed(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import transition_matrix
+
+    # user 1: a->b->a->c ; user 2: b->a  => from a: b,c (2), from b: a (2)
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (2, 1, "b"), (2, 2, "a")]
+    df = spark.createDataFrame(rows, "u int, seq int, s string")
+    out = {(r.prev_state, r.next_state): r
+           for r in transition_matrix(df, "u", "seq", "s").collect()}
+    assert out[("a", "b")].n_trans == 1 and out[("a", "b")].n_from == 2
+    assert out[("a", "b")].p_micro == 500000
+    assert out[("a", "c")].p_micro == 500000
+    assert out[("b", "a")].n_trans == 2 and out[("b", "a")].p_micro == 1000000
+    # no cross-user leakage: (c, b) would need user-1's end joined to user-2
+    assert ("c", "b") not in out
+    # probabilities per source state sum to 1 (exact halves here)
+    assert sum(r.p_micro for k, r in out.items() if k[0] == "a") == 1000000
+
+
+def test_transition_matrix_null_states_and_singletons(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import transition_matrix
+
+    rows = [(1, 1, "a"), (1, 2, None), (1, 3, "b"),  # null dropped: a->b
+            (2, 1, "x")]                             # singleton: nothing
+    df = spark.createDataFrame(rows, "u int, seq int, s string")
+    out = {(r.prev_state, r.next_state): r.n_trans
+           for r in transition_matrix(df, "u", "seq", "s").collect()}
+    assert out == {("a", "b"): 1}
+
+    big = spark.createDataFrame(
+        [(u, i, "abc"[(u + i) % 3]) for u in range(20) for i in range(30)],
+        "u int, seq int, s string",
+    )
+    a = sorted(map(str, transition_matrix(big, "u", "seq", "s").collect()))
+    b = sorted(map(str, transition_matrix(big.repartition(7), "u", "seq", "s").collect()))
+    assert a == b
