@@ -369,3 +369,103 @@ def streaming_rolling_agg(
     return src.groupBy(*keys).applyInPandasWithState(
         fn, out_schema, "state binary", "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def streaming_cusum(
+    df: DataFrame,
+    key: str | list[str],
+    ts_col: str,
+    val_col: str,
+    ref_cents: int,
+    threshold_cents: int,
+    slack_cents: int = 0,
+    delay: str = "0 seconds",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming twin of ``operators.timeseries.cusum``: per-key
+    two-sided CUSUM drift scores emitted per event, watermark-final in
+    event-time order (same append-only finality trade as
+    ``streaming_rolling_agg``).
+
+    Where the batch form uses the prefix-sum closed form, the stream
+    keeps the equivalent O(1) recurrence per key — the running prefix
+    sums and their running extrema ``(P+, min P+, P-, max P-)`` — so
+    state per key is FOUR integers plus the above-watermark buffer:
+    bounded by batch skew, never by stream length. Batch parity is
+    exact (bigint cents; pinned by test).
+
+    NULL values are dropped at the input (the batch twin passes them
+    through unscored; a stream has no place for unscored rows in an
+    append sink). An event-time timeout drains buffered rows when the
+    watermark advances without new data for the key.
+
+    Returns the input columns + ``cusum_hi``, ``cusum_lo`` (bigint
+    cents) and ``alert`` (boolean).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(df.columns)
+    out_schema = T.StructType(
+        [df.schema[c] for c in cols]
+        + [
+            T.StructField("cusum_hi", T.LongType(), False),
+            T.StructField("cusum_lo", T.LongType(), False),
+            T.StructField("alert", T.BooleanType(), False),
+        ]
+    )
+    src = (
+        df.where(F.col(val_col).isNotNull())
+        .withColumn("__ts", F.col(ts_col).cast("timestamp"))
+        .withColumn("__cents", F.expr(f"CAST(floor({val_col} * 100) AS BIGINT)"))
+        .withWatermark("__ts", delay)
+    )
+    tb = list(tiebreak_cols)
+    d_hi = int(ref_cents) + int(slack_cents)
+    d_lo = int(ref_cents) - int(slack_cents)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            p_hi, min_p, p_lo, max_p, pending = pickle.loads(state.get[0])
+        else:
+            p_hi, min_p, p_lo, max_p, pending = 0, 0, 0, 0, []
+        for pdf in pdfs:
+            for r in pdf.to_dict(orient="records"):
+                pending.append(
+                    (
+                        _ms(r["__ts"]),
+                        tuple(r[c] for c in tb),
+                        int(r["__cents"]),
+                        tuple(r[c] for c in cols),
+                    )
+                )
+        wm = state.getCurrentWatermarkMs()
+        pending.sort(key=lambda x: (x[0], x[1]))
+        ready = [p for p in pending if p[0] <= wm]
+        pending = [p for p in pending if p[0] > wm]
+
+        out_rows = []
+        for _ts, _tb, cents, row in ready:
+            p_hi += cents - d_hi
+            min_p = min(min_p, p_hi)
+            p_lo += cents - d_lo
+            max_p = max(max_p, p_lo)
+            s_hi = p_hi - min_p
+            s_lo = max_p - p_lo
+            out_rows.append(
+                row + (s_hi, s_lo,
+                       bool(s_hi >= threshold_cents or s_lo >= threshold_cents))
+            )
+
+        if pending or ready or state.exists:
+            state.update((pickle.dumps((p_hi, min_p, p_lo, max_p, pending)),))
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(min(p[0] for p in pending), wm + 1)
+                )
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=cols + ["cusum_hi", "cusum_lo", "alert"]
+            )
+
+    return src.groupBy(*keys).applyInPandasWithState(
+        fn, out_schema, "state binary", "append", GroupStateTimeout.EventTimeTimeout
+    )

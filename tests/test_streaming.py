@@ -1026,3 +1026,41 @@ def test_streaming_rolling_agg_state_bounded_and_null_dropped(spark, tmp_path):
     assert (res[9]["roll_n"], res[9]["roll_sum_cents"]) == (4, (6 + 7 + 8 + 9) * 100)
     # null-valued event emitted nothing
     assert 50 not in res
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM (O(1) recurrence state) equals the batch
+    prefix-sum closed form in exact cents, alerts included."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_cusum
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import cusum
+
+    rows = [
+        {"k": 1, "eid": i, "ts": f"2024-01-01 10:{i:02d}:00",
+         "v": [10.0, 80.0, 95.0, 70.0, 5.0, 90.0][i - 1]}
+        for i in range(1, 7)
+    ] + [
+        {"k": 2, "eid": 10, "ts": "2024-01-01 10:00:30", "v": 40.0},
+        {"k": 2, "eid": 11, "ts": "2024-01-01 10:02:30", "v": 41.0},
+    ]
+    hb = [{"k": 9, "eid": 99, "ts": "2024-01-01 12:00:00", "v": 50.0}]
+    d = str(tmp_path / "cusum_in")
+    _write_batches(d, [rows[:4], rows[4:], hb])
+    stream = json_file_stream(spark, d, "k int, eid int, ts timestamp, v double")
+    out_dir = _run_available_now(
+        streaming_cusum(stream, "k", "ts", "v", ref_cents=5000,
+                        threshold_cents=8000, tiebreak_cols=("eid",)),
+        tmp_path, "cusum",
+    )
+    got = {r["eid"]: (r["cusum_hi"], r["cusum_lo"], r["alert"])
+           for r in spark.read.parquet(out_dir).collect() if r["eid"] != 99}
+
+    batch = spark.createDataFrame(
+        [(r["k"], r["eid"], r["ts"], r["v"]) for r in rows],
+        "k int, eid int, ts string, v double",
+    ).selectExpr("k", "eid", "CAST(ts AS TIMESTAMP) AS ts", "v")
+    exp = {r["eid"]: (r["cusum_hi"], r["cusum_lo"], r["alert"])
+           for r in cusum(batch, "k", "ts", "v", ref_cents=5000,
+                          threshold_cents=8000, tiebreak_cols=("eid",)).collect()}
+    assert got == exp
+    assert any(a for _, _, a in got.values())       # the high run must alert
+    assert got[10] == (0, 1000, False)              # below-ref start: lo side grows
