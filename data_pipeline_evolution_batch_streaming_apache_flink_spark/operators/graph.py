@@ -657,3 +657,46 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .select(F.col("src").alias("node"), "degree")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    endpoint degrees over the edge list — the one-number answer to "do
+    hubs link to hubs?" (positive: social-network-like; negative:
+    hub-and-spoke, typical of marketplaces and star schemas).
+
+    Degrees come from one aggregation of the edge list; each edge then
+    picks up both endpoint degrees via two equi-joins (the degree table
+    is #nodes rows — broadcastable in practice, left to AQE), and the
+    correlation reuses :func:`...stats.corr_matrix`'s exact-decimal
+    moment machinery verbatim (scale=1 — degrees are already integers),
+    so the result is layout- and engine-stable at 6dp.
+
+    Undirected graphs pass both edge directions (house convention);
+    the symmetrized directed computation then equals the standard
+    undirected coefficient. Constant-degree graphs (every node equal)
+    have undefined assortativity -> NULL.
+
+    Returns one row: ``n_edges``, ``assortativity``.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import corr_matrix
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    pairs = (
+        e.join(deg.select(F.col("__s"), F.col("__deg").alias("deg_src")), "__s")
+        .join(
+            deg.select(F.col("__s").alias("__d"), F.col("__deg").alias("deg_dst")),
+            "__d",
+        )
+        .select("deg_src", "deg_dst")
+    )
+    corr = corr_matrix(pairs, ["deg_src", "deg_dst"], scale=1)
+    return corr.where(
+        (F.col("col_x") == "deg_src") & (F.col("col_y") == "deg_dst")
+    ).select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.col("corr").alias("assortativity"),
+    )

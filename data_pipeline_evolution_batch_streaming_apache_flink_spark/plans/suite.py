@@ -6401,3 +6401,66 @@ ORACLE["transition_matrix"] = """
                       / CAST(o.n_from AS DOUBLE)) AS BIGINT) AS p_micro
     FROM trans t JOIN tot o ON t.prev_state = o.prev_state
 """
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (operators/graph.py degree_assortativity)
+# ---------------------------------------------------------------------------
+
+def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Do popular parts co-purchase with popular parts? Degree
+    assortativity of the co-purchase graph: endpoint degrees joined
+    onto edges, correlation via corr_matrix's exact decimal moments
+    (scale=1 — degrees are integers)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import degree_assortativity
+
+    t = load_tables(spark, sf, ("lineitem",))
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    edges = pairs.selectExpr("a AS src", "b2 AS dst").unionByName(
+        pairs.selectExpr("b2 AS src", "a AS dst")
+    )
+    return degree_assortativity(edges)
+
+
+QUERIES["assortativity"] = q_assortativity
+
+ORACLE["assortativity"] = """
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    p AS (
+      SELECT l.it AS a, r.it AS b2
+      FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS src, b2 AS dst FROM p UNION ALL SELECT b2, a FROM p),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    pr AS (
+      SELECT CAST(round(CAST(ds.d AS DOUBLE) * 1) AS HUGEINT) AS v0,
+             CAST(round(CAST(dd.d AS DOUBLE) * 1) AS HUGEINT) AS v1
+      FROM e
+      JOIN deg ds ON e.src = ds.src
+      JOIN deg dd ON e.dst = dd.src
+    ),
+    sums AS (
+      SELECT count(*) AS n, sum(v0) AS s0, sum(v1) AS s1,
+             sum(v0 * v0) AS p00, sum(v0 * v1) AS p01, sum(v1 * v1) AS p11
+      FROM pr
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                          * (CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))) = 0
+                THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * CAST(p01 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(p00 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(p11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))), 6)
+           END AS assortativity
+    FROM sums
+"""

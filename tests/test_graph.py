@@ -408,3 +408,55 @@ def test_k_core_validates_and_handles_empty(spark):
     assert k_core(edges, k=2).count() == 0
     with pytest.raises(ValueError, match="k must be"):
         k_core(edges, k=0)
+
+
+# ---------------------------------------------------------------------------
+# degree_assortativity
+# ---------------------------------------------------------------------------
+
+def test_assortativity_star_is_disassortative(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import degree_assortativity
+
+    # star: hub 0 with 5 leaves -> perfectly disassortative (-1)
+    edges = spark.createDataFrame(
+        _both([(0, i) for i in range(1, 6)]), "src int, dst int"
+    )
+    row = degree_assortativity(edges).collect()[0]
+    assert row.n_edges == 10
+    assert row.assortativity == -1.0
+
+    # two disjoint cliques of different sizes: every edge joins equal
+    # degrees -> within-edge degrees constant per component; the pooled
+    # correlation of (deg, deg) pairs on the diagonal is exactly 1
+    k3 = [(1, 2), (2, 3), (1, 3)]
+    k4 = [(a + 10, b + 10) for a, b in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]]
+    cl = spark.createDataFrame(_both(k3 + k4), "src int, dst int")
+    assert degree_assortativity(cl).collect()[0].assortativity == 1.0
+
+
+def test_assortativity_regular_graph_null_and_reference(spark):
+    import math
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import degree_assortativity
+
+    # cycle: 2-regular -> zero degree variance -> undefined (NULL)
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    row = degree_assortativity(
+        spark.createDataFrame(_both(cyc), "src int, dst int")
+    ).collect()[0]
+    assert row.assortativity is None
+
+    # path graph 0-1-2-3: hand-checkable mixed degrees; compare with a
+    # direct Pearson over the 6 directed (deg, deg) pairs
+    path = [(0, 1), (1, 2), (2, 3)]
+    deg = {0: 1, 1: 2, 2: 2, 3: 1}
+    pts = [(deg[a], deg[b]) for a, b in path] + [(deg[b], deg[a]) for a, b in path]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts); syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    want = round((n * sxy - sx * sy)
+                 / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    got = degree_assortativity(
+        spark.createDataFrame(_both(path), "src int, dst int")
+    ).collect()[0]
+    assert abs(got.assortativity - want) < 2e-6
