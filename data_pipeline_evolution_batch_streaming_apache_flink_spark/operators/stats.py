@@ -22,7 +22,7 @@ the exact decimal sums never overflow below 1e38 total.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -487,4 +487,71 @@ def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.when(
             kmin >= 1, F.round(F.sqrt(chi2 / (nd2 * kmin.cast("double"))), 6)
         ).alias("cramers_v"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower_micro: int = 50000,
+    upper_micro: int = 950000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: clip values at exact nearest-rank
+    quantiles — the robust-feature step that tames heavy tails without
+    deleting rows (unlike trimming) before standardization/regression.
+
+    The bounds are ORDER STATISTICS, not interpolated quantiles: rank
+    ``k = ceil(q * n)`` (1-based, computed in exact integers as
+    ``(q_micro*n + 999999) div 1e6``), so the clip points are actual
+    data values and the operator never invents a float — clipped output
+    is pure comparison/selection, bit-identical on any engine.
+
+    One per-group window sort ranks the non-null values; the two bound
+    rows per group collapse to a #groups-row table that broadcasts back
+    onto the data (no second full shuffle). NULLs pass through
+    unclipped and don't count toward ``n``. Ties are safe: equal values
+    are adjacent in rank order, so the rank-k VALUE is deterministic
+    whatever the tie order.
+
+    Returns the input plus ``out_col`` (clipped value), ``lo_bound``,
+    ``hi_bound``, and ``clipped`` (boolean; NULL for NULL values).
+    """
+    if not 0 <= lower_micro <= upper_micro <= 1000000:
+        raise ValueError(
+            f"need 0 <= lower <= upper <= 1e6, got {lower_micro}, {upper_micro}"
+        )
+    out_col = out_col or f"{value_col}_winsorized"
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__v"))
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("__v"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols)))
+    )
+    k_lo = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"CAST(({int(lower_micro)} * __n + 999999) div 1000000 AS BIGINT)"),
+    )
+    k_hi = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"CAST(({int(upper_micro)} * __n + 999999) div 1000000 AS BIGINT)"),
+    )
+    bounds = (
+        ranked.withColumn("__klo", k_lo)
+        .withColumn("__khi", k_hi)
+        .groupBy(*group_cols)
+        .agg(
+            F.min(F.when(F.col("__rn") == F.col("__klo"), F.col("__v"))).alias("lo_bound"),
+            F.min(F.when(F.col("__rn") == F.col("__khi"), F.col("__v"))).alias("hi_bound"),
+        )
+    )
+    joined = df.join(F.broadcast(bounds), group_cols, "left")
+    v = F.col(value_col)
+    clipped_v = F.least(F.greatest(v, F.col("lo_bound")), F.col("hi_bound"))
+    return joined.withColumn(
+        out_col, F.when(v.isNotNull(), clipped_v)
+    ).withColumn(
+        "clipped", F.when(v.isNotNull(), v != F.col(out_col))
     )

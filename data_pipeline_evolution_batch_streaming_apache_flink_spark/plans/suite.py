@@ -6464,3 +6464,48 @@ ORACLE["assortativity"] = """
            END AS assortativity
     FROM sums
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group winsorization (operators/stats.py winsorize)
+# ---------------------------------------------------------------------------
+
+def q_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Tail-taming of order amounts per priority at the exact 5th/95th
+    nearest-rank order statistics: clip points are actual data values
+    (integer rank arithmetic, no interpolation float), bounds broadcast
+    back — one window shuffle total."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import winsorize
+
+    t = load_tables(spark, sf, ("orders",))
+    out = winsorize(t["orders"], ["o_orderpriority"], "o_totalprice")
+    return out.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice_winsorized").alias("v_w"),
+        "lo_bound", "hi_bound", "clipped",
+    )
+
+
+QUERIES["winsorize"] = q_winsorize
+
+ORACLE["winsorize"] = """
+    WITH ranked AS (
+      SELECT o_orderpriority AS g, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    bounds AS (
+      SELECT g,
+             min(CASE WHEN rn = greatest(1, (50000 * n + 999999) // 1000000) THEN v END) AS lo_bound,
+             min(CASE WHEN rn = greatest(1, (950000 * n + 999999) // 1000000) THEN v END) AS hi_bound
+      FROM ranked GROUP BY g
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CASE WHEN o.o_totalprice IS NOT NULL
+                THEN least(greatest(o.o_totalprice, b.lo_bound), b.hi_bound) END AS v_w,
+           b.lo_bound, b.hi_bound,
+           CASE WHEN o.o_totalprice IS NOT NULL
+                THEN o.o_totalprice != least(greatest(o.o_totalprice, b.lo_bound), b.hi_bound) END AS clipped
+    FROM orders o LEFT JOIN bounds b ON o.o_orderpriority = b.g
+"""

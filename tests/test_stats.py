@@ -376,3 +376,52 @@ def test_chi2_independent_columns_near_zero_and_degenerate(spark):
         [("x", "p"), (None, "q"), ("y", None), ("y", "q")], "a string, b string"
     )
     assert chi2_independence(withnull, "a", "b").collect()[0].n_obs == 2
+
+
+# ---------------------------------------------------------------------------
+# winsorize
+# ---------------------------------------------------------------------------
+
+def test_winsorize_clips_at_exact_order_statistics(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import winsorize
+
+    # values 1..100: p5 rank = ceil(0.05*100)=5 -> 5, p95 rank = 95 -> 95
+    df = spark.createDataFrame([(1, float(i)) for i in range(1, 101)], "g int, v double")
+    out = winsorize(df, ["g"], "v").collect()
+    lows = [r for r in out if r.v < 5.0]
+    highs = [r for r in out if r.v > 95.0]
+    assert all(r.v_winsorized == 5.0 and r.clipped for r in lows)
+    assert all(r.v_winsorized == 95.0 and r.clipped for r in highs)
+    mid = [r for r in out if 5.0 <= r.v <= 95.0]
+    assert all(r.v_winsorized == r.v and not r.clipped for r in mid)
+    assert {(r.lo_bound, r.hi_bound) for r in out} == {(5.0, 95.0)}
+    assert sum(r.clipped for r in out) == 4 + 5
+
+    a = sorted(map(str, out))
+    b = sorted(map(str, winsorize(df.repartition(9), ["g"], "v").collect()))
+    assert a == b
+
+
+def test_winsorize_null_passthrough_groups_and_validation(spark):
+    import pytest as _pt
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 100.0), (1, None), (2, 7.0)],
+        "g int, v double",
+    )
+    out = {(r.g, r.v): r for r in winsorize(df, ["g"], "v",
+                                            lower_micro=0, upper_micro=670000).collect()}
+    # group 1: n=3, k_hi = (670000*3+999999)//1e6 = 3 -> bound is the max
+    assert out[(1, 100.0)].v_winsorized == 100.0   # rank-3 bound = 100 itself
+    assert out[(1, None)].v_winsorized is None and out[(1, None)].clipped is None
+    # singleton group: both bounds = the value
+    assert out[(2, 7.0)].v_winsorized == 7.0 and not out[(2, 7.0)].clipped
+
+    tight = {(r.g, r.v): r for r in winsorize(df, ["g"], "v",
+                                              lower_micro=0, upper_micro=340000).collect()}
+    # k_hi = (340000*3+999999)//1e6 = 2 -> bound 2.0; 100 clips down
+    assert tight[(1, 100.0)].v_winsorized == 2.0 and tight[(1, 100.0)].clipped
+
+    with _pt.raises(ValueError, match="lower <= upper"):
+        winsorize(df, ["g"], "v", lower_micro=900000, upper_micro=100000)
