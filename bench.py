@@ -140,6 +140,11 @@ BENCH_QUERIES = (
     "acf_features",
     "hll_overlap",
     "benford_audit",
+    "association_rules",
+    "transition_matrix",
+    "assortativity",
+    "winsorize",
+    "zipf_fit",
 )
 
 

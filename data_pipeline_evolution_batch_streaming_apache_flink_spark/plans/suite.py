@@ -6509,3 +6509,74 @@ ORACLE["winsorize"] = """
                 THEN o.o_totalprice != least(greatest(o.o_totalprice, b.lo_bound), b.hi_bound) END AS clipped
     FROM orders o LEFT JOIN bounds b ON o.o_orderpriority = b.g
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (composition: textops x curation x stats)
+# ---------------------------------------------------------------------------
+
+def q_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Is the corpus Zipfian? Token frequencies -> scalable global ranks
+    (two-pass prefix-sum ids, never a one-partition window) -> ln-ln OLS
+    through ols_trend's exact-moment finish. Natural text slopes to ~-1;
+    this synthetic word salad is much flatter — the fit reports that.
+    Pure operator composition: token_histogram x assign_global_ids x
+    ols_trend, each ln micro-rounded before the integer moments."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import assign_global_ids
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import ols_trend
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import token_histogram
+
+    t = load_tables(spark, sf, ("documents",))
+    counts = token_histogram(t["documents"])
+    ranked = assign_global_ids(counts, [(-F.col("freq")).cast("long"), F.col("token")], "__r")
+    pts = ranked.select(
+        F.round(F.log((F.col("__r") + 1).cast("double")) * 1000000).cast("long").alias("ln_rank_micro"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000).cast("long").alias("ln_freq_micro"),
+    )
+    return ols_trend(pts, [], "ln_rank_micro", "ln_freq_micro").select(
+        F.col("n").alias("vocab"), "slope", "intercept", "r2"
+    )
+
+
+QUERIES["zipf_fit"] = q_zipf_fit
+
+ORACLE["zipf_fit"] = r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS r
+      FROM counts
+    ),
+    pts AS (
+      SELECT CAST(CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS HUGEINT) AS x,
+             CAST(CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000) AS BIGINT) AS HUGEINT) AS y
+      FROM ranked
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts
+    ),
+    d AS (
+      SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(syy AS DOUBLE) AS syy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS vocab,
+           CASE WHEN nd * sxx - sx * sx > 0 THEN
+             round((nd * sxy - sx * sy) / (nd * sxx - sx * sx) * 1.0, 6)
+           END AS slope,
+           CASE WHEN nd * sxx - sx * sx > 0 THEN
+             round((sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd, 6)
+           END AS intercept,
+           CASE WHEN nd * sxx - sx * sx > 0 AND nd * syy - sy * sy > 0 THEN
+             round((nd * sxy - sx * sy) * (nd * sxy - sx * sy)
+                   / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+           END AS r2
+    FROM d
+"""

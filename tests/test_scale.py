@@ -383,7 +383,9 @@ def test_session7_results_layout_independent(spark, sf_dir):
     (Mann-Whitney/CUSUM/OLS-trend/chi-squared/k-core/FK-audit/RAKE)."""
     for q in ("mannwhitney_drift", "cusum_alerts", "trend_lines",
               "chi2_independence", "kcore", "fk_audit", "rake_keywords",
-              "woe_iv", "acf_features", "hll_overlap", "benford_audit"):
+              "woe_iv", "acf_features", "hll_overlap", "benford_audit",
+              "association_rules", "transition_matrix", "assortativity",
+              "winsorize", "zipf_fit"):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "5")
