@@ -316,8 +316,6 @@ def mannwhitney_drift(
     bigint), ``z`` (6dp), ``rank_biserial`` (6dp effect size,
     ``2*U_b/(n_a*n_b) - 1``). NULLs ignored on both sides.
     """
-    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import global_running_sum
-
     sa = a.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(1))
     sb = b.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(0))
     u = sa.union(sb).filter(F.col("__v").isNotNull())
@@ -325,6 +323,31 @@ def mannwhitney_drift(
         F.sum("__ia").cast("long").alias("__ca"),
         F.sum(1 - F.col("__ia")).cast("long").alias("__cb"),
     )
+    return mannwhitney_from_counts(counts, "__v", "__ca", "__cb", num_partitions)
+
+
+def mannwhitney_from_counts(
+    counts: DataFrame,
+    value_col: str,
+    count_a_col: str,
+    count_b_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`mannwhitney_drift` from pre-aggregated per-value counts —
+    the form a STREAMING drift monitor needs (exactly like
+    :func:`...quality.ks_from_counts`): maintain a value histogram of
+    the live stream (native update-mode groupBy count, bounded state =
+    distinct values), histogram the reference once, full-outer the two
+    on the value, and hand the merged counts here. Missing counts
+    (value on one side only) may be NULL — treated as zero. Same exact
+    doubled-rank integers, same tie-corrected z."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import global_running_sum
+
+    counts = counts.select(
+        F.col(value_col).alias("__v"),
+        F.coalesce(F.col(count_a_col), F.lit(0)).cast("long").alias("__ca"),
+        F.coalesce(F.col(count_b_col), F.lit(0)).cast("long").alias("__cb"),
+    ).filter(F.col("__v").isNotNull())
     cum = global_running_sum(counts, "__v", F.col("__ca"), "__cuma", num_partitions)
     t = F.col("__ca") + F.col("__cb")
     agg = cum.agg(

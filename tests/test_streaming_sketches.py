@@ -97,3 +97,49 @@ def test_streaming_ks_drift_monitor_equals_batch(spark, tmp_path):
         want["ks_stat"], want["ks_at"], want["n_a"], want["n_b"],
     )
     assert got["ks_stat"] > 0  # the two generators genuinely differ
+
+
+def test_streaming_mwu_drift_monitor_equals_batch(spark, tmp_path):
+    """Rank-sum twin of the KS gate: same live update-mode histogram,
+    mannwhitney_from_counts on the full-outer of the two histograms
+    equals the batch mannwhitney_drift on the same data."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import (
+        mannwhitney_drift,
+        mannwhitney_from_counts,
+    )
+
+    in_dir = str(tmp_path / "mwu_in")
+    os.makedirs(in_dir)
+    live_vals = [round(0.1 * ((i * 7) % 40) + 1.0, 1) for i in range(900)]  # shifted up
+    for b in range(3):
+        with open(os.path.join(in_dir, f"b{b}.json"), "w") as fh:
+            for v in live_vals[b * 300 : (b + 1) * 300]:
+                fh.write(json.dumps({"v": v}) + "\n")
+
+    stream = json_file_stream(spark, in_dir, "v double")
+    q = (
+        stream.groupBy("v").count()
+        .writeStream.format("memory").queryName("mwu_hist")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+
+    ref_vals = [round(0.1 * ((i * 11) % 55), 1) for i in range(700)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "value double")
+    ref_hist = ref.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("ref_count")
+    )
+    merged = (
+        spark.sql("SELECT v, count AS live_count FROM mwu_hist")
+        .join(ref_hist, "v", "full_outer")
+    )
+    got = mannwhitney_from_counts(merged, "v", "live_count", "ref_count").first()
+
+    live = spark.createDataFrame([(v,) for v in live_vals], "value double")
+    want = mannwhitney_drift(live, ref, "value").first()
+    assert got == want
+    # side B is the REFERENCE: the live stream sits above it, so few
+    # (live, ref) pairs have live < ref -> U_b small, z strongly negative
+    assert got["z"] < -2
