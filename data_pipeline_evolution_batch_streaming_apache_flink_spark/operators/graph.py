@@ -700,3 +700,83 @@ def degree_assortativity(
         F.col("n").cast("long").alias("n_edges"),
         F.col("corr").alias("assortativity"),
     )
+
+
+def local_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node local clustering coefficient — the node-level refinement
+    of :func:`triangle_stats`' global census: ``lcc(v) = 2*T_v /
+    (deg_v * (deg_v - 1))``, the probability that two of v's neighbors
+    link each other (ego-density; the spam-farm/community membership
+    feature PageRank can't see).
+
+    Same canonicalization and DEGREE-ORIENTED wedge join as
+    ``triangle_stats`` (per-key fanout O(sqrt(m)) on any graph); each
+    closed triangle then credits its THREE corners via one posexplode
+    and collapses in a counted shuffle. Exact bigints everywhere; the
+    coefficient is one micro-rounded double ratio (house policy).
+
+    Input edges may arrive in either orientation with duplicates and
+    self-loops (dropped). Degree-1 nodes (and isolated inputs) have an
+    undefined coefficient -> NULL, triangles 0.
+
+    Returns ``(node, degree, n_triangles, lcc_micro)`` — one row per
+    node of the deduped graph.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    oriented = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("__da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("__db")), "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("__o")
+        )
+        .select("__o.u", "__o.v")
+    )
+    wedges = (
+        oriented.select(F.col("u"), F.col("v").alias("__v1"))
+        .join(oriented.select(F.col("u"), F.col("v").alias("__v2")), "u")
+        .where(F.col("__v1") < F.col("__v2"))
+        .select("u", F.col("__v1").alias("a"), F.col("__v2").alias("b"))
+    )
+    closed = wedges.join(e, ["a", "b"])
+    per_node = (
+        closed.select(
+            F.explode(F.array(F.col("u"), F.col("a"), F.col("b"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    return out.withColumn(
+        "lcc_micro",
+        F.expr(
+            "CASE WHEN degree >= 2 THEN CAST(round(CAST(2 * n_triangles AS DOUBLE)"
+            " / CAST(degree * (degree - 1) AS DOUBLE) * 1000000) AS BIGINT) END"
+        ),
+    )

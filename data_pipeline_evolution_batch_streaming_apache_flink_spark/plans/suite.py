@@ -6580,3 +6580,65 @@ ORACLE["zipf_fit"] = r"""
            END AS r2
     FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient (operators/graph.py local_clustering)
+# ---------------------------------------------------------------------------
+
+def q_local_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Ego-density of every part in the co-purchase graph: the
+    degree-oriented wedge join closes triangles exactly once, each
+    credits its three corners, lcc is one micro-rounded ratio. The
+    node-level refinement of triangle_census."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import local_clustering
+
+    t = load_tables(spark, sf, ("lineitem",))
+    b = t["lineitem"].select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), (F.col("l.bk") == F.col("r.bk")) & (F.col("l.it") < F.col("r.it")))
+        .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= 2)
+    )
+    edges = pairs.selectExpr("a AS src", "b2 AS dst")
+    return local_clustering(edges)
+
+
+QUERIES["local_clustering"] = q_local_clustering
+
+ORACLE["local_clustering"] = """
+    WITH bk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    p AS (
+      SELECT l.it AS a, r.it AS b2
+      FROM bk l JOIN bk r ON l.bk = r.bk AND l.it < r.it
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(a, b2) AS a, greatest(a, b2) AS b FROM p WHERE a != b2
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT ab.a AS x, ab.b AS y, bc.b AS z
+      FROM e ab JOIN e bc ON ab.b = bc.a
+      JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    ),
+    corners AS (
+      SELECT unnest([x, y, z]) AS node FROM tri
+    ),
+    per_node AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             CAST(round(CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                        / CAST(d.degree * (d.degree - 1) AS DOUBLE) * 1000000) AS BIGINT)
+           END AS lcc_micro
+    FROM deg d LEFT JOIN per_node t ON d.node = t.node
+"""

@@ -6,8 +6,10 @@ from __future__ import annotations
 import __spark_entry__ as E
 
 # bpe_tokenize: ordered data-dependent rewrite system — no SQL twin
-# (exactness pinned in tests/test_bpe.py); everything else must have one.
-EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize"}
+# (exactness pinned in tests/test_bpe.py). pca_project: driver-side
+# eigensolver — no SQL twin (numpy-parity + layout tests in
+# tests/test_stats.py). Everything else must have one.
+EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize", "pca_project"}
 
 
 def test_oracle_keys_subset_of_queries():

@@ -460,3 +460,48 @@ def test_assortativity_regular_graph_null_and_reference(spark):
         spark.createDataFrame(_both(path), "src int, dst int")
     ).collect()[0]
     assert abs(got.assortativity - want) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# local_clustering
+# ---------------------------------------------------------------------------
+
+def test_local_clustering_hand_computed(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import local_clustering
+
+    # triangle {1,2,3} + pendant 3-4: lcc(1)=lcc(2)=1, lcc(3)=2*1/(3*2)=1/3,
+    # lcc(4) undefined (degree 1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    out = {r.node: r for r in local_clustering(edges).collect()}
+    assert out[1].lcc_micro == 1000000 and out[1].n_triangles == 1
+    assert out[2].lcc_micro == 1000000
+    assert out[3].degree == 3 and out[3].n_triangles == 1
+    assert out[3].lcc_micro == round(1 / 3 * 1e6)
+    assert out[4].lcc_micro is None and out[4].n_triangles == 0
+
+    # complete graph K4: every node has C(3,2)=3 wedge pairs, all closed
+    # -> 3 triangles per node, lcc = 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k = {r.node: r for r in local_clustering(
+        spark.createDataFrame(k4, "src int, dst int")).collect()}
+    assert all(r.lcc_micro == 1000000 and r.n_triangles == 3 for r in k.values())
+
+
+def test_local_clustering_orientation_and_layout_independent(spark):
+    import random as _r
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import local_clustering
+
+    rng = _r.Random(41)
+    pairs = {(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # duplicates + both orientations + self loops must collapse
+    noisy = pairs + [(b, a) for a, b in pairs] + [(5, 5), (7, 7)]
+    e1 = spark.createDataFrame(noisy, "src int, dst int")
+    e2 = spark.createDataFrame(pairs, "src int, dst int")
+    a = sorted(map(str, local_clustering(e1).collect()))
+    b = sorted(map(str, local_clustering(e2).collect()))
+    assert a == b
+    c = sorted(map(str, local_clustering(e1.repartition(7)).collect()))
+    assert a == c
