@@ -145,6 +145,7 @@ BENCH_QUERIES = (
     "assortativity",
     "winsorize",
     "zipf_fit",
+    "local_clustering",
 )
 
 
