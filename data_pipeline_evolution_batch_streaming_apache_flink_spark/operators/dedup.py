@@ -314,49 +314,32 @@ def _perm_min(hashes: Column, a: int, b: int) -> Column:
     return F.array_min(F.transform(hashes, lambda h: F.pmod(h * a + b, F.lit(MINHASH_PRIME))))
 
 
-def minhash_lsh_pairs(
+def banded_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 5,
-    threshold: float = 0.7,
     num_perm: int = 128,
     bands: int = 64,
     seed: int = 42,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Approximate near-duplicate pairs: MinHash + banded LSH + exact
-    verification.
+    """LSH band keys per document: ``(__id, band, bhash)`` — the shared
+    candidate-generation stage of :func:`minhash_lsh_pairs` and the
+    persisted-index pair :func:`lsh_write_index`/:func:`lsh_probe_pairs`.
 
-    bands=64 x rows=2 gives P(candidate | jaccard=s) = 1-(1-s^2)^64 —
-    ~1-2e-19 at s=0.7, so recall at the default threshold is effectively 1
-    while candidate generation stays linear in corpus size. Candidates are
-    then verified with exact Jaccard on the shingle sets, so reported pairs
-    are never false positives.
-
-    ``max_bucket`` drops LSH buckets larger than that many docs (mirrors
-    ``ngram_jaccard_pairs``' ``max_df``): an adversarial corpus of
-    near-identical documents collapses into one bucket per band, which
-    would otherwise materialize a single K-element aggregation row and
-    K²/2 candidate pairs. The drop happens while buckets are still
-    individual (spillable) rows, so memory stays bounded; recall is lost
-    only for documents duplicated more than ``max_bucket`` times — run
-    :func:`exact_dedup` first so exact duplicates never reach LSH.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Permutation mins and band hashes run in numpy via mapInPandas: the
+    JVM higher-order-function formulation is interpreted (CodegenFallback)
+    and ~5x slower. Only the shingle->int hash stays JVM (xxhash64).
+    Signatures are engine-internal — candidates are always verified with
+    exact Jaccard downstream, so the band-hash function needs
+    determinism, not cross-engine parity; the (a,b) universal hash
+    family and its recall guarantee are unchanged.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
     rows_per_band = num_perm // bands
     sh = _shingled(df, id_col, text_col, n)
 
-    # Permutation mins and band hashes run in numpy via mapInPandas: the
-    # JVM higher-order-function formulation is interpreted (CodegenFallback)
-    # and ~5x slower. Only the shingle->int hash stays JVM (xxhash64).
-    # Signatures are engine-internal — candidates are verified with exact
-    # Jaccard below, so the band-hash function needs determinism, not
-    # cross-engine parity; the (a,b) universal hash family and its recall
-    # guarantee are unchanged.
     from collections.abc import Iterator
 
     import numpy as np
@@ -403,7 +386,41 @@ def minhash_lsh_pairs(
         F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))).alias("__h"),
     )
     id_type = df.schema[id_col].dataType.simpleString()
-    banded = hashed.mapInPandas(_band_rows, schema=f"__id {id_type}, band int, bhash long")
+    return hashed.mapInPandas(_band_rows, schema=f"__id {id_type}, band int, bhash long")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Approximate near-duplicate pairs: MinHash + banded LSH + exact
+    verification.
+
+    bands=64 x rows=2 gives P(candidate | jaccard=s) = 1-(1-s^2)^64 —
+    ~1-2e-19 at s=0.7, so recall at the default threshold is effectively 1
+    while candidate generation stays linear in corpus size. Candidates are
+    then verified with exact Jaccard on the shingle sets, so reported pairs
+    are never false positives.
+
+    ``max_bucket`` drops LSH buckets larger than that many docs (mirrors
+    ``ngram_jaccard_pairs``' ``max_df``): an adversarial corpus of
+    near-identical documents collapses into one bucket per band, which
+    would otherwise materialize a single K-element aggregation row and
+    K²/2 candidate pairs. The drop happens while buckets are still
+    individual (spillable) rows, so memory stays bounded; recall is lost
+    only for documents duplicated more than ``max_bucket`` times — run
+    :func:`exact_dedup` first so exact duplicates never reach LSH.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    banded = banded_rows(df, id_col, text_col, n, num_perm, bands, seed)
     # Candidate pairs via bucket-collect, not a banded-self-join: Spark does
     # not reuse the exchange across the two sides of a self-join here (the
     # MapInPandas stage fails sameResult), so a join would run the Python
@@ -1143,4 +1160,132 @@ def winnow_pairs(
             .cast("bigint")
             .alias("overlap_micro"),
         )
+    )
+
+
+def lsh_write_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_perm: int = 128,
+    bands: int = 64,
+    seed: int = 42,
+    band_parts: int = 16,
+) -> None:
+    """Persist a MinHash-LSH band index for INCREMENTAL near-dup
+    admission: the batch twin of ``streaming/neardup.py`` — dedup each
+    NEW shard against the accepted corpus without re-shingling the
+    corpus, the shape corpus growth actually takes at 100 TB.
+
+    Two artifacts under ``path``:
+
+    - ``buckets/`` — ``(bhash, id)`` rows partitioned by ``band`` and
+      ``__bp = bhash mod band_parts``: probes prune to the (band,
+      prefix) partitions their own band keys name, so a small shard's
+      probe reads a fraction of the index instead of all of it;
+    - ``docs/`` — ``(id, text)`` once (NOT per band), read only for the
+      exact-Jaccard verification of candidate ids.
+
+    Build cost: one signature pass + one partitioned write — the
+    amortized one-off, same trade as :func:`...similarity.ivf_write_index`.
+    """
+    banded = banded_rows(corpus, id_col, text_col, n, num_perm, bands, seed)
+    (
+        banded.withColumn("__bp", F.pmod(F.col("bhash"), F.lit(band_parts)))
+        .write.partitionBy("band", "__bp")
+        .mode("overwrite")
+        .parquet(path + "/buckets")
+    )
+    corpus.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    ).write.mode("overwrite").parquet(path + "/docs")
+
+
+def lsh_probe_pairs(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n: int = 5,
+    num_perm: int = 128,
+    bands: int = 64,
+    seed: int = 42,
+    band_parts: int = 16,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Probe a persisted LSH index (:func:`lsh_write_index`) with a new
+    shard: returns cross pairs ``(query_id, corpus_id, jaccard >=
+    threshold)`` — exactly the admission decision "which new docs
+    near-duplicate the accepted corpus".
+
+    The probe's own band keys name the (band, bhash-prefix) partitions
+    that can possibly collide; their distinct set (≤ bands*band_parts
+    values — bounded, driver-safe) becomes a partition-column filter, so
+    unprobed prefixes are pruned at planning time and never read. The
+    signature parameters MUST match the index build (same shingle n,
+    permutations, bands, seed) — band hashes are meaningless across
+    configs. Candidates join on (band, bhash) and are verified with
+    exact Jaccard by re-shingling ONLY the touched docs (probe side +
+    matched corpus ids from ``docs/``), so reported pairs are never
+    false positives; the recall argument is minhash_lsh_pairs' banding
+    bound, unchanged. ``max_bucket`` caps pathological probe buckets
+    like the in-memory operator.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets
+
+    spark = new_docs.sparkSession
+    q = banded_rows(new_docs, id_col, text_col, n, num_perm, bands, seed)
+    q = cap_buckets(q, ("band", "bhash"), max_bucket).withColumn(
+        "__bp", F.pmod(F.col("bhash"), F.lit(band_parts))
+    ).localCheckpoint(eager=True)  # probe keys feed pruning AND the join
+    # Bounded driver round-trip: distinct (band, prefix) keys of the probe.
+    probed = sorted(
+        (r["band"], r["__bp"])
+        for r in q.select("band", "__bp").distinct().collect()
+    )
+    keys = [b * band_parts + p for b, p in probed]
+    index = spark.read.parquet(path + "/buckets").filter(
+        (F.col("band") * band_parts + F.col("__bp")).isin(keys)
+    )
+    cand = (
+        q.select("band", "bhash", F.col("__id").alias("query_id"))
+        .join(index.select("band", "bhash", F.col("__id").alias("corpus_id")), ["band", "bhash"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probe_sets = _shingled(
+        new_docs.join(
+            cand.select(F.col("query_id").alias("__cid")).distinct(),
+            F.col(id_col) == F.col("__cid"),
+            "left_semi",
+        ),
+        id_col, text_col, n,
+    ).select(F.col("__id").alias("query_id"), F.col("__sh").alias("__sha"))
+    corpus_docs = spark.read.parquet(path + "/docs").join(
+        cand.select(F.col("corpus_id").alias("__cid")).distinct(),
+        F.col("__id") == F.col("__cid"),
+        "left_semi",
+    )
+    corpus_sets = _shingled(
+        corpus_docs.select(F.col("__id").alias("cid"), F.col("__text").alias("ctext")),
+        "cid", "ctext", n,
+    ).select(F.col("__id").alias("corpus_id"), F.col("__sh").alias("__shb"))
+    return (
+        cand.join(probe_sets, "query_id")
+        .join(corpus_sets, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("__sha", "__shb"))
+                / F.size(F.array_union("__sha", "__shb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("query_id", "corpus_id", "jaccard")
     )

@@ -6642,3 +6642,52 @@ ORACLE["local_clustering"] = """
            END AS lcc_micro
     FROM deg d LEFT JOIN per_node t ON d.node = t.node
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH admission (operators/dedup.py lsh_write_index/probe)
+# ---------------------------------------------------------------------------
+
+def q_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-growth admission: even-id docs are the ACCEPTED corpus
+    (indexed once, band-partitioned), odd-id docs the NEW shard probing
+    it with partition-pruned reads + exact-Jaccard verification. Same
+    recall-1.0 config as dedup_minhash_lsh (bands=64 x rows=2 at
+    jaccard>=0.5 -> miss ~1e-8), so the exact cross-pair SQL is a valid
+    oracle."""
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        lsh_probe_pairs,
+        lsh_write_index,
+    )
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    fresh = docs.filter(F.col("doc_id") % 2 == 1)
+    path = os.path.join("spark-warehouse", "lsh_index_suite")
+    lsh_write_index(corpus, path, "doc_id", "text", n=3)
+    return lsh_probe_pairs(fresh, path, "doc_id", "text", threshold=0.5, n=3)
+
+
+QUERIES["lsh_incremental"] = q_lsh_incremental
+
+ORACLE["lsh_incremental"] = r"""
+    WITH sh AS (
+      SELECT doc_id, doc_id % 2 = 1 AS is_new,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                          i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+    ),
+    inv AS (SELECT doc_id, is_new, len(s) AS sz, unnest(s) AS shingle FROM sh),
+    pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+             q.sz AS sq, c.sz AS sc, count(*) AS shared
+      FROM inv q JOIN inv c USING (shingle)
+      WHERE q.is_new AND NOT c.is_new
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT query_id, corpus_id, round(shared / (sq + sc - shared), 6) AS jaccard
+    FROM pairs WHERE round(shared / (sq + sc - shared), 6) >= 0.5
+"""

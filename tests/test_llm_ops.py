@@ -664,3 +664,74 @@ def test_rake_max_words_filter_and_layout(spark):
         for r in rake_keywords(df.repartition(7), top_k=3, max_words=8).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# lsh_write_index / lsh_probe_pairs (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+def _lsh_corpus(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(0, 40, 2):   # corpus: even ids
+        rows.append((i, f"{base} corpusdoc{i} filler{i} more{i} text{i} here{i}"))
+    # 21 near-duplicates corpus doc 20's text with one token changed
+    rows.append((20, f"{base} shared shared shared shared tail tail tail"))
+    rows = [r for r in rows if r[0] != 20] + [(20, f"{base} shared shared shared shared tail tail tail")]
+    new = [(21, f"{base} shared shared shared shared tail tail CHANGED"),
+           (23, "totally different content nothing matches at all here folks")]
+    return (spark.createDataFrame(rows, "doc_id bigint, text string"),
+            spark.createDataFrame(new, "doc_id bigint, text string"))
+
+
+def test_lsh_index_probe_matches_inmemory_cross_pairs(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        lsh_probe_pairs, lsh_write_index, minhash_lsh_pairs,
+    )
+
+    corpus, new = _lsh_corpus(spark)
+    path = str(tmp_path / "lshidx")
+    lsh_write_index(corpus, path, "doc_id", "text", n=3)
+    got = {(r.query_id, r.corpus_id, r.jaccard)
+           for r in lsh_probe_pairs(new, path, "doc_id", "text",
+                                    threshold=0.3, n=3).collect()}
+    # in-memory operator over the union, restricted to cross pairs
+    allpairs = minhash_lsh_pairs(corpus.unionByName(new), "doc_id", "text",
+                                 n=3, threshold=0.3).collect()
+    want = set()
+    for r in allpairs:
+        a_new, b_new = r.id_a % 2 == 1, r.id_b % 2 == 1
+        if a_new != b_new:  # one side new, one side corpus
+            q, c = (r.id_a, r.id_b) if a_new else (r.id_b, r.id_a)
+            want.add((q, c, r.jaccard))
+    assert got == want
+    assert any(q == 21 and c == 20 for q, c, _ in got)   # the planted near-dup
+    assert not any(q == 23 for q, c, _ in got)           # the novel doc admits
+
+
+def test_lsh_probe_prunes_partitions(spark, tmp_path):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        banded_rows, lsh_write_index,
+    )
+
+    corpus, new = _lsh_corpus(spark)
+    path = str(tmp_path / "lshidx2")
+    lsh_write_index(corpus, path, "doc_id", "text", n=3, band_parts=16)
+    probe_one = new.filter("doc_id = 23")   # novel doc: sparse band keys
+    q = banded_rows(probe_one, "doc_id", "text", 3, 128, 64, 42)
+    keys = sorted({r["band"] * 16 + r["bhash"] % 16
+                   for r in q.select("band", "bhash").collect()})
+    filtered = spark.read.parquet(path + "/buckets").filter(
+        (F.col("band") * 16 + F.col("__bp")).isin(keys)
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # planning-time pruning: the arithmetic isin lands in PartitionFilters
+    # (file skipping), NOT in DataFilters (row filtering after reading)
+    assert "PartitionFilters: [((band" in plan
+    assert "DataFilters: []" in plan
+    # and the probe's key set genuinely excludes most of the index
+    assert len(keys) <= 64                  # one prefix per band at most
+    full_keys = {r["band"] * 16 + r["__bp"]
+                 for r in spark.read.parquet(path + "/buckets")
+                 .select("band", "__bp").distinct().collect()}
+    assert len(set(keys) & full_keys) < len(full_keys)

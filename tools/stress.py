@@ -72,7 +72,13 @@ QUERIES = ("pricing_summary", "region_revenue", "cube_revenue", "enriched_orders
            # the FK audit grows linearly on every join side; k-core rides
            # the saturating co-purchase graph like triangle_census
            "mannwhitney_drift", "cusum_alerts", "trend_lines", "acf_features",
-           "chi2_independence", "woe_iv", "fk_audit", "kcore")
+           "chi2_independence", "woe_iv", "fk_audit", "kcore",
+           # session-7 second batch: rules/assortativity/LCC ride the
+           # saturating co-purchase and supplier graphs; transitions and
+           # HLL overlap ride events with bounded output; winsorize and
+           # benford ride orders with fixed bound/digit tables
+           "association_rules", "transition_matrix", "assortativity",
+           "local_clustering", "hll_overlap", "benford_audit", "winsorize")
 
 
 def build(spark, factor: int, out_dir: str) -> None:

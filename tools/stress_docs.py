@@ -50,6 +50,10 @@ QUERIES = (
     # mutation (linear candidates); NB's vocab/conditional table grows with
     # the mutated token universe — join keys scale, per-key state bounded
     "winnow_pairs", "nb_classify",
+    # round-4 session-7: RAKE is doc_id-keyed end to end (linear); the Zipf
+    # fit's rank stage is the two-pass prefix sum over the saturating-vocab
+    # token histogram
+    "rake_keywords", "zipf_fit",
 )
 
 
@@ -74,7 +78,14 @@ def build(spark, factor: int, out_dir: str) -> int:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    only: tuple[str, ...] | None = None
+    args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = tuple(a.split("=", 1)[1].split(","))
+        else:
+            args.append(a)
+    factors = [int(a) for a in args] or [1, 4, 16]
     spark = get_spark("stress-docs", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10).mapInPandas(lambda it: it, "id long").count()  # warm python pool
@@ -86,7 +97,7 @@ def main() -> None:
             d = os.path.join(root, f"x{factor}")
             rows[factor] = build(spark, factor, d)
             results[str(factor)] = {}
-            for q in QUERIES:
+            for q in (only or QUERIES):
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.time()
