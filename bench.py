@@ -146,6 +146,7 @@ BENCH_QUERIES = (
     "winsorize",
     "zipf_fit",
     "local_clustering",
+    "lsh_incremental",
 )
 
 

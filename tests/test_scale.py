@@ -385,7 +385,7 @@ def test_session7_results_layout_independent(spark, sf_dir):
               "chi2_independence", "kcore", "fk_audit", "rake_keywords",
               "woe_iv", "acf_features", "hll_overlap", "benford_audit",
               "association_rules", "transition_matrix", "assortativity",
-              "winsorize", "zipf_fit", "local_clustering"):
+              "winsorize", "zipf_fit", "local_clustering", "lsh_incremental"):
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "5")
