@@ -6655,7 +6655,7 @@ def q_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     recall-1.0 config as dedup_minhash_lsh (bands=64 x rows=2 at
     jaccard>=0.5 -> miss ~1e-8), so the exact cross-pair SQL is a valid
     oracle."""
-    import os
+    import tempfile
 
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
         lsh_probe_pairs,
@@ -6666,7 +6666,10 @@ def q_lsh_incremental(spark: SparkSession, sf: str) -> DataFrame:
     docs = t["documents"]
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     fresh = docs.filter(F.col("doc_id") % 2 == 1)
-    path = os.path.join("spark-warehouse", "lsh_index_suite")
+    # per-invocation temp dir: a shared relative path breaks when two
+    # sessions (e.g. the driver harness and a pytest worker) overwrite
+    # and read the same index concurrently
+    path = tempfile.mkdtemp(prefix="dpe_lsh_idx_")
     lsh_write_index(corpus, path, "doc_id", "text", n=3)
     return lsh_probe_pairs(fresh, path, "doc_id", "text", threshold=0.5, n=3)
 

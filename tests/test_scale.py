@@ -407,3 +407,26 @@ def test_session7_plan_shapes(spark, sf_dir):
 
     plan2 = _plan(suite.QUERIES["chi2_independence"](spark, sf_dir))
     assert "SortMergeJoin" not in plan2
+
+
+def test_session7_more_plan_shapes(spark, sf_dir):
+    """winsorize's bound table must come back as a broadcast join (never
+    a sort-merge of the fact table against 5 rows); RAKE and the LSH
+    probe must stay equi-join-only (no CartesianProduct /
+    BroadcastNestedLoopJoin); zipf's rank stage must not collapse into
+    a single-partition global window."""
+    plan = _plan(suite.QUERIES["winsorize"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    for q in ("rake_keywords", "lsh_incremental"):
+        plan = _plan(suite.QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+    plan = _plan(suite.QUERIES["zipf_fit"](spark, sf_dir))
+    # the rank comes from the two-pass prefix sum, whose range exchange is
+    # materialized behind a localCheckpoint; the remaining window cumsum
+    # partitions by __pid — NO window in the plan is global
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("windowspecdefinition(") == plan.count("windowspecdefinition(__pid")
