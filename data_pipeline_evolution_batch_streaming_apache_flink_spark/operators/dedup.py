@@ -1194,6 +1194,12 @@ def lsh_write_index(
     banded = banded_rows(corpus, id_col, text_col, n, num_perm, bands, seed)
     (
         banded.withColumn("__bp", F.pmod(F.col("bhash"), F.lit(band_parts)))
+        # hash-repartition on the layout keys BEFORE partitionBy: without
+        # it every write task emits one file per (band, prefix) dir it
+        # sees — tasks x bands x band_parts tiny files (measured 13k
+        # files / 50 s at sf0.01); with it each dir gets the one task
+        # that owns its key (~bands x band_parts files total)
+        .repartition(F.col("band"), F.col("__bp"))
         .write.partitionBy("band", "__bp")
         .mode("overwrite")
         .parquet(path + "/buckets")

@@ -225,7 +225,11 @@ def ivf_write_index(
     makes every subsequent probe a partition-pruned scan reading only
     n_probe/n_cells of the data."""
     assigned, cent_df = _fit_cells(corpus, corpus_id, vec_col, n_cells, seed)
-    assigned.write.partitionBy("__cell").mode("overwrite").parquet(path + "/index")
+    # repartition on the layout key first: otherwise every write task
+    # emits a file per cell dir it sees (tasks x n_cells tiny files)
+    assigned.repartition(F.col("__cell")).write.partitionBy("__cell").mode(
+        "overwrite"
+    ).parquet(path + "/index")
     cent_df.write.mode("overwrite").parquet(path + "/centroids")
 
 
@@ -676,7 +680,10 @@ def ivfpq_write_index(
     encoded, cent_df, books = _ivfpq_build(
         corpus, corpus_id, vec_col, n_cells, m, n_centroids, sample_frac, seed
     )
-    encoded.write.partitionBy("__cell").mode("overwrite").parquet(path + "/codes")
+    # same files-per-task guard as ivf_write_index: own each cell dir
+    encoded.repartition(F.col("__cell")).write.partitionBy("__cell").mode(
+        "overwrite"
+    ).parquet(path + "/codes")
     cent_df.write.mode("overwrite").parquet(path + "/centroids")
     spark = corpus.sparkSession
     book_rows = [
