@@ -313,3 +313,113 @@ def acf(
         F.coalesce(F.col("__m"), F.lit(0)).cast("long").alias("n_pairs"),
         F.when(F.col("__m").isNotNull() & (den > 0), F.round(num / den, 6)).alias("r"),
     )
+
+
+def _int_div(n: Column, d: Column | int) -> Column:
+    """Exact bigint division, truncating toward zero — verified to agree
+    with DuckDB's integer ``//`` on negative numerators (both truncate:
+    ``-7 div 2 == -7 // 2 == -3``), which detrended series produce
+    constantly. Never float ``/`` (loses exactness past 2^53)."""
+    d = F.lit(d) if isinstance(d, int) else d
+    return F.call_function("div", n.cast("bigint"), d.cast("bigint"))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    value_col: str,
+    period: int = 24,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a per-key regular
+    series (``y = trend + seasonal + remainder``) — the feature/QA step
+    behind traffic baselines and anomaly triage ("is this hourly dip
+    seasonal or real?").
+
+    Input is one row per ``(key, t)`` with an INTEGER value (pre-bucket
+    with an aggregation; pass cents/micros, not floats) and an integer
+    time index ``t``. Semantics, pinned engine-exactly in scaled
+    integers (only the three output columns are floats, each a final
+    ``round(exact_int / scale, 6)``):
+
+    - ``trend``: centered moving average over ``2*(period//2)+1`` ROWS
+      (the odd-window variant of the classic 2xP MA), NULL at the first/
+      last ``period//2`` points of each key where the window is partial.
+      Row frames assume a gap-free series per key — gap-fill first (the
+      ``hourly_spine_gapfill`` spine) if bucketing can skip periods.
+    - ``seasonal``: per ``(key, phase = t mod period)`` truncated mean
+      of the detrended points, centered by the truncated mean of the
+      per-phase means so the component sums to ~0 over one period (the
+      classic identifiability constraint).
+    - ``remainder``: ``y - trend - seasonal`` where trend exists.
+
+    All means are exact bigint sums integer-divided (:func:`_int_div`),
+    so results are bit-stable across engines and partition layouts.
+    Bigint bound: ``scale * sum(|y|)`` per window/phase group must stay
+    under 2^63 — at the default micro scale, window sums to ~9.2e12
+    value units.
+
+    Scale shape: ONE shuffle on the key feeds the per-key window sort;
+    the per-phase seasonal table (``keys x period`` rows) aggregates
+    small and broadcasts back — no global window, no driver round-trip.
+    Per-key partition size is the series LENGTH (time buckets), which
+    grows with history, not corpus width.
+
+    Returns ``(key, t, y, trend, seasonal, remainder)``.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    half = period // 2
+    win = 2 * half + 1
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(t_col).cast("bigint").alias("__t"),
+        F.col(value_col).cast("bigint").alias("__y"),
+    ).filter(F.col("__t").isNotNull() & F.col("__y").isNotNull())
+
+    frame = Window.partitionBy("__k").orderBy("__t").rowsBetween(-half, half)
+    detr = (
+        base.withColumn(
+            "__tr_micro",
+            F.when(
+                F.count(F.lit(1)).over(frame) == win,
+                _int_div(F.sum("__y").over(frame) * scale, win),
+            ),
+        )
+        .withColumn("__phase", F.pmod(F.col("__t"), F.lit(period)))
+        .withColumn("__d_micro", F.col("__y") * scale - F.col("__tr_micro"))
+    )
+    phase_means = (
+        detr.filter(F.col("__d_micro").isNotNull())
+        .groupBy("__k", "__phase")
+        .agg(F.sum("__d_micro").alias("__ds"), F.count(F.lit(1)).alias("__dn"))
+        .withColumn("__s_micro", _int_div(F.col("__ds"), F.col("__dn")))
+    )
+    centering = phase_means.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__np"),
+        F.sum("__s_micro").alias("__sp"),
+    )
+    seasonal = (
+        phase_means.join(centering, "__k")
+        .withColumn(
+            "__c_micro",
+            F.col("__s_micro") - _int_div(F.col("__sp"), F.col("__np")),
+        )
+        .select("__k", "__phase", "__c_micro")
+    )
+    out = detr.join(F.broadcast(seasonal), ["__k", "__phase"], "left")
+    sc = float(scale)
+    return out.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(t_col),
+        F.col("__y").alias(value_col),
+        F.round(F.col("__tr_micro") / sc, 6).alias("trend"),
+        F.when(
+            F.col("__tr_micro").isNotNull(), F.round(F.col("__c_micro") / sc, 6)
+        ).alias("seasonal"),
+        F.when(
+            F.col("__tr_micro").isNotNull(),
+            F.round((F.col("__d_micro") - F.col("__c_micro")) / sc, 6),
+        ).alias("remainder"),
+    )
