@@ -147,6 +147,8 @@ BENCH_QUERIES = (
     "zipf_fit",
     "local_clustering",
     "lsh_incremental",
+    "seasonal_decompose",
+    "quantile_normalize",
 )
 
 

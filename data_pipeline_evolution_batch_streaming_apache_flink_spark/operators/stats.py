@@ -578,3 +578,142 @@ def winsorize(
     ).withColumn(
         "clipped", F.when(v.isNotNull(), v != F.col(out_col))
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Map every group's value distribution onto the pooled global
+    distribution — quantile normalization, the cross-source calibration
+    step (microarray-famous, equally at home making per-source quality
+    scores comparable before a corpus-wide quality gate): after it, a
+    document at its source's median sits at the GLOBAL median, whatever
+    its source's scale or skew was.
+
+    Semantics, exact in integers end to end:
+
+    - within each group, a distinct value's doubled midrank is
+      ``2*cum - cnt + 1`` (cum = inclusive cumulative count in value
+      order), the standard tie-averaged rank doubled to stay integral;
+    - its target global index is ``clamp(((2*cum - cnt + 1) * N) div
+      (2 * n_g), 1, N)`` — all bigint (bound: ``2*N^2 < 2^63`` means
+      N up to ~2.1e9 pooled rows; normalize per shard past that);
+    - the normalized value is the global order statistic at that index:
+      an ACTUAL data value (nearest-rank discipline, like
+      ``winsorize``) — the operator never invents a float.
+
+    Scale shape: per-group cumulative counts ride one hash shuffle +
+    in-partition window (partition size = distinct values per group,
+    value-domain-bounded); the global cumulative uses the two-pass
+    distributed prefix sum (:func:`...curation.global_running_sum`);
+    the index lookup is a distributed AS-OF merge of the two DISTINCT-
+    value tables: union tagged rows, range-repartition on the index
+    axis, carry the last seen global value within each range partition,
+    and stitch partition boundaries with a bounded (≤ num_partitions
+    rows) offsets collect — never a single-partition window, never a
+    quadratic range join.
+
+    Returns one row per ``(group, value)``: ``(group_col, value_col,
+    cnt, normalized)`` — join it back on (group, value) to normalize
+    row-level data.
+    """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+        global_running_sum,
+    )
+
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).filter(F.col("__g").isNotNull() & F.col("__v").isNotNull())
+
+    src = vals.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.partitionBy("__g").orderBy("__v")
+    w_all = Window.partitionBy("__g")
+    srcw = src.withColumn("__cum", F.sum("__cnt").over(w_cum)).withColumn(
+        "__ng", F.sum("__cnt").over(w_all)
+    )
+
+    glob = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("__cg"))
+    globw = global_running_sum(glob, "__v", "__cg", out_col="__hi")
+    # a value occupies global ranks [__hi-__cg+1, __hi]; its interval
+    # START is the as-of key (backward match from any index inside it)
+    dim = globw.select(
+        (F.col("__hi") - F.col("__cg") + 1).alias("__pos"),
+        F.col("__v").alias("__norm"),
+    )
+    total = F.broadcast(glob.agg(F.sum("__cg").cast("bigint").alias("__n")))
+
+    probe = srcw.crossJoin(total).withColumn(
+        "__pos",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.col("__n"),
+                F.call_function(
+                    "div",
+                    (2 * F.col("__cum") - F.col("__cnt") + 1) * F.col("__n"),
+                    2 * F.col("__ng"),
+                ),
+            ),
+        ),
+    )
+
+    # distributed AS-OF merge on __pos: dim rows sort before probe rows
+    # at equal position (inclusive match), last dim value carries forward
+    tagged = dim.select(
+        "__pos", F.lit(0).alias("__tag"), "__norm",
+        F.lit(None).cast(src.schema["__g"].dataType).alias("__g"),
+        F.lit(None).cast(src.schema["__v"].dataType).alias("__v"),
+        F.lit(None).cast("bigint").alias("__cnt"),
+    ).unionByName(
+        probe.select(
+            "__pos", F.lit(1).alias("__tag"),
+            F.lit(None).cast(dim.schema["__norm"].dataType).alias("__norm"),
+            "__g", "__v", "__cnt",
+        )
+    )
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        tagged.repartitionByRange(n, F.col("__pos"), F.col("__tag"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # boundary collect + final share one run
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__pos", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__carry", F.last("__norm", ignorenulls=True).over(w))
+    # per-partition LAST dim value (bounded collect), accumulated so a
+    # partition whose prefix has no dim row inherits the previous one
+    finals = sorted(
+        (r["__pid"], r["m"])
+        for r in ranged.filter(F.col("__tag") == 0)
+        .groupBy("__pid")
+        .agg(F.max(F.struct("__pos", "__norm")).alias("s"))
+        .select("__pid", F.col("s.__norm").alias("m"))
+        .collect()
+    )
+    final_by_pid = dict(finals)
+    offsets, carry = [], None
+    for pid in range(n):
+        offsets.append((pid, carry))
+        carry = final_by_pid.get(pid, carry)
+    off = F.broadcast(
+        spark.createDataFrame(
+            offsets, f"__pid int, __prev {dim.schema['__norm'].dataType.simpleString()}"
+        )
+    )
+    return (
+        local.join(off, "__pid")
+        .filter(F.col("__tag") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__v").alias(value_col),
+            F.col("__cnt").cast("bigint").alias("cnt"),
+            F.coalesce(F.col("__carry"), F.col("__prev")).alias("normalized"),
+        )
+    )

@@ -6780,3 +6780,63 @@ ORACLE["seasonal_decompose"] = """
                 THEN round((d.d_micro - s.c_micro) / 1000000.0, 6) END AS remainder
     FROM d LEFT JOIN s ON d.event_type = s.event_type AND d.phase = s.phase
 """
+
+# ---------------------------------------------------------------------------
+# Quantile normalization (operators/stats.py quantile_normalize)
+# ---------------------------------------------------------------------------
+
+def q_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document-length distributions mapped onto the pooled
+    global distribution (nearest-rank quantile normalization): after
+    it, a doc at its source's p50 carries the GLOBAL p50 length —
+    cross-source length/quality features become comparable before any
+    corpus-wide gate. Exact integer ranks; the normalized value is an
+    actual data value, never an interpolated float."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    t = load_tables(spark, sf, ("documents",))
+    out = quantile_normalize(t["documents"], "source", "n_chars")
+    return out.select(
+        "source",
+        "n_chars",
+        "cnt",
+        F.col("normalized").cast("bigint").alias("norm_chars"),
+    )
+
+
+QUERIES["quantile_normalize"] = q_quantile_normalize
+
+ORACLE["quantile_normalize"] = """
+    WITH vals AS (
+      SELECT source, n_chars FROM documents
+      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    src AS (
+      SELECT source, n_chars, count(*) AS cnt FROM vals GROUP BY 1, 2
+    ),
+    srcw AS (
+      SELECT source, n_chars, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS n_g
+      FROM src
+    ),
+    gdist AS (
+      SELECT n_chars AS norm, count(*) AS cg FROM vals GROUP BY 1
+    ),
+    globw AS (
+      SELECT norm, sum(cg) OVER (ORDER BY norm) - cg + 1 AS lo,
+             sum(cg) OVER (ORDER BY norm) AS hi
+      FROM gdist
+    ),
+    tot AS (SELECT count(*) AS n FROM vals),
+    idxed AS (
+      SELECT source, n_chars, cnt,
+             greatest(1, least(n, ((2 * cum - cnt + 1) * n) // (2 * n_g))) AS idx
+      FROM srcw, tot
+    )
+    SELECT i.source, i.n_chars, CAST(i.cnt AS BIGINT) AS cnt,
+           CAST(g.norm AS BIGINT) AS norm_chars
+    FROM idxed i JOIN globw g ON i.idx BETWEEN g.lo AND g.hi
+"""

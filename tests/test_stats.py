@@ -425,3 +425,74 @@ def test_winsorize_null_passthrough_groups_and_validation(spark):
 
     with _pt.raises(ValueError, match="lower <= upper"):
         winsorize(df, ["g"], "v", lower_micro=900000, upper_micro=100000)
+
+
+# ---------------------------------------------------------------------------
+# quantile_normalize
+# ---------------------------------------------------------------------------
+
+
+def _qn_reference(rows):
+    """Sequential nearest-rank quantile normalization on (group, value)."""
+    from collections import Counter, defaultdict
+
+    pooled = sorted(v for _, v in rows)
+    n = len(pooled)
+    per_group = defaultdict(list)
+    for g, v in rows:
+        per_group[g].append(v)
+    out = {}
+    for g, vs in per_group.items():
+        vs.sort()
+        n_g = len(vs)
+        counts = Counter(vs)
+        cum = 0
+        for v in sorted(counts):
+            cnt = counts[v]
+            cum += cnt
+            midrank2 = 2 * cum - cnt + 1
+            idx = max(1, min(n, (midrank2 * n) // (2 * n_g)))
+            out[(g, v)] = (cnt, pooled[idx - 1])
+    return out
+
+
+def test_quantile_normalize_matches_reference_and_layout(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import quantile_normalize
+
+    rng = random.Random(11)
+    # three groups with deliberately different scales/skews + ties
+    rows = (
+        [("a", rng.randint(0, 40)) for _ in range(500)]
+        + [("b", rng.randint(100, 120)) for _ in range(300)]
+        + [("c", rng.randint(0, 1000)) for _ in range(200)]
+    )
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {
+        (r.g, r.v): (r.cnt, r.normalized)
+        for r in quantile_normalize(df, "g", "v").collect()
+    }
+    assert got == _qn_reference(rows)
+
+    again = {
+        (r.g, r.v): (r.cnt, r.normalized)
+        for r in quantile_normalize(df.repartition(17), "g", "v", num_partitions=5).collect()
+    }
+    assert again == got  # layout- and partition-count-independent
+
+    # normalized values are actual pooled data values, and within each
+    # group the mapping is monotone in the source value
+    pooled = {v for _, v in rows}
+    assert all(nv in pooled for _, nv in got.values())
+    for g in ("a", "b", "c"):
+        series = sorted((v, nv) for (gg, v), (_, nv) in got.items() if gg == g)
+        assert all(x[1] <= y[1] for x, y in zip(series, series[1:]))
+
+
+def test_quantile_normalize_identical_group_becomes_global(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import quantile_normalize
+
+    # one group IS the whole corpus: normalization must be (near-)identity
+    rows = [("only", v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    got = {r.v: r.normalized for r in quantile_normalize(df, "g", "v").collect()}
+    assert got == {v: v for v in range(1, 101)}

@@ -347,3 +347,106 @@ def test_acf_null_drop_constant_and_short_series(spark):
     assert out[(3, 1)].n_pairs == 0 and out[(3, 1)].r is None
     with pytest.raises(ValueError, match="max_lag"):
         acf(df, "k", "seq", "value", max_lag=0)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+# ---------------------------------------------------------------------------
+
+
+def _sd_reference(rows, period=4):
+    """Sequential decomposition mirroring the integer semantics."""
+    half = period // 2
+    win = 2 * half + 1
+    scale = 1_000_000
+
+    def idiv(a, b):  # truncate toward zero, like Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    by_key = {}
+    for k, t, y in rows:
+        by_key.setdefault(k, []).append((t, y))
+    out = {}
+    for k, series in by_key.items():
+        series.sort()
+        n = len(series)
+        tr = [None] * n
+        for i in range(half, n - half):
+            s = sum(y for _, y in series[i - half : i + half + 1])
+            tr[i] = idiv(s * scale, win)
+        detr = [
+            (series[i][0] % period, series[i][1] * scale - tr[i])
+            for i in range(n)
+            if tr[i] is not None
+        ]
+        phase_sum, phase_n = {}, {}
+        for ph, d in detr:
+            phase_sum[ph] = phase_sum.get(ph, 0) + d
+            phase_n[ph] = phase_n.get(ph, 0) + 1
+        s_micro = {ph: idiv(phase_sum[ph], phase_n[ph]) for ph in phase_sum}
+        off = idiv(sum(s_micro.values()), len(s_micro))
+        c_micro = {ph: s - off for ph, s in s_micro.items()}
+        for i, (t, y) in enumerate(series):
+            if tr[i] is None:
+                out[(k, t)] = (y, None, None, None)
+            else:
+                d = y * scale - tr[i]
+                c = c_micro[t % period]
+                out[(k, t)] = (
+                    y,
+                    round(tr[i] / scale, 6),
+                    round(c / scale, 6),
+                    round((d - c) / scale, 6),
+                )
+    return out
+
+
+def test_seasonal_decompose_reference_reconstruction_and_layout(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import seasonal_decompose
+
+    rng = random.Random(7)
+    period = 4
+    rows = []
+    for k in ("x", "y"):
+        base = 500 if k == "x" else -200
+        for t in range(60):
+            seasonal = [40, -10, -25, -5][t % period]
+            rows.append((k, t, base + 3 * t + seasonal + rng.randint(-4, 4)))
+    df = spark.createDataFrame(rows, "k string, t bigint, y bigint")
+
+    out = seasonal_decompose(df, "k", "t", "y", period=period)
+    got = {
+        (r.k, r.t): (r.y, r.trend, r.seasonal, r.remainder) for r in out.collect()
+    }
+    assert got == _sd_reference(rows, period)
+
+    again = {
+        (r.k, r.t): (r.y, r.trend, r.seasonal, r.remainder)
+        for r in seasonal_decompose(
+            df.repartition(13), "k", "t", "y", period=period
+        ).collect()
+    }
+    assert again == got
+
+    # interior rows reconstruct: y == trend + seasonal + remainder
+    for (k, t), (y, tr, se, re) in got.items():
+        if tr is not None:
+            assert abs((tr + se + re) - y) < 2e-6, (k, t)
+    # edges (first/last half-window of each key) have no trend
+    assert got[("x", 0)][1] is None and got[("x", 59)][1] is None
+    assert got[("x", 2)][1] is not None
+
+    # the seasonal component recovers the planted cycle shape: phase 0
+    # is the peak, phase 2 the trough, for both keys
+    for k in ("x", "y"):
+        ph = {t % period: se for (kk, t), (_, tr, se, _) in got.items() if kk == k and tr is not None}
+        assert max(ph, key=ph.get) == 0 and min(ph, key=ph.get) == 2
+
+
+def test_seasonal_decompose_validation(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, t bigint, y bigint")
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, "k", "t", "y", period=1)
