@@ -149,6 +149,7 @@ BENCH_QUERIES = (
     "lsh_incremental",
     "seasonal_decompose",
     "quantile_normalize",
+    "roc_auc",
 )
 
 

@@ -717,3 +717,51 @@ def quantile_normalize(
             F.coalesce(F.col("__carry"), F.col("__prev")).alias("normalized"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ROC AUC of a score against a boolean label at corpus scale
+    — the model-eval twin of :func:`mannwhitney_from_counts`, because
+    AUC IS the rank-sum statistic: ``AUC = P(score_pos > score_neg) +
+    P(tie)/2 = U_pos / (n_pos * n_neg)``. Ties get the standard half
+    credit via the same doubled-rank integers, so the result is exact
+    (no trapezoid approximation over thresholds, no sampling).
+
+    ``label_col``: a column name or boolean Column marking POSITIVES.
+    Rows with a NULL score or label are dropped.
+
+    Scale shape: one hash shuffle to per-score counts (map-side
+    combine; state = distinct scores), then the two-pass prefix sum —
+    identical cost profile to the drift monitors, streamable from a
+    maintained histogram the same way.
+
+    Returns one row: ``(auc, n_pos, n_neg)``; ``auc`` NULL when either
+    class is empty.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    counts = (
+        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(F.when(label, 1).otherwise(0)).alias("__pos"),
+            F.sum(F.when(label, 0).otherwise(1)).alias("__neg"),
+        )
+    )
+    mw = mannwhitney_from_counts(counts, "__s", "__neg", "__pos", num_partitions)
+    return mw.select(
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("u2_b").cast("double")
+                / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ),
+        ).alias("auc"),
+        F.col("n_b").alias("n_pos"),
+        F.col("n_a").alias("n_neg"),
+    )

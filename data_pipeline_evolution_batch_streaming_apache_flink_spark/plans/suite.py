@@ -6840,3 +6840,46 @@ ORACLE["quantile_normalize"] = """
            CAST(g.norm AS BIGINT) AS norm_chars
     FROM idxed i JOIN globw g ON i.idx BETWEEN g.lo AND g.hi
 """
+
+# ---------------------------------------------------------------------------
+# ROC AUC model eval (operators/stats.py roc_auc)
+# ---------------------------------------------------------------------------
+
+def q_roc_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """How well does raw document length separate English from
+    non-English docs? Exact tie-aware ROC AUC of n_chars as a
+    classifier for lang='en' — the eval primitive for every quality/
+    filter model the curation pipeline trains, computed from the same
+    rank machinery as the drift monitors (AUC IS Mann-Whitney)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import roc_auc
+
+    t = load_tables(spark, sf, ("documents",))
+    return roc_auc(t["documents"], "n_chars", F.col("lang") == "en")
+
+
+QUERIES["roc_auc"] = q_roc_auc
+
+ORACLE["roc_auc"] = """
+    WITH c AS (
+      SELECT n_chars AS s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      GROUP BY 1
+    ),
+    w AS (
+      SELECT s, pos, neg, sum(neg) OVER (ORDER BY s) - neg AS cumneg FROM c
+    ),
+    a AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             sum(pos * (2 * cumneg + neg)) AS num2
+      FROM w
+    )
+    SELECT CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(num2 AS DOUBLE) / (2.0 * CAST(n_neg AS DOUBLE) * CAST(n_pos AS DOUBLE)), 6)
+           END AS auc,
+           n_pos, n_neg
+    FROM a
+"""

@@ -496,3 +496,53 @@ def test_quantile_normalize_identical_group_becomes_global(spark):
     df = spark.createDataFrame(rows, "g string, v bigint")
     got = {r.v: r.normalized for r in quantile_normalize(df, "g", "v").collect()}
     assert got == {v: v for v in range(1, 101)}
+
+
+# ---------------------------------------------------------------------------
+# roc_auc
+# ---------------------------------------------------------------------------
+
+
+def _auc_reference(pairs):
+    """O(n^2) tie-aware AUC: doubled-integer pair credit, then Spark's
+    HALF_UP rounding (Python's round() is banker's — differs at an
+    exact .5 ulp, which this data actually hits)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    num2 = sum(2 if p > n else 1 if p == n else 0 for p in pos for n in neg)
+    q = num2 / (2.0 * len(pos) * len(neg))
+    return float(Decimal(repr(q)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def test_roc_auc_matches_pairwise_reference(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import roc_auc
+
+    rng = random.Random(3)
+    # overlapping distributions with heavy ties
+    pairs = [(rng.randint(0, 30), True) for _ in range(400)] + [
+        (rng.randint(10, 40), False) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "s bigint, y boolean")
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert (row.n_pos, row.n_neg) == (400, 300)
+    assert row.auc == _auc_reference(pairs)
+    # this construction makes the POSITIVES the lower-scored class
+    assert row.auc < 0.5
+
+    again = roc_auc(df.repartition(9), "s", "y", num_partitions=5).collect()[0]
+    assert again == row  # layout-independent
+
+
+def test_roc_auc_edges(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import roc_auc
+
+    # perfect separation -> 1.0; single class -> NULL auc
+    sep = spark.createDataFrame(
+        [(10, True), (11, True), (1, False), (2, False)], "s bigint, y boolean"
+    )
+    assert roc_auc(sep, "s", "y").collect()[0].auc == 1.0
+    one = spark.createDataFrame([(1, True), (2, True)], "s bigint, y boolean")
+    r = roc_auc(one, "s", "y").collect()[0]
+    assert r.auc is None and r.n_neg == 0
