@@ -150,6 +150,7 @@ BENCH_QUERIES = (
     "seasonal_decompose",
     "quantile_normalize",
     "roc_auc",
+    "cuped_metrics",
 )
 
 

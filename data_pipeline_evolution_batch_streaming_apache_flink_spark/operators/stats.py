@@ -765,3 +765,58 @@ def roc_auc(
         F.col("n_b").alias("n_pos"),
         F.col("n_a").alias("n_neg"),
     )
+
+
+def cuped_adjust(
+    units: DataFrame,
+    x_col: str,
+    y_col: str,
+    out_col: str = "y_adjusted",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., controlled-experiment
+    practice at every large A/B platform): shrink a per-unit metric's
+    variance with a pre-experiment covariate before computing lift,
+    ``y' = y - theta * (x - mean(x))`` with ``theta = cov(x,y)/var(x)``
+    — unbiased for any treatment split because only x, which predates
+    assignment, enters the correction.
+
+    Input is ONE ROW PER UNIT with integer-quantized ``x_col`` and
+    ``y_col`` (cents/micros — the house exact-moment discipline).
+    ``theta`` and ``mean(x)`` come from one exact decimal moment
+    aggregate over all units (`corr_matrix`'s policy: float enters only
+    in the final expression over bit-identical integers, rounded 6dp).
+    A degenerate covariate (``var(x) == 0``) means no information:
+    theta = 0 and the metric passes through unadjusted.
+
+    Scale shape: one tiny moment aggregate broadcast back onto the
+    units (crossJoin of a 1-row frame — no second shuffle, no driver
+    collect). Rows with NULL x or y are excluded from the moments and
+    get a NULL adjustment.
+
+    Returns the input plus ``theta`` and ``out_col`` (both rounded
+    doubles).
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    ok = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    m = units.filter(ok).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+    )
+    nd = F.col("__n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    var2 = nd * F.col("__sxx").cast("double") - sx * sx  # n^2 * var(x)
+    cov2 = nd * F.col("__sxy").cast("double") - sx * sy  # n^2 * cov(x,y)
+    theta = F.when(var2 > 0, cov2 / var2).otherwise(F.lit(0.0))
+    mean_x = sx / nd
+    out = units.crossJoin(F.broadcast(m))
+    adj = F.col(y_col).cast("double") - theta * (F.col(x_col).cast("double") - mean_x)
+    return out.select(
+        *[F.col(c) for c in units.columns],
+        F.round(theta, 6).alias("theta"),
+        F.when(ok, F.round(adj, 6)).alias(out_col),
+    )

@@ -6883,3 +6883,70 @@ ORACLE["roc_auc"] = """
            n_pos, n_neg
     FROM a
 """
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (operators/stats.py cuped_adjust)
+# ---------------------------------------------------------------------------
+
+def q_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """Experiment-metric variance reduction: per-user spend in the back
+    half of January adjusted by the front-half covariate (CUPED,
+    theta = cov/var from one exact decimal moment pass). The adjusted
+    metric is what an A/B readout would difference — same mean, less
+    variance, faster significance."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import cuped_adjust
+
+    t = load_tables(spark, sf, ("events",))
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    per_user = (
+        t["events"]
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cut, cents).otherwise(0)).alias("x_cents"),
+            F.sum(F.when(F.col("ts") >= cut, cents).otherwise(0)).alias("y_cents"),
+        )
+    )
+    return cuped_adjust(per_user, "x_cents", "y_cents")
+
+
+QUERIES["cuped_metrics"] = q_cuped
+
+ORACLE["cuped_metrics"] = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                           THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x_cents,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                           THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_cents
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             sum(CAST(x_cents AS HUGEINT)) AS sx,
+             sum(CAST(y_cents AS HUGEINT)) AS sy,
+             sum(CAST(x_cents AS HUGEINT) * x_cents) AS sxx,
+             sum(CAST(x_cents AS HUGEINT) * y_cents) AS sxy
+      FROM u
+    ),
+    d AS (
+      SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+             CAST(sy AS DOUBLE) AS sy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(sxy AS DOUBLE) AS sxy
+      FROM m
+    ),
+    th AS (
+      SELECT nd, sx,
+             CASE WHEN nd * sxx - sx * sx > 0
+                  THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+                  ELSE 0.0 END AS theta
+      FROM d
+    )
+    SELECT u.user_id, u.x_cents, u.y_cents,
+           round(th.theta, 6) AS theta,
+           round(u.y_cents - th.theta * (u.x_cents - th.sx / th.nd), 6) AS y_adjusted
+    FROM u, th
+"""

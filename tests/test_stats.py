@@ -546,3 +546,49 @@ def test_roc_auc_edges(spark):
     one = spark.createDataFrame([(1, True), (2, True)], "s bigint, y boolean")
     r = roc_auc(one, "s", "y").collect()[0]
     assert r.auc is None and r.n_neg == 0
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjust
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_reduces_variance_and_preserves_mean(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import cuped_adjust
+
+    rng = random.Random(19)
+    # y correlated with pre-period covariate x plus noise
+    units = []
+    for i in range(2000):
+        x = rng.randint(0, 10000)
+        units.append((i, x, x + rng.randint(-500, 500)))
+    df = spark.createDataFrame(units, "unit bigint, x bigint, y bigint")
+    rows = cuped_adjust(df, "x", "y").collect()
+
+    ys = [r.y for r in rows]
+    adj = [r.y_adjusted for r in rows]
+    n = len(rows)
+    mean = lambda v: sum(v) / n
+    var = lambda v: sum((a - mean(v)) ** 2 for a in v) / n
+    # same mean (CUPED is mean-preserving), much less variance
+    assert abs(mean(adj) - mean(ys)) < 1e-3
+    assert var(adj) < 0.2 * var(ys)
+    # theta recovers the planted unit slope
+    assert abs(rows[0].theta - 1.0) < 0.05
+
+    again = cuped_adjust(df.repartition(7), "x", "y").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_cuped_degenerate_covariate_and_nulls(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(1, 5, 10), (2, 5, 30), (3, None, 20)], "unit bigint, x bigint, y bigint"
+    )
+    rows = {r.unit: r for r in cuped_adjust(df, "x", "y").collect()}
+    # constant x -> no information -> theta 0, passthrough
+    assert rows[1].theta == 0.0 and rows[1].y_adjusted == 10.0
+    assert rows[2].y_adjusted == 30.0
+    # null covariate -> excluded from moments, NULL adjustment
+    assert rows[3].y_adjusted is None
