@@ -430,3 +430,29 @@ def test_session7_more_plan_shapes(spark, sf_dir):
     # partitions by __pid — NO window in the plan is global
     assert "Scan ExistingRDD" in plan
     assert plan.count("windowspecdefinition(") == plan.count("windowspecdefinition(__pid")
+
+
+def test_session8_plan_shapes(spark, sf_dir):
+    """The round's new families keep their scale shapes: the seasonal
+    phase table comes back as a broadcast join; the quantile-normalize
+    as-of merge is exchange+window, never a nested-loop range join; the
+    CUPED moment frame is the only nested-loop (a 1-row broadcast
+    crossJoin, by design); roc_auc's prefix sum is materialized behind
+    the localCheckpoint."""
+    plan = _plan(suite.QUERIES["seasonal_decompose"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(suite.QUERIES["quantile_normalize"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the 1-row total broadcast onto the probe
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Scan ExistingRDD" in plan  # checkpointed range-partitioned merge
+
+    plan = _plan(suite.QUERIES["roc_auc"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+
+    plan = _plan(suite.QUERIES["cuped_metrics"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row moments
