@@ -151,6 +151,7 @@ BENCH_QUERIES = (
     "quantile_normalize",
     "roc_auc",
     "cuped_metrics",
+    "ndcg_eval",
 )
 
 

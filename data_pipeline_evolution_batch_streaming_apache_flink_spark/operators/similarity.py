@@ -867,3 +867,73 @@ def quantize_int8(
     return staged.withColumn("err_1e9", err).select(
         id_col, "dim", F.round("__scale", 6).alias("scale"), "codes", "err_1e9"
     )
+
+
+def ndcg_binary(
+    results: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    relevant_totals: DataFrame,
+    total_col: str,
+    k: int,
+) -> DataFrame:
+    """nDCG@k of a ranked retrieval result under BINARY relevance — the
+    quality readout that closes the similarity family's loop: run any
+    top-k operator (brute force, IVF, PQ, LSH), mark which hits are
+    truly relevant, and score the RANKING, position-discounted, not
+    just the hit count.
+
+    ``results``: one row per (query, retrieved doc) with its 1-based
+    ``rank_col`` and 0/1 ``rel_col``. ``relevant_totals``: per query,
+    how many relevant docs exist in the whole corpus (``total_col``) —
+    that is what the classic ideal DCG truncates against (a query with
+    3 relevant docs can at best fill ranks 1..3).
+
+    Exactness: each rank's discount ``1/log2(r+1)`` is micro-rounded
+    ONCE into an integer weight; DCG is then an exact bigint sum of
+    ``rel * w(rank)``, and the ideal DCG the exact prefix sum of the
+    same weights up to ``min(k, total)`` — identical integers on any
+    engine/layout, one float division at the end (6dp). Binary
+    relevance only: the graded-ideal sort is a per-query corpus-wide
+    order-statistics problem this closed form deliberately avoids.
+
+    Scale shape: one hash aggregation of the (≤ k per query) result
+    rows + a per-query equi-join with the totals table; the ideal
+    prefix sum is a ≤ k-element HOF fold, row-local codegen.
+
+    Returns ``(query_col, hits, n_relevant, ndcg)``; ``ndcg`` NULL for
+    queries with no relevant docs anywhere (ideal DCG undefined).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_micro = (
+        f"CAST(round(1000000 * ln(2) / ln({rank_col} + 1), 0) AS BIGINT)"
+    )
+    per_q = (
+        results.filter(F.col(rank_col) <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.expr(f"CAST({rel_col} AS BIGINT) * {w_micro}")).alias("__dcg"),
+            F.sum(F.col(rel_col).cast("bigint")).alias("hits"),
+        )
+    )
+    joined = per_q.join(relevant_totals, query_col, "inner")
+    ideal_n = F.least(F.lit(k).cast("bigint"), F.col(total_col).cast("bigint"))
+    idcg = F.when(
+        ideal_n > 0,
+        F.aggregate(
+            F.sequence(F.lit(1).cast("bigint"), ideal_n),
+            F.lit(0).cast("bigint"),
+            lambda acc, r: acc
+            + F.round(1000000 * F.log(F.lit(2.0)) / F.log(r + 1), 0).cast("bigint"),
+        ),
+    )
+    return joined.select(
+        query_col,
+        "hits",
+        F.col(total_col).cast("bigint").alias("n_relevant"),
+        F.when(
+            idcg > 0, F.round(F.col("__dcg").cast("double") / idcg.cast("double"), 6)
+        ).alias("ndcg"),
+    )

@@ -6950,3 +6950,99 @@ ORACLE["cuped_metrics"] = """
            round(u.y_cents - th.theta * (u.x_cents - th.sx / th.nd), 6) AS y_adjusted
     FROM u, th
 """
+
+# ---------------------------------------------------------------------------
+# nDCG retrieval eval (operators/similarity.py ndcg_binary)
+# ---------------------------------------------------------------------------
+
+def q_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-coherence of the embedding space, position-discounted:
+    brute-force cosine top-5 per probe vector, a hit is relevant when
+    the neighbor shares the probe's label, and nDCG@5 normalizes
+    against the best achievable ranking given how many same-label
+    vectors exist at all. The eval that closes the similarity family's
+    loop — run the same readout over the IVF/PQ operators to quantify
+    what an approximate index costs in ranking quality."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import (
+        cosine_topk,
+        ndcg_binary,
+    )
+
+    t = load_tables(spark, sf, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    res = cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    labels = emb.select("vec_id", "label")
+    rel = (
+        res.join(
+            F.broadcast(
+                labels.select(F.col("vec_id").alias("vec_id_q"), F.col("label").alias("__lq"))
+            ),
+            "vec_id_q",
+        )
+        .join(
+            F.broadcast(
+                labels.select(F.col("vec_id").alias("vec_id_c"), F.col("label").alias("__lc"))
+            ),
+            "vec_id_c",
+        )
+        .withColumn("rel", (F.col("__lq") == F.col("__lc")).cast("int"))
+    )
+    label_counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__nl"))
+    totals = (
+        queries.select(F.col("vec_id").alias("vec_id_q"), "label")
+        .join(F.broadcast(label_counts), "label")
+        .select("vec_id_q", (F.col("__nl") - 1).alias("n_rel"))
+    )
+    return ndcg_binary(rel, "vec_id_q", "rank", "rel", totals, "n_rel", k=5)
+
+
+QUERIES["ndcg_eval"] = q_ndcg_eval
+
+ORACLE["ndcg_eval"] = _COSINE_CTE.format(
+    join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id"
+) + """
+    , topk AS (
+      SELECT id_a AS q, id_b AS c, rank FROM (
+        SELECT id_a, id_b, cos,
+               row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rels AS (
+      SELECT t.q, t.rank,
+             CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+      FROM topk t
+      JOIN lab lq ON t.q = lq.vec_id
+      JOIN lab lc ON t.c = lc.vec_id
+    ),
+    dcg AS (
+      SELECT q,
+             CAST(sum(CAST(rel AS BIGINT)
+                  * CAST(round(1000000 * ln(2) / ln(rank + 1), 0) AS BIGINT)) AS BIGINT) AS dcg_micro,
+             CAST(sum(rel) AS BIGINT) AS hits
+      FROM rels GROUP BY q
+    ),
+    totals AS (
+      SELECT e.vec_id AS q, CAST(count(*) OVER (PARTITION BY e.label) - 1 AS BIGINT) AS n_rel
+      FROM embeddings e
+      QUALIFY e.vec_id < 20
+    ),
+    scored_q AS (
+      SELECT d.q, d.hits, d.dcg_micro, t.n_rel,
+             CASE WHEN least(5, t.n_rel) > 0 THEN
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, CAST(least(5, t.n_rel) AS INT) + 1),
+                     r -> CAST(round(1000000 * ln(2) / ln(r + 1), 0) AS BIGINT))),
+                 (x, y) -> x + y)
+             END AS idcg_micro
+      FROM dcg d JOIN totals t ON d.q = t.q
+    )
+    SELECT q AS vec_id_q, hits, n_rel AS n_relevant,
+           CASE WHEN idcg_micro > 0
+                THEN round(CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE), 6)
+           END AS ndcg
+    FROM scored_q
+"""

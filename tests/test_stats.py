@@ -592,3 +592,39 @@ def test_cuped_degenerate_covariate_and_nulls(spark):
     assert rows[2].y_adjusted == 30.0
     # null covariate -> excluded from moments, NULL adjustment
     assert rows[3].y_adjusted is None
+
+
+# ---------------------------------------------------------------------------
+# ndcg_binary (operators/similarity.py — eval for the retrieval family)
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_binary_hand_computed(spark):
+    import math
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ndcg_binary
+
+    w = lambda r: round(1_000_000 * math.log(2) / math.log(r + 1))
+    results = [
+        # q1: relevant at ranks 1,2 of 5; 2 relevant exist -> perfect -> 1.0
+        *[("q1", r, 1 if r <= 2 else 0) for r in range(1, 6)],
+        # q2: same 2 relevant but at the BOTTOM ranks 4,5 -> discounted
+        *[("q2", r, 1 if r >= 4 else 0) for r in range(1, 6)],
+        # q3: nothing relevant anywhere -> NULL ndcg
+        *[("q3", r, 0) for r in range(1, 6)],
+        # q4: 10 relevant exist (> k) -> ideal truncates at k
+        *[("q4", r, 1) for r in range(1, 6)],
+    ]
+    totals = [("q1", 2), ("q2", 2), ("q3", 0), ("q4", 10)]
+    res = spark.createDataFrame(results, "q string, rank int, rel int")
+    tot = spark.createDataFrame(totals, "q string, n int")
+    got = {r.q: r for r in ndcg_binary(res, "q", "rank", "rel", tot, "n", k=5).collect()}
+
+    assert got["q1"].ndcg == 1.0 and got["q1"].hits == 2
+    want_q2 = round((w(4) + w(5)) / (w(1) + w(2)), 6)
+    assert got["q2"].ndcg == want_q2 and 0 < want_q2 < 1
+    assert got["q3"].ndcg is None and got["q3"].n_relevant == 0
+    assert got["q4"].ndcg == 1.0  # every retrieved slot relevant == truncated ideal
+
+    with pytest.raises(ValueError, match="k must be"):
+        ndcg_binary(res, "q", "rank", "rel", tot, "n", k=0)
