@@ -152,6 +152,7 @@ BENCH_QUERIES = (
     "roc_auc",
     "cuped_metrics",
     "ndcg_eval",
+    "welch_ttest",
 )
 
 

@@ -820,3 +820,66 @@ def cuped_adjust(
         F.round(theta, 6).alias("theta"),
         F.when(ok, F.round(adj, 6)).alias(out_col),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    group_a,
+    group_b,
+    quantize: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups at corpus
+    scale — the experiment readout CUPED feeds: difference in means
+    with a standard error that does not pretend the variances match.
+
+    Values are quantized (``floor(value * quantize)``, the EWMA/house
+    grid) so every moment is an exact bigint/decimal sum from ONE hash
+    aggregation; the t statistic and Welch–Satterthwaite degrees of
+    freedom are single deterministic float expressions over those
+    integers (``corr_matrix`` discipline), 6dp-rounded. No p-value on
+    purpose: the t CDF is not SQL-expressible, and downstream tooling
+    thresholds on |t| anyway.
+
+    Returns one row: ``(n_a, n_b, mean_a, mean_b, t_stat, df)``;
+    ``t_stat``/``df`` NULL when either group has < 2 rows or both
+    variances are zero. Means are in ORIGINAL units (cents/quantize).
+
+    Scale shape: one map-side-combined aggregation, one output row.
+    """
+    value = F.col(value_col) if isinstance(value_col, str) else value_col
+    q = F.floor(value * quantize).cast("decimal(38,0)")
+    is_a = F.col(group_col) == group_a
+    is_b = F.col(group_col) == group_b
+    base = df.filter(value.isNotNull() & (is_a | is_b))
+    m = base.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("__na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("__nb"),
+        F.sum(F.when(is_a, q).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__sa"),
+        F.sum(F.when(is_b, q).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__sb"),
+        F.sum(F.when(is_a, q * q).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__ssa"),
+        F.sum(F.when(is_b, q * q).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("__ssb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    # sample variance via the exact moments: (n*ss - s^2) / (n*(n-1))
+    va = (na * F.col("__ssa").cast("double") - sa * sa) / (na * (na - 1.0))
+    vb = (nb * F.col("__ssb").cast("double") - sb * sb) / (nb * (nb - 1.0))
+    se2 = va / na + vb / nb
+    t = (sa / na - sb / nb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)
+    )
+    ok = (F.col("__na") >= 2) & (F.col("__nb") >= 2)
+    qd = float(quantize)
+    return m.select(
+        F.col("__na").cast("long").alias("n_a"),
+        F.col("__nb").cast("long").alias("n_b"),
+        F.when(F.col("__na") > 0, F.round(sa / na / qd, 6)).alias("mean_a"),
+        F.when(F.col("__nb") > 0, F.round(sb / nb / qd, 6)).alias("mean_b"),
+        F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
+        F.when(ok & (se2 > 0), F.round(dof, 6)).alias("df"),
+    )

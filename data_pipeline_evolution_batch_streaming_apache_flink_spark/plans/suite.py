@@ -7046,3 +7046,64 @@ ORACLE["ndcg_eval"] = _COSINE_CTE.format(
            END AS ndcg
     FROM scored_q
 """
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (operators/stats.py welch_ttest)
+# ---------------------------------------------------------------------------
+
+def q_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
+    """Do purchases carry different event values than clicks? Welch's
+    unequal-variance t between the two event types from one exact
+    moment aggregation — the significance readout an experiment
+    pipeline runs after cuped_metrics shrinks the variance."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import welch_ttest
+
+    t = load_tables(spark, sf, ("events",))
+    return welch_ttest(t["events"], "event_type", "value", "purchase", "click")
+
+
+QUERIES["welch_ttest"] = q_welch_ttest
+
+ORACLE["welch_ttest"] = """
+    WITH m AS (
+      SELECT
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na_i,
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb_i,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(value * 100) AS HUGEINT) ELSE 0 END) AS sa_i,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(value * 100) AS HUGEINT) ELSE 0 END) AS sb_i,
+        sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(floor(value * 100) AS HUGEINT) * CAST(floor(value * 100) AS HUGEINT)
+                 ELSE 0 END) AS ssa_i,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(value * 100) AS HUGEINT) * CAST(floor(value * 100) AS HUGEINT)
+                 ELSE 0 END) AS ssb_i
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    d AS (
+      SELECT CAST(na_i AS DOUBLE) AS na, CAST(nb_i AS DOUBLE) AS nb,
+             CAST(sa_i AS DOUBLE) AS sa, CAST(sb_i AS DOUBLE) AS sb,
+             CAST(ssa_i AS DOUBLE) AS ssa, CAST(ssb_i AS DOUBLE) AS ssb,
+             na_i, nb_i
+      FROM m
+    ),
+    v AS (
+      SELECT *,
+             (na * ssa - sa * sa) / (na * (na - 1.0)) AS va,
+             (nb * ssb - sb * sb) / (nb * (nb - 1.0)) AS vb
+      FROM d
+    ),
+    s AS (SELECT *, va / na + vb / nb AS se2 FROM v)
+    SELECT CAST(na_i AS BIGINT) AS n_a, CAST(nb_i AS BIGINT) AS n_b,
+           CASE WHEN na_i > 0 THEN round(sa / na / 100.0, 6) END AS mean_a,
+           CASE WHEN nb_i > 0 THEN round(sb / nb / 100.0, 6) END AS mean_b,
+           CASE WHEN na_i >= 2 AND nb_i >= 2 AND se2 > 0
+                THEN round((sa / na - sb / nb) / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN na_i >= 2 AND nb_i >= 2 AND se2 > 0
+                THEN round((se2 * se2) / ((va / na) * (va / na) / (na - 1.0)
+                                          + (vb / nb) * (vb / nb) / (nb - 1.0)), 6)
+           END AS df
+    FROM s
+"""

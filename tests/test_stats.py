@@ -628,3 +628,55 @@ def test_ndcg_binary_hand_computed(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         ndcg_binary(res, "q", "rank", "rel", tot, "n", k=0)
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+
+def test_welch_ttest_matches_reference(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import welch_ttest
+
+    rng = random.Random(23)
+    rows = [("a", rng.gauss(10.0, 2.0)) for _ in range(400)] + [
+        ("b", rng.gauss(10.8, 5.0)) for _ in range(250)
+    ] + [("c", 99.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+
+    # sequential reference on the same cent grid
+    xa = [math.floor(v * 100) for g, v in rows if g == "a" and v is not None]
+    xb = [math.floor(v * 100) for g, v in rows if g == "b"]
+    na, nb = len(xa), len(xb)
+    va = (na * sum(x * x for x in xa) - sum(xa) ** 2) / (na * (na - 1.0))
+    vb = (nb * sum(x * x for x in xb) - sum(xb) ** 2) / (nb * (nb - 1.0))
+    se2 = va / na + vb / nb
+    t = (sum(xa) / na - sum(xb) / nb) / math.sqrt(se2)
+    dof = se2 * se2 / ((va / na) ** 2 / (na - 1.0) + (vb / nb) ** 2 / (nb - 1.0))
+
+    assert (r.n_a, r.n_b) == (400, 250)
+    assert r.t_stat == pytest.approx(t, abs=2e-6)
+    assert r.df == pytest.approx(dof, abs=1e-4)
+    assert r.mean_a == pytest.approx(sum(xa) / na / 100.0, abs=2e-6)
+    # Welch df lands strictly between min(n)-1 and na+nb-2
+    assert min(na, nb) - 1 <= r.df <= na + nb - 2
+
+    again = welch_ttest(df.repartition(11), "g", "v", "a", "b").collect()[0]
+    assert again == r  # exact moments -> layout-independent
+
+
+def test_welch_ttest_degenerate(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import welch_ttest
+
+    # identical constant groups: zero variance -> NULL t; means still real
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    r = welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert r.t_stat is None and r.df is None
+    assert r.mean_a == 5.0 and r.mean_b == 5.0
+    # missing group entirely
+    solo = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r2 = welch_ttest(solo, "g", "v", "a", "b").collect()[0]
+    assert r2.n_b == 0 and r2.t_stat is None and r2.mean_b is None
