@@ -153,6 +153,7 @@ BENCH_QUERIES = (
     "cuped_metrics",
     "ndcg_eval",
     "welch_ttest",
+    "js_divergence",
 )
 
 

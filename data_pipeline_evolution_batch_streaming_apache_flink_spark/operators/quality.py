@@ -715,3 +715,82 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         (F.sum("dev_micro") - F.sum("dev_micro") % 9).alias("__s")
     ).select((F.col("__s") / 9).cast("long").alias("mad_micro"))
     return scored.crossJoin(F.broadcast(mad))
+
+
+def js_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Exact Jensen–Shannon divergence between two corpora's value
+    distributions — the bounded, symmetric companion to :func:`psi_drift`
+    (PSI explodes on empty bins; JSD is finite by construction, in
+    [0, ln 2]) and to :func:`ks_drift` (KS sees only the worst CDF gap;
+    JSD weighs the whole distribution).
+
+    The key identity keeping it integer-exact: with per-value counts
+    ``ca, cb`` and totals ``na, nb``, the likelihood ratios are pure
+    integer ratios ``P/M = 2*ca*nb / (ca*nb + cb*na)`` (and mirrored
+    for Q/M), so each value's log term is ONE micro-rounded ln of
+    bigints (house PMI policy) weighted by the exact count::
+
+        sum_a = Σ_v ca * round(1e6 * ln(2*ca*nb / (ca*nb + cb*na)))
+        JSD   = (sum_a/na + sum_b/nb) / 2e6        -- nats
+
+    Zero-count values contribute nothing on their zero side (0·ln 0 = 0)
+    and are exact on the other — no smoothing needed. Overflow bound:
+    ``ca * nb < 2^63`` (≈3e9 rows per side, the KS/MW bound); the
+    count-weighted micro sums stay under 2^63 for any such corpus
+    because ``Σ ca * 1e6 * ln2 ≤ na * 7e5``.
+
+    Scale shape: one value-hash aggregation with map-side combine
+    (state = distinct values) + a one-row final aggregate — the same
+    streamable-from-a-histogram profile as the other drift gates.
+
+    Returns one row: ``(jsd_nats, jsd_norm, n_a, n_b)`` where
+    ``jsd_norm = jsd/ln 2 ∈ [0, 1]``; both NULL when either side is
+    empty (an all-NULL or empty corpus has no distribution to compare).
+    """
+    sa = a.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(1))
+    sb = b.select(F.col(value_col).alias("__v")).withColumn("__ia", F.lit(0))
+    u = sa.union(sb).filter(F.col("__v").isNotNull())
+    counts = u.groupBy("__v").agg(
+        F.sum("__ia").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__ia")).cast("long").alias("__cb"),
+    )
+    tot = counts.agg(
+        F.sum("__ca").cast("long").alias("na"), F.sum("__cb").cast("long").alias("nb")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    den = F.col("__ca") * F.col("nb") + F.col("__cb") * F.col("na")
+    # try_divide: with an EMPTY opposite side the denominator is 0 for
+    # every value; the NULL rides through sum -> the ok-guard NULLs the
+    # output (ANSI / would raise inside the taken ca>0 branch)
+    lmicro = lambda num: F.round(
+        F.lit(1_000_000.0)
+        * F.log(F.try_divide(num.cast("double"), den.cast("double"))),
+        0,
+    ).cast("bigint")
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("__ca") > 0, F.col("__ca") * lmicro(2 * F.col("__ca") * F.col("nb")))
+            .otherwise(F.lit(0))
+        ).alias("__suma"),
+        F.sum(
+            F.when(F.col("__cb") > 0, F.col("__cb") * lmicro(2 * F.col("__cb") * F.col("na")))
+            .otherwise(F.lit(0))
+        ).alias("__sumb"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+    jsd = (
+        F.col("__suma").cast("double") / F.col("n_a").cast("double")
+        + F.col("__sumb").cast("double") / F.col("n_b").cast("double")
+    ) / F.lit(2_000_000.0)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        F.when(ok, F.round(jsd, 6)).alias("jsd_nats"),
+        F.when(ok, F.round(jsd / F.log(F.lit(2.0)), 6)).alias("jsd_norm"),
+        F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+    )

@@ -7107,3 +7107,69 @@ ORACLE["welch_ttest"] = """
            END AS df
     FROM s
 """
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence (operators/quality.py js_divergence)
+# ---------------------------------------------------------------------------
+
+def q_js_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    """How differently are purchase and click event values distributed?
+    Exact JSD over the cent-quantized value histograms — the bounded,
+    whole-distribution companion to the welch_ttest location readout on
+    the same pair; each log term one micro-rounded ln of integer
+    ratios, summed exactly."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import js_divergence
+
+    t = load_tables(spark, sf, ("events",))
+    e = t["events"].withColumn("__cents", F.floor(F.col("value") * 100).cast("bigint"))
+    return js_divergence(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "click"),
+        "__cents",
+    )
+
+
+QUERIES["js_divergence"] = q_js_divergence
+
+ORACLE["js_divergence"] = """
+    WITH u AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')
+    ),
+    c AS (
+      SELECT v, CAST(sum(ia) AS BIGINT) AS ca, CAST(sum(1 - ia) AS BIGINT) AS cb
+      FROM u GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c
+    ),
+    terms AS (
+      SELECT
+        CASE WHEN ca > 0 THEN ca * CAST(round(1000000.0 * ln(
+          CAST(2 * ca * nb AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)), 0) AS BIGINT)
+        ELSE 0 END AS ta,
+        CASE WHEN cb > 0 THEN cb * CAST(round(1000000.0 * ln(
+          CAST(2 * cb * na AS DOUBLE) / CAST(ca * nb + cb * na AS DOUBLE)), 0) AS BIGINT)
+        ELSE 0 END AS tb,
+        na, nb
+      FROM c, t
+    ),
+    agg AS (
+      SELECT CAST(sum(ta) AS BIGINT) AS suma, CAST(sum(tb) AS BIGINT) AS sumb,
+             max(na) AS na, max(nb) AS nb
+      FROM terms
+    )
+    SELECT
+      CASE WHEN na > 0 AND nb > 0 THEN
+        round((CAST(suma AS DOUBLE) / CAST(na AS DOUBLE)
+               + CAST(sumb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2000000.0, 6)
+      END AS jsd_nats,
+      CASE WHEN na > 0 AND nb > 0 THEN
+        round((CAST(suma AS DOUBLE) / CAST(na AS DOUBLE)
+               + CAST(sumb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2000000.0 / ln(2.0), 6)
+      END AS jsd_norm,
+      CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM agg
+"""

@@ -458,3 +458,57 @@ def test_benford_string_digit_extraction_and_filters(spark):
     assert sum(r.n_obs for r in rows.values()) == 3
     # zero-count digits still present in the grid
     assert rows[2].n_obs == 0 and rows[2].pct == 0.0
+
+
+# ---------------------------------------------------------------------------
+# js_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_reference_and_properties(spark):
+    import math
+    import random
+
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import js_divergence
+
+    rng = random.Random(31)
+    xa = [rng.randint(0, 30) for _ in range(600)]
+    xb = [rng.randint(15, 45) for _ in range(400)]
+    a = spark.createDataFrame([(v,) for v in xa], "v bigint")
+    b = spark.createDataFrame([(v,) for v in xb], "v bigint")
+    r = js_divergence(a, b, "v").collect()[0]
+
+    # sequential reference with the SAME micro-rounded integer terms
+    from collections import Counter
+    ca, cb = Counter(xa), Counter(xb)
+    na, nb = len(xa), len(xb)
+    suma = sum(
+        c * round(1e6 * math.log(2 * c * nb / (c * nb + cb.get(v, 0) * na)))
+        for v, c in ca.items()
+    )
+    sumb = sum(
+        c * round(1e6 * math.log(2 * c * na / (ca.get(v, 0) * nb + c * na)))
+        for v, c in cb.items()
+    )
+    want = round((suma / na + sumb / nb) / 2e6, 6)
+    assert r.jsd_nats == pytest.approx(want, abs=2e-6)
+    assert 0 < r.jsd_norm < 1 and (r.n_a, r.n_b) == (600, 400)
+
+    # symmetry
+    rev = js_divergence(b, a, "v").collect()[0]
+    assert rev.jsd_nats == r.jsd_nats
+
+    # identical distributions -> 0; disjoint supports -> ln 2 (norm 1.0)
+    same = js_divergence(a, a, "v").collect()[0]
+    assert same.jsd_nats == 0.0
+    lo = spark.createDataFrame([(v,) for v in range(100)], "v bigint")
+    hi = spark.createDataFrame([(v + 1000,) for v in range(100)], "v bigint")
+    dis = js_divergence(lo, hi, "v").collect()[0]
+    assert dis.jsd_norm == pytest.approx(1.0, abs=1e-5)
+
+    # empty side -> NULL stats, zero count
+    empty = spark.createDataFrame([], "v bigint")
+    nul = js_divergence(a, empty, "v").collect()[0]
+    assert nul.jsd_nats is None and nul.n_b == 0
