@@ -758,6 +758,29 @@ def js_divergence(
         F.sum("__ia").cast("long").alias("__ca"),
         F.sum(1 - F.col("__ia")).cast("long").alias("__cb"),
     )
+    return js_from_counts(counts, "__v", "__ca", "__cb")
+
+
+def js_from_counts(
+    counts: DataFrame,
+    value_col: str,
+    count_a_col: str,
+    count_b_col: str,
+) -> DataFrame:
+    """:func:`js_divergence` from pre-aggregated per-value counts — the
+    form a STREAMING drift monitor needs, exactly like
+    :func:`ks_from_counts` / :func:`...stats.mannwhitney_from_counts`:
+    maintain a value histogram of the live stream (native update-mode
+    groupBy count, bounded state = distinct values), histogram the
+    reference once, full-outer the two on the value, and hand the
+    merged counts here. Missing counts (value on one side only) may be
+    NULL — treated as zero. Same exact micro-ln integers, same
+    NULL-on-empty-side contract."""
+    counts = counts.select(
+        F.col(value_col).alias("__v"),
+        F.coalesce(F.col(count_a_col), F.lit(0)).cast("long").alias("__ca"),
+        F.coalesce(F.col(count_b_col), F.lit(0)).cast("long").alias("__cb"),
+    ).filter(F.col("__v").isNotNull())
     tot = counts.agg(
         F.sum("__ca").cast("long").alias("na"), F.sum("__cb").cast("long").alias("nb")
     )

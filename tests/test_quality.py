@@ -512,3 +512,25 @@ def test_js_divergence_reference_and_properties(spark):
     empty = spark.createDataFrame([], "v bigint")
     nul = js_divergence(a, empty, "v").collect()[0]
     assert nul.jsd_nats is None and nul.n_b == 0
+
+
+def test_js_from_counts_equals_dataframe_form_and_null_counts(spark):
+    import random
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import js_divergence, js_from_counts
+
+    rng = random.Random(37)
+    xa = [rng.randint(0, 20) for _ in range(300)]
+    xb = [rng.randint(10, 30) for _ in range(200)]
+    a = spark.createDataFrame([(v,) for v in xa], "v bigint")
+    b = spark.createDataFrame([(v,) for v in xb], "v bigint")
+    want = js_divergence(a, b, "v").collect()[0]
+
+    # the streaming-monitor shape: full-outer merged histograms with
+    # NULL counts where a value appears on one side only
+    from pyspark.sql import functions as F
+    ha = a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    hb = b.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    merged = ha.join(hb, "v", "full_outer")
+    got = js_from_counts(merged, "v", "ca", "cb").collect()[0]
+    assert got == want
