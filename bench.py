@@ -204,7 +204,11 @@ def main() -> None:
         warm[name] = round(min(reps), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query record goes to a committed file; the driver captures
+    # only the last ~2000 chars of stdout, so the printed line must stay
+    # compact (round-4's 8 KB line was recorded as an unparseable tail).
+    full = {
         "metric": "suite_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -212,7 +216,22 @@ def main() -> None:
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
         "calibration_sec": calibration,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(warm.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "suite_wall_seconds",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": slowest,  # 10 slowest warm; full dict in BENCH_FULL.json
+        "warm_total": full["warm_total"],
+        "calibration_sec": calibration,
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "full": "BENCH_FULL.json",
     }))
 
 

@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .util import cap_buckets
+
 __all__ = ["fellegi_sunter"]
 
 
@@ -53,6 +55,7 @@ def fellegi_sunter(
     comparisons: list[dict],
     upper_micro: int,
     lower_micro: int,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Score same-block record pairs with Fellegi–Sunter field weights.
 
@@ -64,6 +67,14 @@ def fellegi_sunter(
     Decisions: ``link`` for ``score_micro >= upper_micro``,
     ``non_link`` for ``<= lower_micro``, ``possible`` between (the
     clerical-review band of the original model).
+
+    ``max_block`` enforces the docstring's blocking contract at runtime:
+    records in blocks holding more than ``max_block`` rows are dropped
+    BEFORE the self-join (same drop-accounting posture as the LSH
+    ``max_bucket`` guards — an oversize block signals a bad blocking key
+    and would otherwise cost |block|² comparisons). The window count
+    pre-partitions on ``block_cols``, which the self-join reuses, so the
+    guard adds no extra exchange. None disables the guard.
 
     Returns ``(id_a, id_b, score_micro, decision)`` with
     ``id_a < id_b`` — every blocked pair; filter on ``decision``
@@ -88,7 +99,7 @@ def fellegi_sunter(
     sel = [F.col(id_col).alias("__id")] + [F.col(b) for b in block_cols] + [
         F.col(f) for f in fields
     ]
-    base = df.select(*sel)
+    base = cap_buckets(df.select(*sel), tuple(block_cols), max_block)
     a = base.select(
         F.col("__id").alias("id_a"),
         *[F.col(b) for b in block_cols],

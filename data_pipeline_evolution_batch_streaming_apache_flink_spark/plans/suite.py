@@ -4938,24 +4938,33 @@ _FS_W = "CAST(round(ln(CAST({m} AS DOUBLE) / CAST({u} AS DOUBLE)) * 1e6, 0) AS B
 
 def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     """Fellegi–Sunter probabilistic record linkage
-    (operators/linkage.py) over nation-blocked customer pairs: name
-    (typo-tolerant, edit distance ≤ 2), market segment, account-balance
-    bucket, and phone area code, each with configured m/u per-mille
-    weights. Non-links are filtered so the result is the
-    link + clerical-review set."""
+    (operators/linkage.py) over customer pairs: name (typo-tolerant,
+    edit distance ≤ 2), market segment, account-balance bucket, and
+    balance sign, each with configured m/u per-mille weights. Non-links
+    are filtered so the result is the link + clerical-review set.
+
+    Blocking is COMPOSITE per the operator's contract — nation ×
+    coarse balance bucket (2000-wide, coarser than the compared
+    1000-wide bucket so the bal comparison stays informative) × last
+    name digit — ~1500 blocks instead of round-4's 25 nation-only
+    blocks whose pair count grew O(n²/25). At 100× data the knob is
+    the suffix depth (each extra digit multiplies block count ×10),
+    and ``max_block`` hard-bounds the per-block quadratic regardless."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter
 
     t = load_tables(spark, sf, ("customer",))
     c = t["customer"].select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").alias("blk"),
+        F.expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").alias("blk2"),
+        F.expr("right(c_name, 1)").alias("blk3"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("seg"),
         F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("bal"),
         F.expr("CAST(c_acctbal >= 0 AS STRING)").alias("pos"),
     )
     scored = fellegi_sunter(
-        c, "id", ["blk"],
+        c, "id", ["blk", "blk2", "blk3"],
         [
             {"col": "name", "m_pm": 900, "u_pm": 100, "max_dist": 2},
             {"col": "seg", "m_pm": 900, "u_pm": 200},
@@ -4964,6 +4973,7 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
         ],
         upper_micro=7_000_000,
         lower_micro=0,
+        max_block=200,
     )
     return scored.where(F.col("decision") != "non_link")
 
@@ -4971,18 +4981,27 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["record_linkage"] = q_record_linkage
 
 ORACLE["record_linkage"] = f"""
-WITH c AS (
-  SELECT c_custkey AS id, c_nationkey AS blk, c_name AS name,
-         c_mktsegment AS seg,
+WITH c0 AS (
+  SELECT c_custkey AS id, c_nationkey AS blk,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS blk2,
+         right(c_name, 1) AS blk3,
+         c_name AS name, c_mktsegment AS seg,
          CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal,
          CAST(c_acctbal >= 0 AS VARCHAR) AS pos
   FROM customer
+),
+c AS (
+  SELECT * FROM (
+    SELECT c0.*, count(*) OVER (PARTITION BY blk, blk2, blk3) AS bn FROM c0
+  ) WHERE bn <= 200
 ),
 p AS (
   SELECT a.id AS id_a, b.id AS id_b,
          a.name AS an, b.name AS bn, a.seg AS asg, b.seg AS bsg,
          a.bal AS ab, b.bal AS bb, a.pos AS aa, b.pos AS ba
-  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+  FROM c a JOIN c b
+    ON a.blk = b.blk AND a.blk2 = b.blk2 AND a.blk3 = b.blk3
+   AND a.id < b.id
 ),
 scored AS (
   SELECT id_a, id_b,
