@@ -527,7 +527,12 @@ def link_prediction(
     existing-edge removal is a broadcast-friendly anti-join.
 
     Returns ``(node_a, node_b, common_neighbors, deg_a, deg_b,
-    adamic_adar_micro, jaccard_micro)``.
+    adamic_adar_micro, jaccard_micro)``. With ``max_degree`` set, every
+    score — including ``deg_a``/``deg_b`` and the jaccard denominator —
+    is computed over the degree-capped neighbor sets
+    ``N'(x) = {z in N(x) : deg(z) <= max_degree}``, so intersection and
+    union count the same universe (hub neighbors are invisible to all
+    of them, not just to the numerator).
     """
     if min_common < 1:
         raise ValueError(f"min_common must be >= 1, got {min_common}")
@@ -572,13 +577,29 @@ def link_prediction(
         F.col("u").alias("node_a"), F.col("v").alias("node_b")
     )
     candidates = pairs.join(existing, ["node_a", "node_b"], "left_anti")
+    # Consistency with the hub cap (ADVICE r4): when max_degree is set,
+    # ALL three scores are computed over the degree-CAPPED neighbor
+    # sets N'(x) = {z in N(x) : deg(z) <= max_degree} — the wedge join
+    # above already intersects capped sets, so the reported degrees and
+    # the jaccard denominator |N'(a)| + |N'(b)| - cn must count the
+    # same capped sets, or jaccard mixes a filtered intersection with
+    # an unfiltered union and biases low for pairs sharing hubs.
+    if max_degree is not None:
+        capped = deg.where(F.col("deg") <= max_degree).select("u")
+        deg_rep = (
+            adj.join(capped.withColumnRenamed("u", "v"), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+    else:
+        deg_rep = deg
     return (
         candidates.join(
-            deg.select(F.col("u").alias("node_a"), F.col("deg").alias("deg_a")),
+            deg_rep.select(F.col("u").alias("node_a"), F.col("deg").alias("deg_a")),
             "node_a",
         )
         .join(
-            deg.select(F.col("u").alias("node_b"), F.col("deg").alias("deg_b")),
+            deg_rep.select(F.col("u").alias("node_b"), F.col("deg").alias("deg_b")),
             "node_b",
         )
         .select(
@@ -632,8 +653,10 @@ def k_core(
         eager=True
     )
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_rounds):
         if n_edges == 0:
+            converged = True
             break
         keep = (
             e.groupBy("src")
@@ -650,8 +673,23 @@ def k_core(
         n_next = pruned.count()
         e = pruned
         if n_next == n_edges:
+            converged = True
             break  # fixpoint: every node already has degree >= k
         n_edges = n_next
+    if not converged:
+        # the peel is still removing nodes — the survivors are NOT the
+        # k-core yet (sub-k nodes may remain). Silent wrong answers are
+        # worse than noise (ADVICE r4); callers who want the partial
+        # peel can raise max_rounds or catch the warning.
+        import warnings
+
+        warnings.warn(
+            f"k_core stopped after max_rounds={max_rounds} without reaching "
+            "the peel fixpoint; the returned subgraph may still contain "
+            f"nodes with degree < {k}. Increase max_rounds.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

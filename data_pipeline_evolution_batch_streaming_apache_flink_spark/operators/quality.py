@@ -586,12 +586,16 @@ def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
     with ``layout.compact_files`` / ``layout.zorder_write`` /
     migrations: digest before, digest after, compare one row.
 
-    Per row, the listed columns are rendered canonically
-    (``coalesce(CAST(c AS STRING), '\\u0001null')``, '|'-joined — NULL
-    is distinct from the string 'null') and hashed with the house
-    60-bit md5 fold. Three commutative-associative reductions make the
-    digest order- and layout-independent AND mergeable across shards
-    (combine shard digests with xor / sum / sum):
+    Per row, the listed columns are rendered canonically and
+    '|'-joined. The rendering is PREFIX-UNAMBIGUOUS: ``n`` for NULL,
+    ``v<len>:<value>`` otherwise — the length prefix makes a delimiter
+    inside a value harmless (``('a|b','c')`` vs ``('a','b|c')`` hash
+    differently) and the tag byte makes NULL distinct from every
+    literal string, including one spelled like a null sentinel. The
+    joined row string is hashed with the house 60-bit md5 fold. Three
+    commutative-associative reductions make the digest order- and
+    layout-independent AND mergeable across shards (combine shard
+    digests with xor / sum / sum):
 
     - ``n_rows``   exact count
     - ``xor60``    bit_xor of the row hashes (overflow-free; its known
@@ -609,7 +613,10 @@ def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
     if not cols:
         raise ValueError("cols must be non-empty")
     rendered = " || '|' || ".join(
-        f"coalesce(CAST({c} AS STRING), '\\u0001null')" for c in cols
+        f"CASE WHEN {c} IS NULL THEN 'n' "
+        f"ELSE 'v' || CAST(length(CAST({c} AS STRING)) AS STRING) || ':' "
+        f"|| CAST({c} AS STRING) END"
+        for c in cols
     )
     h = f"CAST(conv(substr(md5({rendered}), 1, 15), 16, 10) AS BIGINT)"
     return df.select(F.expr(h).alias("__h")).agg(

@@ -357,21 +357,40 @@ def mannwhitney_from_counts(
         F.sum(F.col("__ca") * F.col("__cb")).alias("ties"),
         F.sum((t.cast("decimal(38,0)") * t * t) - t).alias("tcorr"),
     )
+    # zero-row input: sum() is NULL but the true counts/U are 0 — a
+    # drift monitor reading this row should see (0, 0, 0), not unknowns
+    agg = agg.select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+        F.coalesce("below", F.lit(0)).alias("below"),
+        F.coalesce("ties", F.lit(0)).alias("ties"),
+        F.coalesce("tcorr", F.lit(0).cast("decimal(38,0)")).alias("tcorr"),
+    )
     na = F.col("na").cast("double")
     nb = F.col("nb").cast("double")
     nn = (F.col("na") + F.col("nb")).cast("double")
     u2 = (F.lit(2) * F.col("below") + F.col("ties")).cast("long")
+    # tcorr/(N(N-1)) needs try_divide as well: the var_u expression is
+    # evaluated for the `when` CONDITION below, so N <= 1 would divide
+    # by zero before any branch short-circuiting can help.
     var_u = (
         na * nb / F.lit(12.0)
-        * ((nn + F.lit(1.0)) - F.col("tcorr").cast("double") / (nn * (nn - F.lit(1.0))))
+        * ((nn + F.lit(1.0)) - F.try_divide(F.col("tcorr").cast("double"), nn * (nn - F.lit(1.0))))
     )
-    z = F.round(((u2.cast("double") - na * nb) / F.lit(2.0)) / F.sqrt(var_u), 6)
+    # try_divide, not bare /: under ANSI mode a double division by zero
+    # throws DIVIDE_BY_ZERO, and an empty side (na*nb = 0) or an
+    # all-tied sample (var_u = 0) is a realistic input for a streaming
+    # drift monitor — those rows must degrade to NULL, not kill the job.
+    # (The F.when(var_u > 0) wrapper alone does NOT protect: a CASE
+    # branch's division evaluates eagerly even when the branch is not
+    # taken — same ANSI trap as js_from_counts.)
+    z = F.round(F.try_divide((u2.cast("double") - na * nb) / F.lit(2.0), F.sqrt(var_u)), 6)
     return agg.select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         u2.alias("u2_b"),
         F.when(var_u > 0, z).alias("z"),
-        F.round(u2.cast("double") / (na * nb) - F.lit(1.0), 6).alias("rank_biserial"),
+        F.round(F.try_divide(u2.cast("double"), na * nb) - F.lit(1.0), 6).alias("rank_biserial"),
     )
 
 

@@ -409,7 +409,14 @@ def rake_keywords(
     """
     if not stopwords:
         raise ValueError("stopwords must be non-empty")
-    stop_re = r"\b(" + "|".join(stopwords) + r")\b"
+    # Caller-supplied stopwords are data, not regex: a word like 'c++'
+    # or 'u.s' would otherwise corrupt the alternation (ADVICE r4).
+    # \Q...\E literal quoting is the Java-regex-native escape; reject
+    # the one sequence it cannot quote.
+    for w in stopwords:
+        if r"\E" in w:
+            raise ValueError(rf"stopword may not contain \E: {w!r}")
+    stop_re = r"\b(" + "|".join(rf"\Q{w}\E" for w in stopwords) + r")\b"
     phrases = df.select(
         F.col(id_col),
         F.posexplode(

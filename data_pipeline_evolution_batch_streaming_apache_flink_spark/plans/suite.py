@@ -4723,6 +4723,14 @@ cand AS (
     SELECT 1 FROM adj x
     WHERE x.u = p.node_a AND x.v = p.node_b
   )
+),
+degc AS (
+  -- degree over the CAPPED neighbor set (mirror of the operator's
+  -- consistency rule: hub neighbors are invisible to all scores)
+  SELECT a.u, count(*) AS deg
+  FROM adj a JOIN deg d ON a.v = d.u
+  WHERE d.deg <= {_LP_MAX_DEG}
+  GROUP BY 1
 )
 SELECT c.node_a, c.node_b, c.common_neighbors,
        da.deg AS deg_a, db.deg AS deg_b,
@@ -4731,8 +4739,8 @@ SELECT c.node_a, c.node_b, c.common_neighbors,
                   / (da.deg + db.deg - c.common_neighbors), 0) AS BIGINT)
          AS jaccard_micro
 FROM cand c
-JOIN deg da ON c.node_a = da.u
-JOIN deg db ON c.node_b = db.u
+JOIN degc da ON c.node_a = da.u
+JOIN degc db ON c.node_b = db.u
 """
 
 
@@ -4916,17 +4924,26 @@ def q_table_digest(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["table_digest"] = q_table_digest
 
-ORACLE["table_digest"] = """
+def _digest_render(expr: str) -> str:
+    # mirror of quality.table_digest's prefix-unambiguous rendering:
+    # 'n' for NULL, 'v<len>:<value>' otherwise
+    s = f"CAST({expr} AS VARCHAR)"
+    return (
+        f"CASE WHEN {expr} IS NULL THEN 'n' "
+        f"ELSE 'v' || CAST(length({s}) AS VARCHAR) || ':' || {s} END"
+    )
+
+
+ORACLE["table_digest"] = f"""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(bit_xor(h) AS BIGINT) AS xor60,
            CAST(sum(h % 2147483648) AS BIGINT) AS sum31
     FROM (
       SELECT ('0x' || substr(md5(
-               coalesce(CAST(l_orderkey AS VARCHAR), chr(1) || 'null') || '|' ||
-               coalesce(CAST(l_linenumber AS VARCHAR), chr(1) || 'null') || '|' ||
-               coalesce(CAST(l_returnflag AS VARCHAR), chr(1) || 'null') || '|' ||
-               coalesce(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
-                             AS VARCHAR), chr(1) || 'null')
+               {_digest_render('l_orderkey')} || '|' ||
+               {_digest_render('l_linenumber')} || '|' ||
+               {_digest_render('l_returnflag')} || '|' ||
+               {_digest_render('CAST(floor(l_extendedprice * 100) AS BIGINT)')}
              ), 1, 15))::BIGINT AS h
       FROM lineitem
     )

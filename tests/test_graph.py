@@ -290,21 +290,28 @@ def _lp_reference(edges, min_common, max_degree=None):
             adj[u].add(v)
             adj[v].add(u)
     deg = {n: len(ns) for n, ns in adj.items()}
+
+    # capped-neighbor-set semantics: with max_degree set, EVERY score
+    # (incl. reported degrees and the jaccard union) counts only
+    # neighbors whose degree is within the cap
+    def capped(n):
+        return {
+            z for z in adj[n] if max_degree is None or deg[z] <= max_degree
+        }
+
     out = {}
     nodes = sorted(adj)
     for i, a in enumerate(nodes):
         for b in nodes[i + 1:]:
             if b in adj[a]:
                 continue
-            common = [
-                z for z in adj[a] & adj[b]
-                if max_degree is None or deg[z] <= max_degree
-            ]
+            common = capped(a) & capped(b)
             if len(common) < min_common:
                 continue
+            da, db = len(capped(a)), len(capped(b))
             aa = sum(round(1e6 / math.log(deg[z])) for z in common)
-            jac = round(len(common) * 1e6 / (deg[a] + deg[b] - len(common)))
-            out[(a, b)] = (len(common), deg[a], deg[b], aa, jac)
+            jac = round(len(common) * 1e6 / (da + db - len(common)))
+            out[(a, b)] = (len(common), da, db, aa, jac)
     return out
 
 
@@ -343,6 +350,34 @@ def test_link_prediction_max_degree_drops_hub_centers(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     assert link_prediction(df, min_common=1).count() == 15
     assert link_prediction(df, min_common=1, max_degree=5).count() == 0
+
+
+def test_link_prediction_capped_degrees_consistent(spark):
+    # ADVICE r4: with max_degree set, the jaccard union and reported
+    # degrees must count the same capped neighbor sets as the
+    # intersection. Graph: hub adjacent to everything, plus two
+    # modest shared neighbors for (a, b).
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
+
+    edges = (
+        [("hub", x) for x in ("a", "b", "p", "q", "r", "s")]
+        + [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2")]
+    )
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.node_a, r.node_b): (
+            r.common_neighbors, r.deg_a, r.deg_b,
+            r.adamic_adar_micro, r.jaccard_micro,
+        )
+        for r in link_prediction(df, min_common=2, max_degree=4).collect()
+    }
+    want = _lp_reference(edges, 2, max_degree=4)
+    assert got == want
+    # the (a, b) pair's jaccard must be over capped sets: cn=2,
+    # |N'(a)|=|N'(b)|=2 (hub invisible) -> jaccard = 2/(2+2-2) = 1.0
+    assert got[("a", "b")][0] == 2
+    assert got[("a", "b")][1:3] == (2, 2)
+    assert got[("a", "b")][4] == 1_000_000
 
 
 def test_link_prediction_rejects_bad_min_common(spark):
@@ -399,6 +434,25 @@ def test_k_core_k1_keeps_every_connected_node_and_layout(spark):
     a = {(r.node, r.degree) for r in k_core(edges, k=3).collect()}
     b = {(r.node, r.degree) for r in k_core(edges.repartition(13), k=3).collect()}
     assert a == b  # layout-independent
+
+
+def test_k_core_warns_when_max_rounds_exhausted(spark):
+    # ADVICE r4: exhausting max_rounds before the peel fixpoint must
+    # not silently return a non-core. Path 1-2-3-4-5-6 with k=2 peels
+    # one endpoint layer per round; max_rounds=1 leaves sub-k nodes.
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        _both([(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]), "src int, dst int"
+    )
+    with pytest.warns(RuntimeWarning, match="max_rounds"):
+        partial = k_core(edges, k=2, max_rounds=1)
+    assert partial.where("degree < 2").count() > 0  # demonstrably not the core
+    # enough rounds: converges quietly to the (empty) 2-core
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert k_core(edges, k=2).count() == 0
 
 
 def test_k_core_validates_and_handles_empty(spark):

@@ -647,6 +647,33 @@ def test_rake_top_k_ordering_ties_and_duplicates(spark):
     assert all(r.doc_id == 1 for r in got)
 
 
+def test_rake_stopwords_with_regex_metacharacters(spark):
+    # ADVICE r4: caller stopwords are data, not regex. 'c++' must not
+    # corrupt the alternation ('c' followed by greedy +), and a dotted
+    # stopword must not over-match ('u.s' must not delimit on 'uks').
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rake_keywords
+
+    df = spark.createDataFrame(
+        [(1, "fast code in c++ kernels"), (2, "uks market report")],
+        "doc_id int, text string",
+    )
+    out = rake_keywords(
+        df, top_k=5, stopwords=("in", "c++", "u.s")
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.keyword)
+    # 'c++' delimits doc 1 (the '+' chars also split as punctuation);
+    # the important part: no regex error and 'in' still delimits
+    assert "fast code" in by_doc[1]
+    # 'u.s' treated literally: 'uks' is NOT split into 'uk'/'s'
+    assert by_doc[2] == {"uks market report"}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match=r"\\E"):
+        rake_keywords(df, stopwords=("ok", "bad\\Estop"))
+
+
 def test_rake_max_words_filter_and_layout(spark):
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import rake_keywords
 

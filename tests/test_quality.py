@@ -347,6 +347,33 @@ def test_table_digest_detects_single_row_change_and_null_vs_literal(spark):
     assert tuple(table_digest(lit, ["id", "s"]).collect()[0]) != d
 
 
+def test_table_digest_no_delimiter_or_sentinel_collisions(spark):
+    # ADVICE r4: the old '|'-join rendering collided ('a|b','c') with
+    # ('a','b|c'), and a literal '\x01null' with NULL. The
+    # length-prefixed rendering must distinguish all of these.
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    ab_c = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    a_bc = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    assert (
+        tuple(table_digest(ab_c, ["x", "y"]).collect()[0])
+        != tuple(table_digest(a_bc, ["x", "y"]).collect()[0])
+    )
+    null_row = spark.createDataFrame([(1, None)], "id int, s string")
+    sentinel = spark.createDataFrame([(1, "\x01null")], "id int, s string")
+    assert (
+        tuple(table_digest(null_row, ["id", "s"]).collect()[0])
+        != tuple(table_digest(sentinel, ["id", "s"]).collect()[0])
+    )
+    # values containing the rendering's own tag/length characters
+    tricky_a = spark.createDataFrame([("v1:x", "y")], "x string, y string")
+    tricky_b = spark.createDataFrame([("v1:x|y", "")], "x string, y string")
+    assert (
+        tuple(table_digest(tricky_a, ["x", "y"]).collect()[0])
+        != tuple(table_digest(tricky_b, ["x", "y"]).collect()[0])
+    )
+
+
 def test_table_digest_shard_merge(spark):
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
 

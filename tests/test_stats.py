@@ -258,6 +258,26 @@ def test_mannwhitney_all_tied_yields_null_z(spark):
     assert row.rank_biserial == 0.0
 
 
+def test_mannwhitney_empty_side_degrades_to_null(spark):
+    # ADVICE r4 (medium): an empty side made rank_biserial's division
+    # throw DIVIDE_BY_ZERO under ANSI mode. A streaming drift monitor's
+    # live window can legitimately be empty — the row must come back
+    # with NULL z / rank_biserial, not kill the job.
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import mannwhitney_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([], "v double")
+    row = mannwhitney_drift(a, b, "v").collect()[0]
+    assert (row.n_a, row.n_b) == (2, 0)
+    assert row.u2_b == 0
+    assert row.z is None
+    assert row.rank_biserial is None
+    # both sides empty: aggregate still yields one all-degenerate row
+    row2 = mannwhitney_drift(b, b, "v").collect()[0]
+    assert (row2.n_a, row2.n_b) == (0, 0)
+    assert row2.z is None and row2.rank_biserial is None
+
+
 def test_mannwhitney_nulls_ignored_and_disjoint_sides(spark):
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import mannwhitney_drift
 
