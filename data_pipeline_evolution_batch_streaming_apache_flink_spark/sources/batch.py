@@ -114,12 +114,16 @@ def read_csv(
 def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a lenient read into (clean, quarantined) — clean rows with
     the corrupt column dropped, bad rows as their raw text for repair.
-    Works for both read_csv and read_jsonl lenient modes."""
+    Works for read_csv / read_jsonl lenient modes and the streaming
+    decoders' dead-letter channel (``decode_debezium(lenient=True)``).
+    Streaming DataFrames are split lazily (no localCheckpoint — call
+    inside ``foreachBatch`` to write both halves from one scan)."""
     from pyspark.sql import functions as F
 
     if "_corrupt_record" not in df.columns:
         raise ValueError("quarantine_split needs a lenient read (PERMISSIVE with _corrupt_record)")
-    df = df.localCheckpoint(eager=False)  # both halves share one scan
+    if not df.isStreaming:
+        df = df.localCheckpoint(eager=False)  # both halves share one scan
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")

@@ -64,6 +64,7 @@ def decode_debezium(
     event_time_col: str | None = "event_time",
     schema_include: bool | None = None,
     drop_tombstones: bool = True,
+    lenient: bool = False,
 ) -> DataFrame:
     """Decode a column of Debezium-JSON change events into changelog rows.
 
@@ -83,6 +84,18 @@ def decode_debezium(
     ``drop_tombstones``: a compacted Debezium topic carries post-delete
     tombstone records (null value); they carry no row data and are
     filtered out rather than decoded into all-null rows.
+
+    ``lenient``: dead-letter channel for undecodable records (broken
+    JSON, truncated envelopes, foreign payloads on the topic). Default
+    False preserves FAIL-SILENT ``from_json`` semantics (malformed
+    rows surface as all-null images). True appends a
+    ``_corrupt_record`` column — the raw value for any non-tombstone
+    record that did not produce a changelog op, NULL for good rows —
+    the same contract as ``read_csv(lenient=True)``, so
+    ``sources.batch.quarantine_split`` routes them to a quarantine
+    sink while the pipeline keeps running (works on streaming
+    DataFrames too; split inside ``foreachBatch`` to write both sinks
+    from one pass).
     """
     schema = debezium_envelope_schema(row_schema)
     raw = F.col(value_col).cast("string")
@@ -110,6 +123,17 @@ def decode_debezium(
             if event_time_col
             else []
         ),
+        *(
+            # a real Debezium envelope always carries an op; a
+            # non-tombstone value that decoded to no op is undecodable
+            [
+                F.when(
+                    F.col("__env.op").isNull() & raw.isNotNull(), raw
+                ).alias("_corrupt_record")
+            ]
+            if lenient
+            else []
+        ),
     )
     return out
 
@@ -133,6 +157,7 @@ def decode_logical_message(
     df: DataFrame,
     value_col: str = "value",
     fields: dict[str, tuple[str, str | None]] | None = None,
+    lenient: bool = False,
 ) -> DataFrame:
     """Scenario-5 pipeline: parse the logical-decoding envelope, base64-
     decode ``message.content`` and JSON-path-extract the payload fields
@@ -141,6 +166,11 @@ def decode_logical_message(
 
     ``fields`` maps output column -> (json path, cast type or None); default
     mirrors the reference's order-document extraction.
+
+    ``lenient``: same dead-letter contract as :func:`decode_debezium` —
+    appends ``_corrupt_record`` carrying the raw value for records
+    whose envelope yielded no ``message.content`` (broken JSON, wrong
+    topic, truncated payload); route with ``quarantine_split``.
     """
     fields = fields or {
         "order_id": ("$.order_id", "int"),
@@ -148,11 +178,21 @@ def decode_logical_message(
         "table_name": ("$.table_name", None),
         "pizzas": ("$.pizzas", None),
     }
-    parsed = df.withColumn("__env", F.from_json(F.col(value_col).cast("string"), LOGICAL_MSG_SCHEMA))
+    raw = F.col(value_col).cast("string")
+    parsed = df.withColumn("__env", F.from_json(raw, LOGICAL_MSG_SCHEMA))
     doc = from_base64_str(F.col("__env.message.content"))
     return parsed.select(
         F.col("__env.op").alias("op"),
         F.col("__env.ts_ms").alias("ts_ms"),
         F.col("__env.source.txId").alias("txId"),
         *[json_value(doc, path, cast).alias(name) for name, (path, cast) in fields.items()],
+        *(
+            [
+                F.when(
+                    F.col("__env.message.content").isNull() & raw.isNotNull(), raw
+                ).alias("_corrupt_record")
+            ]
+            if lenient
+            else []
+        ),
     )

@@ -1064,3 +1064,110 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
     assert got == exp
     assert any(a for _, _, a in got.values())       # the high run must alert
     assert got[10] == (0, 1000, False)              # below-ref start: lo side grows
+
+
+def test_streaming_debezium_dead_letter_quarantine(spark, tmp_path):
+    """VERDICT r4 item 5: undecodable envelopes must land in a
+    quarantine sink while the pipeline keeps processing, and counts
+    must reconcile (clean + quarantined == non-tombstone input)."""
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import quarantine_split
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+
+    def env(op, eid, rid, name, ts_ms):
+        img = {"id": rid, "name": name, "seq": eid}
+        return json.dumps({
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "op": op,
+            "ts_ms": ts_ms,
+            "source": {"ts_ms": ts_ms, "txId": eid, "lsn": eid},
+        })
+
+    corrupt1 = '{"after": {"id": 7'                      # truncated JSON
+    corrupt2 = json.dumps({"foreign": "payload", "x": 1})  # valid JSON, no envelope
+    batches = [
+        [env("c", 1, 1, "one", 1000), env("c", 2, 2, "two", 1000)],
+        [corrupt1, env("u", 3, 1, "one-v2", 2000), corrupt2],
+        [env("d", 4, 2, "two", 3000)],   # pipeline continues past bad batch
+    ]
+    in_dir = str(tmp_path / "dlq_in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+    for i, lines in enumerate(batches):
+        p = os.path.join(in_dir, f"batch_{i:03d}.txt")
+        with open(p, "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", "1")
+        .text(in_dir)
+    )
+    decoded = decode_debezium(raw, "id int, name string, seq long", lenient=True)
+
+    clean_dir = str(tmp_path / "dlq_clean")
+    quar_dir = str(tmp_path / "dlq_quarantine")
+
+    def route(batch_df, epoch_id):
+        clean, bad = quarantine_split(batch_df)
+        clean.write.mode("append").parquet(clean_dir)
+        bad.write.mode("append").parquet(quar_dir)
+
+    q = (
+        decoded.writeStream.foreachBatch(route)
+        .option("checkpointLocation", str(tmp_path / "dlq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    clean = spark.read.parquet(clean_dir).collect()
+    bad = spark.read.parquet(quar_dir).collect()
+    # counts reconcile: 4 good envelopes decode, 2 corrupt quarantined
+    assert len(clean) == 4 and len(bad) == 2
+    assert {r["raw"] for r in bad} == {corrupt1, corrupt2}
+    # the batch AFTER the corrupt one was processed (pipeline survived)
+    assert {(r["op"], r["id"], r["name"]) for r in clean} == {
+        ("c", 1, "one"), ("c", 2, "two"), ("u", 1, "one-v2"), ("d", 2, "two"),
+    }
+    # no clean row carries a corrupt marker; every good field decoded
+    assert all(r["id"] is not None for r in clean)
+
+
+def test_decode_debezium_lenient_batch_and_logical_message(spark):
+    """Batch-side dead-letter contract: _corrupt_record only on
+    undecodable rows; tombstones stay dropped, not quarantined; the
+    logical-message decoder shares the contract."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import quarantine_split
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import (
+        decode_debezium,
+        decode_logical_message,
+    )
+
+    good = json.dumps({
+        "before": None, "after": {"id": 1, "name": "a", "seq": 1},
+        "op": "c", "ts_ms": 1000,
+        "source": {"ts_ms": 1000, "txId": 1, "lsn": 1},
+    })
+    df = spark.createDataFrame(
+        [(good,), ("{broken",), (None,)], "value string"
+    )
+    out = decode_debezium(df, "id int, name string, seq long", lenient=True)
+    clean, bad = quarantine_split(out)
+    assert clean.count() == 1 and clean.first()["id"] == 1
+    assert [r["raw"] for r in bad.collect()] == ["{broken"]  # tombstone not quarantined
+
+    import base64
+    content = base64.b64encode(b'{"order_id": 5, "client_name": "c", "table_name": "t", "pizzas": "[]"}').decode()
+    goodmsg = json.dumps({
+        "op": "m", "ts_ms": 1, "source": {"ts_ms": 1, "txId": 1, "lsn": 1},
+        "message": {"prefix": "orders", "content": content},
+    })
+    mdf = spark.createDataFrame([(goodmsg,), ("not json",)], "value string")
+    mout = decode_logical_message(mdf, lenient=True)
+    mclean, mbad = quarantine_split(mout)
+    assert mclean.first()["order_id"] == 5
+    assert [r["raw"] for r in mbad.collect()] == ["not json"]
