@@ -208,3 +208,99 @@ def test_scenario6_replayed_epoch_is_idempotent(spark, tmp_path):
     # and the final (emitting) epoch replayed again after completion
     engine.foreach_batch(dfs[-1], len(dfs) - 1)
     assert engine.output().count() == n
+
+
+def test_w3_multiple_watermark_policy_min_vs_max_conformance(spark, tmp_path):
+    """W3 conformance doc-test (VERDICT r4 item 6): how Spark's
+    ``multipleWatermarkPolicy`` maps onto Flink's idle-source story
+    (reference README.md:526-544), pinned on ONE fixture under BOTH
+    policies.
+
+    - ``min`` (Spark default) == Flink's min-alignment: the global
+      watermark is the slowest input's, so an idle input stalls
+      outer-join finalization — but in-flight rows on the slow input
+      are never demoted to late data. Here: the unmatched order is
+      NOT null-padded while the shipment stream idles, and a shipment
+      arriving long after the other input's heartbeat still joins.
+    - ``max`` == the engine-level analogue of Flink's
+      ``table.exec.source.idle-timeout`` mitigation
+      (``session.configure_streaming``): the fastest input drives the
+      watermark, so the stall drains (the unmatched order null-pads
+      promptly) — AT THE COST of dropping the idle input's late rows,
+      an outcome Flink's min-alignment never produces. The same
+      shipment that matched under ``min`` is discarded under ``max``.
+
+    Neither policy is "wrong": min trades latency for completeness,
+    max the reverse. The engine defaults to min (Flink parity); the
+    heartbeat-row pattern (README.md:540-544) is the completeness-
+    preserving way to drain a stall under min.
+    """
+    import os
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.session import configure_streaming
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_interval_join
+
+    def write_files(dirpath, batches):
+        os.makedirs(dirpath, exist_ok=True)
+        base = 1_700_000_000
+        for i, rows in enumerate(batches):
+            p = os.path.join(dirpath, f"b{i:02d}.json")
+            with open(p, "w") as fh:
+                for r in rows:
+                    fh.write(json.dumps(r) + "\n")
+            os.utime(p, (base + i * 10, base + i * 10))
+
+    # Batch cadence matters: stream-stream join state is evicted (and
+    # outer null-pads emitted) at the END of the batch whose watermark
+    # proves no match can arrive — a late row landing in that same
+    # batch still joins against the not-yet-evicted state under either
+    # policy. The empty filler batch between heartbeat and late row
+    # gives eviction one batch to run, which is where the policies
+    # diverge.
+    l_dir, r_dir = str(tmp_path / "wmp_l"), str(tmp_path / "wmp_r")
+    write_files(l_dir, [
+        [{"k": 1, "oid": 1, "ots": "2024-01-01 10:00:00"},   # matches ship 10
+         {"k": 2, "oid": 2, "ots": "2024-01-01 10:05:00"}],  # late ship 20 maybe
+        [{"k": 99, "oid": 999, "ots": "2024-01-01 12:00:00"}],  # left heartbeat
+        [], [],                                              # eviction gap
+    ])
+    write_files(r_dir, [
+        [{"k": 1, "sid": 10, "sts": "2024-01-01 10:02:00"}],
+        [], [],                                              # shipments idle
+        [{"k": 2, "sid": 20, "sts": "2024-01-01 10:07:00"}],  # arrives "late"
+    ])
+
+    def run(policy, name):
+        configure_streaming(spark, multiple_watermark_policy=policy)
+        from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.streaming import json_file_stream
+
+        joined = streaming_interval_join(
+            json_file_stream(spark, l_dir, "k int, oid int, ots timestamp"),
+            json_file_stream(spark, r_dir, "k int, sid int, sts timestamp"),
+            key="k", left_ts="ots", right_ts="sts",
+            lower="1 minute", upper="5 minutes",
+            watermark_left="0 seconds", watermark_right="0 seconds",
+            how="left_outer",
+        ).select("oid", "sid")
+        out_dir = str(tmp_path / f"wmp_out_{name}")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"wmp_ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r["oid"], r["sid"])
+            for r in spark.read.parquet(out_dir).collect()
+            if r["oid"] != 999
+        )
+
+    try:
+        # min: no premature null-pad; the idle side's row is NOT late
+        assert run("min", "min") == [(1, 10), (2, 20)]
+        # max: stall drains (null-pad), but the very same row is dropped
+        assert run("max", "max") == [(1, 10), (2, None)]
+    finally:
+        configure_streaming(spark, multiple_watermark_policy="min")
