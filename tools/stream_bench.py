@@ -6,8 +6,18 @@ The generator is Spark-side (range -> to_json, no driver loops); each
 logical batch lands as its own file with increasing mtimes so the file
 source replays them as ordered micro-batches.
 
-Usage: python tools/stream_bench.py [n_orders] [n_batches]
+Usage: python tools/stream_bench.py [n_orders] [n_batches] [--restart]
 Prints one JSON line.
+
+``--restart`` (VERDICT r4 item 4) runs the SAME input twice: once
+straight through (the baseline), once with an induced mid-stream kill —
+the first query runs with a processingTime trigger and is stopped as
+soon as a few micro-batches have applied (possibly mid-epoch), then a
+FRESH engine instance over the same base_dir resumes from the
+checkpoint with availableNow. Exactly-once evidence: the two runs'
+output digests (order-insensitive table_digest over every output
+column) must be identical, and the restarted run's output must hold
+exactly one row per order. Result JSON gains ``restart_*`` fields.
 """
 
 from __future__ import annotations
@@ -105,9 +115,52 @@ def write_batch(df, in_dir: str, i: int) -> int:
     return n
 
 
+def _digest(df):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
+
+    return tuple(table_digest(df, df.columns).collect()[0])
+
+
+def _run_with_restart(spark, root, in_dir):
+    """Kill the streaming query after a few applied micro-batches, then
+    resume from the checkpoint with a fresh engine instance."""
+    base = os.path.join(root, "engine_restart")
+    engine = scenario6_engine(spark, base)
+    stream = json_file_stream(spark, in_dir, ENVELOPE_SCHEMA, max_files_per_trigger=8)
+    q = (
+        stream.writeStream.foreachBatch(engine.foreach_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    killed_after = None
+    t0 = time.time()
+    while time.time() - t0 < 300:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 2:
+            killed_after = p["batchId"]
+            break
+        time.sleep(0.2)
+    q.stop()  # interrupt — the in-flight epoch may be partially applied
+    q.awaitTermination(60)
+
+    resumed = scenario6_engine(spark, base)  # "new process" over same state
+    stream2 = json_file_stream(spark, in_dir, ENVELOPE_SCHEMA, max_files_per_trigger=8)
+    q2 = (
+        stream2.writeStream.foreachBatch(resumed.foreach_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(600)
+    return resumed, killed_after
+
+
 def main() -> None:
-    n_orders = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    restart = "--restart" in sys.argv
+    n_orders = int(args[0]) if args else 100_000
+    n_batches = int(args[1]) if len(args) > 1 else 4
     spark = get_spark("stream-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -129,14 +182,34 @@ def main() -> None:
     wall = time.time() - t0
     out_rows = engine.output().count()
 
-    print(json.dumps({
+    result = {
         "n_orders": n_orders,
         "n_events": n_events,
         "n_batches": n_batches,
         "wall_sec": round(wall, 2),
         "events_per_sec": round(n_events / wall),
         "output_rows": out_rows,
-    }))
+    }
+
+    if restart:
+        t1 = time.time()
+        resumed, killed_after = _run_with_restart(spark, root, in_dir)
+        r_wall = time.time() - t1
+        r_out = resumed.output()
+        base_digest = _digest(engine.output())
+        restart_digest = _digest(r_out)
+        n_rows = r_out.count()
+        n_orders_out = r_out.select("order_id").distinct().count()
+        result.update({
+            "restart_wall_sec": round(r_wall, 2),
+            "restart_killed_after_batch": killed_after,
+            "restart_output_rows": n_rows,
+            "restart_distinct_orders": n_orders_out,
+            "restart_one_row_per_order": n_rows == n_orders_out,
+            "exactly_once_digest_match": base_digest == restart_digest,
+        })
+
+    print(json.dumps(result))
     shutil.rmtree(root, ignore_errors=True)
 
 
