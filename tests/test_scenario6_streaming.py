@@ -304,3 +304,78 @@ def test_w3_multiple_watermark_policy_min_vs_max_conformance(spark, tmp_path):
         assert run("max", "max") == [(1, 10), (2, None)]
     finally:
         configure_streaming(spark, multiple_watermark_policy="min")
+
+
+def test_scenario6_killed_query_resumes_exactly_once(spark, tmp_path):
+    """Small-scale pytest twin of ``tools/stream_bench.py --restart``
+    (the 1M-event run lives in SCALE.md): a live processingTime query
+    is stop()-interrupted after a few applied micro-batches — possibly
+    mid-epoch — and a FRESH engine instance resumes from the same
+    checkpoint with availableNow. Exactly-once: the resumed run's
+    output must be row-identical to an uninterrupted baseline."""
+    import os
+    import time
+
+    n_files = 12
+    t0 = "2024-03-01 10:00:00"
+    dims = [
+        env("clients", "c", id=1, name="ann", event_time=t0),
+        env("tables", "c", id=1, name="corner", event_time=t0),
+        env("table_assignment", "c", id=1, client_id=1, table_id=1, event_time=t0),
+    ] + [
+        env("pizzas", "c", id=p, name=f"p{p}", price=4 + p % 5, event_time=t0)
+        for p in range(1, 6)
+    ]
+    order_batches = [
+        [
+            env("orders", "c", id=b * 10 + j, table_assignment_id=1,
+                order_time=f"2024-03-01 10:{b:02d}:{j:02d}",
+                pizzas=[j % 5 + 1, (j * 3) % 5 + 1],
+                event_time=f"2024-03-01 10:{b:02d}:{j:02d}")
+            for j in range(8)
+        ]
+        for b in range(n_files - 2)
+    ]
+    heartbeats = [
+        env(t, "c", id=999, event_time="2024-03-01 12:00:00")
+        for t in ("clients", "tables", "table_assignment", "pizzas", "orders")
+    ]
+    in_dir = str(tmp_path / "kill_in")
+    os.makedirs(in_dir)
+    base = 1_700_000_000
+    for i, rows in enumerate([dims] + order_batches + [heartbeats]):
+        p = os.path.join(in_dir, f"b{i:03d}.json")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    # baseline: uninterrupted availableNow run
+    baseline = scenario6_engine(spark, str(tmp_path / "kill_base"))
+    baseline.run_available_now(json_file_stream(spark, in_dir, ENVELOPE_SCHEMA))
+    want = sorted(map(tuple, baseline.output().collect()))
+
+    # interrupted run: stop after >=2 applied batches, then resume
+    eng_dir = str(tmp_path / "kill_eng")
+    first = scenario6_engine(spark, eng_dir)
+    q = (
+        json_file_stream(spark, in_dir, ENVELOPE_SCHEMA)
+        .writeStream.foreachBatch(first.foreach_batch)
+        .option("checkpointLocation", os.path.join(eng_dir, "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 2:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    resumed = scenario6_engine(spark, eng_dir)  # "new process"
+    resumed.run_available_now(json_file_stream(spark, in_dir, ENVELOPE_SCHEMA))
+    got = sorted(map(tuple, resumed.output().collect()))
+    assert got == want
+    assert len(got) == 8 * (n_files - 2)  # every order exactly once
