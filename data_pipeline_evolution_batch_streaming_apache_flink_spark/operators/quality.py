@@ -188,6 +188,8 @@ def psi_drift(
     rows (one count agg — the only shuffle); the join and the
     unpartitioned total-window run on that tiny frame, never on data.
     """
+    if hi <= lo:
+        raise ValueError(f"psi_drift needs hi > lo, got lo={lo} hi={hi}")
     from pyspark.sql import Window
 
     def bucketed(df: DataFrame, alias: str) -> DataFrame:

@@ -251,6 +251,8 @@ def histogram_quantiles(
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
+    if hi <= lo:
+        raise ValueError(f"histogram_quantiles needs hi > lo, got lo={lo} hi={hi}")
     if not all(0 < q <= 1_000_000 for q in qs_micro):
         raise ValueError(f"qs_micro must be in (0, 1e6], got {qs_micro}")
     groups = group_cols or []

@@ -98,3 +98,17 @@ def test_bucketed_cosine_pairs_max_bucket(spark):
         max_bucket=50,
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in out2} == {(1, 2)}
+
+
+def test_degenerate_histogram_range_raises(spark):
+    """hi == lo would make every bin expression divide by zero; both
+    equal-width-histogram entry points reject it up front like
+    layout.bucketize does."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import psi_drift
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        psi_drift(df, df, "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_quantiles(df, "v", lo=5.0, hi=4.0)
