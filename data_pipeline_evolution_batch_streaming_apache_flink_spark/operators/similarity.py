@@ -895,8 +895,9 @@ def ndcg_binary(
     ``rel * w(rank)``, and the ideal DCG the exact prefix sum of the
     same weights up to ``min(k, total)`` — identical integers on any
     engine/layout, one float division at the end (6dp). Binary
-    relevance only: the graded-ideal sort is a per-query corpus-wide
-    order-statistics problem this closed form deliberately avoids.
+    relevance only — for graded relevance see :func:`ndcg_graded`,
+    which keeps the ideal computable from a per-query grade histogram
+    instead of a per-query corpus-wide sort.
 
     Scale shape: one hash aggregation of the (≤ k per query) result
     rows + a per-query equi-join with the totals table; the ideal
@@ -935,5 +936,111 @@ def ndcg_binary(
         F.col(total_col).cast("bigint").alias("n_relevant"),
         F.when(
             idcg > 0, F.round(F.col("__dcg").cast("double") / idcg.cast("double"), 6)
+        ).alias("ndcg"),
+    )
+
+
+def ndcg_graded(
+    results: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    grade_totals: DataFrame,
+    grade_col: str,
+    count_col: str,
+    k: int,
+    max_grade: int = 30,
+) -> DataFrame:
+    """nDCG@k under GRADED relevance — the general form of
+    :func:`ndcg_binary` with exponential gains ``2^grade - 1``
+    (the web-search convention; grade 0 = irrelevant).
+
+    The graded ideal DCG is a per-query corpus-wide sort of grades —
+    exactly what the binary closed form avoids. The scale trick here:
+    the caller supplies ``grade_totals``, the per-query histogram of
+    POSITIVE grades over the whole corpus (``grade_col``,
+    ``count_col``; grade-0 rows may be included and are ignored). The
+    ideal ranking is then derivable without touching the corpus: sort
+    the histogram by grade descending, each grade occupies a contiguous
+    rank span ``[cum_before+1, cum_before+count]``, and its ideal
+    contribution is ``gain(grade) * sum(w_micro(r))`` over the span
+    clipped to ``k``. One window + one fold over a ≤ (#queries ×
+    #grades)-row frame — never a per-query corpus sort.
+
+    Exactness discipline matches :func:`ndcg_binary`: each rank's
+    discount is micro-rounded ONCE into an integer weight
+    (``w_micro(r) = round(1e6 * ln 2 / ln(r+1))``), gains are exact
+    bigints via ``shiftleft``, DCG and ideal DCG are exact bigint sums
+    — identical on any engine/layout — with one float division at the
+    end (6dp). Grades above ``max_grade`` raise (``2^grade`` would
+    overflow the micro-weighted bigint product); ``max_grade`` itself
+    is capped at 40 (gain*w_micro*k must stay inside int64).
+
+    ``results``: one row per (query, retrieved doc) with 1-based
+    ``rank_col`` and integer ``rel_col`` >= 0 (NULL counts as 0).
+    Returns ``(query_col, graded_hits, n_graded, ndcg)``; ``ndcg``
+    NULL for queries with no positively-graded doc anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0 < max_grade <= 40):
+        raise ValueError(f"max_grade must be in (0, 40], got {max_grade}")
+    w_micro = f"CAST(round(1000000 * ln(2) / ln({rank_col} + 1), 0) AS BIGINT)"
+    gain = (
+        f"CASE WHEN {rel_col} IS NULL THEN CAST(0 AS BIGINT)"
+        f" WHEN {rel_col} > {max_grade} OR {rel_col} < 0 THEN"
+        f" CAST(raise_error('ndcg_graded: grade out of [0, {max_grade}]') AS BIGINT)"
+        f" ELSE shiftleft(CAST(1 AS BIGINT), CAST({rel_col} AS INT)) - CAST(1 AS BIGINT) END"
+    )
+    per_q = (
+        results.filter(F.col(rank_col) <= k)
+        .groupBy(query_col)
+        .agg(
+            F.sum(F.expr(f"({gain}) * {w_micro}")).alias("__dcg"),
+            F.sum((F.coalesce(F.col(rel_col), F.lit(0)) > 0).cast("bigint")).alias(
+                "graded_hits"
+            ),
+        )
+    )
+    g = F.col(grade_col)
+    hist = (
+        grade_totals.filter((g > 0) & (F.col(count_col) > 0))
+        .groupBy(query_col, grade_col)
+        .agg(F.sum(F.col(count_col).cast("bigint")).alias("__cnt"))
+    )
+    win = Window.partitionBy(query_col).orderBy(g.desc())
+    before = F.coalesce(
+        F.sum("__cnt").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    gain_g = (
+        f"CASE WHEN {grade_col} > {max_grade} THEN"
+        f" CAST(raise_error('ndcg_graded: grade out of [0, {max_grade}]') AS BIGINT)"
+        f" ELSE shiftleft(CAST(1 AS BIGINT), CAST({grade_col} AS INT)) - CAST(1 AS BIGINT) END"
+    )
+    span_hi = F.least(before + F.col("__cnt"), F.lit(k).cast("bigint"))
+    contrib = F.when(
+        before + 1 <= k,
+        F.expr(gain_g)
+        * F.aggregate(
+            F.sequence(before + 1, span_hi),
+            F.lit(0).cast("bigint"),
+            lambda acc, r: acc
+            + F.round(1000000 * F.log(F.lit(2.0)) / F.log(r + 1), 0).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    ideal = (
+        hist.select(query_col, contrib.alias("__c"), F.col("__cnt"))
+        .groupBy(query_col)
+        .agg(F.sum("__c").alias("__idcg"), F.sum("__cnt").alias("n_graded"))
+    )
+    joined = per_q.join(ideal, query_col, "left")
+    return joined.select(
+        query_col,
+        "graded_hits",
+        F.coalesce(F.col("n_graded"), F.lit(0).cast("bigint")).alias("n_graded"),
+        F.when(
+            F.col("__idcg") > 0,
+            F.round(F.col("__dcg").cast("double") / F.col("__idcg").cast("double"), 6),
         ).alias("ndcg"),
     )

@@ -7083,6 +7083,159 @@ ORACLE["ndcg_eval"] = _COSINE_CTE.format(
     FROM scored_q
 """
 
+
+def q_ndcg_graded_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Graded-relevance twin of ``ndcg_eval``: the same brute-force
+    cosine top-5, but relevance is a 0-3 grade (2 points for sharing
+    the probe's label, 1 for sharing its id parity — a deterministic
+    stand-in for editorial grades) and the ideal DCG must account for
+    the corpus-wide grade DISTRIBUTION, not just a relevant count.
+    The per-query grade histogram is derived from two broadcastable
+    (label × parity) count tables — the corpus is never re-sorted per
+    query (operators/similarity.py ndcg_graded)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import (
+        cosine_topk,
+        ndcg_graded,
+    )
+
+    t = load_tables(spark, sf, ("embeddings",))
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    res = cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+    qlab = queries.select(
+        F.col("vec_id").alias("vec_id_q"),
+        F.col("label").alias("__lq"),
+        (F.col("vec_id") % 2).alias("__pq"),
+    )
+    clab = emb.select(
+        F.col("vec_id").alias("vec_id_c"),
+        F.col("label").alias("__lc"),
+        (F.col("vec_id") % 2).alias("__pc"),
+    )
+    graded = (
+        res.join(F.broadcast(qlab), "vec_id_q")
+        .join(F.broadcast(clab), "vec_id_c")
+        .withColumn(
+            "rel",
+            (F.col("__lq") == F.col("__lc")).cast("int") * 2
+            + (F.col("__pq") == F.col("__pc")).cast("int"),
+        )
+    )
+    cell = (
+        emb.select(F.col("label").alias("__l"), (F.col("vec_id") % 2).alias("__p"))
+        .groupBy("__l", "__p")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    ptot = (
+        emb.select((F.col("vec_id") % 2).alias("__p"))
+        .groupBy("__p")
+        .agg(F.count(F.lit(1)).alias("__np"))
+    )
+    base = (
+        qlab.join(
+            F.broadcast(cell.withColumnRenamed("__n", "__n_same")),
+            (F.col("__lq") == F.col("__l")) & (F.col("__pq") == F.col("__p")),
+            "left",
+        )
+        .drop("__l", "__p")
+        .join(
+            F.broadcast(cell.withColumnRenamed("__n", "__n_flip")),
+            (F.col("__lq") == F.col("__l")) & (F.col("__pq") == F.lit(1) - F.col("__p")),
+            "left",
+        )
+        .drop("__l", "__p")
+        .join(F.broadcast(ptot), F.col("__pq") == F.col("__p"), "left")
+        .drop("__p")
+    )
+    z = F.lit(0).cast("bigint")
+    hist = base.select(
+        "vec_id_q",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(3).alias("grade"),
+                    (F.coalesce("__n_same", z) - 1).alias("cnt"),
+                ),
+                F.struct(F.lit(2).alias("grade"), F.coalesce("__n_flip", z).alias("cnt")),
+                F.struct(
+                    F.lit(1).alias("grade"),
+                    (F.coalesce("__np", z) - F.coalesce("__n_same", z)).alias("cnt"),
+                ),
+            )
+        ).alias("__g"),
+    ).select("vec_id_q", "__g.grade", "__g.cnt")
+    return ndcg_graded(graded, "vec_id_q", "rank", "rel", hist, "grade", "cnt", k=5)
+
+
+QUERIES["ndcg_graded_eval"] = q_ndcg_graded_eval
+
+ORACLE["ndcg_graded_eval"] = _COSINE_CTE.format(
+    join_cond="a.vec_id < 20 AND a.vec_id <> b.vec_id"
+) + """
+    , topk AS (
+      SELECT id_a AS q, id_b AS c, rank FROM (
+        SELECT id_a, id_b, cos,
+               row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    lab AS (SELECT vec_id, label, vec_id % 2 AS par FROM embeddings),
+    rels AS (
+      SELECT t.q, t.rank,
+             (CASE WHEN lq.label = lc.label THEN 2 ELSE 0 END
+              + CASE WHEN lq.par = lc.par THEN 1 ELSE 0 END) AS rel
+      FROM topk t
+      JOIN lab lq ON t.q = lq.vec_id
+      JOIN lab lc ON t.c = lc.vec_id
+    ),
+    dcg AS (
+      SELECT q,
+             CAST(sum(((CAST(1 AS BIGINT) << rel) - 1)
+                  * CAST(round(1000000 * ln(2) / ln(rank + 1), 0) AS BIGINT)) AS BIGINT) AS dcg_micro,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS graded_hits
+      FROM rels GROUP BY q
+    ),
+    cell AS (SELECT label, par, count(*) AS n FROM lab GROUP BY label, par),
+    ptot AS (SELECT par, count(*) AS n FROM lab GROUP BY par),
+    qrows AS (SELECT vec_id AS q, label, par FROM lab WHERE vec_id < 20),
+    hist0 AS (
+      SELECT qr.q, 3 AS grade, (COALESCE(cs.n, 0) - 1) AS cnt FROM qrows qr
+        LEFT JOIN cell cs ON cs.label = qr.label AND cs.par = qr.par
+      UNION ALL
+      SELECT qr.q, 2, COALESCE(cf.n, 0) FROM qrows qr
+        LEFT JOIN cell cf ON cf.label = qr.label AND cf.par = 1 - qr.par
+      UNION ALL
+      SELECT qr.q, 1, COALESCE(pt.n, 0) - COALESCE(cs.n, 0) FROM qrows qr
+        LEFT JOIN ptot pt ON pt.par = qr.par
+        LEFT JOIN cell cs ON cs.label = qr.label AND cs.par = qr.par
+    ),
+    hist AS (SELECT q, grade, CAST(cnt AS BIGINT) AS cnt FROM hist0 WHERE grade > 0 AND cnt > 0),
+    spans AS (
+      SELECT q, grade, cnt,
+             COALESCE(sum(cnt) OVER (PARTITION BY q ORDER BY grade DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS bef
+      FROM hist
+    ),
+    ideal AS (
+      SELECT q,
+             CAST(sum(CASE WHEN bef + 1 <= 5 THEN
+               ((CAST(1 AS BIGINT) << grade) - 1) *
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(CAST(bef + 1 AS INT), CAST(least(bef + cnt, 5) AS INT) + 1),
+                   r -> CAST(round(1000000 * ln(2) / ln(r + 1), 0) AS BIGINT))),
+                 (x, y) -> x + y)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS idcg_micro,
+             CAST(sum(cnt) AS BIGINT) AS n_graded
+      FROM spans GROUP BY q
+    )
+    SELECT d.q AS vec_id_q, d.graded_hits,
+           COALESCE(i.n_graded, CAST(0 AS BIGINT)) AS n_graded,
+           CASE WHEN i.idcg_micro > 0
+                THEN round(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+           END AS ndcg
+    FROM dcg d LEFT JOIN ideal i ON d.q = i.q
+"""
+
 # ---------------------------------------------------------------------------
 # Welch's t-test (operators/stats.py welch_ttest)
 # ---------------------------------------------------------------------------

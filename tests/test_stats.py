@@ -650,6 +650,49 @@ def test_ndcg_binary_hand_computed(spark):
         ndcg_binary(res, "q", "rank", "rel", tot, "n", k=0)
 
 
+def test_ndcg_graded_hand_computed(spark):
+    """Graded ideal DCG from the corpus grade HISTOGRAM: each grade
+    fills a contiguous ideal-rank span, clipped to k."""
+    import math
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ndcg_graded
+
+    w = lambda r: round(1_000_000 * math.log(2) / math.log(r + 1))
+    gain = lambda g: (1 << g) - 1
+    res = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 0), (1, 3, 2), (1, 4, 1),
+         (2, 1, 0), (2, 2, 0)],
+        "q long, rank int, rel int",
+    )
+    # corpus for q1: one grade-3, two grade-2, three grade-1 docs ->
+    # ideal top-4 = [3, 2, 2, 1]; q2 has a single grade-1 doc it missed
+    hist = spark.createDataFrame(
+        [(1, 3, 1), (1, 2, 2), (1, 1, 3), (2, 1, 1), (3, 2, 1)],
+        "q long, grade int, cnt long",
+    )
+    got = {r.q: r for r in ndcg_graded(res, "q", "rank", "rel", hist, "grade", "cnt", k=4).collect()}
+
+    dcg = gain(3) * w(1) + gain(2) * w(3) + gain(1) * w(4)
+    idcg = gain(3) * w(1) + gain(2) * w(2) + gain(2) * w(3) + gain(1) * w(4)
+    assert got[1].ndcg == round(dcg / idcg, 6)
+    assert got[1].graded_hits == 3 and got[1].n_graded == 6
+    assert got[2].ndcg == 0.0 and got[2].n_graded == 1
+    assert 3 not in got  # histogram-only queries don't invent result rows
+
+    # query with NO positively-graded doc anywhere -> NULL ndcg (binary parity)
+    res9 = spark.createDataFrame([(9, 1, 0)], "q long, rank int, rel int")
+    hist9 = spark.createDataFrame([(9, 1, 0)], "q long, grade int, cnt long")
+    r9 = ndcg_graded(res9, "q", "rank", "rel", hist9, "grade", "cnt", k=3).collect()[0]
+    assert r9.ndcg is None and r9.n_graded == 0
+
+    # out-of-range grades fail loudly instead of silently overflowing
+    bad = spark.createDataFrame([(1, 1, 50)], "q long, rank int, rel int")
+    with pytest.raises(Exception, match="grade out of"):
+        ndcg_graded(bad, "q", "rank", "rel", hist, "grade", "cnt", k=3).collect()
+    with pytest.raises(ValueError, match="max_grade"):
+        ndcg_graded(res, "q", "rank", "rel", hist, "grade", "cnt", k=3, max_grade=41)
+
+
 # ---------------------------------------------------------------------------
 # welch_ttest
 # ---------------------------------------------------------------------------
