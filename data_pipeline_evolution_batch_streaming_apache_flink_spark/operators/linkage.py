@@ -18,10 +18,11 @@ exact)::
 Weights enter as ONE double division inside ONE ``ln``, micro-rounded
 (house PMI policy) — and both factors of that expression are integer
 literals, so Spark and any oracle engine compute the identical bigint
-weight; pair scores are exact sums of those bigints. ``m``/``u`` are
-CONFIGURED, not EM-estimated: estimation is an offline concern (and
-nondeterministic to reproduce); scoring at corpus scale is the
-in-engine part.
+weight; pair scores are exact sums of those bigints. ``m``/``u`` may
+be CONFIGURED directly, or estimated from the candidate pairs with
+:func:`fellegi_sunter_em` — the EM runs on the tiny agreement-pattern
+histogram (≤ 3^k rows), never on the pairs, so estimation costs one
+extra counted aggregation over the same blocked join.
 
 Scale shape: candidate generation is a conjunctive-blocking equi-join
 (pairs not sharing the block key never meet — same contract as every
@@ -38,13 +39,174 @@ from pyspark.sql import DataFrame, functions as F
 
 from .util import cap_buckets
 
-__all__ = ["fellegi_sunter"]
+__all__ = ["fellegi_sunter", "fellegi_sunter_em"]
 
 
 def _weight_expr(num: int, den: int) -> str:
     return (
         f"CAST(round(ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) * 1e6, 0)"
         " AS BIGINT)"
+    )
+
+
+def _blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[str],
+    max_block: int | None,
+) -> DataFrame:
+    """Same-block candidate pairs (``id_a < id_b``) carrying each
+    comparison field twice (``__a_<f>``, ``__b_<f>``). The single
+    exchange of the whole linkage family; ``max_block`` drops oversize
+    blocks before the self-join (cap_buckets window pre-partitions on
+    the block key the join reuses)."""
+    sel = [F.col(id_col).alias("__id")] + [F.col(b) for b in block_cols] + [
+        F.col(f) for f in fields
+    ]
+    base = cap_buckets(df.select(*sel), tuple(block_cols), max_block)
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(b) for b in block_cols],
+        *[F.col(f).alias(f"__a_{f}") for f in fields],
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(bc) for bc in block_cols],
+        *[F.col(f).alias(f"__b_{f}") for f in fields],
+    )
+    return a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+
+
+def _agree_expr(c: dict) -> str:
+    f = c["col"]
+    if "max_dist" in c:
+        return f"levenshtein(__a_{f}, __b_{f}, {int(c['max_dist'])}) >= 0"
+    return f"__a_{f} = __b_{f}"
+
+
+def fellegi_sunter_em(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    comparisons: list[dict],
+    n_iter: int = 25,
+    init_m_pm: int = 900,
+    init_u_pm: int = 100,
+    init_lambda_micro: int = 100_000,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Estimate per-field ``m``/``u`` (and the match prior λ) from the
+    blocked candidate pairs with expectation–maximization — the
+    unsupervised parameter-training step of the Fellegi–Sunter model
+    (the Splink/dedupe approach, public since Winkler 1988).
+
+    ``comparisons`` entries: ``{"col": name}`` for exact-equality
+    agreement, optional ``"max_dist": d`` for banded-Levenshtein
+    agreement — the SAME comparator spec :func:`fellegi_sunter` scores
+    with, so the estimated per-milles feed straight back into it.
+
+    Scale shape: the pairs are reduced to their AGREEMENT-PATTERN
+    histogram (one counted aggregation; ≤ 3^k rows for k fields —
+    agree / disagree / missing per field) and EM iterates driver-side
+    over that tiny table in a fixed summation order. Corpus-size work
+    is exactly one blocked join + one group-by, independent of
+    ``n_iter``; the collect is bounded by the enforced ``k <= 8``.
+    Deterministic: fixed init, fixed iteration count, ordered float64
+    sums — layout-independent because the histogram is.
+
+    Returns one row per field: ``(field, m_pm, u_pm, lambda_micro,
+    n_pairs)`` — per-milles rounded and clamped to ``(0, 1000)``
+    exclusive so they validate as :func:`fellegi_sunter` config. Rows
+    are emitted in ``comparisons`` order. Raises if the blocked pair
+    set is empty (nothing to estimate from) or if EM degenerates to
+    ``m <= u`` for some field (that field carries no match signal
+    under this blocking — remove it or fix the blocks).
+    """
+    if not block_cols:
+        raise ValueError("block_cols must be non-empty — unblocked linkage is all-pairs")
+    if not 1 <= len(comparisons) <= 8:
+        raise ValueError(
+            f"need 1..8 comparison fields (3^k histogram must stay tiny), "
+            f"got {len(comparisons)}"
+        )
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not 0 < init_u_pm < init_m_pm < 1000:
+        raise ValueError(
+            f"need 0 < init_u_pm < init_m_pm < 1000, got "
+            f"m={init_m_pm} u={init_u_pm}"
+        )
+    if not 0 < init_lambda_micro < 1_000_000:
+        raise ValueError(f"init_lambda_micro must be in (0, 1e6), got {init_lambda_micro}")
+
+    fields = [c["col"] for c in comparisons]
+    pairs = _blocked_pairs(df, id_col, block_cols, fields, max_block)
+    gammas = [
+        F.expr(
+            f"CASE WHEN __a_{c['col']} IS NULL OR __b_{c['col']} IS NULL THEN CAST(NULL AS INT) "
+            f"WHEN {_agree_expr(c)} THEN 1 ELSE 0 END"
+        ).alias(f"__g{i}")
+        for i, c in enumerate(comparisons)
+    ]
+    gcols = [f"__g{i}" for i in range(len(comparisons))]
+    hist = pairs.select(*gammas).groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not hist:
+        raise ValueError("fellegi_sunter_em: no candidate pairs under this blocking")
+    # fixed pattern order -> bit-stable float sums regardless of layout
+    pats = sorted(
+        ((tuple(r[g] for g in gcols), r["__n"]) for r in hist),
+        key=lambda t: tuple(-1 if v is None else v for v in t[0]),
+    )
+    total = float(sum(n for _, n in pats))
+
+    k = len(comparisons)
+    eps = 1e-6
+    lam = init_lambda_micro / 1e6
+    m = [init_m_pm / 1000.0] * k
+    u = [init_u_pm / 1000.0] * k
+    for _ in range(n_iter):
+        s_p = 0.0
+        s_m = [0.0] * k
+        s_mn = [0.0] * k
+        s_u = [0.0] * k
+        s_un = [0.0] * k
+        for g, n in pats:
+            pm = lam
+            pu = 1.0 - lam
+            for i in range(k):
+                if g[i] is None:
+                    continue  # missing field carries no information
+                pm *= m[i] if g[i] == 1 else 1.0 - m[i]
+                pu *= u[i] if g[i] == 1 else 1.0 - u[i]
+            p = pm / (pm + pu) if pm + pu > 0 else 0.0
+            s_p += n * p
+            for i in range(k):
+                if g[i] is None:
+                    continue
+                s_mn[i] += n * p
+                s_un[i] += n * (1.0 - p)
+                if g[i] == 1:
+                    s_m[i] += n * p
+                    s_u[i] += n * (1.0 - p)
+        lam = min(max(s_p / total, eps), 1.0 - eps)
+        for i in range(k):
+            m[i] = min(max(s_m[i] / s_mn[i] if s_mn[i] > 0 else m[i], eps), 1.0 - eps)
+            u[i] = min(max(s_u[i] / s_un[i] if s_un[i] > 0 else u[i], eps), 1.0 - eps)
+
+    clamp_pm = lambda x: min(max(int(round(x * 1000)), 1), 999)
+    rows = []
+    for i, c in enumerate(comparisons):
+        m_pm, u_pm = clamp_pm(m[i]), clamp_pm(u[i])
+        if m_pm <= u_pm:
+            raise ValueError(
+                f"fellegi_sunter_em: field {c['col']!r} degenerated to "
+                f"m_pm={m_pm} <= u_pm={u_pm} — no match signal under this "
+                "blocking; drop the field or revisit the blocks"
+            )
+        rows.append((c["col"], m_pm, u_pm, int(round(lam * 1e6)), int(total)))
+    return df.sparkSession.createDataFrame(
+        rows, "field string, m_pm int, u_pm int, lambda_micro bigint, n_pairs bigint"
     )
 
 
@@ -96,21 +258,7 @@ def fellegi_sunter(
             )
 
     fields = [c["col"] for c in comparisons]
-    sel = [F.col(id_col).alias("__id")] + [F.col(b) for b in block_cols] + [
-        F.col(f) for f in fields
-    ]
-    base = cap_buckets(df.select(*sel), tuple(block_cols), max_block)
-    a = base.select(
-        F.col("__id").alias("id_a"),
-        *[F.col(b) for b in block_cols],
-        *[F.col(f).alias(f"__a_{f}") for f in fields],
-    )
-    b = base.select(
-        F.col("__id").alias("id_b"),
-        *[F.col(bc) for bc in block_cols],
-        *[F.col(f).alias(f"__b_{f}") for f in fields],
-    )
-    pairs = a.join(b, block_cols).filter(F.col("id_a") < F.col("id_b"))
+    pairs = _blocked_pairs(df, id_col, block_cols, fields, max_block)
 
     terms = []
     for c in comparisons:

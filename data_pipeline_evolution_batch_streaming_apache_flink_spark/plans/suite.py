@@ -4995,6 +4995,64 @@ def q_record_linkage(spark: SparkSession, sf: str) -> DataFrame:
     return scored.where(F.col("decision") != "non_link")
 
 
+def q_record_linkage_em(spark: SparkSession, sf: str) -> DataFrame:
+    """Unsupervised m/u training for the Fellegi–Sunter scorer
+    (operators/linkage.py fellegi_sunter_em): TPC-H customers carry no
+    true duplicates, so every 4th customer gets a deterministic noisy
+    twin (name reversed for 1 in 10 twins, balance bucket shifted for
+    1 in 11, segment flipped for 1 in 7) and EM recovers the implied
+    agreement probabilities from the blocked candidate pairs alone —
+    no labels. Name compares EXACT here: TPC-H names differ only in
+    trailing digits, so the edit-distance band that is right for real
+    names (see record_linkage) would make every in-block pair 'agree'
+    and the field would carry no signal — which fellegi_sunter_em
+    detects and raises on, by design. The corpus-size work is one
+    blocked self-join + one counted aggregation into the <= 3^k
+    agreement-pattern histogram; EM iterates driver-side on that tiny
+    table. Rows-only check by design: the EM loop has no SQL twin
+    (sequential-reference parity and layout independence are pinned in
+    tests/test_linkage.py)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter_em
+
+    t = load_tables(spark, sf, ("customer",))
+    base = t["customer"].select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("blk"),
+        (F.col("c_custkey") % 10).alias("blk2"),
+        F.col("c_name"),
+        F.col("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    bal_bucket = F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")
+    orig = base.select(
+        (F.col("c_custkey") * 2).alias("id"), "blk", "blk2",
+        F.col("c_name").alias("name"),
+        bal_bucket.alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    twin = base.filter(F.col("c_custkey") % 4 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("id"), "blk", "blk2",
+        F.when(F.col("c_custkey") % 40 == 0, F.reverse("c_name"))
+        .otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 44 == 0, bal_bucket + 3)
+        .otherwise(bal_bucket).alias("bal"),
+        F.when(F.col("c_custkey") % 28 == 0, F.lit("FLIPPED"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    rec = orig.unionByName(twin)
+    return fellegi_sunter_em(
+        rec, "id", ["blk", "blk2"],
+        [{"col": "name"}, {"col": "bal"}, {"col": "seg"}],
+        n_iter=25,
+        max_block=2000,
+    )
+
+
+QUERIES["record_linkage_em"] = q_record_linkage_em
+# no ORACLE entry: EM iteration is not SQL-expressible (rows-only check,
+# same posture as bpe_tokenize / pca_project)
+
+
 QUERIES["record_linkage"] = q_record_linkage
 
 ORACLE["record_linkage"] = f"""

@@ -119,3 +119,155 @@ def test_rejects_bad_config(spark):
             df, "id", ["city"],
             [{"col": "name", "m_pm": 50, "u_pm": 900}], 1, 0,
         )
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter_em — unsupervised m/u estimation
+# ---------------------------------------------------------------------------
+
+def _em_reference(pats, k, n_iter, lam, m, u):
+    """Sequential EM twin of the operator's driver loop, written
+    independently over a (pattern, count) list in the SAME fixed order."""
+    total = float(sum(n for _, n in pats))
+    eps = 1e-6
+    m, u = list(m), list(u)
+    for _ in range(n_iter):
+        s_p, s_m, s_mn, s_u, s_un = 0.0, [0.0] * k, [0.0] * k, [0.0] * k, [0.0] * k
+        for g, n in pats:
+            pm, pu = lam, 1.0 - lam
+            for i in range(k):
+                if g[i] is None:
+                    continue
+                pm *= m[i] if g[i] == 1 else 1.0 - m[i]
+                pu *= u[i] if g[i] == 1 else 1.0 - u[i]
+            p = pm / (pm + pu) if pm + pu > 0 else 0.0
+            s_p += n * p
+            for i in range(k):
+                if g[i] is None:
+                    continue
+                s_mn[i] += n * p
+                s_un[i] += n * (1.0 - p)
+                if g[i] == 1:
+                    s_m[i] += n * p
+                    s_u[i] += n * (1.0 - p)
+        lam = min(max(s_p / total, eps), 1.0 - eps)
+        for i in range(k):
+            m[i] = min(max(s_m[i] / s_mn[i] if s_mn[i] > 0 else m[i], eps), 1.0 - eps)
+            u[i] = min(max(s_u[i] / s_un[i] if s_un[i] > 0 else u[i], eps), 1.0 - eps)
+    return lam, m, u
+
+
+def _em_fixture(spark):
+    import hashlib
+    import random
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter_em
+
+    rnd = random.Random(7)
+    uname = lambda e: hashlib.md5(str(e).encode()).hexdigest()[:10]
+    rows = []
+    for ent in range(200):
+        name, seg = uname(ent), f"s{ent % 5}"
+        rows.append((2 * ent, ent // 10, name, seg))
+        nm = name if rnd.random() < 0.9 else uname(ent + 10_000)
+        sg = seg if rnd.random() < 0.85 else f"s{(ent + 1) % 5}"
+        rows.append((2 * ent + 1, ent // 10, nm, sg))
+    df = spark.createDataFrame(rows, "id long, blk int, name string, seg string")
+    comps = [{"col": "name", "max_dist": 1}, {"col": "seg"}]
+    return df, comps, fellegi_sunter_em
+
+
+def test_em_recovers_params_and_closes_the_loop(spark):
+    """EM on 200 entities with a noisy twin each (10% name noise, 15%
+    segment noise): estimates separate the classes, and feeding them
+    back into fellegi_sunter links the true twins with high precision."""
+    df, comps, fellegi_sunter_em = _em_fixture(spark)
+    est = {r.field: r for r in fellegi_sunter_em(df, "id", ["blk"], comps, n_iter=30).collect()}
+    assert est["name"].m_pm > 700 and est["name"].u_pm < 100
+    assert est["seg"].u_pm < est["seg"].m_pm
+    # lambda near truth: 200 match pairs / 3800 blocked pairs ~ 52631 micro
+    assert 30_000 < est["name"].lambda_micro < 80_000
+    assert est["name"].n_pairs == 3800
+
+    cfg = [
+        {"col": "name", "m_pm": est["name"].m_pm, "u_pm": est["name"].u_pm, "max_dist": 1},
+        {"col": "seg", "m_pm": est["seg"].m_pm, "u_pm": est["seg"].u_pm},
+    ]
+    got = {
+        (r.id_a, r.id_b)
+        for r in fellegi_sunter(df, "id", ["blk"], cfg, 2_000_000, 0).collect()
+        if r.decision == "link"
+    }
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(200)}
+    tp = len(got & true_pairs)
+    assert tp >= 140 and tp / max(len(got), 1) > 0.95
+
+
+def test_em_matches_sequential_reference_exactly(spark):
+    """The operator's estimates equal an independently-written
+    sequential EM over the same agreement-pattern histogram — pinning
+    the Spark gamma/histogram construction AND the float summation
+    order (layout must not change either)."""
+    import pandas as pd
+
+    df, comps, fellegi_sunter_em = _em_fixture(spark)
+    pdf = df.toPandas()
+    # pandas-built candidate pairs + agreement histogram
+    pairs = pdf.merge(pdf, on="blk", suffixes=("_a", "_b"))
+    pairs = pairs[pairs.id_a < pairs.id_b]
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[lb]
+
+    g1 = [1 if lev(a, b) <= 1 else 0 for a, b in zip(pairs.name_a, pairs.name_b)]
+    g2 = [1 if a == b else 0 for a, b in zip(pairs.seg_a, pairs.seg_b)]
+    hist: dict = {}
+    for a, b in zip(g1, g2):
+        hist[(a, b)] = hist.get((a, b), 0) + 1
+    pats = sorted(hist.items(), key=lambda t: tuple(-1 if v is None else v for v in t[0]))
+    lam, m, u = _em_reference(pats, 2, 30, 0.1, [0.9, 0.9], [0.1, 0.1])
+
+    est = {r.field: r for r in fellegi_sunter_em(df, "id", ["blk"], comps, n_iter=30).collect()}
+    clamp = lambda x: min(max(round(x * 1000), 1), 999)
+    assert est["name"].m_pm == clamp(m[0]) and est["name"].u_pm == clamp(u[0])
+    assert est["seg"].m_pm == clamp(m[1]) and est["seg"].u_pm == clamp(u[1])
+    assert est["name"].lambda_micro == round(lam * 1e6)
+
+    # layout independence: scrambled partitions -> identical estimates
+    est2 = fellegi_sunter_em(
+        df.repartition(13).sortWithinPartitions("name"), "id", ["blk"], comps, n_iter=30
+    )
+    assert sorted(map(tuple, est2.collect())) == sorted(
+        tuple(est[f]) for f in ("name", "seg")
+    )
+
+
+def test_em_guards(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter_em
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "a"), (3, 1, "b")], "id int, blk int, f string"
+    )
+    with pytest.raises(ValueError, match="block_cols"):
+        fellegi_sunter_em(df, "id", [], [{"col": "f"}])
+    with pytest.raises(ValueError, match="1..8 comparison"):
+        fellegi_sunter_em(df, "id", ["blk"], [{"col": "f"}] * 9)
+    with pytest.raises(ValueError, match="n_iter"):
+        fellegi_sunter_em(df, "id", ["blk"], [{"col": "f"}], n_iter=0)
+    # no candidate pairs at all (every record its own block)
+    lonely = spark.createDataFrame([(1, 1, "a"), (2, 2, "a")], "id int, blk int, f string")
+    with pytest.raises(ValueError, match="no candidate pairs"):
+        fellegi_sunter_em(lonely, "id", ["blk"], [{"col": "f"}])
+    # a field with no match signal degenerates and raises
+    const = spark.createDataFrame(
+        [(i, 1, "same") for i in range(12)], "id int, blk int, f string"
+    )
+    with pytest.raises(ValueError, match="no match signal"):
+        fellegi_sunter_em(const, "id", ["blk"], [{"col": "f"}])
