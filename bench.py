@@ -154,6 +154,8 @@ BENCH_QUERIES = (
     "ndcg_eval",
     "welch_ttest",
     "js_divergence",
+    "ndcg_graded_eval",
+    "record_linkage_em",
 )
 
 

@@ -456,3 +456,24 @@ def test_session8_plan_shapes(spark, sf_dir):
     plan = _plan(suite.QUERIES["cuped_metrics"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row moments
+
+
+def test_round5_new_queries_scale_shapes(spark, sf_dir):
+    """Round-5 additions keep the house discipline: graded-nDCG's
+    histogram joins broadcast and never go nested-loop over data (the
+    sole BroadcastNestedLoopJoin allowance is cosine_topk's 1-row
+    corpus-count broadcast), and both queries are layout-independent."""
+    plan = _plan(suite.QUERIES["ndcg_graded_eval"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    for q in ("ndcg_graded_eval", "record_linkage_em"):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            a = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(str, suite.QUERIES[q](spark, sf_dir).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert a == b, q
