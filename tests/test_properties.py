@@ -441,3 +441,48 @@ def test_char_entropy_matches_python_reference(spark, texts):
     got = {r.doc_id: r.entropy_micro for r in char_entropy(df).collect()}
     want = {i: ref(t) for i, t in enumerate(texts)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ndcg_graded: the histogram-span ideal DCG equals the definitional
+# sort-the-corpus ideal, for arbitrary grade assignments and rankings
+# ---------------------------------------------------------------------------
+
+GRADES = st.lists(st.integers(0, 5), min_size=1, max_size=30)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(grades=GRADES, k=st.integers(1, 8), data=st.data())
+def test_ndcg_graded_matches_sort_based_definition(spark, grades, k, data):
+    import math
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ndcg_graded
+
+    # retrieve a random subset in a random order as ranks 1..n
+    n_ret = data.draw(st.integers(0, len(grades)))
+    retrieved = data.draw(st.permutations(range(len(grades))))[:n_ret]
+
+    w = lambda r: round(1_000_000 * math.log(2) / math.log(r + 1))
+    gain = lambda g: (1 << g) - 1
+    dcg = sum(gain(grades[d]) * w(r) for r, d in enumerate(retrieved, 1) if r <= k)
+    idcg = sum(
+        gain(g) * w(r)
+        for r, g in enumerate(sorted(grades, reverse=True), 1)
+        if r <= k
+    )
+    expected = round(dcg / idcg, 6) if idcg > 0 else None
+
+    res_rows = [(1, r, grades[d]) for r, d in enumerate(retrieved, 1)] or [(1, 1, 0)]
+    # the caller-side histogram (positive grades only, count per grade)
+    hist_rows = [
+        (1, g, sum(1 for x in grades if x == g)) for g in set(grades) if g > 0
+    ] or [(1, 1, 0)]
+    res = spark.createDataFrame(res_rows, "q long, rank int, rel int")
+    hist = spark.createDataFrame(hist_rows, "q long, grade int, cnt long")
+    rows = ndcg_graded(res, "q", "rank", "rel", hist, "grade", "cnt", k=k).collect()
+    assert len(rows) == 1
+    got = rows[0].ndcg
+    if expected is None:
+        assert got is None
+    else:
+        assert got == expected, (grades, retrieved, k, got, expected)
