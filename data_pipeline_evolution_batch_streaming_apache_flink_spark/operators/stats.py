@@ -752,7 +752,9 @@ def roc_auc(
     (no trapezoid approximation over thresholds, no sampling).
 
     ``label_col``: a column name or boolean Column marking POSITIVES.
-    Rows with a NULL score or label are dropped.
+    A named NUMERIC column is accepted in the sklearn 0/1 convention
+    (any non-zero value is positive); a Column expression must be
+    boolean. Rows with a NULL score or label are dropped.
 
     Scale shape: one hash shuffle to per-score counts (map-side
     combine; state = distinct scores), then the two-pass prefix sum —
@@ -762,9 +764,15 @@ def roc_auc(
     Returns one row: ``(auc, n_pos, n_neg)``; ``auc`` NULL when either
     class is empty.
     """
-    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    raw = F.col(label_col) if isinstance(label_col, str) else label_col
+    label = raw
+    if isinstance(label_col, str):
+        from pyspark.sql.types import NumericType
+
+        if isinstance(df.schema[label_col].dataType, NumericType):
+            label = raw != 0
     counts = (
-        df.filter(F.col(score_col).isNotNull() & label.isNotNull())
+        df.filter(F.col(score_col).isNotNull() & raw.isNotNull())
         .groupBy(F.col(score_col).alias("__s"))
         .agg(
             F.sum(F.when(label, 1).otherwise(0)).alias("__pos"),

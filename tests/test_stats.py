@@ -568,6 +568,24 @@ def test_roc_auc_edges(spark):
     assert r.auc is None and r.n_neg == 0
 
 
+def test_roc_auc_accepts_numeric_01_labels(spark):
+    """The sklearn convention: a named numeric label column means
+    non-zero = positive — identical result to the boolean form."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import roc_auc
+
+    rows = [(0.9, True), (0.8, False), (0.7, True), (0.2, False), (0.5, True), (0.5, False)]
+    b = spark.createDataFrame(rows, "s double, lab boolean")
+    want = tuple(roc_auc(b, "s", "lab").collect()[0])
+    as_int = b.withColumn("lab", F.col("lab").cast("int"))
+    as_dbl = b.withColumn("lab", F.col("lab").cast("double") * 7.5)
+    assert tuple(roc_auc(as_int, "s", "lab").collect()[0]) == want
+    assert tuple(roc_auc(as_dbl, "s", "lab").collect()[0]) == want
+    # Column-expression path unchanged (must be boolean)
+    assert tuple(roc_auc(b, "s", F.col("lab")).collect()[0]) == want
+
+
 # ---------------------------------------------------------------------------
 # cuped_adjust
 # ---------------------------------------------------------------------------
