@@ -192,3 +192,39 @@ def test_hll_overlap_disjoint_clamps_to_zero(spark):
     same = hll_overlap(a, a, "v").collect()[0]
     assert same.ndv_a == same.ndv_b == same.ndv_union == same.ndv_intersection
     assert same.jaccard_est == 1.0
+
+
+def test_approx_ndv_hop_pane_equals_naive(spark):
+    """Pane decomposition must be BIT-identical to hash-after-expand:
+    registers merge by associative max, so building per-pane state and
+    max-merging into covering windows reproduces the naive plan's
+    estimate exactly (not approximately)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import approx_ndv_hop
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.windows import hop_window
+
+    ev = spark.range(5_000).select(
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000) + (F.col("id") * 37_000) % 86_400_000
+        ).alias("ts"),
+        (F.col("id") % 700).alias("user_id"),
+    )
+    pane = approx_ndv_hop(ev, "ts", "user_id", "1 hour", "15 minutes", p=9)
+    naive = approx_ndv(
+        hop_window(ev, "ts", "1 hour", "15 minutes").select(
+            F.unix_millis(F.col("window_start")).alias("window_start_ms"), "user_id"
+        ),
+        ["window_start_ms"], "user_id", p=9,
+    )
+    got = sorted((r.window_start_ms, r.ndv_est) for r in pane.collect())
+    want = sorted((r.window_start_ms, r.ndv_est) for r in naive.collect())
+    assert got == want and len(got) > 0
+
+
+def test_approx_ndv_hop_rejects_nonmultiple(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import approx_ndv_hop
+
+    ev = spark.range(10).select(
+        F.timestamp_millis(F.col("id") * 1000).alias("ts"), F.col("id").alias("v")
+    )
+    with pytest.raises(ValueError):
+        approx_ndv_hop(ev, "ts", "v", "1 hour", "25 minutes")
