@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import word_shingles
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets, fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets, explode_noinfer, fan_out
 
 MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne: (a*h + b) stays < 2^62
 
@@ -65,6 +65,13 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return base.select("__id", word_shingles("__t", n).alias("__sh"))
 
 
+def _explode_shingles(min_size: int = 1) -> Column:
+    """Inference-proof explode of the ``__sh`` array from :func:`_shingled`
+    (see :func:`operators.util.explode_noinfer` for why the bare-attribute
+    form re-evaluates the whole shingle build serially below fan_out)."""
+    return explode_noinfer("__sh", min_size)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -98,8 +105,8 @@ def ngram_jaccard_pairs(
     """
     if prefix_filter:
         return _ngram_jaccard_prefix(df, id_col, text_col, n, threshold)
-    sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
-    inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
+    sh = _shingled(df, id_col, text_col, n)
+    inv = sh.select("__id", F.size("__sh").alias("__size"), _explode_shingles().alias("__s"))
     if max_df is not None:
         df_counts = inv.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
         inv = inv.join(df_counts.select("__s"), "__s")
@@ -130,8 +137,8 @@ def _ngram_jaccard_prefix(
     """
     from pyspark.sql import Window
 
-    sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
-    inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
+    sh = _shingled(df, id_col, text_col, n)
+    inv = sh.select("__id", F.size("__sh").alias("__size"), _explode_shingles().alias("__s"))
     dfc = inv.groupBy("__s").agg(F.count("*").alias("__df"))
     ranked = inv.join(dfc, "__s").withColumn(
         "__pos",
@@ -246,13 +253,13 @@ def contamination_pairs(
     """
     bench_text = bench_text_col or text_col
     t_inv = _shingled(train, train_id, text_col, n).select(
-        F.col("__id").alias("__tid"), F.explode("__sh").alias("__s")
+        F.col("__id").alias("__tid"), _explode_shingles().alias("__s")
     )
     if max_df is not None:
         keep = t_inv.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
         t_inv = t_inv.join(keep.select("__s"), "__s")
     b_inv = _shingled(benchmark, bench_id, bench_text, n).select(
-        F.col("__id").alias("__bid"), F.explode("__sh").alias("__s")
+        F.col("__id").alias("__bid"), _explode_shingles().alias("__s")
     )
     return (
         t_inv.join(F.broadcast(b_inv), "__s")
@@ -999,10 +1006,13 @@ def ngram_containment_pairs(
     Returns (id_sub, id_super, containment) with containment >= threshold,
     rounded to 6dp for cross-engine determinism.
     """
-    sh = _shingled(df, id_col, text_col, n).withColumn("__size", F.size("__sh"))
-    if min_size > 1:
-        sh = sh.filter(F.col("__size") >= min_size)
-    inv = sh.select("__id", "__size", F.explode("__sh").alias("__s"))
+    sh = _shingled(df, id_col, text_col, n)
+    # min_size gate lives INSIDE the generator (explode(NULL) = no rows):
+    # a .filter(size >= k) here would alias-substitute below fan_out and
+    # re-evaluate the whole shingle build serially in the scan stage.
+    inv = sh.select(
+        "__id", F.size("__sh").alias("__size"), _explode_shingles(min_size).alias("__s")
+    )
     if max_df is not None:
         df_counts = (
             inv.groupBy("__s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= max_df)

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import explode_noinfer, fan_out
 
 
 def analyze_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -153,7 +153,7 @@ def bm25_scores(
     base = toks.withColumn("__dl", F.size("__t"))
     stats = base.agg(F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
     tf = (
-        base.select(id_col, "__dl", F.explode("__t").alias("term"))
+        base.select(id_col, "__dl", explode_noinfer("__t").alias("term"))
         .filter(F.col("term").isin(list(query_terms)))
         .groupBy(id_col, "__dl", "term")
         .agg(F.count("*").alias("tf"))
@@ -276,7 +276,7 @@ def bm25_topk(
     base = toks.withColumn("__dl", F.size("__t"))
     stats = base.agg(F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl"))
     tf = (
-        base.select(id_col, "__dl", F.explode("__t").alias("term"))
+        base.select(id_col, "__dl", explode_noinfer("__t").alias("term"))
         .join(F.broadcast(term_set), "term")
         .groupBy(id_col, "__dl", "term")
         .agg(F.count("*").alias("tf"))
@@ -440,7 +440,7 @@ def rake_keywords(
     words = phrases.select(
         id_col, "__pid", "keyword",
         F.size("__words").cast("long").alias("__plen"),
-        F.explode("__words").alias("__w"),
+        explode_noinfer("__words").alias("__w"),
     )
     stats = words.groupBy(id_col, "__w").agg(
         F.count(F.lit(1)).alias("__freq"), F.sum("__plen").alias("__deg")

@@ -2,8 +2,30 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def explode_noinfer(arr: Column | str, min_size: int = 1) -> Column:
+    """``explode()`` that keeps Catalyst from re-evaluating an expensive
+    array expression serially below :func:`fan_out`.
+
+    Exploding a bare attribute lets InferFiltersFromGenerate add
+    ``size(arr) > 0`` above the Generate; alias substitution then pushes
+    that conjunct through fan_out's round-robin exchange into the (often
+    1-partition) parquet scan stage, so the ENTIRE array-building
+    expression (shingles, tokens, ...) runs a second time — serially
+    (measured 7x on sf0.1 documents). The rule only infers for
+    bare-attribute generator children, so a non-foldable CASE WHEN
+    wrapper keeps exactly one parallel evaluation and no junk filter.
+
+    ``min_size`` doubles as a per-row length gate for free:
+    ``explode(NULL)`` emits no rows, and expressing the gate INSIDE the
+    generator (instead of ``.filter(size(arr) >= k)``) is what keeps it
+    from being alias-substituted below the exchange too.
+    """
+    c = F.col(arr) if isinstance(arr, str) else arr
+    return F.explode(F.when(F.size(c) >= F.lit(max(int(min_size), 1)), c))
 
 
 def cap_buckets(df: DataFrame, bucket_cols: tuple[str, ...], max_bucket: int | None) -> DataFrame:

@@ -477,3 +477,48 @@ def test_round5_new_queries_scale_shapes(spark, sf_dir):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert a == b, q
+
+
+def test_shingle_and_token_builds_evaluated_once_not_below_fanout(spark, sf_dir):
+    """InferFiltersFromGenerate regression pin: exploding the shingle /
+    token array as a bare attribute lets Catalyst infer `size(arr) > 0`,
+    which alias-substitutes below fan_out's exchange and re-runs the
+    whole array build serially in the scan stage (measured 7x on sf0.1
+    documents). explode_noinfer's CASE WHEN wrapper defeats the
+    inference; pin that the expensive build expression appears exactly
+    once in the optimized plan — in the post-exchange stage."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import contamination_pairs, ngram_containment_pairs, ngram_jaccard_pairs
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.textops import bm25_scores
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.batch import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").limit(200)
+
+    def optimized(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # Shingle build signature: the transform over sliced token arrays.
+    # Golden counts = one eval per logical appearance of the shingled
+    # subtree (self-join prints it twice, containment's fwd/rev union
+    # doubles that, contamination shingles two inputs). Reintroducing
+    # the bare-attribute explode adds an inferred size()>0 filter eval
+    # per appearance, bumping every count.
+    sig = "concat_ws( , slice("
+    cases = [
+        (ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5), 2),
+        (ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5, min_size=2), 4),
+        (
+            contamination_pairs(
+                docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
+                "doc_id", "doc_id", n=3, min_shared=3,
+            ),
+            2,
+        ),
+    ]
+    for df, want in cases:
+        plan = optimized(df)
+        assert plan.count(sig) == want, plan
+
+    # bm25: tokens build once per consumer subtree (stats, tf, and the
+    # broadcast stats twin) — and NEVER below the fan_out repartition.
+    plan = optimized(bm25_scores(docs, ["the", "and"]))
+    assert plan.count("split(trim(") == 3, plan
