@@ -863,22 +863,25 @@ def near_dedup(
 
 def _token_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Whitespace tokens -> one row per position-stamped token n-gram:
-    (id, pos, gram). Narrow (explode only, no shuffle)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    return (
-        df.select(id_col, toks.alias("__toks"))
-        .withColumn("__ng", F.size("__toks") - n + 1)
-        .where(F.col("__ng") > 0)
-        .select(
-            id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("__ng") - 1),
-                    lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
-                )
-            ).alias("pos", "gram"),
-        )
+    (id, pos, gram). One narrow repartition (fan_out) so the gram build
+    runs on every core, then explode only — no shuffle.
+
+    The size->=n doc gate lives INSIDE the generator (posexplode(NULL)
+    emits no rows): a ``.where(size(__toks) >= n)`` would
+    alias-substitute below fan_out's exchange and re-run the tokenizer
+    serially in the scan stage (see util.explode_noinfer)."""
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    with_toks = base.select(
+        id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
     )
+    grams = F.when(
+        F.size("__toks") >= F.lit(int(n)),
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - n),
+            lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
+        ),
+    )
+    return with_toks.select(id_col, F.posexplode(grams).alias("pos", "gram"))
 
 
 def duplicate_spans(

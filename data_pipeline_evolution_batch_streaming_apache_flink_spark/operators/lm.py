@@ -26,18 +26,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # The size>=2 doc gate lives INSIDE the generator (posexplode(NULL)
+    # emits no rows): a .where(size(__toks) >= 2) would alias-substitute
+    # below fan_out's exchange and re-run the tokenizer serially in the
+    # scan stage (see util.explode_noinfer); fan_out spreads the bigram
+    # struct build across cores first.
+    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
     return (
-        df.select(id_col, toks.alias("__toks"))
-        .where(F.size("__toks") >= 2)
+        base.select(
+            id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
+        )
         .select(
             id_col,
             F.posexplode(
                 F.expr(
+                    "case when size(__toks) >= 2 then "
                     "transform(sequence(0, size(__toks) - 2), "
-                    "i -> named_struct('w1', __toks[i], 'w2', __toks[i + 1]))"
+                    "i -> named_struct('w1', __toks[i], 'w2', __toks[i + 1])) end"
                 )
             ).alias("pos", "bg"),
         )
