@@ -1137,10 +1137,18 @@ def winnow_pairs(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    # One materialization of the compact (id, fp) index: it is consumed
+    # by the df-count guard, the per-doc totals, AND both join sides —
+    # without the pin the md5-heavy fingerprint build (and its distinct
+    # shuffle) replays once per consumer (8 FileScans observed). The
+    # index is ~2m/(window+1) rows per m-char doc, far smaller than the
+    # text, so pinning it is also the right 100-TB call. Lazy like
+    # basket/triangle: materializes on first use, shared after.
     fps = (
         winnow_fingerprints(df, id_col, text_col, k=k, window=window)
         .select("id", "fp")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     if max_df is not None:
         keep = (

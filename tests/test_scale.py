@@ -315,6 +315,18 @@ def test_cooccur_and_triangle_scan_fact_table_once(spark, sf_dir):
         assert plan.count("FileScan parquet") <= 1, q
 
 
+def test_winnow_index_materialized_once(spark, sf_dir):
+    # winnow_pairs' (id, fp) index feeds the df-count guard, per-doc
+    # totals, and both join sides: the lazy localCheckpoint pins ONE
+    # materialization of the md5-heavy fingerprint build (8 FileScans
+    # without it); source_overlap composes it, so it inherits the pin
+    # plus its two tiny dimension scans.
+    plan = _plan(suite.QUERIES["winnow_pairs"](spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 1
+    plan = _plan(suite.QUERIES["source_overlap"](spark, sf_dir))
+    assert plan.count("FileScan parquet") <= 3
+
+
 def test_session4_results_layout_independent(spark, sf_dir):
     # determinism claim of the new families pinned at the SUITE level:
     # same rows whatever the shuffle-partition count / input layout
