@@ -112,7 +112,10 @@ def semantic_dedup(
     many rows (rows kept, never dropped) — the adversarial guard for
     corpora where one cluster swallows everything.
     """
-    assigned = assign_clusters(df, id_col, vec_col, k)
+    # assigned feeds BOTH pair sides and the final anti-join: pin one
+    # materialization (lazy, by RDD identity) or the per-row cosine fold
+    # over k exemplars replays three times.
+    assigned = assign_clusters(df, id_col, vec_col, k).localCheckpoint(eager=False)
 
     pair_src = assigned.select(
         F.col(id_col).alias("__pid"),
@@ -187,9 +190,13 @@ def kmeans_quantized(
     quant = F.expr(
         f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
     )
+    # quantized points are read once per ASSIGNMENT pass plus once for
+    # the init exemplars: pin one materialization (lazy, RDD identity)
+    # so the corpus scan + micro-quantization never replay per iteration
+    # — the MLlib cache-the-input pattern for iterative algorithms.
     pts = df.select(
         id_col, quant.alias("__v"), F.md5(F.col(id_col).cast("string")).alias("__h")
-    )
+    ).localCheckpoint(eager=False)
     wk = Window.orderBy("__h")  # k rows only — the limit() below ran first
     cent = (
         pts.orderBy("__h").limit(k)
