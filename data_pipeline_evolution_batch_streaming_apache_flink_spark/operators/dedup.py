@@ -1028,6 +1028,10 @@ def ngram_containment_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count("*").alias("__shared"))
+        # pair-count-sized by LSH-family design; the fwd/rev union below
+        # consumes it twice, and without the pin the ENTIRE upstream
+        # (shingle build + inverted-index self-join) replays per branch.
+        .localCheckpoint(eager=False)
     )
     fwd = shared.select(
         F.col("id_a").alias("id_sub"),

@@ -721,8 +721,17 @@ def degree_assortativity(
     """
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import corr_matrix
 
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
-    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    # e feeds the degree aggregation plus both endpoint joins; deg feeds
+    # both joins — pin one materialization each (house style, same as
+    # local_clustering) or the caller's edge derivation replays per use.
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).localCheckpoint(
+        eager=False
+    )
+    deg = (
+        e.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=False)
+    )
     pairs = (
         e.join(deg.select(F.col("__s"), F.col("__deg").alias("deg_src")), "__s")
         .join(

@@ -4476,6 +4476,8 @@ def q_k_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
+        # both union branches consume the basket self-join: pin it once
+        .localCheckpoint(eager=False)
     )
     edges = pairs.selectExpr("a AS src", "b2 AS dst").unionByName(
         pairs.selectExpr("b2 AS src", "a AS dst")
@@ -5982,6 +5984,8 @@ def q_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
+        # both union branches consume the basket self-join: pin it once
+        .localCheckpoint(eager=False)
     )
     edges = pairs.selectExpr("a AS src", "b2 AS dst").unionByName(
         pairs.selectExpr("b2 AS src", "a AS dst")
@@ -6519,6 +6523,8 @@ def q_assortativity(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("l.it").alias("a"), F.col("r.it").alias("b2"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") >= 2)
+        # both union branches consume the basket self-join: pin it once
+        .localCheckpoint(eager=False)
     )
     edges = pairs.selectExpr("a AS src", "b2 AS dst").unionByName(
         pairs.selectExpr("b2 AS src", "a AS dst")

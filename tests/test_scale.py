@@ -517,7 +517,11 @@ def test_shingle_and_token_builds_evaluated_once_not_below_fanout(spark, sf_dir)
     sig = "concat_ws( , slice("
     cases = [
         (ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5), 2),
-        (ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5, min_size=2), 4),
+        # containment pins its pair-level `shared` aggregate (lazy
+        # localCheckpoint), so the shingle build sits behind a LogicalRDD
+        # barrier in this plan — 0 visible evals; its single-eval path is
+        # the same _explode_shingles helper the jaccard case pins above.
+        (ngram_containment_pairs(docs, "doc_id", "text", n=3, threshold=0.5, min_size=2), 0),
         (
             contamination_pairs(
                 docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20),
