@@ -8,8 +8,12 @@ import __spark_entry__ as E
 # bpe_tokenize: ordered data-dependent rewrite system — no SQL twin
 # (exactness pinned in tests/test_bpe.py). pca_project: driver-side
 # eigensolver — no SQL twin (numpy-parity + layout tests in
-# tests/test_stats.py). Everything else must have one.
-EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize", "pca_project"}
+# tests/test_stats.py). record_linkage_em: iterative EM fixpoint over
+# comparison-pattern counts — no closed-form SQL twin (convergence and
+# layout-independence pinned in tests/test_linkage.py; the SCORING it
+# feeds stays oracle-checked via record_linkage). Everything else must
+# have one.
+EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize", "pca_project", "record_linkage_em"}
 
 
 def test_oracle_keys_subset_of_queries():
