@@ -170,6 +170,48 @@ def approx_ndv_hop(
     for j in [0, k). ``size`` must be a multiple of ``slide``.
     Output: ``(out_col, ndv_est)`` per window, epoch millis.
     """
+    panes = hop_pane_registers(df, ts_col, value_col, slide, p)
+    return hop_merge_estimate(panes, size, slide, p, out_col=out_col)
+
+
+def hop_pane_registers(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    slide: str | int = "15 minutes",
+    p: int = 9,
+) -> DataFrame:
+    """HLL register state per non-overlapping ``slide`` pane:
+    ``(__pane epoch-millis, bucket, r)``. Streaming-safe — it is one
+    groupBy/max like :func:`hll_registers`, so Structured Streaming
+    maintains it natively with state bounded at 2^p rows per LIVE pane
+    (the pane decomposition is exactly what keeps hop-window sketch
+    state from duplicating every event into k windows)."""
+    from .windows import _interval_ms
+
+    slide_ms = _interval_ms(slide)
+    if slide_ms <= 0:
+        raise ValueError(f"slide must be positive, got {slide}")
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    pane = (ts_ms - F.pmod(ts_ms, F.lit(slide_ms))).alias("__pane")
+    return hll_registers(
+        df.select(pane, F.col(value_col).alias("__v")), ["__pane"], "__v", p
+    )
+
+
+def hop_merge_estimate(
+    panes: DataFrame,
+    size: str | int = "1 hour",
+    slide: str | int = "15 minutes",
+    p: int = 9,
+    pane_col: str = "__pane",
+    out_col: str = "window_start_ms",
+) -> DataFrame:
+    """Merge per-pane registers (:func:`hop_pane_registers` output — or
+    the state a streaming run of it accumulated) into the k = size/slide
+    covering HOP windows and estimate: register merge is an associative
+    max, so the result is bit-identical to sketching the expanded
+    windows directly."""
     from .windows import _interval_ms
 
     size_ms = _interval_ms(size)
@@ -177,13 +219,8 @@ def approx_ndv_hop(
     if slide_ms <= 0 or size_ms % slide_ms != 0:
         raise ValueError(f"size must be a positive multiple of slide, got {size}/{slide}")
     k = size_ms // slide_ms
-    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
-    pane = (ts_ms - F.pmod(ts_ms, F.lit(slide_ms))).alias("__pane")
-    panes = hll_registers(
-        df.select(pane, F.col(value_col).alias("__v")), ["__pane"], "__v", p
-    )
     expanded = panes.select(
-        "__pane",
+        F.col(pane_col).alias("__pane"),
         "bucket",
         "r",
         F.explode(F.sequence(F.lit(0), F.lit(int(k - 1)))).alias("__j"),

@@ -143,3 +143,59 @@ def test_streaming_mwu_drift_monitor_equals_batch(spark, tmp_path):
     # side B is the REFERENCE: the live stream sits above it, so few
     # (live, ref) pairs have live < ref -> U_b small, z strongly negative
     assert got["z"] < -2
+
+
+def test_streaming_pane_hll_hop_equals_batch(spark, tmp_path):
+    """Sliding-window distinct via PANE-decomposed HLL on a stream:
+    the state Structured Streaming maintains is per-PANE registers
+    (bounded, non-overlapping — no event is duplicated into its k
+    covering windows), and the read-side pane->window max-merge
+    reproduces the batch approx_ndv_hop bit-for-bit."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import (
+        approx_ndv_hop,
+        hop_merge_estimate,
+        hop_pane_registers,
+    )
+
+    base_ms = 1_700_000_000_000
+    rows = [
+        {"ts_ms": base_ms + (i * 97_000) % 10_800_000, "user": f"u{i % 250}"}
+        for i in range(900)
+    ]
+    in_dir = str(tmp_path / "pane_in")
+    os.makedirs(in_dir)
+    for b in range(3):
+        with open(os.path.join(in_dir, f"b{b}.json"), "w") as fh:
+            for r in rows[b * 300 : (b + 1) * 300]:
+                fh.write(json.dumps(r) + "\n")
+
+    stream = json_file_stream(spark, in_dir, "ts_ms long, user string").select(
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"), "user"
+    )
+    regs = hop_pane_registers(stream, "ts", "user", "15 minutes", p=9)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("pane_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = hop_merge_estimate(
+        spark.sql("SELECT * FROM pane_regs"), "1 hour", "15 minutes", p=9
+    )
+    got = sorted((r.window_start_ms, r.ndv_est) for r in streamed.collect())
+
+    batch_df = spark.createDataFrame(
+        [(datetime.datetime.utcfromtimestamp(r["ts_ms"] / 1000), r["user"]) for r in rows],
+        "ts timestamp, user string",
+    )
+    want = sorted(
+        (r.window_start_ms, r.ndv_est)
+        for r in approx_ndv_hop(batch_df, "ts", "user", "1 hour", "15 minutes", p=9).collect()
+    )
+    assert got == want and len(got) > 0
