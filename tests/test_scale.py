@@ -538,3 +538,32 @@ def test_shingle_and_token_builds_evaluated_once_not_below_fanout(spark, sf_dir)
     # broadcast stats twin) — and NEVER below the fan_out repartition.
     plan = optimized(bm25_scores(docs, ["the", "and"]))
     assert plan.count("split(trim(") == 3, plan
+
+
+def test_every_suite_query_plan_invariants(spark, sf_dir):
+    """Suite-WIDE plan sweep (future-proofs the per-family pins): every
+    declared query's physical plan must be free of CartesianProduct and
+    row-at-a-time Python (BatchEvalPython) — Arrow stages and
+    documented 1-row BroadcastNestedLoopJoin summaries are allowed —
+    and no heavy array/text build may appear inside a scan-stage
+    Filter (the InferFiltersFromGenerate / alias-substitution trap)."""
+    import re
+
+    heavy = re.compile(r"transform\(|aggregate\(|md5\(|split\(trim|concat_ws\( , slice")
+    bad = []
+    for name, q in suite.QUERIES.items():
+        try:
+            plan = _plan(q(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface plan breakage
+            bad.append((name, f"plan error: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "row-at-a-time Python UDF"))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Filter" in ln and heavy.search(ln) and "FileScan" in "\n".join(lines[i : i + 4]):
+                bad.append((name, "heavy expression in scan-stage filter"))
+                break
+    assert not bad, bad
