@@ -12,6 +12,7 @@ so the few examples hit the interesting overlaps.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -486,3 +487,42 @@ def test_ndcg_graded_matches_sort_based_definition(spark, grades, k, data):
         assert got is None
     else:
         assert got == expected, (grades, retrieved, k, got, expected)
+
+
+ARR_ROWS = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.text(alphabet="abc", max_size=3), min_size=0, max_size=6),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(arrs=ARR_ROWS, min_size=st.integers(min_value=1, max_value=4))
+def test_explode_noinfer_equals_filter_then_explode(spark, arrs, min_size):
+    """util.explode_noinfer's in-generator gate must be row-for-row
+    equivalent to filtering on array size then exploding — including
+    NULL arrays (no rows either way) and empty arrays."""
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import explode_noinfer
+
+    schema = StructType([
+        StructField("i", LongType(), False),
+        StructField("arr", ArrayType(StringType()), True),
+    ])
+    df = spark.createDataFrame([(i, a) for i, a in enumerate(arrs)], schema)
+    got = sorted(
+        map(str, df.select("i", explode_noinfer("arr", min_size).alias("e")).collect())
+    )
+    want = sorted(
+        map(
+            str,
+            df.filter(F.size("arr") >= min_size)
+            .select("i", F.explode("arr").alias("e"))
+            .collect(),
+        )
+    )
+    assert got == want
