@@ -15,6 +15,70 @@ import __spark_entry__ as E
 # have one.
 EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize", "pca_project", "record_linkage_em"}
 
+# §2-canonical witnesses that must NEVER leave the driver's 50-slot
+# correctness window (one per SURVEY §2 operator family), plus the
+# prompt-mandated LLM-pipeline families.  Mirrors __spark_entry__.PINNED
+# independently so an accidental edit to either list fails loudly.
+CANONICAL_IN_WINDOW: set[str] = {
+    "pricing_summary", "enriched_orders", "view_projection",
+    "time_functions", "hourly_counts", "region_revenue", "cube_revenue",
+    "supplier_stats", "array_membership_join", "unnest_join",
+    "lookup_join", "asof_join", "asof_tolerance", "interval_join",
+    "changelog_compaction", "debezium_pipeline", "logical_decoding",
+    "app_sql_pipeline", "top_orders", "set_ops", "semi_anti_join",
+    "window_rank", "rollup_revenue", "distinct_agg_having",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "similarity_topk",
+    "similarity_ivf_topk", "text_analysis", "multimodal_features",
+}
+
+
+def test_rotation_manifest():
+    """The driver checks only the first 50 queries() entries; pin the
+    ordering contract so refactors can't silently rotate a canonical
+    query out of the window."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    # PINNED is exactly the committed canonical set, in slots 1-33.
+    assert E.PINNED == sorted(E.PINNED, key=E.PINNED.index)  # no dupes via len check
+    assert len(E.PINNED) == len(set(E.PINNED)) == 33
+    assert set(E.PINNED) == CANONICAL_IN_WINDOW
+    # PINNED + ROTATION is a permutation of the full suite.
+    assert len(E.ROTATION) == len(set(E.ROTATION))
+    assert set(E.PINNED) | set(E.ROTATION) == set(suite.QUERIES)
+    assert not set(E.PINNED) & set(E.ROTATION)
+    # The driver-facing order: slots 1-33 pinned, 34-50 this round's
+    # cohort, and the full dict still covers every suite query once.
+    names = E.ordered_names()
+    assert names[:33] == E.PINNED
+    assert names[33:50] == E.rotation_cohort(E.current_round())
+    assert len(names) == len(set(names)) == len(suite.QUERIES)
+    assert list(E.queries()) == names
+    # Cohorts advance deterministically and cover all of ROTATION in
+    # ceil(131/17) = 8 rounds.
+    covered: set[str] = set()
+    for rnd in range(6, 6 + 8):
+        cohort = E.rotation_cohort(rnd)
+        assert len(cohort) == 17
+        covered |= set(cohort)
+    assert covered == set(E.ROTATION)
+
+
+def test_round6_cohort_is_never_driver_checked():
+    """Round-6 window slots 34-50 must all be queries absent from every
+    committed CORRECTNESS_r01..r05 file (the rotation's whole point)."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r0[1-5].json"))):
+        seen |= set(json.load(open(path)))
+    assert seen, "expected committed round 1-5 correctness artifacts"
+    cohort = E.rotation_cohort(6)
+    assert not set(cohort) & seen, set(cohort) & seen
+
 
 def test_oracle_keys_subset_of_queries():
     qs, oracles = E.queries(), E.oracle_sql()
