@@ -116,12 +116,17 @@ def fellegi_sunter_em(
     sums — layout-independent because the histogram is.
 
     Returns one row per field: ``(field, m_pm, u_pm, lambda_micro,
-    n_pairs)`` — per-milles rounded and clamped to ``(0, 1000)``
-    exclusive so they validate as :func:`fellegi_sunter` config. Rows
-    are emitted in ``comparisons`` order. Raises if the blocked pair
-    set is empty (nothing to estimate from) or if EM degenerates to
-    ``m <= u`` for some field (that field carries no match signal
-    under this blocking — remove it or fix the blocks).
+    n_pairs, n_dropped_rows)`` — per-milles rounded and clamped to
+    ``(0, 1000)`` exclusive so they validate as :func:`fellegi_sunter`
+    config. Rows are emitted in ``comparisons`` order.
+    ``n_dropped_rows`` is the number of INPUT RECORDS excluded by the
+    ``max_block`` oversize-block guard (0 when ``max_block`` is None)
+    — truncation of the training sample is never silent: callers see
+    exactly how many records the estimate did not observe and can
+    deepen the block key when the fraction is material. Raises if the
+    blocked pair set is empty (nothing to estimate from) or if EM
+    degenerates to ``m <= u`` for some field (that field carries no
+    match signal under this blocking — remove it or fix the blocks).
     """
     if not block_cols:
         raise ValueError("block_cols must be non-empty — unblocked linkage is all-pairs")
@@ -141,6 +146,19 @@ def fellegi_sunter_em(
         raise ValueError(f"init_lambda_micro must be in (0, 1e6), got {init_lambda_micro}")
 
     fields = [c["col"] for c in comparisons]
+    # drop-accounting for the max_block guard: one tiny counted
+    # aggregation over the block-size histogram (input-sized, narrow;
+    # the pairs join below dominates), so a capped block can never
+    # silently shrink the training sample.
+    n_dropped = 0
+    if max_block is not None:
+        n_dropped = int(
+            df.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_block)
+            .agg(F.coalesce(F.sum("__bn"), F.lit(0)).alias("__d"))
+            .collect()[0]["__d"]
+        )
     pairs = _blocked_pairs(df, id_col, block_cols, fields, max_block)
     gammas = [
         F.expr(
@@ -204,9 +222,11 @@ def fellegi_sunter_em(
                 f"m_pm={m_pm} <= u_pm={u_pm} — no match signal under this "
                 "blocking; drop the field or revisit the blocks"
             )
-        rows.append((c["col"], m_pm, u_pm, int(round(lam * 1e6)), int(total)))
+        rows.append((c["col"], m_pm, u_pm, int(round(lam * 1e6)), int(total), n_dropped))
     return df.sparkSession.createDataFrame(
-        rows, "field string, m_pm int, u_pm int, lambda_micro bigint, n_pairs bigint"
+        rows,
+        "field string, m_pm int, u_pm int, lambda_micro bigint, "
+        "n_pairs bigint, n_dropped_rows bigint",
     )
 
 

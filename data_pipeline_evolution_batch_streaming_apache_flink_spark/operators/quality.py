@@ -611,6 +611,15 @@ def table_digest(df: DataFrame, cols: list[str]) -> DataFrame:
 
     Scale shape: map-side combine into ONE row; the shuffle carries one
     partial per task. Column pruning limits the scan to ``cols``.
+
+    DIGEST FORMAT v2 (round 5): the prefix-unambiguous rendering above
+    replaced a plain ``coalesce``-based format, so digests recorded
+    under the old format differ for EVERY table — a before/after
+    comparison across that upgrade reports a false mismatch. Treat the
+    rendering as the digest's format version: when this function's
+    rendering changes, re-record stored baselines instead of reading
+    the mismatch as data drift (``n_rows`` stays comparable across
+    versions; ``xor60``/``sum31`` do not).
     """
     if not cols:
         raise ValueError("cols must be non-empty")

@@ -5012,16 +5012,32 @@ def q_record_linkage_em(spark: SparkSession, sf: str) -> DataFrame:
     detects and raises on, by design. The corpus-size work is one
     blocked self-join + one counted aggregation into the <= 3^k
     agreement-pattern histogram; EM iterates driver-side on that tiny
-    table. Rows-only check by design: the EM loop has no SQL twin
+    table.
+
+    Scale posture: the second block key's modulus GROWS with the
+    corpus (one cheap count() picks the power of two that keeps the
+    average nation x bucket block near ~100 records, far under the
+    max_block=2000 guard at any sf), so the guard never silently
+    drops whole blocks as sf rises; twins share their original's
+    custkey, hence always its block, at every depth. Any residual
+    truncation is visible in the returned n_dropped_rows column.
+    Rows-only check by design: the EM loop has no SQL twin
     (sequential-reference parity and layout independence are pinned in
     tests/test_linkage.py)."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter_em
 
     t = load_tables(spark, sf, ("customer",))
+    n_cust = t["customer"].count()
+    # ~1.25x rows after twinning, 25 nations, target ~100 records/block;
+    # modulus >= 10 keeps small-sf blocks pair-rich enough for EM's u.
+    target = (n_cust * 1.25) / (25 * 100)
+    blk2_mod = 10
+    while blk2_mod < target:
+        blk2_mod *= 2
     base = t["customer"].select(
         F.col("c_custkey"),
         F.col("c_nationkey").alias("blk"),
-        (F.col("c_custkey") % 10).alias("blk2"),
+        (F.col("c_custkey") % blk2_mod).alias("blk2"),
         F.col("c_name"),
         F.col("c_acctbal"),
         F.col("c_mktsegment"),

@@ -249,6 +249,26 @@ def test_em_matches_sequential_reference_exactly(spark):
     )
 
 
+def test_em_drop_accounting(spark):
+    """max_block truncation of the EM training sample is never silent:
+    n_dropped_rows reports exactly the records in oversize blocks, and
+    is 0 when nothing is capped / the guard is off."""
+    df, comps, fellegi_sunter_em = _em_fixture(spark)
+    # every blk holds 20 records; cap below that drops EVERY block ->
+    # empty pair set raises, so split blocks unevenly first
+    est = fellegi_sunter_em(df, "id", ["blk"], comps, n_iter=5).collect()
+    assert all(r.n_dropped_rows == 0 for r in est)
+    est = fellegi_sunter_em(df, "id", ["blk"], comps, n_iter=5, max_block=50).collect()
+    assert all(r.n_dropped_rows == 0 for r in est)
+    # shrink one block's key-space: blk 0 and 1 merged -> one 40-row
+    # block over a max_block of 25 -> exactly 40 dropped records
+    from pyspark.sql import functions as F
+
+    merged = df.withColumn("blk", F.when(F.col("blk") <= 1, 0).otherwise(F.col("blk")))
+    est = fellegi_sunter_em(merged, "id", ["blk"], comps, n_iter=5, max_block=25).collect()
+    assert all(r.n_dropped_rows == 40 for r in est)
+
+
 def test_em_guards(spark):
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.linkage import fellegi_sunter_em
 

@@ -127,6 +127,24 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = eng.get_spark("check-oracle", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    # --parallel shares ONE SparkSession across worker threads, so query
+    # builders must not toggle session-global conf per-query.  The single
+    # session conf any builder sets today is nanosAsLong (tables.py /
+    # sources/batch.py / operators/layout.py — always to "true", for the
+    # driver's TIMESTAMP(NANOS) events files); pre-set it here so those
+    # writes are idempotent no-ops under the pool, and assert after the
+    # run that nothing mutated the confs correctness depends on behind
+    # the other threads' backs (the no-session-conf-mutation invariant
+    # for query builders).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _GUARDED_CONFS = (
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.ansi.enabled",
+        "spark.sql.adaptive.enabled",
+    )
+    conf_before = {k: spark.conf.get(k, None) for k in _GUARDED_CONFS}
 
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     if workers > 1:
@@ -134,6 +152,12 @@ def main() -> int:
             results = list(pool.map(lambda nf: check_one(nf[0], nf[1], oracles, spark), todo))
     else:
         results = [check_one(n, f, oracles, spark) for n, f in todo]
+
+    conf_after = {k: spark.conf.get(k, None) for k in _GUARDED_CONFS}
+    assert conf_after == conf_before, (
+        f"a query builder mutated session conf during the run: "
+        f"{ {k: (conf_before[k], conf_after[k]) for k in _GUARDED_CONFS if conf_before[k] != conf_after[k]} }"
+    )
 
     failures = 0
     for line, failed in results:

@@ -207,7 +207,19 @@ def main() -> None:
             "restart_distinct_orders": n_orders_out,
             "restart_one_row_per_order": n_rows == n_orders_out,
             "exactly_once_digest_match": base_digest == restart_digest,
+            # a digest match only evidences exactly-once RECOVERY if the
+            # first run was actually interrupted mid-stream; with a tiny
+            # n_orders/n_batches the query can drain before batchId>=2
+            # and the "restart" degenerates to a clean rerun
+            "restart_was_mid_stream_kill": killed_after is not None,
         })
+        if killed_after is None:
+            print(
+                "WARNING: streaming query drained before the kill point — "
+                "exactly_once_digest_match is NOT mid-stream-kill evidence "
+                "for this run; raise n_orders/n_batches",
+                file=sys.stderr,
+            )
 
     print(json.dumps(result))
     shutil.rmtree(root, ignore_errors=True)
