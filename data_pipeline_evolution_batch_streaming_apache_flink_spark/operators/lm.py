@@ -26,18 +26,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
-
 
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # The size>=2 doc gate lives INSIDE the generator (posexplode(NULL)
     # emits no rows): a .where(size(__toks) >= 2) would alias-substitute
-    # below fan_out's exchange and re-run the tokenizer serially in the
-    # scan stage (see util.explode_noinfer); fan_out spreads the bigram
-    # struct build across cores first.
-    base = fan_out(df.select(F.col(id_col), F.col(text_col)))
+    # into the scan stage and re-run the tokenizer once more per row
+    # (see util.explode_noinfer). Deliberately NO fan_out here: a plain
+    # split+transform is light per-row work, and the repartition would
+    # shuffle the full text payload — same-session A/B at sf0.1 showed
+    # the fan_out variant ~50% SLOWER (1.0 s -> 1.5 s warm); fan_out
+    # pays off only when per-row work >> shuffle cost (e.g. the shingle
+    # hashing in textops._token_grams, which keeps it). At real scale
+    # the scan arrives multi-partition and parallelism is free anyway.
     return (
-        base.select(
+        df.select(
             id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks")
         )
         .select(
@@ -86,6 +88,58 @@ def bigram_lm_scores(
     bigrams to score). ``avg_logp_micro`` = floor of the per-bigram
     mean, for thresholding."""
     bg = _bigrams(score, id_col, text_col)
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("V")).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__lp").alias("logp_micro_sum"),
+    ).withColumn(
+        "avg_logp_micro",
+        F.expr("(logp_micro_sum - pmod(logp_micro_sum, n_bigrams)) div n_bigrams"),
+    )
+
+
+def self_scored_bigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Train on the corpus and score the SAME corpus — the CCNet-style
+    primary use — in one shared tokenization pass.
+
+    ``bigram_lm`` + ``bigram_lm_scores`` compose generally (train here,
+    score anything), but when the two corpora coincide the bigram
+    explode would execute three times (the c2 groupBy, the c1 groupBy,
+    and the scoring join each re-evaluate it above one reused
+    exchange). Here the exploded bigram table is built once and pinned
+    with a lazy ``localCheckpoint`` — the house rule for an
+    intermediate whose consumers flow through DIFFERENT exchanges
+    (same-session interleaved A/B at sf0.1, warm: two-step 0.95-1.00 s,
+    fused 0.78-0.81 s). The pin materializes one row per corpus token (id, pos, w1,
+    w2 — never the raw text), spillable MEMORY_AND_DISK; at cluster
+    scale prefer persisting the same table as parquet when it is
+    reused across jobs rather than stages. Results are bit-identical
+    to the two-step path (test-pinned)."""
+    bg = _bigrams(df, id_col, text_col).localCheckpoint(eager=False)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    )
+    vocab = toks.agg(F.count_distinct("w").alias("V"))
     scored = (
         bg.join(c2, ["w1", "w2"], "left")
         .join(c1, "w1", "left")

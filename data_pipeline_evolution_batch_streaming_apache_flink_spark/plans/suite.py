@@ -3009,12 +3009,13 @@ def q_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
     bigram model over the documents table, every document scored by
     its exact-integer micro log-likelihood sum. Training is two
     counted shuffles; scoring reuses the bigram partitioning and ends
-    in one per-doc sum."""
-    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+    in one per-doc sum. Self-scoring shares ONE tokenization pass
+    (pinned bigram table) across training and scoring — see
+    lm.self_scored_bigram_lm."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import self_scored_bigram_lm
 
     t = load_tables(spark, sf, ("documents",))
-    c2, c1, vocab = bigram_lm(t["documents"])
-    return bigram_lm_scores(t["documents"], c2, c1, vocab)
+    return self_scored_bigram_lm(t["documents"])
 
 
 QUERIES["lm_scores"] = q_lm_scores

@@ -71,3 +71,26 @@ def test_next_token_context_identity(spark):
         .where(F.col("s") != F.col("c1"))
     )
     assert joined.count() == 0
+
+
+def test_self_scored_matches_two_step_path(spark):
+    """self_scored_bigram_lm (shared pinned tokenization) is
+    bit-identical to bigram_lm + bigram_lm_scores on the same corpus."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import (
+        bigram_lm_scores,
+        self_scored_bigram_lm,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a b a b a c"), (2, "b a b c"), (3, "x"), (4, ""), (5, "c c c c")],
+    )
+    c2, c1, vocab = bigram_lm(docs)
+    two_step = sorted(map(tuple, bigram_lm_scores(docs, c2, c1, vocab).collect()))
+    fused = sorted(map(tuple, self_scored_bigram_lm(docs).collect()))
+    assert fused == two_step
+    # layout independence of the fused path
+    fused2 = sorted(
+        map(tuple, self_scored_bigram_lm(docs.repartition(7)).collect())
+    )
+    assert fused2 == two_step
