@@ -37,7 +37,9 @@ same deterministic tie-break as the batch ``operators.joins.asof_join``
 (a CDC delete is a tombstone entry with live=False) — plus, in the gated
 operator only, the pending-fact buffer. Versions older than the latest
 one at-or-below the emission frontier are pruned every batch, bounding
-state. Requires the RocksDB state store provider (see
+state PER KEY; ``idle_ttl`` additionally expires whole idle keys via the
+transformWithState TTL config, bounding state when the key space itself
+grows without bound. Requires the RocksDB state store provider (see
 ``session.streaming_conf``).
 """
 
@@ -75,15 +77,16 @@ def _vkey(entry: tuple) -> tuple:
 class _AsOfProcessor(StatefulProcessor):
     """Versioned-dim state + (optionally) a watermark-gated fact buffer."""
 
-    def __init__(self, fact_cols, dim_payload, gate, inner):
+    def __init__(self, fact_cols, dim_payload, gate, inner, ttl_ms=None):
         self.fact_cols = fact_cols
         self.dim_payload = dim_payload
         self.gate = gate
         self.inner = inner
+        self.ttl_ms = ttl_ms
         self.out_cols = fact_cols + dim_payload + [EMIT_TS]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self.state = handle.getValueState("asof", "blob binary")
+        self.state = handle.getValueState("asof", "blob binary", ttlDurationMs=self.ttl_ms)
         self.handle = handle
 
     def _load(self):
@@ -193,6 +196,7 @@ def asof_join_tws(
     how: str = "left",
     gate: bool = True,
     dim_op: str | None = None,
+    idle_ttl: str | int | None = None,
 ) -> DataFrame:
     """Event-time AS-OF join, chainable: output carries ``__emit_ts`` as
     its event-time column, so the result can feed another ``asof_join_tws``
@@ -211,8 +215,29 @@ def asof_join_tws(
     Semantics match ``operators.joins.asof_join``: latest dim version with
     ``dim_ts <= fact_ts`` (inclusive) per key; ``how='left'`` emits
     NULL-padded rows for version-less facts, ``'inner'`` drops them.
+
+    ``idle_ttl`` (duration string or millis int, default None = keep
+    forever): PROCESSING-TIME TTL on each key's state blob via the
+    transformWithState TTL config. Watermarks prune old VERSIONS within
+    a key, but a key seen once otherwise holds its latest version
+    forever — unbounded state when the key space grows without bound
+    (the reference's own "possibly large state" caveat,
+    README.md:559). With a TTL, a key idle (no dim update and no
+    buffered fact stored) for longer than ``idle_ttl`` has its whole
+    blob dropped by the state store. Documented expiry semantics: a
+    fact arriving AFTER its dim key expired sees no versions — it
+    NULL-pads under ``how='left'`` and is dropped under ``'inner'``,
+    exactly as if the dim had never been seen (test-pinned). The TTL
+    clock resets on every state WRITE, and the gated operator re-writes
+    the blob whenever facts remain buffered, so pending facts are never
+    expired mid-wait unless the key receives nothing at all for the
+    full TTL. Choose ``idle_ttl`` >> the watermark delay plus the
+    longest expected fact lag per key.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import _parse_gap_ms
+
+    ttl_ms = _parse_gap_ms(idle_ttl) if idle_ttl is not None else None
     dim_payload = [c for c in dim.columns if c not in keys and c not in (dim_ts, dim_op)]
     fact_cols = [c for c in fact.columns if c != EMIT_TS]
     chained = EMIT_TS in fact.columns
@@ -244,7 +269,7 @@ def asof_join_tws(
         + [T.StructField(EMIT_TS, T.TimestampType(), False)]
     )
     return unioned.groupBy(*keys).transformWithStateInPandas(
-        _AsOfProcessor(fact_cols, dim_payload, gate, how == "inner"),
+        _AsOfProcessor(fact_cols, dim_payload, gate, how == "inner", ttl_ms),
         out_schema,
         "append",
         "eventTime",

@@ -58,8 +58,10 @@ class FakeHandle:
     def __init__(self):
         self.state = FakeValueState()
         self.timers: list[int] = []
+        self.ttl_ms = None
 
-    def getValueState(self, name, schema):
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttl_ms = ttlDurationMs
         return self.state
 
     def registerTimer(self, ts):
@@ -411,3 +413,42 @@ def test_same_ts_null_payload_sorts_none_safely():
         10_000,
     )
     assert list(out["name"]) == ["z"]
+
+
+def test_idle_ttl_threads_to_state_and_expiry_semantics():
+    """idle_ttl: the TTL reaches getValueState, and a fact arriving
+    after the key's blob expired (state store returns None) behaves as
+    if the dim was never seen — NULL-pad under left, dropped under
+    inner (the documented late-fact-after-expiry contract)."""
+    p = _AsOfProcessor(["order_id", "order_time"], ["name"], True, False, 60_000)
+    p.init(FakeHandle())
+    assert p.handle.ttl_ms == 60_000
+    # default: no TTL requested
+    q = _mk()
+    assert q.handle.ttl_ms is None
+
+    # dim versions land, then the store expires the idle key's blob
+    _run(p, [_dim_row(1000, "v1")], 0)
+    assert p.state.get() is not None
+    p.state.clear()  # what the TTL'd store does after idle_ttl
+
+    # late fact after expiry: left -> NULL-padded, exactly "never seen"
+    out = _run(p, [_fact_row(3000, 9)], 10_000)
+    assert list(out["order_id"]) == [9] and list(out["name"]) == [None]
+
+    # same under inner: dropped
+    pi = _AsOfProcessor(["order_id", "order_time"], ["name"], True, True, 60_000)
+    pi.init(FakeHandle())
+    _run(pi, [_dim_row(1000, "v1")], 0)
+    pi.state.clear()
+    out = _run(pi, [_fact_row(3000, 9)], 10_000)
+    assert out.empty
+
+
+def test_idle_ttl_duration_string_parses():
+    """asof_join_tws accepts a duration string for idle_ttl (parsed by
+    the shared sessions._parse_gap_ms)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import _parse_gap_ms
+
+    assert _parse_gap_ms("10 minutes") == 600_000
+    assert _parse_gap_ms(1234) == 1234
