@@ -156,9 +156,171 @@ def _run_with_restart(spark, root, in_dir):
     return resumed, killed_after
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches):
+    """Plain-JSON fact/dim streams for the state-store-backed as-of leg:
+    orders (order_id, client_id, ts) in ``n_batches`` mtime-ordered
+    files, a dim snapshot plus 10%-churn rename batches, and trailing
+    far-future heartbeats that flush the last gated facts."""
+    os.makedirs(fact_dir)
+    os.makedirs(dim_dir)
+    per = n_orders // n_batches
+    snap = spark.range(N_CLIENTS).select(
+        F.to_json(F.struct(
+            F.col("id").cast("int").alias("client_id"),
+            F.concat(F.lit("v0_"), F.col("id")).alias("name"),
+            _fmt(F.lit(BASE_TS).cast("timestamp")).alias("dts"),
+        )).alias("value")
+    )
+    write_batch(snap, dim_dir, 0)
+    for b in range(1, n_batches + 1):
+        churn = spark.range(N_CLIENTS // 10).select(
+            F.to_json(F.struct(
+                (F.col("id") * 10 % N_CLIENTS).cast("int").alias("client_id"),
+                F.concat(F.lit(f"v{b}_"), F.col("id")).alias("name"),
+                _ts(F.lit(b * 100 + 10)).alias("dts"),
+            )).alias("value")
+        )
+        write_batch(churn, dim_dir, b)
+        facts = spark.range((b - 1) * per + 1, b * per + 1).select(
+            F.to_json(F.struct(
+                F.col("id").alias("order_id"),
+                (F.col("id") % N_CLIENTS).cast("int").alias("client_id"),
+                _ts(F.lit(b * 100 + 50)).alias("ts"),
+            )).alias("value")
+        )
+        write_batch(facts, fact_dir, b)
+    hb_f = spark.createDataFrame(
+        [(json.dumps({"order_id": -1, "client_id": -1, "ts": "2030-01-01 00:00:00"}),)],
+        "value string",
+    )
+    hb_d = spark.createDataFrame(
+        [(json.dumps({"client_id": -1, "name": "hb", "dts": "2030-01-01 00:00:00"}),)],
+        "value string",
+    )
+    write_batch(hb_f, fact_dir, n_batches + 1)
+    write_batch(hb_d, dim_dir, n_batches + 1)
+    return n_orders + N_CLIENTS + n_batches * (N_CLIENTS // 10) + 2
+
+
+def _run_rocksdb_stateful(spark, root, n_orders, n_batches):
+    """Scenario-6's state-store-backed leg (streaming as-of enrichment,
+    applyInPandasWithState) at stress scale UNDER RocksDB with changelog
+    checkpointing: straight run for throughput + mid-stream-kill restart
+    for exactly-once recovery evidence (VERDICT r5 item 3). The
+    foreachBatch engine keeps its own state off the store, so this is
+    the leg where the provider actually executes."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_asof_join
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true"
+    )
+    fact_dir, dim_dir = os.path.join(root, "rs_fact"), os.path.join(root, "rs_dim")
+    n_events = _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches)
+
+    def joined():
+        return streaming_asof_join(
+            json_file_stream(spark, fact_dir, "order_id long, client_id int, ts timestamp",
+                             max_files_per_trigger=8),
+            json_file_stream(spark, dim_dir, "client_id int, name string, dts timestamp",
+                             max_files_per_trigger=8),
+            key="client_id", fact_ts="ts", dim_ts="dts", how="left",
+        )
+
+    def out_df(out):
+        return spark.read.parquet(out).where(F.col("order_id") >= 0)
+
+    # straight run: throughput baseline
+    out1 = os.path.join(root, "rs_out1")
+    t0 = time.time()
+    q = (
+        joined().writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", os.path.join(root, "rs_ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    wall = time.time() - t0
+    base = out_df(out1)
+    base_digest = _digest(base)
+
+    # kill mid-stream, resume from the RocksDB changelog checkpoint
+    out2 = os.path.join(root, "rs_out2")
+    ckpt2 = os.path.join(root, "rs_ckpt2")
+    q2 = (
+        joined().writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    killed_after = None
+    t1 = time.time()
+    while time.time() - t1 < 600:
+        p = q2.lastProgress
+        if p is not None and p["batchId"] >= 2:
+            killed_after = p["batchId"]
+            break
+        time.sleep(0.2)
+    q2.stop()
+    q2.awaitTermination(60)
+    t2 = time.time()
+    q3 = (
+        joined().writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(1800)
+    recovery_wall = time.time() - t2
+    restarted = out_df(out2)
+    result = {
+        "state_store": "rocksdb+changelog",
+        "n_orders": n_orders,
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(n_events / wall),
+        "output_rows": base.count(),
+        "restart_killed_after_batch": killed_after,
+        "restart_recovery_wall_sec": round(recovery_wall, 2),
+        "restart_output_rows": restarted.count(),
+        "restart_one_row_per_order": restarted.count()
+        == restarted.select("order_id").distinct().count(),
+        "exactly_once_digest_match": _digest(restarted) == base_digest,
+        "restart_was_mid_stream_kill": killed_after is not None,
+    }
+    if killed_after is None:
+        print(
+            "WARNING: streaming query drained before the kill point — "
+            "raise n_orders/n_batches",
+            file=sys.stderr,
+        )
+    print(json.dumps(result))
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     restart = "--restart" in sys.argv
+    rocksdb = "--rocksdb" in sys.argv
+    if rocksdb:
+        n_orders = int(args[0]) if args else 100_000
+        n_batches = int(args[1]) if len(args) > 1 else 8
+        spark = get_spark("stream-bench-rocksdb", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        spark.sparkContext.setLogLevel("ERROR")
+        root = tempfile.mkdtemp(prefix="dpe_sbench_rdb_")
+        try:
+            _run_rocksdb_stateful(spark, root, n_orders, n_batches)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return
     n_orders = int(args[0]) if args else 100_000
     n_batches = int(args[1]) if len(args) > 1 else 4
     spark = get_spark("stream-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
