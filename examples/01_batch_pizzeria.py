@@ -23,9 +23,10 @@ def main() -> None:
     t = load_pizzeria(spark)
 
     # 1) DataFrame composition (explode + broadcast joins + sorted JSON agg)
-    enriched_orders(
+    df_out = enriched_orders(
         t["orders"], t["table_assignment"], t["clients"], t["tables"], t["pizzas"]
-    ).show(truncate=False)
+    )
+    df_out.show(truncate=False)
 
     # 2) The same statement through the SQL application spec
     spec = ApplicationSpec(
@@ -42,7 +43,14 @@ def main() -> None:
             ORDER BY order_id
         """,
     )
-    run_application(spark, spec, dataframes=t).show(truncate=False)
+    sql_out = run_application(spark, spec, dataframes=t)
+    sql_out.show(truncate=False)
+
+    # smoke oracle: the two paths must agree on the enriched key set
+    df_keys = {(r.order_id, r.client_name, r.table_name) for r in df_out.collect()}
+    sql_keys = {(r.order_id, r.client_name, r.table_name) for r in sql_out.collect()}
+    assert df_keys and df_keys == sql_keys
+    print(f"PASS: DataFrame and SQL-spec paths agree on {len(df_keys)} enriched orders")
 
 
 if __name__ == "__main__":

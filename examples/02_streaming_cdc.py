@@ -64,7 +64,13 @@ def main() -> None:
     )
     q.awaitTermination(120)
     print("upsert sink state (latest per order, reassignment applied):")
-    sink.current_state(spark).orderBy("order_id").show()
+    state_df = sink.current_state(spark)
+    state_df.orderBy("order_id").show()
+
+    # smoke oracle: the replayed c/u/c envelopes compact to exactly this
+    state = {(r.order_id, r.total, r.client_name) for r in state_df.collect()}
+    assert state == {(1, 25, "bob"), (2, 7, "ann")}, state
+    print("PASS: upsert sink holds the post-reassignment latest image per order")
 
 
 if __name__ == "__main__":

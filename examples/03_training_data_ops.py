@@ -362,10 +362,16 @@ def main() -> None:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import table_digest
 
     li_slim = li.select("l_orderkey", "l_linenumber", "l_returnflag")
-    table_digest(li_slim, ["l_orderkey", "l_linenumber", "l_returnflag"]).show()
-    table_digest(
+    d_before = table_digest(li_slim, ["l_orderkey", "l_linenumber", "l_returnflag"])
+    d_after = table_digest(
         li_slim.repartition(17), ["l_orderkey", "l_linenumber", "l_returnflag"]
-    ).show()
+    )
+    d_before.show()
+    d_after.show()
+
+    # smoke oracle: a pure layout rewrite must not move the digest
+    assert tuple(d_before.collect()[0]) == tuple(d_after.collect()[0])
+    print("PASS: table digest invariant under the repartition(17) rewrite")
 
 
 if __name__ == "__main__":

@@ -60,10 +60,22 @@ def main() -> None:
     ).orderBy(F.desc("slope")).show(5)
 
     print("== chi-squared: does priority predict status? ==")
-    chi2_independence(orders, "o_orderpriority", "o_orderstatus").show()
+    chi2 = chi2_independence(orders, "o_orderpriority", "o_orderstatus")
+    chi2.show()
 
     print("== Benford audit on order amounts ==")
-    benford_audit(orders, "o_totalprice").show()
+    benford = benford_audit(orders, "o_totalprice")
+    benford.show()
+
+    # smoke oracles: every gate is exact-by-construction, so a pure
+    # layout change must reproduce it bit-for-bit; Benford always
+    # yields the nine leading-digit rows.
+    chi2_again = chi2_independence(
+        orders.repartition(13), "o_orderpriority", "o_orderstatus"
+    )
+    assert sorted(map(tuple, chi2.collect())) == sorted(map(tuple, chi2_again.collect()))
+    assert benford.count() == 9
+    print("PASS: chi-squared bit-identical under repartition(13); Benford covers digits 1-9")
 
     spark.stop()
 

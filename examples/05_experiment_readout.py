@@ -72,7 +72,18 @@ def main() -> None:
     decomposed.filter(F.col("trend").isNotNull()).show(5)
 
     print("== ROC AUC: does doc length separate English from the rest? ==")
-    roc_auc(docs, "n_chars", F.col("lang") == "en").show()
+    auc_df = roc_auc(docs, "n_chars", F.col("lang") == "en")
+    auc_df.show()
+
+    # smoke oracles: the in-sample OLS theta can only SHRINK the metric
+    # variance (that is CUPED's whole point), and AUC is a probability.
+    v = adjusted.agg(
+        F.var_samp("y_cents").alias("vy"), F.var_samp("y_adjusted").alias("va")
+    ).collect()[0]
+    assert v["va"] <= v["vy"] * 1.0001, (v["va"], v["vy"])
+    auc = auc_df.collect()[0]["auc"]
+    assert 0.0 <= auc <= 1.0
+    print(f"PASS: CUPED variance {v['vy']:.0f} -> {v['va']:.0f}; AUC {auc:.3f} in [0,1]")
 
     spark.stop()
 

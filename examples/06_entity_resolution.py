@@ -103,6 +103,23 @@ def main() -> None:
           f"({golden.where('n_merged > 1').count()} merged clusters)")
     golden.orderBy(F.desc("n_merged"), "entity").show(5, truncate=False)
 
+    # smoke oracle: ground truth is constructed (ids 2k / 2k+1 are the
+    # only true matches), so precision/recall are measurable exactly.
+    n_links = links.count()
+    true_links = links.where(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") == F.col("id_a") + 1)
+    ).count()
+    n_twins = base.filter(F.col("c_custkey") % 4 == 0).count()
+    prec = true_links / n_links if n_links else 0.0
+    rec = true_links / n_twins if n_twins else 0.0
+    assert prec >= 0.95, f"precision {prec:.1%}"
+    assert rec >= 0.60, f"recall {rec:.1%}"
+    # each merging link removes at least one entity; true twin links
+    # are disjoint pairs so they remove exactly one each
+    assert n_rec - n_links <= n_ent <= n_rec - true_links
+    print(f"PASS: linkage precision {prec:.1%}, recall {rec:.1%} "
+          f"against the constructed twins; entity count consistent")
+
 
 if __name__ == "__main__":
     main()
