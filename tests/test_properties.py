@@ -526,3 +526,145 @@ def test_explode_noinfer_equals_filter_then_explode(spark, arrs, min_size):
         )
     )
     assert got == want
+
+
+# ------------------------------------------------------- round-6 operators
+
+WVALS = st.lists(
+    st.one_of(st.integers(-50, 50), st.none()), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    groups=st.lists(st.tuples(st.integers(0, 2), WVALS), min_size=1, max_size=3),
+    lo=st.integers(0, 500_000),
+    span=st.integers(0, 500_000),
+)
+def test_winsorize_matches_nearest_rank_reference(spark, groups, lo, span):
+    """Per-group clip bounds are the exact nearest-rank order statistics
+    rank = max(1, ceil(q*n)); NULLs pass through unclipped and never
+    count toward n."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import winsorize
+
+    hi = lo + span
+    rows = [(g, v) for g, vals in groups for v in vals]
+    df = spark.createDataFrame(rows, "g int, v long")
+    got = winsorize(df, ["g"], "v", lower_micro=lo, upper_micro=hi).collect()
+
+    import math
+
+    def bound(vals, q_micro):
+        sv = sorted(vals)
+        k = max(1, -(-q_micro * len(sv) // 1_000_000))  # ceil, 1-based
+        return sv[k - 1]
+
+    by_g = {}
+    for g, vals in groups:
+        nn = [v for v in vals if v is not None]
+        by_g.setdefault(g, []).extend(nn)
+    for r in got:
+        nn = by_g[r["g"]]
+        if r["v"] is None:
+            assert r["v_winsorized"] is None and r["clipped"] is None
+            continue
+        lo_b, hi_b = bound(nn, lo), bound(nn, hi)
+        assert r["lo_bound"] == lo_b and r["hi_bound"] == hi_b
+        want = min(max(r["v"], lo_b), hi_b)
+        assert r["v_winsorized"] == want
+        assert r["clipped"] == (want != r["v"])
+
+
+AUC_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), st.booleans()), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=AUC_ROWS)
+def test_roc_auc_matches_pair_counting_reference(spark, rows):
+    """AUC == P(score_pos > score_neg) + P(tie)/2, counted over every
+    (pos, neg) pair — the literal definition the rank-sum machinery
+    must reproduce, ties and all; NULL when either class is empty."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import roc_auc
+
+    df = spark.createDataFrame(rows, "score int, label boolean")
+    r = roc_auc(df, "score", F.col("label")).collect()[0]
+    pos = [s for s, l in rows if l]
+    neg = [s for s, l in rows if not l]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    if not pos or not neg:
+        assert r["auc"] is None
+        return
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = round((wins + ties / 2.0) / (len(pos) * len(neg)), 6)
+    assert abs(r["auc"] - want) <= 1e-9, (r["auc"], want)
+
+
+QN_ROWS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-10, 10)), min_size=1, max_size=30
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=QN_ROWS)
+def test_quantile_normalize_matches_sequential_reference(spark, rows):
+    """Each (group, value)'s normalized value is the pooled-global
+    order statistic at index clamp(((2*cum - cnt + 1) * N) div (2*n_g),
+    1, N) — checked against a direct sequential evaluation of that
+    formula (midranks, global sort, nearest-rank lookup)."""
+    from collections import Counter
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import quantile_normalize
+
+    df = spark.createDataFrame(rows, "g int, v long")
+    got = {
+        (r["g"], r["v"]): (r["cnt"], r["normalized"])
+        for r in quantile_normalize(df, "g", "v").collect()
+    }
+
+    pooled = sorted(v for _, v in rows)
+    N = len(pooled)
+    want = {}
+    for g in {g for g, _ in rows}:
+        vals = sorted(v for gg, v in rows if gg == g)
+        n_g = len(vals)
+        cum = 0
+        for v, cnt in sorted(Counter(vals).items()):
+            cum += cnt
+            idx = ((2 * cum - cnt + 1) * N) // (2 * n_g)
+            idx = min(max(idx, 1), N)
+            want[(g, v)] = (cnt, pooled[idx - 1])
+    assert got == want
+
+
+IJ_LEFT = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=0, max_size=10)
+IJ_RIGHT = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)), min_size=0, max_size=10)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=IJ_LEFT, right=IJ_RIGHT, lo=st.integers(0, 5), up=st.integers(0, 5))
+def test_interval_join_matches_nested_loop_reference(spark, left, right, lo, up):
+    """interval_join emits exactly the same-key pairs with
+    right_ts in [left_ts - lower, left_ts + upper], both bounds
+    INCLUSIVE — checked against the literal nested loop."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.joins import interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, _ts(m)) for k, m in left], "k int, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts(m)) for k, m in right], "k int, rts timestamp"
+    )
+    out = interval_join(
+        ldf, rdf, "k", "lts", "rts", f"{lo} minutes", f"{up} minutes"
+    )
+    got = sorted((r["k"], r["lts"], r["rts"]) for r in out.collect())
+    want = sorted(
+        (lk, _ts(lm), _ts(rm))
+        for lk, lm in left
+        for rk, rm in right
+        if lk == rk and lm - lo <= rm <= lm + up
+    )
+    assert got == want
