@@ -22,9 +22,10 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import sui
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the scenario-parity pipeline + one representative of each
-# operator family that matters at scale. array_membership_join is excluded
-# by design: its scale path IS unnest_join (SURVEY §2.4 J2 -> J3 rewrite).
+# Every suite query except array_membership_join, which is excluded by
+# design: its scale path IS unnest_join (SURVEY §2.4 J2 -> J3 rewrite).
+# Round 6 completed the set (was 130 of 164): per-query perf evidence
+# now covers the whole declared surface.
 BENCH_QUERIES = (
     "enriched_orders",
     "pricing_summary",
@@ -156,6 +157,40 @@ BENCH_QUERIES = (
     "js_divergence",
     "ndcg_graded_eval",
     "record_linkage_em",
+    # round-6 additions: the previously un-benched remainder
+    "view_projection",
+    "time_functions",
+    "hourly_counts",
+    "supplier_stats",
+    "lookup_join",
+    "app_sql_pipeline",
+    "top_orders",
+    "set_ops",
+    "semi_anti_join",
+    "window_rank",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "similarity_lsh_pairs",
+    "skew_safe_collect",
+    "take_per_stratum",
+    "regex_token_stats",
+    "multimodal_features",
+    "distinct_agg_having",
+    "unpivot_metrics",
+    "pivot_events",
+    "median_metrics",
+    "dedup_clusters",
+    "contamination_check",
+    "repetition_stats",
+    "scd2_intervals",
+    "hourly_spine_gapfill",
+    "vector_normalize",
+    "json_props_stats",
+    "repeat_mix",
+    "asof_forward",
 )
 
 

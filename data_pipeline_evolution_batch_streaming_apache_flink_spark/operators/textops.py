@@ -29,9 +29,16 @@ def analyze_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 def token_histogram(df: DataFrame, text_col: str = "text", top_n: int | None = None) -> DataFrame:
     """Corpus-wide token frequency (explode + count; one shuffle with
-    map-side combine). ``top_n`` limits output after ranking."""
+    map-side combine). ``top_n`` limits output after ranking.
+
+    No fan_out: a bare tokenize-then-count is light per-row work, and
+    the repartition would shuffle the full text payload — measured
+    SLOWER with fan_out at sf0.1 (house rule from the round-6 lm_scores
+    A/B: fan out only when per-row compute >> payload shuffle cost;
+    contrast ngram_histogram/repetition_stats, whose per-row gram
+    builds measurably need it)."""
     counts = (
-        fan_out(df.select(F.col(text_col)))
+        df.select(F.col(text_col))
         .select(F.explode(TXT.tokens(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
@@ -93,7 +100,8 @@ def tf_idf(
     """
     from pyspark.sql import Window
 
-    terms = fan_out(df.select(id_col, text_col)).select(
+    # no fan_out: tokenize-then-count (same measured rule as token_histogram)
+    terms = df.select(id_col, text_col).select(
         F.col(id_col), F.explode(TXT.tokens(text_col)).alias("term")
     )
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -147,7 +155,8 @@ def bm25_scores(
     not a float sum in shuffle order — deterministic in any engine.
     Returns (id_col, bm25, n_terms) for documents matching ≥1 term.
     """
-    toks = fan_out(df.select(id_col, text_col)).select(
+    # no fan_out: tokenize-then-count (same measured rule as token_histogram)
+    toks = df.select(id_col, text_col).select(
         F.col(id_col), TXT.tokens(text_col).alias("__t")
     )
     base = toks.withColumn("__dl", F.size("__t"))
@@ -270,7 +279,8 @@ def bm25_topk(
     )
     term_set = qterms.select("term").distinct()
 
-    toks = fan_out(docs.select(id_col, text_col)).select(
+    # no fan_out: tokenize-then-count (same measured rule as token_histogram)
+    toks = docs.select(id_col, text_col).select(
         F.col(id_col), TXT.tokens(text_col).alias("__t")
     )
     base = toks.withColumn("__dl", F.size("__t"))
