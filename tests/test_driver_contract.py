@@ -80,6 +80,20 @@ def test_round6_cohort_is_never_driver_checked():
     assert not set(cohort) & seen, set(cohort) & seen
 
 
+def test_bench_covers_every_suite_query():
+    """bench.py must bench every suite query (array_membership_join is
+    the single documented exclusion — its scale path IS unnest_join),
+    with no stale or duplicate names."""
+    import bench
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    b = bench.BENCH_QUERIES
+    assert len(b) == len(set(b)), "duplicate bench entries"
+    assert set(b) <= set(suite.QUERIES), set(b) - set(suite.QUERIES)
+    assert set(suite.QUERIES) - set(b) == {"array_membership_join"}
+
+
 def test_oracle_keys_subset_of_queries():
     qs, oracles = E.queries(), E.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without a query is dead weight"
