@@ -799,10 +799,45 @@ def bucketed_cosine_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Exact verification in Arrow-batched numpy with LEFT-FOLD summation
+    # (same discipline as dedup.embedding_cosine_pairs): vectorized
+    # across pairs, sequential across dims — bit-identical to the
+    # functions.vectors.cosine HOF formulation and the DuckDB oracle,
+    # but ~5x faster than the interpreted per-element HOF fold on the
+    # deduped candidate set. The Arrow boundary keeps raw-score slack
+    # (1e-6); the exact round(6) >= threshold filter runs JVM-side
+    # (numpy rounds half-even, Spark/DuckDB half-up).
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_norms
+
+    idt = df.schema[id_col].dataType.simpleString()
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            if not len(p):
+                continue
+            A = np.stack(p["__va"].to_numpy()).astype(np.float64)
+            B = np.stack(p["__vb"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(p))
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            cos = acc / (_fold_norms(A) * _fold_norms(B))
+            keep = np.nonzero(cos >= threshold - 1e-6)[0]
+            if len(keep):
+                yield pd.DataFrame({
+                    "id_a": p["id_a"].to_numpy()[keep],
+                    "id_b": p["id_b"].to_numpy()[keep],
+                    "cos": cos[keep],
+                })
+
     return (
-        cand.withColumn("cos", F.round(cosine("__va", "__vb"), 6))
+        cand.mapInPandas(_verify, schema=f"id_a {idt}, id_b {idt}, cos double")
+        .withColumn("cos", F.round("cos", 6))
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
     )
 
 
