@@ -770,43 +770,47 @@ def bucketed_cosine_pairs(
             bit = (dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int") * (2 ** i)
             sig = bit if sig is None else sig + bit
         tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    # Candidate generation carries IDS ONLY: the pair space is expanded
+    # and deduplicated on (id_a, id_b) rows a few bytes wide, and the
+    # vectors are joined back just for the verification of the DEDUPED
+    # survivors. Copying both full vectors through the collect_list
+    # structs and the O(bucket^2) slice/explode expansion was the
+    # measured bottleneck of the 16-table config (~6 of 8.6 s warm at
+    # sf0.1 — the id-only expansion runs in under 1 s on the same
+    # buckets). The join back is two hash joins keyed on id — broadcast
+    # when the vector table is small, plain shuffle joins at corpus
+    # scale (the same fetch-for-shortlist shape as _exact_rerank).
     hashed = fan_out(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))).select(
-        "__id", "__v", F.explode(F.array(*tables)).alias("__h")
-    ).select("__id", "__v", "__h.tbl", "__h.bucket")
-    # Bucket-collect instead of a hashed-self-join: the 64 fold-based dot
-    # products per row above would otherwise run twice (no exchange reuse
-    # across self-join sides), and the shuffle would carry every vector
-    # twice. __id is the struct's first field, so least/greatest order
-    # pairs by id.
+        "__id", F.explode(F.array(*tables)).alias("__h")
+    ).select("__id", "__h.tbl", "__h.bucket")
     hashed = cap_buckets(hashed, ("tbl", "bucket"), max_bucket)
     buckets = (
         hashed.groupBy("tbl", "bucket")
-        .agg(F.collect_list(F.struct("__id", "__v")).alias("__xs"))
+        .agg(F.collect_list("__id").alias("__xs"))
         .filter(F.size("__xs") > 1)
     )
-    cand = (
+    pairs = (
         buckets.select(F.posexplode("__xs").alias("__i", "__a"), "__xs")
         .select(
             "__a",
             F.explode(F.slice("__xs", F.col("__i") + 2, F.size("__xs"))).alias("__b"),
         )
-        .select(F.least("__a", "__b").alias("__p"), F.greatest("__a", "__b").alias("__q"))
-        .select(
-            F.col("__p.__id").alias("id_a"),
-            F.col("__q.__id").alias("id_b"),
-            F.col("__p.__v").alias("__va"),
-            F.col("__q.__v").alias("__vb"),
-        )
+        .select(F.least("__a", "__b").alias("id_a"), F.greatest("__a", "__b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = pairs.join(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a"
+    ).join(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")), "id_b"
     )
     # Exact verification in Arrow-batched numpy with LEFT-FOLD summation
     # (same discipline as dedup.embedding_cosine_pairs): vectorized
     # across pairs, sequential across dims — bit-identical to the
     # functions.vectors.cosine HOF formulation and the DuckDB oracle,
-    # but ~5x faster than the interpreted per-element HOF fold on the
-    # deduped candidate set. The Arrow boundary keeps raw-score slack
-    # (1e-6); the exact round(6) >= threshold filter runs JVM-side
-    # (numpy rounds half-even, Spark/DuckDB half-up).
+    # and ~5x faster than the interpreted per-element HOF fold. The
+    # Arrow boundary keeps raw-score slack (1e-6); the exact
+    # round(6) >= threshold filter runs JVM-side (numpy rounds
+    # half-even, Spark/DuckDB half-up).
     from collections.abc import Iterator
 
     import numpy as np
