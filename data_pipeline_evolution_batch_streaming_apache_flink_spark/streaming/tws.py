@@ -35,12 +35,18 @@ State layout per key (pickled, one blob per key like the sibling
 operator): dim version list sorted by (ts, live, image) None-safely —
 same deterministic tie-break as the batch ``operators.joins.asof_join``
 (a CDC delete is a tombstone entry with live=False) — plus, in the gated
-operator only, the pending-fact buffer. Versions older than the latest
-one at-or-below the emission frontier are pruned every batch, bounding
-state PER KEY; ``idle_ttl`` additionally expires whole idle keys via the
-transformWithState TTL config, bounding state when the key space itself
-grows without bound. Requires the RocksDB state store provider (see
-``session.streaming_conf``).
+operator only, the pending-fact buffer, and a last-activity event time.
+Versions older than the latest one at-or-below the emission frontier are
+pruned every batch, bounding state PER KEY; ``idle_ttl`` additionally
+expires whole idle keys, bounding state when the key space itself grows
+without bound. Idle expiry is implemented MANUALLY with event-time
+timers (blob carries last-activity ms; a timer clears the key once the
+watermark passes ``last_activity + idle_ttl``) because Spark's built-in
+state TTL (``getValueState(ttlDurationMs=...)``) is ProcessingTime-only:
+``StatefulProcessorHandleImpl.validateTTLConfig`` throws
+``cannotProvideTTLConfigForTimeMode`` under the ``eventTime`` mode this
+operator requires (ADVICE r6, high). Requires the RocksDB state store
+provider (see ``session.streaming_conf``).
 """
 
 from __future__ import annotations
@@ -86,18 +92,36 @@ class _AsOfProcessor(StatefulProcessor):
         self.out_cols = fact_cols + dim_payload + [EMIT_TS]
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self.state = handle.getValueState("asof", "blob binary", ttlDurationMs=self.ttl_ms)
+        # Deliberately NO ttlDurationMs: Spark's built-in state TTL is
+        # ProcessingTime-only (validateTTLConfig throws under eventTime).
+        # Idle-key expiry is manual — see _rearm / handleExpiredTimer.
+        self.state = handle.getValueState("asof", "blob binary")
         self.handle = handle
 
     def _load(self):
         row = self.state.get()
-        return pickle.loads(row[0]) if row is not None else ([], [])
+        if row is None:
+            return [], [], None
+        blob = pickle.loads(row[0])
+        # tolerate pre-r7 2-tuple blobs (no last-activity field)
+        return blob if len(blob) == 3 else (blob[0], blob[1], None)
 
-    def _store(self, dims, facts) -> None:
+    def _store(self, dims, facts, last_ms) -> None:
         if dims or facts:
-            self.state.update((pickle.dumps((dims, facts)),))
+            self.state.update((pickle.dumps((dims, facts, last_ms)),))
         else:
             self.state.clear()
+
+    def _rearm(self, pending, wm_ms, last_ms, stored) -> None:
+        """Reset this key's timers: one drain timer when facts are
+        buffered, one idle-expiry timer when a TTL is configured and the
+        key still holds state."""
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        if pending:
+            self.handle.registerTimer(max(min(f[0] for f in pending), wm_ms + 1))
+        if self.ttl_ms is not None and last_ms is not None and stored:
+            self.handle.registerTimer(last_ms + self.ttl_ms)
 
     def _match(self, ots_ms, dims):
         """Latest entry (ts, live, payload) at-or-before ots_ms, or None.
@@ -130,24 +154,23 @@ class _AsOfProcessor(StatefulProcessor):
         older = [i for i, dv in enumerate(dims) if dv[0] <= frontier]
         return dims[older[-1]:] if len(older) > 1 else dims
 
-    def _flush(self, dims, facts, wm_ms):
-        """Split ready/pending at the watermark, emit ready, re-arm timer."""
+    def _flush(self, dims, facts, wm_ms, last_ms):
+        """Split ready/pending at the watermark, emit ready, re-arm timers."""
         ready = sorted((f for f in facts if f[0] <= wm_ms), key=lambda x: x[0])
         pending = [f for f in facts if f[0] > wm_ms]
         emit_ts = pd.Timestamp(wm_ms + 1, unit="ms")
         yield from self._emit(ready, dims, emit_ts)
         dims = self._prune(dims, pending, wm_ms)
-        self._store(dims, pending)
-        if pending:
-            for t in self.handle.listTimers():
-                self.handle.deleteTimer(t)
-            self.handle.registerTimer(max(min(f[0] for f in pending), wm_ms + 1))
+        self._store(dims, pending, last_ms)
+        self._rearm(pending, wm_ms, last_ms, stored=bool(dims or pending))
 
     def handleInputRows(self, key, rows, timerValues: TimerValues):
-        dims, facts = self._load()
+        dims, facts, last_ms = self._load()
         new_facts = []
+        acts = []
         for pdf in rows:
             for d in pdf.to_dict(orient="records"):
+                acts.append(_ms(d["__ts"]))
                 if d["__is_fact"] == 1:
                     new_facts.append(
                         (_ms(d["__ots"]), tuple(d[f"__f_{c}"] for c in self.fact_cols))
@@ -162,9 +185,14 @@ class _AsOfProcessor(StatefulProcessor):
                     )
         dims.sort(key=_vkey)
         wm_ms = timerValues.getCurrentWatermarkInMs()
+        # Idle-TTL clock: resets on every input for the key, measured on
+        # the event-time axis the watermark follows. max(wm) keeps a key
+        # that just received a straggler from being instantly expirable.
+        if acts:
+            last_ms = max(acts + [wm_ms] + ([last_ms] if last_ms is not None else []))
 
         if self.gate:
-            yield from self._flush(dims, facts + new_facts, wm_ms)
+            yield from self._flush(dims, facts + new_facts, wm_ms, last_ms)
         else:
             # facts arrive pre-gated (ots already ≤ global watermark): all
             # matching dim versions are in state — emit immediately. The
@@ -174,13 +202,27 @@ class _AsOfProcessor(StatefulProcessor):
             ready = sorted(new_facts, key=lambda x: x[0])
             yield from self._emit(ready, dims, emit_ts)
             dims = self._prune(dims, [], wm_ms)
-            self._store(dims, [])
+            self._store(dims, [], last_ms)
+            self._rearm([], wm_ms, last_ms, stored=bool(dims))
 
     def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
-        dims, facts = self._load()
-        if not facts:
-            return
-        yield from self._flush(dims, facts, timerValues.getCurrentWatermarkInMs())
+        dims, facts, last_ms = self._load()
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        if facts:
+            yield from self._flush(dims, facts, wm_ms, last_ms)
+            dims, facts, last_ms = self._load()
+        # Manual idle-key expiry (eventTime mode forbids built-in TTL):
+        # drop the whole blob once the watermark has passed the key's
+        # last activity by idle_ttl and no facts remain buffered.
+        if (
+            self.ttl_ms is not None
+            and not facts
+            and last_ms is not None
+            and wm_ms >= last_ms + self.ttl_ms
+        ):
+            self.state.clear()
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
 
     def close(self) -> None:
         pass
@@ -217,21 +259,27 @@ def asof_join_tws(
     NULL-padded rows for version-less facts, ``'inner'`` drops them.
 
     ``idle_ttl`` (duration string or millis int, default None = keep
-    forever): PROCESSING-TIME TTL on each key's state blob via the
-    transformWithState TTL config. Watermarks prune old VERSIONS within
-    a key, but a key seen once otherwise holds its latest version
-    forever — unbounded state when the key space grows without bound
-    (the reference's own "possibly large state" caveat,
-    README.md:559). With a TTL, a key idle (no dim update and no
-    buffered fact stored) for longer than ``idle_ttl`` has its whole
-    blob dropped by the state store. Documented expiry semantics: a
-    fact arriving AFTER its dim key expired sees no versions — it
-    NULL-pads under ``how='left'`` and is dropped under ``'inner'``,
-    exactly as if the dim had never been seen (test-pinned). The TTL
-    clock resets on every state WRITE, and the gated operator re-writes
-    the blob whenever facts remain buffered, so pending facts are never
-    expired mid-wait unless the key receives nothing at all for the
-    full TTL. Choose ``idle_ttl`` >> the watermark delay plus the
+    forever): EVENT-TIME (watermark-clock) idle TTL on each key's state
+    blob. Watermarks prune old VERSIONS within a key, but a key seen
+    once otherwise holds its latest version forever — unbounded state
+    when the key space grows without bound (the reference's own
+    "possibly large state" caveat, README.md:559). With a TTL, a key
+    that receives no input while the watermark advances past its last
+    activity by ``idle_ttl`` has its whole blob cleared by a
+    per-key event-time timer. This is deliberately NOT Spark's built-in
+    state TTL config: ``getValueState(ttlDurationMs=...)`` is
+    ProcessingTime-only — ``StatefulProcessorHandleImpl
+    .validateTTLConfig`` throws ``cannotProvideTTLConfigForTimeMode``
+    under the ``eventTime`` time mode this operator requires — so the
+    expiry is implemented manually with timers (ADVICE r6, high), which
+    also makes it deterministic under replay. Documented expiry
+    semantics: a fact arriving AFTER its dim key expired sees no
+    versions — it NULL-pads under ``how='left'`` and is dropped under
+    ``'inner'``, exactly as if the dim had never been seen
+    (test-pinned). The TTL clock resets on every input for the key
+    (last-activity = max of the batch's event times and the current
+    watermark), and expiry never fires while facts remain buffered for
+    the key. Choose ``idle_ttl`` >> the watermark delay plus the
     longest expected fact lag per key.
     """
     keys = [key] if isinstance(key, str) else list(key)

@@ -61,7 +61,15 @@ class FakeHandle:
         self.ttl_ms = None
 
     def getValueState(self, name, schema, ttlDurationMs=None):
-        self.ttl_ms = ttlDurationMs
+        # Mirror real Spark: under timeMode='eventTime' any TTL config
+        # throws (StatefulProcessorHandleImpl.validateTTLConfig ->
+        # cannotProvideTTLConfigForTimeMode). The operator must NOT pass
+        # ttlDurationMs — idle expiry is manual (ADVICE r6, high).
+        if ttlDurationMs is not None:
+            raise Exception(
+                "CANNOT_PROVIDE_TTL_CONFIG_FOR_TIME_MODE: state TTL is "
+                "ProcessingTime-only; this query runs in eventTime mode"
+            )
         return self.state
 
     def registerTimer(self, ts):
@@ -179,7 +187,7 @@ def test_same_batch_dims_processed_before_facts():
 def test_pruning_keeps_latest_at_or_below_frontier():
     p = _mk(gate=False)
     _run(p, [_dim_row(t, f"v{t}") for t in (1000, 2000, 3000, 9000)], 5000)
-    dims, _ = p._load()
+    dims, _, _ = p._load()
     # v1000/v2000 can never match a future (post-gate) fact; v3000 is the
     # carried version at the frontier, v9000 is still ahead of it.
     assert [d[2][0] for d in dims] == ["v3000", "v9000"]
@@ -188,7 +196,7 @@ def test_pruning_keeps_latest_at_or_below_frontier():
 def test_gated_pending_fact_blocks_pruning():
     p = _mk(gate=True)
     _run(p, [_dim_row(1000, "a"), _dim_row(2000, "b"), _fact_row(1500, 1)], 0)
-    dims, facts = p._load()
+    dims, facts, _ = p._load()
     assert len(facts) == 1
     # frontier = pending fact ts (1500): version a must survive to serve it
     assert [d[2][0] for d in dims] == ["a", "b"]
@@ -415,34 +423,80 @@ def test_same_ts_null_payload_sorts_none_safely():
     assert list(out["name"]) == ["z"]
 
 
-def test_idle_ttl_threads_to_state_and_expiry_semantics():
-    """idle_ttl: the TTL reaches getValueState, and a fact arriving
-    after the key's blob expired (state store returns None) behaves as
-    if the dim was never seen — NULL-pad under left, dropped under
-    inner (the documented late-fact-after-expiry contract)."""
+def test_idle_ttl_never_uses_builtin_ttl_config():
+    """Regression pin (ADVICE r6, high): Spark's built-in state TTL is
+    ProcessingTime-only, so passing ttlDurationMs under the eventTime
+    mode this operator requires crashes at processor init. FakeHandle
+    mirrors that throw — init with idle_ttl set must NOT trip it."""
+    p = _AsOfProcessor(["order_id", "order_time"], ["name"], True, False, 60_000)
+    p.init(FakeHandle())  # would raise if ttlDurationMs were passed
+    assert p.ttl_ms == 60_000
+
+
+def test_idle_ttl_registers_expiry_timer_and_clears_idle_key():
+    """Manual event-time idle expiry: input arms a timer at
+    last_activity + ttl; once the watermark passes it and no facts are
+    buffered, the fired timer drops the whole blob."""
     p = _AsOfProcessor(["order_id", "order_time"], ["name"], True, False, 60_000)
     p.init(FakeHandle())
-    assert p.handle.ttl_ms == 60_000
-    # default: no TTL requested
-    q = _mk()
-    assert q.handle.ttl_ms is None
-
-    # dim versions land, then the store expires the idle key's blob
-    _run(p, [_dim_row(1000, "v1")], 0)
+    # dim lands at wm=5000 -> last_activity = max(5000, 1000) = 5000
+    _run(p, [_dim_row(1000, "v1")], 5000)
     assert p.state.get() is not None
-    p.state.clear()  # what the TTL'd store does after idle_ttl
+    assert p.handle.timers == [65_000]  # expiry at last_activity + ttl
+    # timer fires before the deadline passes (stale timer): no-op
+    list(p.handleExpiredTimer((1,), FakeTimerValues(30_000), FakeExpiredTimer(30_000)))
+    assert p.state.get() is not None
+    # fresh activity resets the clock and replaces the timer
+    _run(p, [_dim_row(40_000, "v2")], 50_000)
+    assert p.handle.timers == [110_000]
+    # watermark passes the deadline: key expires wholesale
+    list(p.handleExpiredTimer((1,), FakeTimerValues(110_000), FakeExpiredTimer(110_000)))
+    assert p.state.get() is None
+    assert p.handle.timers == []
 
     # late fact after expiry: left -> NULL-padded, exactly "never seen"
-    out = _run(p, [_fact_row(3000, 9)], 10_000)
+    out = _run(p, [_fact_row(3000, 9)], 200_000)
     assert list(out["order_id"]) == [9] and list(out["name"]) == [None]
 
     # same under inner: dropped
     pi = _AsOfProcessor(["order_id", "order_time"], ["name"], True, True, 60_000)
     pi.init(FakeHandle())
-    _run(pi, [_dim_row(1000, "v1")], 0)
-    pi.state.clear()
-    out = _run(pi, [_fact_row(3000, 9)], 10_000)
+    _run(pi, [_dim_row(1000, "v1")], 5000)
+    list(pi.handleExpiredTimer((1,), FakeTimerValues(70_000), FakeExpiredTimer(65_000)))
+    assert pi.state.get() is None
+    out = _run(pi, [_fact_row(3000, 9)], 200_000)
     assert out.empty
+
+
+def test_idle_ttl_spares_key_with_buffered_facts():
+    """Expiry never fires while facts remain buffered: the fired timer
+    first drains what the watermark allows, and keeps the key if
+    anything is still pending."""
+    p = _AsOfProcessor(["order_id", "order_time"], ["name"], True, False, 60_000)
+    p.init(FakeHandle())
+    # fact@100_000 buffered (wm=0); dim v1@1000 in state
+    _run(p, [_dim_row(1000, "v1"), _fact_row(100_000, 1)], 0)
+    # wm jumps far past last_activity + ttl, but the fact is not yet
+    # passable (wm < 100_000): key must survive
+    fired = list(
+        p.handleExpiredTimer((1,), FakeTimerValues(99_000), FakeExpiredTimer(60_000 + 100_000))
+    )
+    assert fired == []
+    assert p.state.get() is not None
+    # once the watermark passes the fact, it drains WITH its version...
+    fired = list(
+        p.handleExpiredTimer((1,), FakeTimerValues(400_000), FakeExpiredTimer(100_001))
+    )
+    got = pd.concat(fired)
+    assert list(got["order_id"]) == [1] and list(got["name"]) == ["v1"]
+    # ...and the same firing then observes an expired, fact-free key
+    assert p.state.get() is None
+
+
+def test_no_ttl_means_no_expiry_timer():
+    p = _mk(gate=True)
+    _run(p, [_dim_row(1000, "v1")], 5000)
+    assert p.handle.timers == []  # no pending facts, no ttl -> no timers
 
 
 def test_idle_ttl_duration_string_parses():
