@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -228,12 +229,28 @@ ROTATION: list[str] = [
 COHORT_SIZE = 50 - len(PINNED)  # 17
 FIRST_ROTATED_ROUND = 6
 
+# Rounds strictly below this are COMMITTED driver artifacts; the file the
+# CURRENT round's driver writes (CORRECTNESS_r{this}.json, untracked
+# until the next round's start commit) must NOT advance the window
+# mid-round (ADVICE r6, medium: re-invoking the entry point after the
+# artifact lands would silently shift slots 34-50 to the next cohort).
+# Bump by 1 at the start of each round, when the previous round's
+# artifact gets committed.
+FIRST_UNRECORDED_ROUND = 7
+
 
 def current_round() -> int:
     """Round number inferred from driver artifacts committed next to
-    this module: CORRECTNESS_r01..r0{N-1} exist when round N runs."""
+    this module: CORRECTNESS_r01..r0{N-1} exist when round N runs.
+    Only rounds strictly below ``FIRST_UNRECORDED_ROUND`` count, so the
+    artifact the current round's driver itself writes cannot rotate the
+    window mid-round."""
     here = os.path.dirname(os.path.abspath(__file__))
-    n = len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    n = 0
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", f)
+        if m and int(m.group(1)) < FIRST_UNRECORDED_ROUND:
+            n += 1
     return max(n + 1, FIRST_ROTATED_ROUND)
 
 

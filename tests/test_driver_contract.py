@@ -80,6 +80,53 @@ def test_round6_cohort_is_never_driver_checked():
     assert not set(cohort) & seen, set(cohort) & seen
 
 
+def test_round_derivation_ignores_current_rounds_artifact(tmp_path, monkeypatch):
+    """ADVICE r6 (medium): the artifact the CURRENT round's driver
+    writes must not advance the rotation window mid-round. Simulate a
+    repo dir holding r01..r06 plus a driver-written r07: the derived
+    round must stay 7."""
+    import json
+    import os
+
+    for n in range(1, 7):
+        (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text("{}")
+    real_dirname = os.path.dirname
+
+    def fake_dirname(path):
+        return str(tmp_path) if path.endswith("__spark_entry__.py") else real_dirname(path)
+
+    monkeypatch.setattr(E.os.path, "dirname", fake_dirname)
+    assert E.current_round() == 7
+    before = E.ordered_names()
+    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")  # driver's mid-round write
+    assert E.current_round() == 7
+    assert E.ordered_names() == before
+
+
+def test_first_unrecorded_round_tracks_committed_artifacts():
+    """Fails loudly at the start of the NEXT round if the previous
+    round's CORRECTNESS artifact got committed without bumping
+    FIRST_UNRECORDED_ROUND — the nag that keeps the window advancing."""
+    import os
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=here, capture_output=True, text=True, timeout=30, check=True,
+        ).stdout
+    except Exception:  # noqa: BLE001 - git unavailable: nothing to pin
+        return
+    rounds = [int(m.group(1)) for m in re.finditer(r"CORRECTNESS_r0*(\d+)\.json", out)]
+    assert rounds, "expected committed correctness artifacts"
+    assert E.FIRST_UNRECORDED_ROUND == max(rounds) + 1, (
+        "a new CORRECTNESS artifact was committed: bump "
+        "__spark_entry__.FIRST_UNRECORDED_ROUND to keep the rotation advancing"
+    )
+
+
 def test_bench_covers_every_suite_query():
     """bench.py must bench every suite query (array_membership_join is
     the single documented exclusion — its scale path IS unnest_join),
