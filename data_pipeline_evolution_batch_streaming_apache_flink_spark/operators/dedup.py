@@ -526,6 +526,11 @@ def embedding_cosine_pairs(
     the exact ``round(6) >= threshold`` filter runs JVM-side (numpy
     rounds half-even, Spark/DuckDB half-up — never round in Python).
     Returns (id_a, id_b, cos) with id_a < id_b, round(cos,6) >= threshold.
+    Zero-norm vectors: cosine is undefined (0/0 -> NaN) and such pairs
+    are DROPPED by contract — same documented semantics as
+    ``similarity.bucketed_cosine_pairs`` (engines disagree on both 0/0
+    and NaN ordering, so exclude-by-contract is the only cross-engine
+    stable choice); filter zero vectors upstream if they must surface.
     """
     import numpy as np
     import pandas as pd
@@ -563,7 +568,10 @@ def embedding_cosine_pairs(
         B = np.stack(pb["__v"].to_numpy()).astype(np.float64)
         ids_a = pa["__id"].to_numpy()
         ids_b = pb["__id"].to_numpy()
-        cos = _fold_matmul(A, B) / (_fold_norms(A)[:, None] * _fold_norms(B)[None, :])
+        # zero-norm contract (see docstring): 0/0 -> NaN, and every
+        # NaN comparison below is False, so such pairs drop cleanly.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = _fold_matmul(A, B) / (_fold_norms(A)[:, None] * _fold_norms(B)[None, :])
         if i == j:
             # Same block on both sides: each unordered pair appears twice,
             # keep the (a < b) orientation only.

@@ -735,28 +735,23 @@ def ivfpq_probe_topk(
     )
 
 
-def bucketed_cosine_pairs(
+def lsh_hash_buckets(
     df: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
-    threshold: float = 0.4,
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Random-hyperplane LSH near-dup pairs: rows hash to a sign-pattern
-    bucket per table; only same-bucket pairs are compared, then verified
-    with exact cosine. Recall rises with n_tables; precision is exact
-    (verification step).
-
-    ``max_bucket`` drops candidate buckets larger than that many rows
-    (mirrors ``ngram_jaccard_pairs``' ``max_df``): an adversarial corpus
-    of near-identical vectors collapses into one bucket per table, which
-    would otherwise materialize a single K-element aggregation row and
-    K²/2 pairs. Dropping costs recall only for vectors duplicated more
-    than ``max_bucket`` times — run exact dedup first so exact duplicates
-    never reach LSH. Returns (id_a, id_b, cos)."""
+    """The hyperplane-LSH bucket table — ``(__id, tbl, bucket)``, one row
+    per (vector, table) with ``bucket`` the n_planes-bit sign pattern of
+    the vector against that table's seeded random hyperplanes. This IS
+    the LSH index structure: persist it once per corpus and the pair
+    expansion + exact verification in :func:`bucketed_cosine_pairs` can
+    run against the stored table (``hashed=``) instead of re-evaluating
+    n_tables x n_planes interpreted HOF dot products per row per run —
+    the same index-vs-probe steady-state split as IVF/IVF-PQ and the
+    incremental MinHash index. Deterministic for a given seed."""
     import random
 
     dim_row = df.select(F.size(vec_col).alias("d")).head()
@@ -770,6 +765,68 @@ def bucketed_cosine_pairs(
             bit = (dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int") * (2 ** i)
             sig = bit if sig is None else sig + bit
         tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return fan_out(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))).select(
+        "__id", F.explode(F.array(*tables)).alias("__h")
+    ).select("__id", "__h.tbl", "__h.bucket")
+
+
+def bucketed_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = None,
+    hashed: DataFrame | None = None,
+    verify: str = "pairs",
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs: rows hash to a sign-pattern
+    bucket per table; only same-bucket pairs are compared, then verified
+    with exact cosine. Recall rises with n_tables; precision is exact
+    (verification step).
+
+    ``max_bucket`` drops candidate buckets larger than that many rows
+    (mirrors ``ngram_jaccard_pairs``' ``max_df``): an adversarial corpus
+    of near-identical vectors collapses into one bucket per table, which
+    would otherwise materialize a single K-element aggregation row and
+    K²/2 pairs. Dropping costs recall only for vectors duplicated more
+    than ``max_bucket`` times — run exact dedup first so exact duplicates
+    never reach LSH.
+
+    ``hashed``: a precomputed :func:`lsh_hash_buckets` table for ``df``
+    (e.g. read back from parquet) — skips the hashing stage so repeat
+    runs against a stable corpus probe the persisted index instead of
+    rebuilding it. Caller owns parameter consistency (same corpus, same
+    n_planes/n_tables/seed).
+
+    ``verify`` picks the verification strategy by candidate density —
+    both produce bit-identical results (parity test-pinned):
+
+    * ``"pairs"`` (default, the sparse/scale regime): expand id-only
+      candidate pairs, dedup on (id_a, id_b), join the two vectors back
+      for only the deduped survivors. Shuffle volume scales with the
+      CANDIDATE count — right when buckets are selective and candidates
+      << corpus x n_tables.
+    * ``"bucket"`` (the dense regime, e.g. recall-1.0 gate configs where
+      candidates approach all-pairs): join each vector once per (table,
+      bucket) occupancy and verify whole buckets with a per-group numpy
+      left-fold matmul, deduplicating only the pairs that PASS the
+      threshold. Shuffle volume scales with corpus x n_tables — at the
+      suite's gate config that is 32k vector rows versus 1.7M candidate
+      pairs carrying two full vectors each (measured 4.3 -> ~2 s warm at
+      sf0.1). Same per-group K^2 bound, still guarded by ``max_bucket``.
+
+    Zero-norm vectors: cosine is undefined (0/0), and such pairs are
+    DROPPED by contract — documented rather than incidental (ADVICE r6:
+    the numpy filter silently dropped NaN while the earlier JVM filter
+    kept it, because Spark orders NaN above every double; engines also
+    disagree on 0/0, so exclude-by-contract is the only cross-engine
+    stable semantics). Filter zero vectors out upstream if they must be
+    reported. Returns (id_a, id_b, cos)."""
+    if hashed is None:
+        hashed = lsh_hash_buckets(df, id_col, vec_col, n_planes, n_tables, seed)
     # Candidate generation carries IDS ONLY: the pair space is expanded
     # and deduplicated on (id_a, id_b) rows a few bytes wide, and the
     # vectors are joined back just for the verification of the DEDUPED
@@ -780,10 +837,9 @@ def bucketed_cosine_pairs(
     # buckets). The join back is two hash joins keyed on id — broadcast
     # when the vector table is small, plain shuffle joins at corpus
     # scale (the same fetch-for-shortlist shape as _exact_rerank).
-    hashed = fan_out(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))).select(
-        "__id", F.explode(F.array(*tables)).alias("__h")
-    ).select("__id", "__h.tbl", "__h.bucket")
     hashed = cap_buckets(hashed, ("tbl", "bucket"), max_bucket)
+    if verify == "bucket":
+        return _bucket_verified_pairs(df, hashed, id_col, vec_col, threshold)
     buckets = (
         hashed.groupBy("tbl", "bucket")
         .agg(F.collect_list("__id").alias("__xs"))
@@ -829,8 +885,11 @@ def bucketed_cosine_pairs(
             acc = np.zeros(len(p))
             for j in range(A.shape[1]):
                 acc += A[:, j] * B[:, j]
-            cos = acc / (_fold_norms(A) * _fold_norms(B))
-            keep = np.nonzero(cos >= threshold - 1e-6)[0]
+            denom = _fold_norms(A) * _fold_norms(B)
+            # zero-norm contract (see docstring): cosine undefined -> drop
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / denom
+            keep = np.nonzero((denom > 0) & (cos >= threshold - 1e-6))[0]
             if len(keep):
                 yield pd.DataFrame({
                     "id_a": p["id_a"].to_numpy()[keep],
@@ -840,6 +899,65 @@ def bucketed_cosine_pairs(
 
     return (
         cand.mapInPandas(_verify, schema=f"id_a {idt}, id_b {idt}, cos double")
+        .withColumn("cos", F.round("cos", 6))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def _bucket_verified_pairs(
+    df: DataFrame,
+    hashed: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Dense-regime verification for :func:`bucketed_cosine_pairs`
+    (``verify="bucket"``): ship each vector once per (table, bucket)
+    occupancy and score whole buckets with a per-group numpy LEFT-FOLD
+    matmul (same bit-exact fold discipline as
+    ``dedup.embedding_cosine_pairs``), deduplicating only the pairs that
+    pass the threshold. When candidates approach all-pairs (recall-1.0
+    gate configs), this replaces a candidate-count-sized shuffle —
+    millions of (id_a, id_b) rows plus two full vectors joined per pair —
+    with a corpus x n_tables one. Per-group working set is K^2 for a
+    K-row bucket, bounded by the caller's ``max_bucket`` guard. The r6
+    negative result (verify-before-dedup, 8.6 -> 16.7 s) measured the
+    INTERPRETED per-element HOF fold re-scoring per occurrence; the
+    per-group vectorized matmul removes that cost, which is what flips
+    the trade-off here (measured 4.3 -> ~2 s warm at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        _fold_matmul,
+        _fold_norms,
+    )
+
+    idt = df.schema[id_col].dataType.simpleString()
+    margin = threshold - 1e-6
+    withv = hashed.join(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__id"
+    )
+
+    def _bucket_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        A = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        ids = pdf["__id"].to_numpy()
+        norms = _fold_norms(A)
+        denom = norms[:, None] * norms[None, :]
+        # zero-norm contract (see bucketed_cosine_pairs): 0/0 drops
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = _fold_matmul(A, A) / denom
+        mask = (ids[:, None] < ids[None, :]) & (denom > 0) & (cos >= margin)
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": cos[ia, ib]})
+
+    out = withv.groupBy("tbl", "bucket").applyInPandas(
+        _bucket_verify, schema=f"id_a {idt}, id_b {idt}, cos double"
+    )
+    return (
+        out.dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", F.round("cos", 6))
         .filter(F.col("cos") >= threshold)
     )

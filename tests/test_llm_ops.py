@@ -111,6 +111,43 @@ def test_bucketed_cosine_recall_one_config(emb):
     assert len(exact) > 0
 
 
+def test_bucketed_cosine_persisted_buckets_parity(emb, tmp_path):
+    """A bucket table persisted via lsh_hash_buckets and passed back as
+    ``hashed=`` must reproduce the fresh run bit-for-bit (the suite's
+    per-(process, sf) bucket memo relies on this)."""
+    fresh = {(r["id_a"], r["id_b"], r["cos"])
+             for r in S.bucketed_cosine_pairs(emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16).collect()}
+    p = str(tmp_path / "buckets")
+    S.lsh_hash_buckets(emb, "vec_id", "embedding", n_planes=3, n_tables=16).write.parquet(p)
+    stored = emb.sparkSession.read.parquet(p)
+    memo = {(r["id_a"], r["id_b"], r["cos"])
+            for r in S.bucketed_cosine_pairs(emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16, hashed=stored).collect()}
+    assert memo == fresh
+    assert len(fresh) > 0
+    # and the dense-regime per-bucket matmul verification is bit-identical
+    # to the id-only pair expansion path (same left-fold scoring)
+    dense = {(r["id_a"], r["id_b"], r["cos"])
+             for r in S.bucketed_cosine_pairs(emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16, hashed=stored, verify="bucket").collect()}
+    assert dense == fresh
+
+
+def test_bucketed_cosine_zero_norm_pairs_dropped(spark):
+    """Zero-norm contract (ADVICE r6): cosine with a zero vector is
+    undefined and the pair is dropped — deterministically, not as a
+    side effect of NaN-ordering differences between engines."""
+    rows = [
+        (1, [0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0]),
+        (4, [1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = S.bucketed_cosine_pairs(df, "vec_id", "embedding", threshold=0.0, n_planes=1, n_tables=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert pairs == {(3, 4)}  # the zero-zero and zero-nonzero pairs drop
+    assert all(r["cos"] == 1.0 for r in got)
+
+
 def test_ivfpq_recall_one_config_matches_exact(emb):
     """IVF-PQ at probe-all + shortlist-covers-corpus reproduces exact
     brute-force top-k (the suite-oracle gate config), and an approximate
