@@ -80,9 +80,10 @@ def main() -> None:
         streamed = hop_merge_estimate(
             spark.sql("SELECT * FROM audience_panes"), "1 hour", "15 minutes", p=9
         )
-        print("streamed-state estimates == batch estimates:",
-              streamed.exceptAll(est).isEmpty() and est.exceptAll(streamed).isEmpty())
+        parity = streamed.exceptAll(est).isEmpty() and est.exceptAll(streamed).isEmpty()
         streamed.orderBy("window_start_ms").show(8)
+        assert parity, "streamed-state estimates != batch estimates"
+        print("PASS: streamed-state HLL estimates == batch estimates")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
