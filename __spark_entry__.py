@@ -25,9 +25,13 @@ evidence for every query over successive rounds, ``queries()`` /
   as of round 5 first, in suite-registration order, then the
   previously-checked rest).  The cohort for round N is the circular
   slice ``ROTATION[(N - 6) * 17 :][:17]``; the round number is derived
-  from the CORRECTNESS_r*.json files already present next to this
-  module (N = count + 1), so the window self-advances each round with
-  no manual edit.
+  from the COMMITTED CORRECTNESS_r*.json artifacts next to this module
+  (N = count + 1, counting only rounds strictly below
+  ``FIRST_UNRECORDED_ROUND`` so the artifact the current round's driver
+  itself writes cannot shift the window mid-round — ADVICE r6). The
+  window advances each round by committing the previous artifact and
+  bumping ``FIRST_UNRECORDED_ROUND``; a guard test nags if the bump is
+  forgotten.
 * slots 51–164: the remaining queries in ``ROTATION`` order (the local
   full-suite mirror ``tools/check_oracle.py`` still runs all of them).
 
