@@ -825,6 +825,8 @@ def bucketed_cosine_pairs(
     disagree on 0/0, so exclude-by-contract is the only cross-engine
     stable semantics). Filter zero vectors out upstream if they must be
     reported. Returns (id_a, id_b, cos)."""
+    if verify not in ("pairs", "bucket"):
+        raise ValueError(f"verify must be 'pairs' or 'bucket', got {verify!r}")
     if hashed is None:
         hashed = lsh_hash_buckets(df, id_col, vec_col, n_planes, n_tables, seed)
     # Candidate generation carries IDS ONLY: the pair space is expanded

@@ -668,3 +668,57 @@ def test_interval_join_matches_nested_loop_reference(spark, left, right, lo, up)
         if lk == rk and lm - lo <= rm <= lm + up
     )
     assert got == want
+
+
+VEC = st.lists(
+    st.floats(min_value=-4, max_value=4, allow_nan=False, allow_infinity=False,
+              width=32),
+    min_size=4, max_size=4,
+)
+# bias toward exact zero vectors so the zero-norm contract path fires
+VEC_OR_ZERO = st.one_of(VEC, st.just([0.0, 0.0, 0.0, 0.0]))
+CORPUS = st.lists(VEC_OR_ZERO, min_size=2, max_size=10)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=CORPUS, threshold=st.sampled_from([-0.5, 0.0, 0.3, 0.8]))
+def test_bucketed_cosine_verify_modes_agree_incl_zero_norm(spark, vecs, threshold):
+    """The two verification shapes of bucketed_cosine_pairs (id-only
+    pair expansion vs per-bucket matmul) must emit identical (id_a,
+    id_b, cos) sets on arbitrary corpora — including zero-norm vectors,
+    which both must DROP by the documented contract — and every emitted
+    pair must match a literal numpy left-fold reference."""
+    import numpy as np
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import (
+        bucketed_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    kw = dict(threshold=threshold, n_planes=2, n_tables=6)
+    pairs_mode = {(r["id_a"], r["id_b"], r["cos"])
+                  for r in bucketed_cosine_pairs(df, "vec_id", "embedding", **kw).collect()}
+    bucket_mode = {(r["id_a"], r["id_b"], r["cos"])
+                   for r in bucketed_cosine_pairs(df, "vec_id", "embedding", **kw, verify="bucket").collect()}
+    assert pairs_mode == bucket_mode
+    # literal reference for the emitted pairs: left-fold cosine, 6dp,
+    # zero-norm excluded; candidates are LSH-limited so only check that
+    # whatever IS emitted is exactly right (precision, not recall)
+    arr = [np.array(v, dtype=np.float64) for v in vecs]
+
+    def fold_cos(a, b):
+        acc = 0.0
+        na = nb = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return acc / (np.sqrt(na) * np.sqrt(nb)) if na > 0 and nb > 0 else None
+    for ia, ib, cos in pairs_mode:
+        ref = fold_cos(arr[ia], arr[ib])
+        assert ref is not None, "zero-norm pair emitted despite contract"
+        assert round(ref, 6) == cos

@@ -506,3 +506,71 @@ def test_idle_ttl_duration_string_parses():
 
     assert _parse_gap_ms("10 minutes") == 600_000
     assert _parse_gap_ms(1234) == 1234
+
+
+# ---------------------------------------------------------------------------
+# property: random batching/watermark schedules vs a literal batch as-of
+# ---------------------------------------------------------------------------
+def test_processor_matches_batch_asof_under_random_schedules():
+    """Drive the gated processor through randomized arrival orders,
+    batch splits, and watermark advances (bounded disorder, delay >=
+    max disorder so nothing is late — the upstream-watermark contract),
+    then drain with a far-future timer. The emitted (fact, dim-version)
+    assignment must equal the literal batch as-of reference for EVERY
+    schedule — the invariant today's idle-expiry rewrite must preserve."""
+    import random as _random
+
+    for trial in range(25):
+        rng = _random.Random(1000 + trial)
+        n_dims = rng.randint(0, 8)
+        n_facts = rng.randint(1, 10)
+        dims = [(rng.randrange(0, 100) * 1000, f"v{i}") for i in range(n_dims)]
+        facts = [(rng.randrange(0, 100) * 1000, i) for i in range(n_facts)]
+        events = [("d", ts, name) for ts, name in dims] + [
+            ("f", ts, fid) for ts, fid in facts
+        ]
+        # bounded-disorder arrival: sort by ts, then locally shuffle
+        events.sort(key=lambda e: e[1])
+        for i in range(0, len(events), 3):
+            chunk = events[i : i + 3]
+            rng.shuffle(chunk)
+            events[i : i + 3] = chunk
+
+        p = _mk(gate=True)
+        out_rows = []
+        seen_max = 0
+        i = 0
+        while i < len(events):
+            k = rng.randint(1, 3)
+            batch = events[i : i + k]
+            i += k
+            wm = max(0, seen_max - 30_000)  # delay 30s >= disorder bound
+            seen_max = max([seen_max] + [e[1] for e in batch])
+            rows = [
+                _dim_row(ts, name) if kind == "d" else _fact_row(ts, fid)
+                for kind, ts, fid_or_name in batch
+                for name, fid in [(fid_or_name, fid_or_name)]
+            ]
+            out_rows.append(_run(p, rows, wm))
+        # drain everything still buffered
+        fired = list(
+            p.handleExpiredTimer((1,), FakeTimerValues(10_000_000), FakeExpiredTimer(0))
+        )
+        got = pd.concat([df for df in out_rows if len(df)] + [f for f in fired if len(f)]) \
+            if (fired or any(len(df) for df in out_rows)) else pd.DataFrame(columns=p.out_cols)
+        emitted = sorted(
+            (int(r.order_id), r.name if isinstance(r.name, str) else None)
+            for r in got.itertuples()
+        )
+        # literal reference: latest dim at-or-before each fact ts, with the
+        # processor's deterministic same-ts tie-break (max payload wins)
+        ref = []
+        for fts, fid in facts:
+            best = None
+            for dts, name in sorted(dims):
+                if dts <= fts:
+                    best = name
+                else:
+                    break
+            ref.append((fid, best))
+        assert emitted == sorted(ref), f"trial {trial}: {emitted} != {sorted(ref)}"
