@@ -56,6 +56,7 @@ def streaming_asof_join(
     delay: str = "0 seconds",
     how: str = "left",
     dim_op: str | None = None,
+    idle_ttl: str | int | None = None,
 ) -> DataFrame:
     """Event-time AS-OF join on streaming inputs.
 
@@ -81,8 +82,26 @@ def streaming_asof_join(
     mitigation (heartbeats) as documented there. Rows arriving later than
     the watermark are dropped by Spark before the operator (one-batch-lag
     filter) — the reference's late-data semantics (W6, README.md:268-301).
+
+    ``idle_ttl`` (duration string or millis int, default None = keep
+    forever): EVENT-TIME (watermark-clock) idle expiry for whole keys —
+    same manual mechanism and semantics as ``tws.asof_join_tws``
+    (Spark's built-in state TTL config is ProcessingTime-only, and this
+    operator's timeouts are event-time). The state blob carries a
+    last-activity event time; with no pending facts, the key's timeout
+    is armed at ``last_activity + idle_ttl`` and the firing removes the
+    blob once the watermark has passed it. A fact arriving after its key
+    expired sees no versions — NULL-pad under ``left``, dropped under
+    ``inner`` — exactly "never seen". The clock resets on every input
+    for the key, and expiry never fires while facts are buffered. Unlike
+    the TWS twin this path EXECUTES on real Spark in this environment
+    (no protobuf needed) — the expiry semantics are integration-tested
+    end-to-end in tests/test_streaming.py.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import _parse_gap_ms
+
+    ttl_ms = _parse_gap_ms(idle_ttl) if idle_ttl is not None else None
     dim_payload = [c for c in dim.columns if c not in keys and c not in (dim_ts, dim_op)]
     fact_cols = list(fact.columns)
 
@@ -116,10 +135,17 @@ def streaming_asof_join(
     def fn(key_tuple, pdfs, state: GroupState):
         import numpy as np
 
-        dims, facts = pickle.loads(state.get[0]) if state.exists else ([], [])
+        if state.exists:
+            blob = pickle.loads(state.get[0])
+            # tolerate pre-r7 2-tuple blobs (no last-activity field)
+            dims, facts, last_ms = blob if len(blob) == 3 else (blob[0], blob[1], None)
+        else:
+            dims, facts, last_ms = [], [], None
+        acts = []
         for pdf in pdfs:
             for d in pdf.to_dict(orient="records"):
                 ts_ms = _ms(d["__ts"])
+                acts.append(ts_ms)
                 if d["__is_fact"] == 1:
                     facts.append((ts_ms, tuple(d[f"__f_{c}"] for c in fact_cols)))
                 else:
@@ -127,6 +153,11 @@ def streaming_asof_join(
                         (ts_ms, bool(d["__live"]), tuple(d[f"__d_{c}"] for c in dim_payload))
                     )
         wm = state.getCurrentWatermarkMs()
+        # idle-TTL clock: resets on every input for the key, measured on
+        # the event-time axis the watermark follows (max(wm) keeps a key
+        # that just received a straggler from being instantly expirable)
+        if acts:
+            last_ms = max(acts + [wm] + ([last_ms] if last_ms is not None else []))
         # Full (ts, live, image) tie-break, None-safe — same deterministic
         # max-image winner at equal (key, ts) as the batch operator.
         dims.sort(key=_vkey)
@@ -157,10 +188,21 @@ def streaming_asof_join(
         if len(older) > 1:
             dims = dims[older[-1]:]
 
-        if pending or dims:
-            state.update((pickle.dumps((dims, pending)),))
+        expired = (
+            ttl_ms is not None
+            and not pending
+            and last_ms is not None
+            and wm >= last_ms + ttl_ms
+        )
+        if (pending or dims) and not expired:
+            state.update((pickle.dumps((dims, pending, last_ms)),))
             if pending:
                 state.setTimeoutTimestamp(max(min(fx[0] for fx in pending), wm + 1))
+            elif ttl_ms is not None and last_ms is not None:
+                # arm the idle-expiry timeout; the firing re-enters this
+                # fn with no input, finds the key idle past its deadline,
+                # and removes the whole blob
+                state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 1))
         else:
             state.remove()
 

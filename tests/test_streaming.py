@@ -1249,3 +1249,45 @@ def test_stateful_streaming_under_rocksdb_state_store(spark, tmp_path):
     assert asof_rdb == asof_hdfs == [(100, 5), (101, 7), (102, None), (103, 9)]
     assert ivl_rdb == ivl_hdfs
     assert len(ivl_rdb) > 0
+
+
+def test_streaming_asof_idle_ttl_expires_keys_end_to_end(spark, tmp_path):
+    """REAL-Spark integration of manual event-time idle-key expiry
+    (ADVICE r6 high asked for one; the TWS twin can only mock-test it —
+    protobuf-gated — so this sibling operator carries the executed
+    evidence for the shared semantics). A dim key idle past ``idle_ttl``
+    on the watermark clock is dropped wholesale, so a later fact
+    NULL-pads exactly as never-seen; the identical schedule WITHOUT
+    idle_ttl still serves the retained version."""
+    dim_rows = [{"k": 1, "dts": "2024-01-01 10:00:00", "price": 5}]
+
+    def hb(h, m):
+        return {"k": 99, "fid": 999, "fts": f"2024-01-01 {h:02d}:{m:02d}:00"}
+
+    late_fact = {"k": 1, "fid": 200, "fts": "2024-01-01 11:30:00"}
+    fact_batches = [
+        [hb(10, 5)],   # b1 (with the dim file): wm -> 10:05 after
+        [hb(11, 0)],   # b2: wm -> 11:00; key-1 deadline 10:30 now passed
+        [hb(11, 5)],   # b3: the expiry timeout fires, key 1 removed
+        [late_fact],   # b4: fact for the expired key, buffered
+        [hb(12, 0)],   # b5: wm -> 12:00
+        [hb(12, 30)],  # b6: drain timeout fires for the buffered fact
+    ]
+    for ttl, want in [("30 minutes", None), (None, 5)]:
+        sub = tmp_path / ("ttl" if ttl else "nottl")
+        sub.mkdir()
+        dim_dir, fact_dir = str(sub / "dim_in"), str(sub / "fact_in")
+        _write_batches(dim_dir, [dim_rows])
+        _write_batches(fact_dir, fact_batches)
+        joined = streaming_asof_join(
+            json_file_stream(spark, fact_dir, "k int, fid int, fts timestamp"),
+            json_file_stream(spark, dim_dir, "k int, dts timestamp, price int"),
+            key="k", fact_ts="fts", dim_ts="dts", how="left", idle_ttl=ttl,
+        )
+        out_dir = _run_available_now(joined, sub, "asofttl")
+        got = {
+            (r["fid"], r["price"])
+            for r in spark.read.parquet(out_dir).collect()
+            if r["fid"] != 999
+        }
+        assert got == {(200, want)}, f"idle_ttl={ttl}: {got}"
