@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, dot, norm
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.vectors import cosine, norm
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets, fan_out
 
 
@@ -751,23 +751,57 @@ def lsh_hash_buckets(
     run against the stored table (``hashed=``) instead of re-evaluating
     n_tables x n_planes interpreted HOF dot products per row per run —
     the same index-vs-probe steady-state split as IVF/IVF-PQ and the
-    incremental MinHash index. Deterministic for a given seed."""
+    incremental MinHash index. Deterministic for a given seed.
+
+    Execution: ONE Arrow-batched numpy pass computes all n_tables x
+    n_planes sign bits (left-fold dot accumulation — identical IEEE
+    order and therefore identical sign decisions as the Catalyst
+    ``aggregate`` HOF formulation this replaces, which interpreted 48
+    lambda folds per row and dominated the cold build: ~10 s -> <1 s at
+    sf0.1). Plane values are drawn in the same seeded order as always,
+    so bucket assignments are bit-stable across versions (the pinned
+    recall-1.0 configs depend on them)."""
     import random
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
 
     dim_row = df.select(F.size(vec_col).alias("d")).head()
     dim = dim_row["d"]
     rng = random.Random(seed)
-    tables = []
-    for t in range(n_tables):
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-        sig = None
-        for i, p in enumerate(planes):
-            bit = (dot(F.col("__v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int") * (2 ** i)
-            sig = bit if sig is None else sig + bit
-        tables.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-    return fan_out(df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))).select(
-        "__id", F.explode(F.array(*tables)).alias("__h")
-    ).select("__id", "__h.tbl", "__h.bucket")
+    # same draw order as the original per-table loop: table-major,
+    # plane-minor, dim-innermost
+    planes = np.array(
+        [
+            [rng.gauss(0, 1) for _ in range(dim)]
+            for _t in range(n_tables)
+            for _p in range(n_planes)
+        ]
+    )  # (n_tables * n_planes, dim)
+    weights = 2 ** np.arange(n_planes, dtype=np.int64)
+    idt = df.schema[id_col].dataType.simpleString()
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in batches:
+            if not len(p):
+                continue
+            A = np.stack(p["__v"].to_numpy()).astype(np.float64)  # (n, d)
+            acc = np.zeros((len(p), planes.shape[0]))
+            for j in range(A.shape[1]):  # left-fold across dims
+                acc += A[:, j : j + 1] * planes[:, j][None, :]
+            bits = (acc > 0).astype(np.int64).reshape(len(p), n_tables, n_planes)
+            buckets = bits @ weights  # (n, n_tables)
+            ids = np.repeat(p["__id"].to_numpy(), n_tables)
+            yield pd.DataFrame({
+                "__id": ids,
+                "tbl": np.tile(np.arange(n_tables, dtype=np.int32), len(p)),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return fan_out(
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    ).mapInPandas(_hash, schema=f"__id {idt}, tbl int, bucket long")
 
 
 def bucketed_cosine_pairs(
