@@ -767,7 +767,12 @@ def lsh_hash_buckets(
     import numpy as np
     import pandas as pd
 
+    idt_early = df.schema[id_col].dataType.simpleString()
     dim_row = df.select(F.size(vec_col).alias("d")).head()
+    if dim_row is None:  # empty corpus: empty index, not a TypeError
+        return df.sparkSession.createDataFrame(
+            [], f"__id {idt_early}, tbl int, bucket long"
+        )
     dim = dim_row["d"]
     rng = random.Random(seed)
     # same draw order as the original per-table loop: table-major,
@@ -835,6 +840,11 @@ def bucketed_cosine_pairs(
     rebuilding it. Caller owns parameter consistency (same corpus, same
     n_planes/n_tables/seed).
 
+    ``id_col`` must be UNIQUE per row (it names the pair endpoints).
+    Duplicate id values never emit self-pairs in either verify shape,
+    but a duplicated id carrying two different vectors makes cross-pair
+    multiplicity undefined — deduplicate ids upstream.
+
     ``verify`` picks the verification strategy by candidate density —
     both produce bit-identical results (parity test-pinned):
 
@@ -888,6 +898,10 @@ def bucketed_cosine_pairs(
             F.explode(F.slice("__xs", F.col("__i") + 2, F.size("__xs"))).alias("__b"),
         )
         .select(F.least("__a", "__b").alias("id_a"), F.greatest("__a", "__b").alias("id_b"))
+        # duplicate id values would otherwise surface as a self-pair here
+        # (least == greatest) that the bucket-verify path's strict < drops —
+        # keep the two shapes identical on ANY input
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     cand = pairs.join(

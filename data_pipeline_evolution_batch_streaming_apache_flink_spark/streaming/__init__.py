@@ -158,6 +158,13 @@ def streaming_asof_join(
         # that just received a straggler from being instantly expirable)
         if acts:
             last_ms = max(acts + [wm] + ([last_ms] if last_ms is not None else []))
+        elif ttl_ms is not None and last_ms is None and (dims or facts):
+            # pre-TTL (2-tuple) blob touched by a timeout: start its idle
+            # clock NOW so the key joins the TTL regime instead of staying
+            # unexpirable; keys with neither input nor an armed timeout
+            # remain unreachable until input arrives (documented restore
+            # semantics of retrofitting idle_ttl onto an old checkpoint)
+            last_ms = wm
         # Full (ts, live, image) tie-break, None-safe — same deterministic
         # max-image winner at equal (key, ts) as the batch operator.
         dims.sort(key=_vkey)

@@ -121,7 +121,10 @@ class _AsOfProcessor(StatefulProcessor):
         if pending:
             self.handle.registerTimer(max(min(f[0] for f in pending), wm_ms + 1))
         if self.ttl_ms is not None and last_ms is not None and stored:
-            self.handle.registerTimer(last_ms + self.ttl_ms)
+            # clamp past-due deadlines to wm+1: while a far-future fact
+            # stays pending past its key's TTL deadline, an unclamped
+            # timer would re-fire as a no-op on every batch
+            self.handle.registerTimer(max(last_ms + self.ttl_ms, wm_ms + 1))
 
     def _match(self, ots_ms, dims):
         """Latest entry (ts, live, payload) at-or-before ots_ms, or None.
@@ -208,6 +211,17 @@ class _AsOfProcessor(StatefulProcessor):
     def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
         dims, facts, last_ms = self._load()
         wm_ms = timerValues.getCurrentWatermarkInMs()
+        if self.ttl_ms is not None and last_ms is None and (dims or facts):
+            # pre-TTL (2-tuple) blob touched by a timer: start its idle
+            # clock NOW (and persist + re-arm it) rather than leaving the
+            # key unexpirable forever. Keys with neither input nor timers
+            # stay unreachable until input arrives — documented restore
+            # semantics of retrofitting idle_ttl onto an old checkpoint.
+            last_ms = wm_ms
+            if not facts:
+                self._store(dims, facts, last_ms)
+                self._rearm([], wm_ms, last_ms, stored=True)
+                return
         if facts:
             yield from self._flush(dims, facts, wm_ms, last_ms)
             dims, facts, last_ms = self._load()

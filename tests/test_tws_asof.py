@@ -513,11 +513,12 @@ def test_idle_ttl_duration_string_parses():
 # ---------------------------------------------------------------------------
 def test_processor_matches_batch_asof_under_random_schedules():
     """Drive the gated processor through randomized arrival orders,
-    batch splits, and watermark advances (bounded disorder, delay >=
-    max disorder so nothing is late — the upstream-watermark contract),
-    then drain with a far-future timer. The emitted (fact, dim-version)
-    assignment must equal the literal batch as-of reference for EVERY
-    schedule — the invariant today's idle-expiry rewrite must preserve."""
+    batch splits, and watermark advances, dropping late rows (ts <= wm
+    at arrival) exactly like Spark's pre-operator watermark filter does
+    — the processor's input contract — then drain with a far-future
+    timer. The emitted (fact, dim-version) assignment must equal the
+    literal batch as-of reference OVER THE FED ROWS for every schedule
+    — the invariant today's idle-expiry rewrite must preserve."""
     import random as _random
 
     for trial in range(25):
@@ -538,17 +539,26 @@ def test_processor_matches_batch_asof_under_random_schedules():
 
         p = _mk(gate=True)
         out_rows = []
+        fed_dims, fed_facts = [], []
         seen_max = 0
         i = 0
         while i < len(events):
             k = rng.randint(1, 3)
             batch = events[i : i + k]
             i += k
-            wm = max(0, seen_max - 30_000)  # delay 30s >= disorder bound
+            wm = max(0, seen_max - 30_000)  # watermark delay 30s
             seen_max = max([seen_max] + [e[1] for e in batch])
+            # Spark's watermark filter drops late rows BEFORE the
+            # operator; chunk-shuffle bounds position (not time)
+            # displacement, so genuinely late events can occur here
+            kept = [e for e in batch if e[1] > wm]
+            if not kept:
+                continue
+            for kind, ts, payload in kept:
+                (fed_dims if kind == "d" else fed_facts).append((ts, payload))
             rows = [
                 _dim_row(ts, name) if kind == "d" else _fact_row(ts, fid)
-                for kind, ts, fid_or_name in batch
+                for kind, ts, fid_or_name in kept
                 for name, fid in [(fid_or_name, fid_or_name)]
             ]
             out_rows.append(_run(p, rows, wm))
@@ -556,18 +566,19 @@ def test_processor_matches_batch_asof_under_random_schedules():
         fired = list(
             p.handleExpiredTimer((1,), FakeTimerValues(10_000_000), FakeExpiredTimer(0))
         )
-        got = pd.concat([df for df in out_rows if len(df)] + [f for f in fired if len(f)]) \
-            if (fired or any(len(df) for df in out_rows)) else pd.DataFrame(columns=p.out_cols)
+        frames = [df for df in out_rows if len(df)] + [f for f in fired if len(f)]
+        got = pd.concat(frames) if frames else pd.DataFrame(columns=p.out_cols)
         emitted = sorted(
             (int(r.order_id), r.name if isinstance(r.name, str) else None)
             for r in got.itertuples()
         )
-        # literal reference: latest dim at-or-before each fact ts, with the
-        # processor's deterministic same-ts tie-break (max payload wins)
+        # literal reference OVER FED ROWS: latest fed dim at-or-before
+        # each fed fact ts, with the processor's deterministic same-ts
+        # tie-break (max payload wins)
         ref = []
-        for fts, fid in facts:
+        for fts, fid in fed_facts:
             best = None
-            for dts, name in sorted(dims):
+            for dts, name in sorted(fed_dims):
                 if dts <= fts:
                     best = name
                 else:
