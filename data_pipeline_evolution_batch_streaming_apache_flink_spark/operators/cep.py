@@ -84,9 +84,22 @@ def match_strict(
     ``{name}_{order_col}`` and (if ``id_col``) ``{name}_{id_col}``.
     Entirely native: predicates fold into the scan, the leads share one
     window sort, whole-stage codegen end to end.
+
+    Rows with a NULL ``order_col`` are dropped — they have no position
+    in event order (same contract as ``match_pattern``, review r7).
     """
     names = _check_steps(steps)
     k = len(steps)
+    if within is not None and not isinstance(
+        df.schema[order_col].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        raise TypeError(
+            f"order_col {order_col!r} must be an integer event-time column "
+            f"(epoch millis/micros) when within= is set, got "
+            f"{df.schema[order_col].dataType.simpleString()}; cast "
+            "timestamps explicitly so cross-engine semantics stay exact"
+        )
+    df = df.filter(F.col(order_col).isNotNull())
     order_cols = [order_col] + ([id_col] if id_col else [])
     w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
 
@@ -119,11 +132,12 @@ def match_strict(
     )
 
 
-def _match_events(ts, ids, preds, within, emit):
+def _match_events(ts, preds, within, emit):
     """Greedy earliest-match scan over one key's events (already sorted).
 
     ``preds`` is a list of k sorted int arrays: indices where step j's
-    predicate holds. Returns a list of matches, each a list of k event
+    predicate holds. The caller pre-sorts events by (ts, id) — the
+    helper itself never needs ids. Returns a list of matches, each a list of k event
     indices. Shared by the batch operator and the streaming twin (which
     additionally needs to know the first index a future match could
     use — returned as the second element).
@@ -213,11 +227,25 @@ def match_pattern(
             f"(epoch millis/micros), got {order_type.simpleString()}; cast "
             "timestamps explicitly so cross-engine semantics stay exact"
         )
+    if id_col is not None and not isinstance(
+        df.schema[id_col].dataType, (T.LongType, T.IntegerType, T.ShortType)
+    ):
+        # a blind cast('long') would NULL every non-numeric id and crash
+        # the pandas stage with an opaque NaN error (review r7)
+        raise TypeError(
+            f"id_col {id_col!r} must be an integer column, got "
+            f"{df.schema[id_col].dataType.simpleString()}; map string ids "
+            "to a numeric surrogate (e.g. xxhash64) upstream"
+        )
 
     proj = [F.col(key_col), F.col(order_col).cast("long").alias("__ts")]
+    # NULL order (or id) rows have no position in event order: drop them
+    # here rather than letting NaN crash to_numpy in the executor
+    clean = df.filter(F.col(order_col).isNotNull())
     if id_col:
         proj.append(F.col(id_col).cast("long").alias("__id"))
-    slim = df.select(
+        clean = clean.filter(F.col(id_col).isNotNull())
+    slim = clean.select(
         *proj, *[_as_col(p).cast("boolean").alias(f"__p{j}") for j, (_, p) in enumerate(steps)]
     )
 
@@ -240,7 +268,7 @@ def match_pattern(
             np.flatnonzero(pdf[f"__p{j}"].to_numpy(dtype="object")[order] == True)  # noqa: E712 (None-safe)
             for j in range(k)
         ]
-        matches, _ = _match_events(ts, ids, preds, within, emit)
+        matches, _ = _match_events(ts, preds, within, emit)
         rows = []
         for seq, picked in enumerate(matches, start=1):
             row = [key, seq]

@@ -33,6 +33,15 @@ def latest_per_key(
     aggregation with map-side partial combine, so at 100 TB the shuffle
     carries one pre-combined row per key per map task, not the raw
     changelog. (A window/row_number formulation would shuffle every row.)
+
+    A NULL ``op_col`` value is NOT a delete — rows whose latest op is
+    NULL (e.g. snapshot/backfill rows mixed into a CDC feed) are KEPT as
+    upserts (review r7: the bare ``~isin`` filter evaluated to NULL and
+    silently dropped them). Ties on ``order_by``: ``max_by`` picks an
+    arbitrary payload among equal ordering structs — make the ordering
+    total (append an LSN / kafka offset / epoch column, as the in-repo
+    sinks do) when same-ordering duplicates are possible; the compaction
+    is only as deterministic as its ordering.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -44,7 +53,9 @@ def latest_per_key(
         .select(*keys, *[F.col(f"__latest.{c}").alias(c) for c in payload])
     )
     if op_col is not None:
-        compacted = compacted.filter(~F.col(op_col).isin(*delete_ops))
+        compacted = compacted.filter(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*delete_ops)
+        )
     return compacted
 
 
@@ -80,7 +91,10 @@ def snapshot_diff(
 
     One full-outer sort-merge join on the key — both sides shuffle once
     on the same key, nothing else moves. Keys must be unique per
-    snapshot (it is a state diff, not a multiset diff).
+    snapshot (it is a state diff, not a multiset diff). Key matching is
+    NULL-SAFE (review r7): a NULL-keyed row present in both snapshots
+    classifies as U/unchanged like any other key, instead of splitting
+    into a spurious D + I pair whose replay order is nondeterministic.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     shared = [c for c in old.columns if c in set(new.columns) and c not in keys]
@@ -89,13 +103,23 @@ def snapshot_diff(
     if missing:
         raise ValueError(f"compare columns not in both snapshots: {missing}")
 
-    # presence flags: full_outer coalesces the key columns, so detect
-    # which side a row came from via a constant marker column per side.
-    o = old.select(*keys, F.lit(1).alias("__in_o"),
+    # presence flags: a constant marker column per side says which side a
+    # row came from. The join condition is eqNullSafe per key so NULL
+    # keys match each other (a USING-columns join would never match
+    # them); the output key is the coalesce of the two sides.
+    o = old.select(*[F.col(c).alias(f"__ok_{c}") for c in keys],
+                   F.lit(1).alias("__in_o"),
                    *[F.col(c).alias(f"__o_{c}") for c in shared])
-    n = new.select(*keys, F.lit(1).alias("__in_n"),
+    n = new.select(*[F.col(c).alias(f"__nk_{c}") for c in keys],
+                   F.lit(1).alias("__in_n"),
                    *[F.col(c).alias(f"__n_{c}") for c in shared])
-    joined = o.join(n, keys, "full_outer")
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+    joined = o.join(n, cond, "full_outer").select(
+        "*",
+        *[F.coalesce(F.col(f"__ok_{c}"), F.col(f"__nk_{c}")).alias(c) for c in keys],
+    )
     in_old = F.col("__in_o").isNotNull()
     in_new = F.col("__in_n").isNotNull()
 

@@ -146,7 +146,7 @@ def streaming_match_pattern(
                 scan_pos = max(n - (k - 1), 0)  # keep the k-1 tail only
             else:
                 preds = [np.flatnonzero(f) for f in flags]
-                matches, scan_pos = _match_events(ts, ids, preds, within, "all")
+                matches, scan_pos = _match_events(ts, preds, within, "all")
             for picked in matches:
                 seq += 1
                 row = [key_tuple[0], seq]

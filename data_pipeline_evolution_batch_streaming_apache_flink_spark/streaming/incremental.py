@@ -76,7 +76,7 @@ class IncrementalTemporalJoin:
         self.dims = {d.name: d for d in dims}
         self.enrich = enrich
         self.route = route
-        self.delay_expr = f"INTERVAL {delay}"
+        self.delay = delay
         os.makedirs(base_dir, exist_ok=True)
 
     # -- log plumbing -------------------------------------------------------
@@ -136,19 +136,26 @@ class IncrementalTemporalJoin:
             return
         routed = self.route(batch_df)
 
-        for name, rows in routed.items():
-            spec = specs[name]
-            rows = rows.persist()
-            try:
-                agg = rows.agg(F.max(F.col(spec.ts).cast("timestamp")).alias("m")).collect()[0]
-                if agg["m"] is not None:
-                    prev = meta["max_ts"].get(name)
-                    cur = agg["m"].isoformat(sep=" ")
-                    if prev is None or cur > prev:
-                        meta["max_ts"][name] = cur
-                self._write_epoch(rows, self._log_path(name), epoch_id)
-            finally:
-                rows.unpersist()
+        # the source micro-batch is consumed once per routed table below;
+        # cache it so each per-table filter reads the cache instead of
+        # re-scanning/decoding the unified CDC batch (review r7)
+        batch_df.persist()
+        try:
+            for name, rows in routed.items():
+                spec = specs[name]
+                rows = rows.persist()
+                try:
+                    agg = rows.agg(F.max(F.col(spec.ts).cast("timestamp")).alias("m")).collect()[0]
+                    if agg["m"] is not None:
+                        prev = meta["max_ts"].get(name)
+                        cur = agg["m"].isoformat(sep=" ")
+                        if prev is None or cur > prev:
+                            meta["max_ts"][name] = cur
+                    self._write_epoch(rows, self._log_path(name), epoch_id)
+                finally:
+                    rows.unpersist()
+        finally:
+            batch_df.unpersist()
         meta["last_epoch"] = int(epoch_id) if epoch_id is not None else None
 
         # multi-input watermark: min over every input's cumulative max −
@@ -157,16 +164,19 @@ class IncrementalTemporalJoin:
         if len(meta["max_ts"]) < len(specs):
             self._save_meta(meta)
             return
-        frontier_df = self.spark.createDataFrame(
-            [(v,) for v in meta["max_ts"].values()], "ts string"
-        ).select(
-            F.min(F.col("ts").cast("timestamp") - F.expr(self.delay_expr)).alias("f")
+        # driver-local arithmetic on a handful of locally-held isoformat
+        # strings — the createDataFrame+collect Spark job this replaces
+        # paid a full scheduling round-trip per micro-batch (review r7);
+        # min-then-subtract is identical to subtract-then-min
+        from datetime import datetime, timedelta
+
+        from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import _parse_gap_ms
+
+        lo = min(meta["max_ts"].values())  # isoformat strings order correctly
+        frontier_dt = datetime.fromisoformat(lo) - timedelta(
+            milliseconds=_parse_gap_ms(self.delay)
         )
-        frontier = frontier_df.collect()[0]["f"]
-        if frontier is None:
-            self._save_meta(meta)
-            return
-        frontier_s = frontier.isoformat(sep=" ")
+        frontier_s = frontier_dt.isoformat(sep=" ")
         prev_frontier = meta["emitted_frontier"]
         if prev_frontier is not None and frontier_s <= prev_frontier:
             self._save_meta(meta)
@@ -195,12 +205,19 @@ class IncrementalTemporalJoin:
             raise FileNotFoundError("no output emitted yet")
         return self.spark.read.option("recursiveFileLookup", "true").parquet(path)
 
-    def run_available_now(self, stream_df: DataFrame) -> None:
-        """Drain a bounded stream through the engine (tests/backfills)."""
+    def run_available_now(self, stream_df: DataFrame, timeout_s: int = 600) -> None:
+        """Drain a bounded stream through the engine (tests/backfills).
+        Raises on timeout instead of returning with the query still
+        running against a half-written output (review r7)."""
         q = (
             stream_df.writeStream.foreachBatch(self.foreach_batch)
             .option("checkpointLocation", os.path.join(self.base, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"incremental engine drain exceeded {timeout_s}s; query "
+                "stopped — output is partial, rerun with a larger timeout"
+            )

@@ -100,3 +100,28 @@ def test_snapshot_diff_before_images(spark):
     assert rows[1]["op"] == "U" and rows[1]["a"] == "x2" and rows[1]["a_before"] == "x"
     assert rows[3]["op"] == "I" and rows[3]["a_before"] is None
     assert rows[2]["op"] == "D" and rows[2]["a_before"] == "y" and rows[2]["a"] == "y"
+
+
+def test_snapshot_diff_null_keys_match_null_safe(spark):
+    """Review r7: NULL keys must match across snapshots (eqNullSafe), not
+    split into a spurious D + I pair with nondeterministic replay."""
+    old = _snap(spark, [(None, "x", 1.0), (1, "a", 1.0)])
+    new = _snap(spark, [(None, "y", 1.0), (1, "a", 1.0)])
+    rows = {r["k"]: r for r in snapshot_diff(old, new, "k").collect()}
+    assert set(rows) == {None}  # key 1 unchanged -> dropped
+    assert rows[None]["op"] == "U" and rows[None]["a"] == "y"
+    # identical NULL-key rows -> no diff at all
+    assert snapshot_diff(old, old, "k").count() == 0
+
+
+def test_latest_per_key_null_op_is_not_a_delete(spark):
+    """Review r7: a NULL op (snapshot/backfill row in a CDC feed) must be
+    kept as an upsert — the bare ~isin filter silently dropped it."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.changelog import latest_per_key
+
+    log = spark.createDataFrame(
+        [(1, 1, "c", "v1"), (1, 2, None, "v2"), (2, 1, "c", "w1"), (2, 2, "d", None)],
+        "k long, seq long, op string, v string",
+    )
+    rows = {r["k"]: r["v"] for r in latest_per_key(log, "k", "seq", op_col="op").collect()}
+    assert rows == {1: "v2"}  # NULL-op latest kept; tombstoned key 2 dropped
