@@ -45,8 +45,14 @@ def sessionize(
     timestamps explicitly so the cross-engine semantics stay exact.
     ``tiebreak_cols`` break ordering ties for events sharing a
     timestamp (pass a unique event id for determinism).
+
+    Rows with a NULL timestamp are dropped — they have no position in
+    event order (review r7: NULLs sorted first and each seeded a
+    phantom session, shifting every real session_seq for the user).
+    Same contract as the CEP operators.
     """
     gap_ms = _parse_gap_ms(gap)
+    df = df.filter(F.col(ts_ms_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_ms_col, *tiebreak_cols)
     prev: Column = F.lag(ts_ms_col).over(w)
     flagged = df.withColumn(

@@ -52,6 +52,15 @@ class ParquetUpsertSink:
         )
 
     def current_state(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.path):
+            # zero micro-batches ran (empty bounded source): the state is
+            # empty, but with no written schema there is nothing to infer —
+            # raise actionably instead of an opaque PATH_NOT_FOUND
+            raise FileNotFoundError(
+                f"upsert sink at {self.path} holds no data: the stream wrote "
+                "no micro-batches (empty source?); there is no schema to "
+                "return an empty state with"
+            )
         log = spark.read.parquet(self.path)
         ordering = ["__epoch", *self.order_by]
         return latest_per_key(log, self.keys, ordering, op_col=self.op_col).drop("__epoch")
@@ -108,6 +117,15 @@ def with_kafka_partition(records: DataFrame, num_partitions: int, key_col: str =
     from pyspark.sql.functions import pandas_udf
 
     def _part_fn(keys):
+        if keys.isnull().any():
+            # Kafka's DefaultPartitioner round-robins NULL keys (sticky
+            # partitioning) — producer-side state this broker-free model
+            # cannot reproduce; upsert records always carry a key
+            raise ValueError(
+                "with_kafka_partition: NULL key encountered — null-key "
+                "(round-robin) placement is producer-side state and is not "
+                "modeled; filter or key such records explicitly"
+            )
         return keys.map(lambda k: kafka_default_partition(k, num_partitions)).astype("int32")
 
     # real annotation objects: the module's deferred (string) annotations
@@ -214,14 +232,28 @@ def write_upsert_jdbc(
     MERGE-capable target (Derby in tests; Postgres 15+, Oracle, etc.).
 
     ``op_col`` (if given) marks deletes via ``delete_ops`` and is treated
-    as transport metadata: it is not stored in the target table.
+    as transport metadata: it is not stored in the target table. A NULL
+    op is an UPSERT, never a delete — same contract as
+    ``changelog.latest_per_key`` and the Kafka twin (review r7: the
+    bare ``NOT IN`` insert predicate evaluated to UNKNOWN for NULL op
+    and silently never inserted the row).
+
+    The staging table defaults to a per-invocation unique name and is
+    DROPPED after the merge (review r7: a shared ``{table}_stage``
+    let two concurrent writers to one target merge each other's rows).
+    String-typed key/op columns are CAST to VARCHAR in the DDL/ON
+    clause — Spark's Derby writer stages StringType as CLOB, which the
+    database cannot compare.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes for MERGE
-    staging = staging_table or f"{table}_stage"
+    staging = staging_table or f"{table}_stage_{uuid.uuid4().hex[:12]}"
     payload = [c for c in compacted.columns if c not in keys and c != op_col]
     if not payload:
         raise ValueError("upsert needs at least one non-key payload column")
+    string_cols = {
+        f.name for f in compacted.schema.fields if f.dataType.simpleString() == "string"
+    }
 
     (
         compacted.write.format("jdbc")
@@ -244,6 +276,14 @@ def write_upsert_jdbc(
             return '"' + c + '"'
 
         cols = keys + payload
+
+        def sel(c: str) -> str:
+            # Spark's Derby writer stages StringType as CLOB; surface
+            # string columns as comparable VARCHAR in DDL and ON clauses
+            return (
+                f"CAST({q(c)} AS VARCHAR(512)) AS {q(c)}" if c in string_cols else q(c)
+            )
+
         target_exists = True
         try:
             stmt.executeQuery(f"SELECT 1 FROM {table} FETCH FIRST ROW ONLY").close()
@@ -251,11 +291,15 @@ def write_upsert_jdbc(
             target_exists = False
         if not target_exists:
             stmt.executeUpdate(
-                f"CREATE TABLE {table} AS SELECT {', '.join(q(c) for c in cols)} "
+                f"CREATE TABLE {table} AS SELECT {', '.join(sel(c) for c in cols)} "
                 f"FROM {staging} WITH NO DATA"
             )
 
-        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        def onk(k: str) -> str:
+            s_side = f"CAST(s.{q(k)} AS VARCHAR(512))" if k in string_cols else f"s.{q(k)}"
+            return f"t.{q(k)} = {s_side}"
+
+        on = " AND ".join(onk(k) for k in keys)
         set_clause = ", ".join(f"{q(c)} = s.{q(c)}" for c in payload)
         insert_cols = ", ".join(q(c) for c in cols)
         insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
@@ -268,7 +312,8 @@ def write_upsert_jdbc(
                 f"MERGE INTO {table} t USING {staging} s ON {on} "
                 f"WHEN MATCHED AND {op_expr} IN ({in_list}) THEN DELETE "
                 f"WHEN MATCHED THEN UPDATE SET {set_clause} "
-                f"WHEN NOT MATCHED AND {op_expr} NOT IN ({in_list}) "
+                f"WHEN NOT MATCHED AND ({op_expr} NOT IN ({in_list}) "
+                f"OR s.{q(op_col)} IS NULL) "
                 f"THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
             )
         else:
@@ -278,6 +323,12 @@ def write_upsert_jdbc(
                 f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
             )
         stmt.executeUpdate(merge)
+        # staging is per-batch transport: drop it so concurrent writers
+        # and stopped pipelines never see each other's leftovers
+        try:
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+        except Exception:
+            pass  # best-effort cleanup; a leftover staging is inert now that names are unique
         stmt.close()
     finally:
         conn.close()

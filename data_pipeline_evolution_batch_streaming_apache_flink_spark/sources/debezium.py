@@ -79,7 +79,14 @@ def decode_debezium(
     ``{"schema": …, "payload": <envelope>}`` (Flink's
     ``debezium-json.schema-include`` option covers the same split).
     True = always unwrap, False = never, None (default) = auto-detect per
-    row, so mixed topics replay correctly.
+    row, so mixed topics replay correctly. Auto-detection costs one extra
+    ``get_json_object`` scan per record — on a high-volume topic whose
+    framing is known, pass the explicit flag to halve the parse work.
+
+    The decoded row image is emitted alongside the envelope metadata
+    columns ``op``/``ts_ms``/``txId``/``lsn``/``event_time_col``; a row
+    schema reusing one of those names would produce ambiguous duplicate
+    columns, so it is rejected up front (review r7).
 
     ``drop_tombstones``: a compacted Debezium topic carries post-delete
     tombstone records (null value); they carry no row data and are
@@ -98,6 +105,17 @@ def decode_debezium(
     from one pass).
     """
     schema = debezium_envelope_schema(row_schema)
+    meta_names = {"op", "ts_ms", "txId", "lsn"} | ({event_time_col} if event_time_col else set())
+    row_fields = (
+        T.StructType.fromDDL(row_schema) if isinstance(row_schema, str) else row_schema
+    )
+    clash = sorted(meta_names & {f.name for f in row_fields.fields})
+    if clash:
+        raise ValueError(
+            f"row_schema column(s) {clash} collide with the decoder's envelope "
+            "metadata output; rename them in the row schema (or pass a "
+            "different event_time_col)"
+        )
     raw = F.col(value_col).cast("string")
     if drop_tombstones:
         df = df.filter(raw.isNotNull())
@@ -158,6 +176,7 @@ def decode_logical_message(
     value_col: str = "value",
     fields: dict[str, tuple[str, str | None]] | None = None,
     lenient: bool = False,
+    drop_tombstones: bool = True,
 ) -> DataFrame:
     """Scenario-5 pipeline: parse the logical-decoding envelope, base64-
     decode ``message.content`` and JSON-path-extract the payload fields
@@ -168,9 +187,16 @@ def decode_logical_message(
     mirrors the reference's order-document extraction.
 
     ``lenient``: same dead-letter contract as :func:`decode_debezium` —
-    appends ``_corrupt_record`` carrying the raw value for records
-    whose envelope yielded no ``message.content`` (broken JSON, wrong
-    topic, truncated payload); route with ``quarantine_split``.
+    appends ``_corrupt_record`` carrying the raw value for records whose
+    envelope yielded no ``message.content`` OR whose content did not
+    base64-decode to parseable JSON (broken JSON, wrong topic, truncated
+    payload — ``unbase64`` decodes garbage best-effort without erroring,
+    so the decoded document itself is validated; review r7); route with
+    ``quarantine_split``.
+
+    ``drop_tombstones``: compacted-topic null values carry no document —
+    filtered out rather than decoded into all-null rows (same contract
+    as :func:`decode_debezium`, review r7).
     """
     fields = fields or {
         "order_id": ("$.order_id", "int"),
@@ -179,19 +205,22 @@ def decode_logical_message(
         "pizzas": ("$.pizzas", None),
     }
     raw = F.col(value_col).cast("string")
+    if drop_tombstones:
+        df = df.filter(raw.isNotNull())
     parsed = df.withColumn("__env", F.from_json(raw, LOGICAL_MSG_SCHEMA))
     doc = from_base64_str(F.col("__env.message.content"))
+    # a good record's content decodes to parseable JSON: get_json_object
+    # of the root returns non-null exactly then
+    undecodable = F.col("__env.message.content").isNull() | F.get_json_object(
+        doc, "$"
+    ).isNull()
     return parsed.select(
         F.col("__env.op").alias("op"),
         F.col("__env.ts_ms").alias("ts_ms"),
         F.col("__env.source.txId").alias("txId"),
         *[json_value(doc, path, cast).alias(name) for name, (path, cast) in fields.items()],
         *(
-            [
-                F.when(
-                    F.col("__env.message.content").isNull() & raw.isNotNull(), raw
-                ).alias("_corrupt_record")
-            ]
+            [F.when(undecodable & raw.isNotNull(), raw).alias("_corrupt_record")]
             if lenient
             else []
         ),

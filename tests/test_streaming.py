@@ -1291,3 +1291,81 @@ def test_streaming_asof_idle_ttl_expires_keys_end_to_end(spark, tmp_path):
             if r["fid"] != 999
         }
         assert got == {(200, want)}, f"idle_ttl={ttl}: {got}"
+
+
+def test_upsert_jdbc_null_op_and_string_keys(spark, tmp_path):
+    """Review r7 twin fixes, executed against real Derby: (1) a NULL-op
+    row (snapshot/backfill mixed into CDC) INSERTs — the bare NOT IN
+    predicate was UNKNOWN for NULL and silently dropped it; (2) a
+    string-typed key merges — Spark's Derby writer stages StringType as
+    CLOB, which the raw ON comparison could not handle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import write_upsert_jdbc
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/upsnull;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    b1 = spark.createDataFrame(
+        [("k1", "v1", "c", 1), ("k2", "v2", None, 2)],  # NULL op = upsert
+        "email string, val string, op string, ts_ms long",
+    )
+    write_upsert_jdbc(b1, keys="email", order_by="ts_ms", url=url,
+                      table="snap", driver=driver, op_col="op")
+    b2 = spark.createDataFrame(
+        [("k1", "v1b", None, 3), ("k2", "v2", "d", 4), ("k3", "v3", None, 5)],
+        "email string, val string, op string, ts_ms long",
+    )
+    write_upsert_jdbc(b2, keys="email", order_by="ts_ms", url=url,
+                      table="snap", driver=driver, op_col="op")
+    got = {
+        (r["email"], r["val"])
+        for r in read_jdbc(spark, url, "snap", driver=driver).collect()
+    }
+    # k1 updated via NULL op, k2 deleted, k3 inserted via NULL op
+    assert got == {("k1", "v1b"), ("k3", "v3")}
+
+
+def test_decode_debezium_rejects_meta_column_clash(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
+
+    df = spark.createDataFrame([("{}",)], "value string")
+    with pytest.raises(ValueError, match="ts_ms"):
+        decode_debezium(df, "id int, ts_ms long")
+
+
+def test_decode_logical_message_tombstones_and_truncated_payload(spark):
+    """Review r7: null Kafka values (tombstones) are dropped, and a
+    truncated/garbage base64 content — which unbase64 decodes
+    best-effort without erroring — is quarantined, not emitted as a
+    clean all-null row."""
+    import base64
+    import json
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_logical_message
+
+    good_doc = base64.b64encode(json.dumps(
+        {"order_id": 7, "client_name": "ann", "table_name": "t", "pizzas": "[]"}
+    ).encode()).decode()
+    good = json.dumps({"op": "m", "ts_ms": 1,
+                       "source": {"ts_ms": 1, "txId": 1, "lsn": 1},
+                       "message": {"prefix": "orders", "content": good_doc}})
+    truncated = json.dumps({"op": "m", "ts_ms": 2,
+                            "source": {"ts_ms": 2, "txId": 2, "lsn": 2},
+                            "message": {"prefix": "orders", "content": good_doc[:10]}})
+    df = spark.createDataFrame([(good,), (truncated,), (None,)], "value string")
+    out = decode_logical_message(df, lenient=True).collect()
+    assert len(out) == 2  # tombstone dropped
+    by_tx = {r["txId"]: r for r in out}
+    assert by_tx[1]["order_id"] == 7 and by_tx[1]["_corrupt_record"] is None
+    assert by_tx[2]["_corrupt_record"] is not None  # truncated -> quarantined
+
+
+def test_sessionize_drops_null_timestamps(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (1, 1000), (1, 2_000_000)],
+        "user_id long, ts_ms long",
+    )
+    rows = sessionize(df, gap="30 minutes").collect()
+    assert len(rows) == 2  # NULL-ts rows dropped, no phantom sessions
+    assert {r["session_seq"] for r in rows} == {1, 2}
