@@ -134,7 +134,11 @@ def chunk_documents(
     if not (0 <= overlap < size):
         raise ValueError(f"overlap must be in [0, size), got {overlap}")
     stride = size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text behaves as empty text: one empty chunk, preserving the
+    # documented "a document never yields zero chunks" invariant (review
+    # r7: NULL propagated into sequence() and the document vanished,
+    # breaking chunk-vs-document reconciliation downstream)
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(toks).cast("long")
     # ceil((n - size) / stride) in exact integer arithmetic so any SQL
     # engine reproduces the chunk count bit-for-bit
@@ -181,8 +185,11 @@ def stratified_sample(
     ``rand()``), map-side only (zero shuffle), and exact per-row so the
     same id always makes the same cut at any scale."""
     rate: Column = F.lit(default_rate)
-    for value, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == value, F.lit(r)).otherwise(rate)
+    for value, r in sorted(rates.items(), key=lambda kv: (kv[0] is not None, kv[0])):
+        matched = (
+            F.col(stratum_col).isNull() if value is None else F.col(stratum_col) == value
+        )
+        rate = F.when(matched, F.lit(r)).otherwise(rate)
     return df.filter(sample_hash(id_col) < rate * F.lit(float(_MOD)))
 
 
@@ -318,12 +325,16 @@ def filter_by_percentile(
     never starves another).
 
     Exact, not approximate — no sampled-quantile drift between runs.
-    Grouped: ``cume_dist`` over the per-group sort (one shuffle on the
-    group key). Ungrouped: a DISTRIBUTED global rank (range shuffle on
-    the score + in-partition ``row_number`` + broadcast partition
-    offsets — the :func:`global_running_sum` pattern), NEVER a
-    single-partition global window; the keep test is ``rank / N <=
-    keep_frac``, the same division ``cume_dist`` performs.
+    Grouped: ``row_number`` over the per-group sort plus the group count
+    (both windows share one shuffle on the group key); the keep test is
+    ``rank / N <= keep_frac``. Review r7: the earlier ``cume_dist``
+    formulation assigned a whole score-tie group one value, so without a
+    tiebreak a tie group straddling the boundary was kept or dropped en
+    bloc — quantized quality scores could silently starve a group.
+    Ungrouped: a DISTRIBUTED global rank (range shuffle on the score +
+    in-partition ``row_number`` + broadcast partition offsets — the
+    :func:`global_running_sum` pattern), NEVER a single-partition global
+    window; the keep test is the identical division.
 
     ``tiebreak_col`` (pass a unique id) makes rank order — and
     therefore the kept set — deterministic under score ties; without
@@ -336,11 +347,12 @@ def filter_by_percentile(
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())
     if partition_by is not None:
-        w = Window.partitionBy(partition_by).orderBy(*order)
+        wp = Window.partitionBy(partition_by)
         return (
-            df.withColumn("__cd", F.cume_dist().over(w))
-            .filter(F.col("__cd") <= keep_frac)
-            .drop("__cd")
+            df.withColumn("__rn", F.row_number().over(wp.orderBy(*order)))
+            .withColumn("__n", F.count(F.lit(1)).over(wp))
+            .filter((F.col("__rn") / F.col("__n")) <= keep_frac)
+            .drop("__rn", "__n")
         )
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (
@@ -400,6 +412,10 @@ def temperature_resample(
     Strata counts land on the driver (bounded: one row per stratum —
     languages/domains, not documents).
     """
+    if not 0.0 <= alpha <= 1.0:
+        # alpha > 1 makes every rate clamp to 1.0 (a silent no-op), alpha
+        # < 0 produces nonsense rates (review r7)
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     counts = {
         r["s"]: r["n"]
         for r in df.groupBy(F.col(stratum_col).alias("s")).agg(F.count("*").alias("n")).collect()
@@ -413,8 +429,12 @@ def temperature_resample(
             s: round(min(1.0, (n_min / n) ** (1.0 - alpha)), 6) for s, n in counts.items()
         }
     else:
-        weights = {s: (n / total) ** alpha for s, n in sorted(counts.items())}
-        wsum = sum(weights[s] for s in sorted(weights))
+        # None-safe stratum sort: a NULL stratum (routine in crawl tags)
+        # is its own stratum, ordered first (review r7: sorted() raised
+        # TypeError comparing None with str)
+        skey = lambda kv: (kv[0] is not None, kv[0])
+        weights = {s: (n / total) ** alpha for s, n in sorted(counts.items(), key=skey)}
+        wsum = sum(w for _s, w in sorted(weights.items(), key=skey))
         targets = {s: weights[s] / wsum for s in counts}  # temperature-adjusted shares
         rates = {
             s: round(min(1.0, targets[s] * float(budget) / counts[s]), 6) for s in counts
@@ -490,8 +510,12 @@ def span_corruption(
 
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     tok = df.select(id_col, F.posexplode(toks).alias("pos", "tok"))
-    h1 = sample_hash(F.col(id_col) * 1000003 + F.col("pos"))
-    h2 = sample_hash(F.col(id_col) * 1000033 + F.col("pos"))
+    # fold the id to 31 bits BEFORE the salt multiply: id * 1000003 would
+    # overflow int64 (ANSI abort) for ids above ~9.2e12, and the fold is
+    # congruent mod 2^31 so every hash value is unchanged (review r7)
+    folded_id = F.pmod(F.col(id_col).cast("long"), F.lit(2147483648))
+    h1 = sample_hash(folded_id * 1000003 + F.col("pos"))
+    h2 = sample_hash(folded_id * 1000033 + F.col("pos"))
     starts = tok.withColumn("__start", h1 < F.lit(float(round(start_p * _MOD)))).withColumn(
         "__len", (h2 % width + 1).cast("int")
     )

@@ -102,7 +102,14 @@ def validate_expectations(
         )
         for i, c in enumerate(checks)
     ]
-    out = base.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    if entries:
+        out = base.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    else:
+        # FK-only contract suite (review r7: explode of an empty array
+        # literal cannot star-expand) — start from an empty typed frame
+        out = df.sparkSession.createDataFrame(
+            [], "check string, kind string, violations long, total long"
+        )
 
     for fact_col, dim_df, dim_col in references or []:
         dim_keys = F.broadcast(
@@ -256,22 +263,44 @@ def mad_outliers(
 
     Two grouped aggregations (same key partitioning) broadcast back
     onto the rows; ungrouped inputs use a single-row broadcast, never a
-    window over all data. Nulls/NaN pass through unflagged.
+    window over all data. Nulls/NaN pass through unflagged. NULL group
+    keys form their own group via null-safe joins (review r7: the plain
+    equi-joins silently DROPPED every NULL-group row from the output —
+    same trap ``k_anonymity`` documents); a group whose values are all
+    NULL/NaN keeps its rows with NULL median/MAD and ``is_outlier``
+    False.
     """
     groups = group_cols or []
     c = F.col(col).cast("double")
     clean = df.where(c.isNotNull() & ~F.isnan(c))
+
+    def nsj(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+        # rename the right side's group cols: both sides share lineage,
+        # so dataframe-qualified references would be ambiguous
+        r = right.select(
+            *[F.col(g).alias(f"__g_{g}") for g in groups],
+            *[c for c in right.columns if c not in groups],
+        )
+        cond = F.lit(True)
+        for g in groups:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+        return left.join(r, cond, how).drop(*[f"__g_{g}" for g in groups])
+
     med = clean.groupBy(*groups).agg(
         F.round(F.expr(f"percentile({col}, 0.5)"), 6).alias("__med")
     )
-    j1 = clean.join(F.broadcast(med), groups) if groups else clean.crossJoin(F.broadcast(med))
+    j1 = nsj(clean, F.broadcast(med)) if groups else clean.crossJoin(F.broadcast(med))
     mad = (
         j1.withColumn("__adev", F.round(F.abs(c - F.col("__med")), 6))
         .groupBy(*groups)
         .agg(F.round(F.expr("percentile(__adev, 0.5)"), 6).alias("__mad"))
     )
-    stats = med.join(mad, groups) if groups else med.crossJoin(mad)
-    out = df.join(F.broadcast(stats), groups) if groups else df.crossJoin(F.broadcast(stats))
+    stats = nsj(med, mad) if groups else med.crossJoin(mad)
+    out = (
+        nsj(df, F.broadcast(stats), "left")
+        if groups
+        else df.crossJoin(F.broadcast(stats))
+    )
     dev = F.round(F.abs(c - F.col("__med")), 6)
     return out.select(
         *df.columns,

@@ -131,8 +131,11 @@ def ewma(
         .orderBy(ts_col, *tiebreak_cols)
         .rowsBetween(-(window - 1), 0)
     )
+    # NaN is a non-observation like NULL (review r7: floor(NaN*q)
+    # silently coerced to 0 and entered the series as a real value)
     cents = F.expr(
-        f"CAST(floor({val_col} * {quantize}) AS BIGINT)"
+        f"CASE WHEN isnan(CAST({val_col} AS DOUBLE)) THEN CAST(NULL AS BIGINT) "
+        f"ELSE CAST(floor({val_col} * {quantize}) AS BIGINT) END"
     )
     xs = F.collect_list(cents).over(w)
     agg = (
@@ -143,8 +146,12 @@ def ewma(
         f"'n', {decay_num} * acc.n + acc.p * x, "
         f"'w', {decay_num} * acc.w + acc.p, "
         f"'p', {decay_den} * acc.p), "
-        f"acc -> CAST((acc.n * {out_scale} - pmod(acc.n * {out_scale}, acc.w))"
-        f" div acc.w AS BIGINT))"
+        # empty surviving frame (all-NULL/NaN window, e.g. a key whose
+        # first reading is missing): weight 0 -> NULL, not a
+        # REMAINDER_BY_ZERO job abort under ANSI (review r7)
+        f"acc -> CASE WHEN acc.w = 0 THEN CAST(NULL AS BIGINT) "
+        f"ELSE CAST((acc.n * {out_scale} - pmod(acc.n * {out_scale}, acc.w))"
+        f" div acc.w AS BIGINT) END)"
     )
     return (
         df.withColumn("__xs", xs)
@@ -196,13 +203,15 @@ def cusum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cents = F.floor(F.col(value_col) * 100).cast("bigint")
+    # NaN is a non-observation like NULL (review r7)
+    not_nan = ~F.isnan(F.col(value_col).cast("double"))
+    cents = F.when(not_nan, F.floor(F.col(value_col) * 100).cast("bigint"))
     keep = [key_col, order_col, *tiebreak_cols]
     # staged: P first, then running min/max of P — both levels share the
     # identical partition/sort spec, so Spark plans ONE exchange + sort
     staged = df.select(
         *keep,
-        F.col(value_col).isNotNull().alias("__obs"),
+        (F.col(value_col).isNotNull() & not_nan).alias("__obs"),
         F.sum(cents - F.lit(int(ref_cents) + int(slack_cents))).over(w).alias("__p_hi"),
         F.sum(cents - F.lit(int(ref_cents) - int(slack_cents))).over(w).alias("__p_lo"),
     )
@@ -261,7 +270,9 @@ def acf(
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     cents = F.floor(F.col(value_col) * 100).cast("decimal(18,0)")
-    obs = df.where(F.col(value_col).isNotNull()).select(
+    obs = df.where(
+        F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))
+    ).select(
         F.col(key_col).alias("__k"), F.col(order_col).alias("__o"),
         *[F.col(c) for c in tiebreak_cols], cents.alias("__x"),
     )
@@ -408,7 +419,10 @@ def seasonal_decompose(
         )
         .select("__k", "__phase", "__c_micro")
     )
-    out = detr.join(F.broadcast(seasonal), ["__k", "__phase"], "left")
+    # no broadcast hint: the seasonal table is n_keys * period rows —
+    # unbounded in corpus width — so let AQE pick (review r7; same trap
+    # k_anonymity documents). The join key is already hash-partitionable.
+    out = detr.join(seasonal, ["__k", "__phase"], "left")
     sc = float(scale)
     return out.select(
         F.col("__k").alias(key_col),

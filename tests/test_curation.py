@@ -311,3 +311,43 @@ def test_negative_sample_guards(spark):
         negative_sample(df, "doc_id", k=0)
     with pytest.raises(ValueError):
         negative_sample(df, "doc_id", k=2)
+
+
+def test_review_r7_edge_contracts(spark):
+    """Round-7 review regressions: NULL text chunks, NULL strata,
+    alpha validation, huge-id span hashing, tie-straddling percentile."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+        chunk_documents,
+        filter_by_percentile,
+        span_corruption,
+        temperature_resample,
+    )
+
+    # NULL text -> one empty chunk, never a vanished document
+    df = spark.createDataFrame([(1, None), (2, "a b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in chunk_documents(df, size=2).collect()}
+    assert 1 in got and got[1]["chunk_text"] == ""
+
+    # NULL stratum is its own stratum; alpha validated
+    mix = spark.createDataFrame(
+        [(i, "en") for i in range(10)] + [(100 + i, None) for i in range(5)],
+        "doc_id long, lang string",
+    )
+    out = temperature_resample(mix, "lang", "doc_id", alpha=0.5, budget=12)
+    assert out.filter(F.col("lang").isNull()).count() > 0  # not silently dropped
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_resample(mix, "lang", "doc_id", alpha=1.5)
+
+    # snowflake-scale ids must not overflow the salted span hash
+    big = spark.createDataFrame(
+        [(9_200_000_000_000_000, "w0 w1 w2 w3 w4 w5 w6 w7")], "doc_id long, text string"
+    )
+    assert span_corruption(big).count() == 1  # no ARITHMETIC_OVERFLOW
+
+    # a tie group straddling the keep boundary keeps the exact count
+    ties = spark.createDataFrame(
+        [(i, "en", 7.0) for i in range(10)], "doc_id long, lang string, score double"
+    )
+    kept = filter_by_percentile(ties, "score", 0.5, partition_by="lang")
+    assert kept.count() == 5  # cume_dist formulation kept 0

@@ -147,3 +147,31 @@ def test_woe_iv_layout_independent_and_informative_ordering(spark):
     out = {r.category: r.woe_micro for r in woe_iv(df, "f", "bad").collect()}
     # monotone: more bad -> lower WOE
     assert out["s"] > out["r"] > out["q"] > out["p"]
+
+
+def test_timeseries_nan_and_empty_frame_contracts(spark):
+    """Review r7: NaN observations are excluded like NULL (not coerced
+    to 0 cents), and an all-missing EWMA frame yields NULL instead of a
+    REMAINDER_BY_ZERO job abort."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import acf, ewma
+
+    nan = float("nan")
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 4.0), ("a", 2, nan), ("a", 3, 6.0)],
+        "k string, t long, v double",
+    )
+    rows = {r["t"]: r["ewma_micro"] for r in ewma(df, "k", "t", "v", window=2).collect()}
+    assert rows[0] is None  # empty surviving frame -> NULL, no crash
+    assert rows[1] == 4_000_000  # single obs
+    assert rows[2] == 4_000_000  # NaN excluded -> frame is just t=1
+    ref = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 0.0), ("a", 2, 2.0), ("a", 3, 3.0)],
+        "k string, t long, v double",
+    )
+    withnan = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, nan), ("a", 2, 2.0), ("a", 3, 3.0)],
+        "k string, t long, v double",
+    )
+    r_zero = {r["lag"]: r["r"] for r in acf(ref, "k", "t", "v", max_lag=1).collect()}
+    r_nan = {r["lag"]: r["r"] for r in acf(withnan, "k", "t", "v", max_lag=1).collect()}
+    assert r_nan != r_zero  # NaN no longer scored as the value 0.0

@@ -561,3 +561,28 @@ def test_js_from_counts_equals_dataframe_form_and_null_counts(spark):
     merged = ha.join(hb, "v", "full_outer")
     got = js_from_counts(merged, "v", "ca", "cb").collect()[0]
     assert got == want
+
+
+def test_mad_outliers_null_groups_survive(spark):
+    """Review r7: NULL-group rows must pass through (flagged normally),
+    not silently vanish from a quality gate's output."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.1), (3, None, 5.0), (4, None, 5.1), (5, "b", None)],
+        "id long, g string, x double",
+    )
+    out = {r["id"]: r for r in mad_outliers(df, "x", ["g"]).collect()}
+    assert sorted(out) == [1, 2, 3, 4, 5]
+    assert out[3]["group_median"] is not None  # NULL group got real stats
+    assert out[5]["is_outlier"] is False  # all-null group passes unflagged
+
+
+def test_validate_expectations_fk_only(spark):
+    """Review r7: an FK-only contract suite (no row-local checks) runs."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import validate_expectations
+
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,)], "pk long")
+    rows = validate_expectations(fact, [], references=[("fk", dim, "pk")]).collect()
+    assert len(rows) == 1 and rows[0]["violations"] == 1 and not rows[0]["passed"]
