@@ -688,7 +688,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, nbits: int = 3
         for pdf in batches:
             sigs = np.zeros(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf[text_col]):
-                toks = ws.split(text.strip()) if text is not None else [""]
+                # NULL text -> zero tokens -> all-zero signature, matching
+                # the simhash_bits JVM twin bit-for-bit (review r7: [""]
+                # hashed NULL docs to the EMPTY-STRING signature, pairing
+                # every NULL doc with every empty doc at hamming 0)
+                toks = ws.split(text.strip()) if text is not None else []
                 hs = np.fromiter((h(t) for t in toks), dtype=np.uint64, count=len(toks))
                 # per-bit sum of (2*bit - 1): positive -> signature bit set
                 votes = (((hs[:, None] >> shifts) & 1) * 2 - 1).astype(np.int64).sum(axis=0)

@@ -26,6 +26,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _null_safe_left_join(left: DataFrame, right: DataFrame, cols: list[str]) -> DataFrame:
+    """Left join with eqNullSafe keys: NULL group keys match their own
+    group's aggregate row (review r7: the plain USING-columns equality
+    silently left every NULL stratum without stats). The right side's
+    key columns are renamed to avoid self-lineage ambiguity and dropped
+    after the join."""
+    r = right.select(
+        *[F.col(g).alias(f"__g_{g}") for g in cols],
+        *[c for c in right.columns if c not in cols],
+    )
+    cond = F.lit(True)
+    for g in cols:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+    return left.join(r, cond, "left").drop(*[f"__g_{g}" for g in cols])
+
 def corr_matrix(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
     if len(cols) < 2:
         raise ValueError(f"need at least 2 columns, got {cols}")
@@ -103,10 +119,11 @@ def standardize(
         F.sum(v).alias("__s"),
         F.sum(v * v).alias("__p"),
     )
-    # left join: a group whose values are ALL null/NaN has no stats row —
-    # its rows still pass through with NULL z instead of vanishing
+    # null-safe left join: a NULL group key matches its own stats row
+    # (review r7), and a group whose values are ALL null/NaN has no
+    # stats row — its rows still pass through with NULL z
     out = (
-        df.join(F.broadcast(stats), groups, "left")
+        _null_safe_left_join(df, F.broadcast(stats), groups)
         if groups
         else df.crossJoin(F.broadcast(stats))
     )
@@ -589,7 +606,7 @@ def winsorize(
             F.min(F.when(F.col("__rn") == F.col("__khi"), F.col("__v"))).alias("hi_bound"),
         )
     )
-    joined = df.join(F.broadcast(bounds), group_cols, "left")
+    joined = _null_safe_left_join(df, F.broadcast(bounds), list(group_cols))
     v = F.col(value_col)
     clipped_v = F.least(F.greatest(v, F.col("lo_bound")), F.col("hi_bound"))
     return joined.withColumn(
@@ -634,6 +651,11 @@ def quantile_normalize(
     and stitch partition boundaries with a bounded (≤ num_partitions
     rows) offsets collect — never a single-partition window, never a
     quadratic range join.
+
+    Rows with a NULL group key or NULL value are EXCLUDED from the
+    mapping (documented contract, review r7): a NULL stratum has no
+    quantile identity here — rename or impute it upstream if its rows
+    must participate.
 
     Returns one row per ``(group, value)``: ``(group_col, value_col,
     cnt, normalized)`` — join it back on (group, value) to normalize

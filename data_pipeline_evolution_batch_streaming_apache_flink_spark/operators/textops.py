@@ -219,7 +219,15 @@ def repetition_stats(
     for n in ngrams:
         all_sh = TXT.word_shingles(text_col, n, distinct=False)
         frac = F.lit(1.0) - F.size(F.array_distinct(all_sh)) / F.size(all_sh)
-        cols.append(F.round(frac, 6).alias(f"dup_{n}gram_frac"))
+        # NULL text scores NULL (unknown), not 0.0 (perfectly
+        # non-repetitive) — the sibling top_token_frac already returns
+        # NULL there, and a Gopher gate must not admit NULL docs
+        # through this signal (review r7)
+        cols.append(
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("double"))
+            .otherwise(F.round(frac, 6))
+            .alias(f"dup_{n}gram_frac")
+        )
     # most-frequent-token count: sort tokens, then the longest equal run
     # is the max frequency — a single left fold, no per-token map build.
     sorted_toks = F.array_sort(toks)
@@ -426,7 +434,12 @@ def rake_keywords(
     for w in stopwords:
         if r"\E" in w:
             raise ValueError(rf"stopword may not contain \E: {w!r}")
-    stop_re = r"\b(" + "|".join(rf"\Q{w}\E" for w in stopwords) + r")\b"
+    # lookarounds, not \b: a boundary cannot be asserted next to a
+    # non-word char, so \b made stopwords like 'c++'/'u.s.' unmatchable
+    # and their fragments leaked into the keyword list (review r7).
+    # (?<![\w])/(?![\w]) is exactly \b for word-char edges and "not glued
+    # to a word char" for the rest.
+    stop_re = r"(?<![\w])(" + "|".join(rf"\Q{w}\E" for w in stopwords) + r")(?![\w])"
     phrases = df.select(
         F.col(id_col),
         F.posexplode(

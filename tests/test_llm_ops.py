@@ -799,3 +799,19 @@ def test_lsh_probe_prunes_partitions(spark, tmp_path):
                  for r in spark.read.parquet(path + "/buckets")
                  .select("band", "__bp").distinct().collect()}
     assert len(set(keys) & full_keys) < len(full_keys)
+
+
+def test_simhash_null_text_matches_bits_twin(spark):
+    """Review r7: NULL text -> all-zero signature in BOTH simhash paths
+    (the Arrow path previously hashed NULL as the empty string, pairing
+    NULL docs with empty docs at hamming 0)."""
+    sdf = spark.createDataFrame([(1, None), (2, ""), (3, "hello world")], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(sdf, "doc_id", "text", nbits=8).collect()}
+    packed = sdf.select(
+        "doc_id",
+        F.aggregate(F.reverse(D.simhash_bits("text", 8)), F.lit(0).cast("bigint"),
+                    lambda acc, b: acc * 2 + b).alias("sig"),
+    ).collect()
+    bits = {r["doc_id"]: r["sig"] for r in packed}
+    assert sigs == bits
+    assert sigs[1] == 0 and sigs[1] != sigs[2]

@@ -761,3 +761,23 @@ def test_welch_ttest_degenerate(spark):
     solo = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
     r2 = welch_ttest(solo, "g", "v", "a", "b").collect()[0]
     assert r2.n_b == 0 and r2.t_stat is None and r2.mean_b is None
+
+
+def test_standardize_and_winsorize_null_groups(spark):
+    """Review r7: NULL group keys must match their own group's stats
+    (z-scores computed, extremes clipped) instead of silently getting
+    NULL z / passing through unclipped with clipped=False."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import standardize, winsorize
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, None, 3.0), (4, "g", 10.0), (5, "g", 20.0)],
+        "id long, grp string, x double",
+    )
+    z = {r["id"]: r["z"] for r in standardize(df, "x", ["grp"]).collect()}
+    assert z[1] is not None and z[3] is not None  # NULL group standardized
+    assert z[2] == 0.0
+
+    rows = [(i, None, float(i)) for i in range(1, 21)]
+    wdf = spark.createDataFrame(rows, "id long, grp string, x double")
+    out = {r["id"]: r for r in winsorize(wdf, ["grp"], "x", lower_micro=100000, upper_micro=900000).collect()}
+    assert out[1]["clipped"] is True and out[20]["clipped"] is True
