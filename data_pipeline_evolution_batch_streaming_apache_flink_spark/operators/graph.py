@@ -26,6 +26,9 @@ __all__ = [
     "label_propagation",
     "hits",
     "link_prediction",
+    "k_core",
+    "degree_assortativity",
+    "local_clustering",
 ]
 
 
@@ -640,7 +643,10 @@ def k_core(
 
     Undirected graphs pass both edge directions (the engine's
     convention — degree counts out-edges). Self-loops count toward
-    their node's degree once per direction supplied.
+    their node's degree once per direction supplied. Parallel edges
+    collapse first (presence, not multiplicity — review r7: duplicate
+    edge rows inflated degrees and let non-core nodes survive the
+    peel), same as every sibling graph operator.
 
     Returns the surviving nodes with their within-core degree:
     ``(node, degree)``. Empty result when the k-core is empty.
@@ -649,8 +655,10 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=True
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     n_edges = e.count()
     converged = n_edges == 0
@@ -711,6 +719,13 @@ def degree_assortativity(
     correlation reuses :func:`...stats.corr_matrix`'s exact-decimal
     moment machinery verbatim (scale=1 — degrees are already integers),
     so the result is layout- and engine-stable at 6dp.
+
+    Input must be SYMMETRIZED (both directions of every undirected
+    edge, the engine's graph convention): degree counts out-edges, so
+    on a raw directed list an edge whose dst is a pure sink has no
+    dst-degree row and would silently drop from the correlation
+    (review r7). Symmetrize first, or compute directed assortativity
+    variants explicitly.
 
     Undirected graphs pass both edge directions (house convention);
     the symmetrized directed computation then equals the standard
@@ -800,6 +815,10 @@ def local_clustering(
             .alias("__o")
         )
         .select("__o.u", "__o.v")
+        # pin: both sides of the wedge self-join consume this — without
+        # the checkpoint the two degree joins above replay per side
+        # (review r7; same reason triangle_stats pins its oriented set)
+        .localCheckpoint(eager=False)
     )
     wedges = (
         oriented.select(F.col("u"), F.col("v").alias("__v1"))

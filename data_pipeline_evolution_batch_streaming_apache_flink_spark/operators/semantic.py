@@ -61,6 +61,13 @@ def assign_clusters(
     formulation would shuffle the full vector payload once).
 
     Returns the input plus a ``cluster`` column (the exemplar's id).
+
+    ``id_col`` must be NUMERIC (integral): exemplar selection hashes it
+    via ``sample_hash`` (a long cast) and the fold accumulator carries a
+    bigint exemplar id — same documented requirement as
+    ``label_propagation`` (review r7: a string id failed at plan time
+    with an opaque DATATYPE_MISMATCH); map string ids to a numeric
+    surrogate (e.g. xxhash64) upstream.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -117,12 +124,15 @@ def semantic_dedup(
     # over k exemplars replays three times.
     assigned = assign_clusters(df, id_col, vec_col, k).localCheckpoint(eager=False)
 
+    # pin: both pair sides scan pair_src, and the norm fold is O(dim)
+    # per row — without the checkpoint it (and the projection) replays
+    # once per side (review r7)
     pair_src = assigned.select(
         F.col(id_col).alias("__pid"),
         F.col(vec_col).alias("__pvec"),
         V.norm(vec_col).alias("__pnrm"),
         "cluster",
-    )
+    ).localCheckpoint(eager=False)
     if max_cluster is not None:
         n = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
         pair_src = pair_src.withColumn("__csize", n).filter(

@@ -117,7 +117,10 @@ def hll_estimate(state: DataFrame, group_cols: list[str], p: int = 9) -> DataFra
     alpha = _alpha(m)
     scaled = F.pow(F.lit(2.0), (w + 1) - F.col("r")).cast("bigint")
     agg = state.groupBy(*group_cols).agg(
-        F.sum(scaled).alias("__s"), F.count("*").alias("__occupied")
+        # coalesce: an EMPTY ungrouped state still emits one global row
+        # (sum=NULL) — the estimate must be 0.0, not NULL (review r7)
+        F.coalesce(F.sum(scaled), F.lit(0)).alias("__s"),
+        F.count("*").alias("__occupied"),
     )
     zeros = F.lit(m) - F.col("__occupied")
     z = zeros.cast("double") + F.col("__s").cast("double") / F.lit(float(1 << (w + 1)))
@@ -216,7 +219,7 @@ def hop_merge_estimate(
 
     size_ms = _interval_ms(size)
     slide_ms = _interval_ms(slide)
-    if slide_ms <= 0 or size_ms % slide_ms != 0:
+    if slide_ms <= 0 or size_ms <= 0 or size_ms % slide_ms != 0:
         raise ValueError(f"size must be a positive multiple of slide, got {size}/{slide}")
     k = size_ms // slide_ms
     expanded = panes.select(
@@ -354,8 +357,12 @@ def histogram_quantiles(
         raise ValueError(f"qs_micro must be in (0, 1e6], got {qs_micro}")
     groups = group_cols or []
     c = F.col(value_col).cast("double")
-    raw = F.floor((c - lo) / (hi - lo) * bins).cast("int")
-    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    # clamp in DOUBLE space BEFORE the int cast (review r7): a far-out
+    # value (or +Inf, which survives the NaN filter) makes floor(...)
+    # exceed int32 — CAST_OVERFLOW under ANSI, garbage-bin counts
+    # otherwise. Clamping the double keeps every value in [0, bins-1].
+    raw = F.floor((c - lo) / (hi - lo) * bins)
+    bucket = F.least(F.greatest(raw, F.lit(0.0)), F.lit(float(bins - 1))).cast("int")
     counts = (
         # NaN survives isNotNull and errors in the ANSI int cast of
         # floor(NaN) — exclude it like null

@@ -267,3 +267,14 @@ def test_association_rules_confidence_prune_and_layout(spark):
     a = sorted(map(str, association_rules(df, "bk", "it").collect()))
     b = sorted(map(str, association_rules(df.repartition(5), "bk", "it").collect()))
     assert a == b
+
+
+def test_kcore_parallel_edges_collapse(spark):
+    """Review r7: duplicate edge rows must not inflate degrees — two
+    nodes with one (triplicated) edge have no 3-core."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import k_core
+
+    rows = [(1, 2)] * 3 + [(2, 1)] * 3
+    e = spark.createDataFrame(rows, "src long, dst long")
+    assert k_core(e, k=3).count() == 0
+    assert k_core(e, k=1).count() == 2

@@ -426,9 +426,12 @@ def test_k_core_k1_keeps_every_connected_node_and_layout(spark):
     pairs = [(a, b) for a, b in pairs if a != b]
     edges = spark.createDataFrame(_both(pairs), "src int, dst int")
     one = {(r.node, r.degree) for r in k_core(edges, k=1).collect()}
-    # k=1 drops nothing (every listed node has an edge): degrees = raw degrees
+    # k=1 drops nothing (every listed node has an edge): degrees = DISTINCT
+    # neighbor-edge counts — parallel edges collapse (review r7: when the
+    # generator drew both orientations of a pair, symmetrizing duplicated
+    # the edge; multiplicity must not inflate degree)
     from collections import Counter
-    deg = Counter(a for a, _ in _both(pairs))
+    deg = Counter(a for a, _ in set(_both(pairs)))
     assert one == set(deg.items())
 
     a = {(r.node, r.degree) for r in k_core(edges, k=3).collect()}

@@ -228,3 +228,28 @@ def test_approx_ndv_hop_rejects_nonmultiple(spark):
     )
     with pytest.raises(ValueError):
         approx_ndv_hop(ev, "ts", "v", "1 hour", "25 minutes")
+
+
+def test_review_r7_sketch_edges(spark):
+    """Round-7 review regressions: huge/infinite values clamp into edge
+    bins (no ANSI cast overflow); empty HLL input estimates 0.0; a
+    non-positive hop size raises."""
+    import pytest as _pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import (
+        approx_ndv,
+        histogram_quantiles,
+        hop_merge_estimate,
+    )
+
+    df = spark.createDataFrame([(1e10,), (0.5,), (float("inf"),)], "v double")
+    rows = histogram_quantiles(df, "v", lo=0.0, hi=1.0, bins=256, qs_micro=(500000,)).collect()
+    assert len(rows) == 1 and 0.0 <= rows[0]["est"] <= 1.0
+
+    empty = spark.createDataFrame([], "v double")
+    got = approx_ndv(empty, [], "v").collect()
+    assert len(got) == 1 and got[0]["ndv_est"] == 0.0
+
+    panes = spark.createDataFrame([], "__w long, bucket int, r int")
+    with _pytest.raises(ValueError, match="positive"):
+        hop_merge_estimate(panes, 0, 900000, pane_col="__w")
