@@ -20,18 +20,30 @@ evidence for every query over successive rounds, ``queries()`` /
   operator ID keeps a driver-checked witness every round) plus the
   prompt-mandated LLM-pipeline families (dedup ×5, similarity brute +
   IVF, text analysis, multimodal).
-* slots 34–50: a 17-query cohort from ``ROTATION`` — all remaining
-  extension queries in a committed fixed order (never-driver-checked
-  as of round 5 first, in suite-registration order, then the
-  previously-checked rest).  The cohort for round N is the circular
-  slice ``ROTATION[(N - 6) * 17 :][:17]``; the round number is derived
-  from the COMMITTED CORRECTNESS_r*.json artifacts next to this module
-  (N = count + 1, counting only rounds strictly below
-  ``FIRST_UNRECORDED_ROUND`` so the artifact the current round's driver
-  itself writes cannot shift the window mid-round — ADVICE r6). The
-  window advances each round by committing the previous artifact and
-  bumping ``FIRST_UNRECORDED_ROUND``; a guard test nags if the bump is
-  forgotten.
+* slots 34–50: the RETRY LANE then a cohort from ``ROTATION``.
+
+  Retry lane (rounds >= 8, VERDICT r7 #2): any non-pinned query whose
+  LATEST committed driver row is red (rows/schema/hash false, or an
+  err other than the rows-only ``no_oracle`` record) occupies the
+  first rotation slots, so a fix produces driver evidence the very
+  next round instead of waiting for the wheel to wrap (~9 rounds).
+
+  Cohort: the remaining slots are filled from ``ROTATION`` (a
+  committed fixed order — never-driver-checked as of round 5 first,
+  in suite-registration order, then the previously-checked rest) by a
+  circular pointer that advances exactly as many wheel positions as
+  each round consumed: 17/round historically (rounds 6–7, before the
+  lane existed), and in lane rounds ``17 - len(lane)`` plus any wheel
+  position skipped because the query is already in-window via the
+  lane (it IS driver-checked that round, so it is not re-served).
+  The pointer is replayed deterministically from the COMMITTED
+  CORRECTNESS_r*.json artifacts next to this module; the round number
+  is N = count + 1, counting only rounds strictly below
+  ``FIRST_UNRECORDED_ROUND`` so the artifact the current round's
+  driver itself writes cannot shift the window mid-round (ADVICE r6).
+  The window advances each round by committing the previous artifact
+  and bumping ``FIRST_UNRECORDED_ROUND``; a guard test nags if the
+  bump is forgotten.
 * slots 51–164: the remaining queries in ``ROTATION`` order (the local
   full-suite mirror ``tools/check_oracle.py`` still runs all of them).
 
@@ -44,6 +56,7 @@ silently rotate a canonical query out of the driver's window.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 from collections.abc import Callable
@@ -240,7 +253,12 @@ FIRST_ROTATED_ROUND = 6
 # artifact lands would silently shift slots 34-50 to the next cohort).
 # Bump by 1 at the start of each round, when the previous round's
 # artifact gets committed.
-FIRST_UNRECORDED_ROUND = 7
+FIRST_UNRECORDED_ROUND = 8
+
+# The retry lane exists from round 8 (VERDICT r7 #2); earlier rounds
+# consumed a fixed 17-wide cohort slice, and the replay below must
+# reproduce that history exactly to keep the wheel pointer stable.
+LANE_SINCE_ROUND = 8
 
 
 def current_round() -> int:
@@ -258,21 +276,84 @@ def current_round() -> int:
     return max(n + 1, FIRST_ROTATED_ROUND)
 
 
+def _committed_artifacts() -> list[tuple[int, dict]]:
+    """(round, rows) for every committed CORRECTNESS artifact below
+    ``FIRST_UNRECORDED_ROUND``, ascending by round."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: list[tuple[int, dict]] = []
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", f)
+        if m and int(m.group(1)) < FIRST_UNRECORDED_ROUND:
+            with open(f) as fh:
+                out.append((int(m.group(1)), json.load(fh)))
+    return sorted(out)
+
+
+def _is_red(row: dict) -> bool:
+    """A driver row counts as red unless every present check passed.
+    The rows-only record (err == 'no_oracle', null matches) is the
+    driver's declared weaker check for oracle-less queries — not red."""
+    if row.get("err") == "no_oracle":
+        return False
+    return (
+        bool(row.get("err"))
+        or row.get("rows_match") is False
+        or row.get("schema_match") is False
+        or row.get("hash_match") is False
+    )
+
+
+def retry_lane(round_no: int) -> list[str]:
+    """Non-pinned queries whose LATEST committed driver row (over
+    artifacts of rounds < round_no) is red, in ROTATION order, capped
+    at the cohort width. Empty before ``LANE_SINCE_ROUND``."""
+    if round_no < LANE_SINCE_ROUND:
+        return []
+    latest: dict[str, bool] = {}
+    for rnd, rows in _committed_artifacts():
+        if rnd >= round_no:
+            continue
+        for q, row in rows.items():
+            latest[q] = _is_red(row)
+    return [q for q in ROTATION if latest.get(q, False)][:COHORT_SIZE]
+
+
+def _window_plan(round_no: int) -> tuple[list[str], list[str]]:
+    """(lane, cohort) for ``round_no``, replaying the wheel pointer
+    from round 6 so it is reproducible from the repo alone: each round
+    advances the pointer past every wheel position it either served in
+    the cohort or skipped because the query was already in-window via
+    that round's lane."""
+    pos = 0
+    for rnd in range(FIRST_ROTATED_ROUND, round_no + 1):
+        lane = retry_lane(rnd)
+        size = COHORT_SIZE - len(lane)
+        cohort: list[str] = []
+        while len(cohort) < size:
+            q = ROTATION[pos % len(ROTATION)]
+            pos += 1
+            if q in lane:
+                continue
+            cohort.append(q)
+        if rnd == round_no:
+            return lane, cohort
+    raise AssertionError(f"round_no {round_no} below FIRST_ROTATED_ROUND")
+
+
 def rotation_cohort(round_no: int) -> list[str]:
-    """The 17 extension queries occupying driver slots 34–50 in a
-    given round: a circular slice of ROTATION advanced 17/round."""
-    start = ((round_no - FIRST_ROTATED_ROUND) * COHORT_SIZE) % len(ROTATION)
-    doubled = ROTATION + ROTATION
-    return doubled[start : start + COHORT_SIZE]
+    """The extension queries occupying the driver slots after the
+    retry lane in a given round (17 wide when the lane is empty)."""
+    return _window_plan(round_no)[1]
 
 
 def ordered_names(round_no: int | None = None) -> list[str]:
     """All 164 query names in this round's driver-facing order."""
     rnd = current_round() if round_no is None else round_no
-    cohort = rotation_cohort(rnd)
-    in_window = set(PINNED) | set(cohort)
+    lane, cohort = _window_plan(rnd)
+    window = PINNED + lane + cohort
+    in_window = set(window)
     tail = [n for n in ROTATION if n not in in_window]
-    return PINNED + cohort + tail
+    return window + tail
 
 
 def entry(spark: SparkSession) -> DataFrame:

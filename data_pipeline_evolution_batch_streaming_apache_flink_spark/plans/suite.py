@@ -2418,10 +2418,16 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM doomed)
 
 # rolling_features: trailing RANGE window on event-time millis + ROWS lag
 # with a total order; money as floor-cents bigint per the determinism rules.
+# Emitted sums are CAST to BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which
+# dataframe/Arrow fetch paths (the driver's) convert to float64 — the value
+# then canonicalizes as "123.0" vs Spark's "123" and flips the hash even
+# though fetchall()-based comparison (the mirror) sees identical ints.
+# Root cause of the r7 driver-red rows; pinned by
+# tests/test_oracle_dtype_parity.py.
 ORACLE["rolling_features"] = """
 SELECT event_id, user_id,
   count(*) OVER w_rng AS n_1h,
-  sum(CAST(floor(value * 100) AS BIGINT)) OVER w_rng AS sum_cents_1h,
+  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w_rng AS BIGINT) AS sum_cents_1h,
   CAST(floor(value * 100) AS BIGINT)
     - lag(CAST(floor(value * 100) AS BIGINT), 1) OVER w_seq AS delta_cents
 FROM events
@@ -3078,7 +3084,11 @@ ORACLE["kmeans"] = (
     + _km_update("assign0", "cent1") + ","
     + _km_assign("cent1", "assign1")
     + """
-    SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d // 1000000 AS dist_div
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           -- d is HUGEINT here (centroid means flow through sum() in
+           -- _km_update); cast at emission so dataframe fetch paths see
+           -- int64, not float64 (r7 driver-red root cause).
+           CAST(d // 1000000 AS BIGINT) AS dist_div
     FROM assign1
 """
 )
@@ -3128,9 +3138,10 @@ ORACLE["lm_scores"] = r"""
       LEFT JOIN c1 USING (w1)
       CROSS JOIN v
     )
-    SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS logp_micro_sum,
-           (sum(lp) - ((sum(lp) % count(*)) + count(*)) % count(*)) // count(*)
-             AS avg_logp_micro
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS logp_micro_sum,
+           CAST((sum(lp) - ((sum(lp) % count(*)) + count(*)) % count(*)) // count(*)
+                AS BIGINT) AS avg_logp_micro
     FROM lp GROUP BY doc_id
 """
 
@@ -3326,7 +3337,7 @@ ORACLE["hist_quantiles"] = """
     )
     SELECT priority, CAST(q_micro AS BIGINT) AS q_micro,
            round(0.0 + (bucket + CAST(rank - (cum - cnt) AS DOUBLE) / cnt) * 7812.5, 6) AS est,
-           total
+           CAST(total AS BIGINT) AS total
     FROM sel WHERE cum - cnt < rank AND rank <= cum
 """
 

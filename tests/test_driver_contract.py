@@ -48,20 +48,51 @@ def test_rotation_manifest():
     assert set(E.PINNED) | set(E.ROTATION) == set(suite.QUERIES)
     assert not set(E.PINNED) & set(E.ROTATION)
     # The driver-facing order: slots 1-33 pinned, 34-50 this round's
-    # cohort, and the full dict still covers every suite query once.
+    # retry lane + cohort, and the full dict covers every suite query.
     names = E.ordered_names()
+    rnd = E.current_round()
+    lane, cohort = E._window_plan(rnd)
     assert names[:33] == E.PINNED
-    assert names[33:50] == E.rotation_cohort(E.current_round())
+    assert names[33:50] == lane + cohort
+    assert len(lane) + len(cohort) == 17
     assert len(names) == len(set(names)) == len(suite.QUERIES)
     assert list(E.queries()) == names
-    # Cohorts advance deterministically and cover all of ROTATION in
-    # ceil(131/17) = 8 rounds.
+    # Lane + cohort advance deterministically and cover all of ROTATION
+    # (lane members are driver-checked via the lane; consumed wheel
+    # positions are never re-served, so coverage is cohorts ∪ lanes).
     covered: set[str] = set()
-    for rnd in range(6, 6 + 8):
-        cohort = E.rotation_cohort(rnd)
-        assert len(cohort) == 17
-        covered |= set(cohort)
+    for r in range(6, 6 + 12):
+        lane_r, cohort_r = E._window_plan(r)
+        assert len(lane_r) + len(cohort_r) == 17
+        covered |= set(cohort_r) | set(lane_r)
     assert covered == set(E.ROTATION)
+
+
+def test_round8_retry_lane_is_the_r7_reds():
+    """VERDICT r7 #2 'Done' criterion: the round-8 driver window is the
+    33 pinned + the 4 driver-red queries + 13 cohort queries."""
+    lane, cohort = E._window_plan(8)
+    assert lane == ["rolling_features", "kmeans", "lm_scores", "hist_quantiles"]
+    assert cohort == [
+        "bm25_topk", "normalize_text", "mad_outliers", "key_skew",
+        "corr_matrix", "gopher_quality", "asof_forward", "asof_nearest",
+        "pagerank", "grouping_sets", "standardize", "cooccur_pmi",
+        "triangle_census",
+    ]
+    # Rounds 6-7 predate the lane: the replay must reproduce the plain
+    # 17-wide slices those rounds actually served.
+    for r in (6, 7):
+        lane_r, cohort_r = E._window_plan(r)
+        assert lane_r == []
+        assert cohort_r == (E.ROTATION + E.ROTATION)[(r - 6) * 17 :][:17]
+    # Round 9 (with r8 still unrecorded) resumes the wheel exactly where
+    # round 8 left it — no skipped, no re-served positions.
+    _, cohort9 = E._window_plan(9)
+    assert cohort9[0] == "char_entropy"
+    # A rows-only record (err == 'no_oracle') is not red.
+    assert not E._is_red({"err": "no_oracle", "rows_match": None})
+    assert E._is_red({"err": None, "rows_match": True, "schema_match": True,
+                      "hash_match": False})
 
 
 def test_round6_cohort_is_never_driver_checked():
@@ -83,12 +114,13 @@ def test_round6_cohort_is_never_driver_checked():
 def test_round_derivation_ignores_current_rounds_artifact(tmp_path, monkeypatch):
     """ADVICE r6 (medium): the artifact the CURRENT round's driver
     writes must not advance the rotation window mid-round. Simulate a
-    repo dir holding r01..r06 plus a driver-written r07: the derived
-    round must stay 7."""
-    import json
+    repo dir holding committed artifacts for every round below
+    FIRST_UNRECORDED_ROUND plus a driver-written current-round file:
+    the derived round must not move."""
     import os
 
-    for n in range(1, 7):
+    cur = E.FIRST_UNRECORDED_ROUND
+    for n in range(1, cur):
         (tmp_path / f"CORRECTNESS_r{n:02d}.json").write_text("{}")
     real_dirname = os.path.dirname
 
@@ -96,10 +128,10 @@ def test_round_derivation_ignores_current_rounds_artifact(tmp_path, monkeypatch)
         return str(tmp_path) if path.endswith("__spark_entry__.py") else real_dirname(path)
 
     monkeypatch.setattr(E.os.path, "dirname", fake_dirname)
-    assert E.current_round() == 7
+    assert E.current_round() == cur
     before = E.ordered_names()
-    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")  # driver's mid-round write
-    assert E.current_round() == 7
+    (tmp_path / f"CORRECTNESS_r{cur:02d}.json").write_text("{}")  # driver's mid-round write
+    assert E.current_round() == cur
     assert E.ordered_names() == before
 
 

@@ -65,6 +65,46 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+# ---------------------------------------------------------------------------
+# Dataframe-canon twin (r7 driver-red root cause — VERDICT r7 #1b)
+#
+# fetchall() returns exact Python values, so it cannot see type-level
+# divergence that a pandas/Arrow fetch path (the driver's) surfaces:
+# DuckDB HUGEINT/DECIMAL columns become float64 ("123.0" vs "123"), and
+# an integer column containing NULLs promotes to float64 with NaN.
+# promote_like_dataframe() applies those promotions to each side
+# independently, exactly as pandas would, and the run compares BOTH
+# hashes — mirror-green now implies driver-green for either fetch path.
+# ---------------------------------------------------------------------------
+
+_DUCK_FLOAT_FORCED = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+
+
+def promote_like_dataframe(
+    cols: list[str], rows: list[tuple], forced_float: set[str]
+) -> list[tuple]:
+    """Simulate a dataframe fetch: per column, values become float64 if
+    the column's storage type exceeds int64 (``forced_float``) or it is
+    an integer column containing NULLs (pandas promotion, None -> NaN)."""
+    if not rows:
+        return rows
+    promote = []
+    for i, c in enumerate(cols):
+        vals = [r[i] for r in rows]
+        is_int = any(isinstance(v, int) and not isinstance(v, bool) for v in vals)
+        has_null = any(v is None for v in vals)
+        promote.append(c in forced_float or (is_int and has_null))
+    out = []
+    for r in rows:
+        out.append(tuple(
+            (float("nan") if v is None else float(v)) if promote[i]
+            and (v is None or isinstance(v, (int, float)))
+            and not isinstance(v, bool) else v
+            for i, v in enumerate(r)
+        ))
+    return out
+
+
 _TLS = threading.local()
 
 
@@ -93,9 +133,10 @@ def check_one(name, fn, oracles, spark) -> tuple[str, bool]:
             line += f"\n{'':28s} ^ warning: 0 rows"
         return (line, False)
     try:
-        cur = _duck().execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
+        rel = _duck().sql(oracles[name])
+        dcols = list(rel.columns)
+        dtypes = [str(t) for t in rel.types]
+        drows = rel.fetchall()
     except Exception as e:
         return (f"{name:28s} ORACLE_ERROR {str(e).splitlines()[0][:160]}", True)
     problems = []
@@ -111,6 +152,20 @@ def check_one(name, fn, oracles, spark) -> tuple[str, bool]:
             ex_s = list(sset - dset)[:2]
             ex_d = list(dset - sset)[:2]
             problems.append(f"hash spark_only={ex_s} duck_only={ex_d}")
+        else:
+            # The dataframe-canon twin: same comparison after each side
+            # is promoted the way a pandas/Arrow fetch would promote it.
+            forced = {c for c, t in zip(dcols, dtypes)
+                      if any(t.startswith(ft) for ft in _DUCK_FLOAT_FORCED)}
+            sh2 = table_hash(scols, promote_like_dataframe(scols, srows, set()))
+            dh2 = table_hash(dcols, promote_like_dataframe(dcols, drows, forced))
+            if sh2 != dh2:
+                problems.append(
+                    f"DFCANON hash diverges (fetchall matched): duck "
+                    f"float-forced cols={sorted(forced)} — an over-int64 "
+                    f"or NULL-promoted column formats differently via a "
+                    f"dataframe fetch; CAST it at emission"
+                )
     if problems:
         return (f"{name:28s} MISMATCH   {'; '.join(problems)[:500]}", True)
     return (f"{name:28s} MATCH      rows={len(srows)}  ({time.time()-t0:.1f}s)", False)
