@@ -18,6 +18,8 @@ All three are shuffle-disciplined for 100 TB corpora:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -339,10 +341,23 @@ def filter_by_percentile(
     ``tiebreak_col`` (pass a unique id) makes rank order — and
     therefore the kept set — deterministic under score ties; without
     it the kept COUNT is still exact but which tied row survives is
-    layout-dependent.
+    layout-dependent, so a warning is emitted whenever rows can
+    actually be dropped (ADVICE r8: quantized quality scores tie
+    often, and a silently nondeterministic kept SET violates the
+    framework's determinism guarantees — there is no stable internal
+    tiebreak to default to, monotonically_increasing_id is itself
+    layout-dependent).
     """
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    if tiebreak_col is None and keep_frac < 1.0:
+        warnings.warn(
+            "filter_by_percentile without tiebreak_col: score ties straddling "
+            "the keep boundary make the kept SET layout-dependent (the kept "
+            "count stays exact). Pass a unique id column as tiebreak_col for "
+            "a deterministic result.",
+            stacklevel=2,
+        )
     order = [F.col(score_col).desc()]
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc())

@@ -753,6 +753,14 @@ def lsh_hash_buckets(
     the same index-vs-probe steady-state split as IVF/IVF-PQ and the
     incremental MinHash index. Deterministic for a given seed.
 
+    NULL-vector contract (ADVICE r8): NULL embeddings are dropped from
+    the index — a NULL row can never be a near-dup candidate, and the
+    vectorized ``np.stack`` stage cannot represent it. The plane
+    dimension is derived from a non-null row, so a leading NULL can't
+    poison the whole index (previously ``size(NULL)`` = -1 from an
+    arbitrary ``head()`` made every plane empty and hashed every row to
+    bucket 0).
+
     Execution: ONE Arrow-batched numpy pass computes all n_tables x
     n_planes sign bits (left-fold dot accumulation — identical IEEE
     order and therefore identical sign decisions as the Catalyst
@@ -768,6 +776,7 @@ def lsh_hash_buckets(
     import pandas as pd
 
     idt_early = df.schema[id_col].dataType.simpleString()
+    df = df.where(F.col(vec_col).isNotNull())  # NULL vectors: see contract above
     dim_row = df.select(F.size(vec_col).alias("d")).head()
     if dim_row is None:  # empty corpus: empty index, not a TypeError
         return df.sparkSession.createDataFrame(

@@ -219,6 +219,7 @@ def write_upsert_jdbc(
     op_col: str | None = None,
     delete_ops: tuple[str, ...] = ("d", "delete", "D"),
     staging_table: str | None = None,
+    varchar_width: int = 512,
 ) -> None:
     """foreachBatch body for a keyed upsert into a JDBC table — the
     external-store twin of :func:`write_upsert_kafka` (reference S7
@@ -243,7 +244,15 @@ def write_upsert_jdbc(
     let two concurrent writers to one target merge each other's rows).
     String-typed key/op columns are CAST to VARCHAR in the DDL/ON
     clause — Spark's Derby writer stages StringType as CLOB, which the
-    database cannot compare.
+    database cannot compare. The cast width is sized from the STAGED
+    DATA each batch (one in-database ``MAX(LENGTH(..))`` scan, no extra
+    Spark pass), never a fixed constant: a fixed-width cast silently
+    truncates, so two distinct keys sharing a long prefix would compare
+    equal and UPDATE/DELETE the wrong target row (ADVICE r7, medium).
+    ``varchar_width`` floors the width used when auto-creating the
+    target table; a later batch whose strings exceed the created
+    width fails loudly on INSERT (the database raises truncation)
+    rather than corrupting keys.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes for MERGE
@@ -277,12 +286,33 @@ def write_upsert_jdbc(
 
         cols = keys + payload
 
+        # Size every VARCHAR cast from the staged data: one set-based
+        # in-database scan, so the ON-clause cast can never truncate a
+        # key (fixed-width casts compare distinct long keys equal).
+        staged_strings = [c for c in cols + ([op_col] if op_col else []) if c in string_cols]
+        widths: dict[str, int] = {}
+        if staged_strings:
+            sel_max = ", ".join(
+                f"COALESCE(MAX(LENGTH({q(c)})), 0)" for c in staged_strings
+            )
+            rs = stmt.executeQuery(f"SELECT {sel_max} FROM {staging}")
+            rs.next()
+            for i, c in enumerate(staged_strings):
+                widths[c] = max(int(rs.getInt(i + 1)), 1)
+            rs.close()
+
+        def width(c: str, floor: int = 1) -> int:
+            return max(widths.get(c, 1), floor)
+
         def sel(c: str) -> str:
             # Spark's Derby writer stages StringType as CLOB; surface
-            # string columns as comparable VARCHAR in DDL and ON clauses
-            return (
-                f"CAST({q(c)} AS VARCHAR(512)) AS {q(c)}" if c in string_cols else q(c)
-            )
+            # string columns as comparable VARCHAR in DDL and ON clauses.
+            # DDL width: at least varchar_width so later, longer batches
+            # fit; a batch exceeding it raises on INSERT (loud, not a
+            # silent truncation).
+            if c not in string_cols:
+                return q(c)
+            return f"CAST({q(c)} AS VARCHAR({width(c, varchar_width)})) AS {q(c)}"
 
         target_exists = True
         try:
@@ -296,7 +326,11 @@ def write_upsert_jdbc(
             )
 
         def onk(k: str) -> str:
-            s_side = f"CAST(s.{q(k)} AS VARCHAR(512))" if k in string_cols else f"s.{q(k)}"
+            s_side = (
+                f"CAST(s.{q(k)} AS VARCHAR({width(k)}))"
+                if k in string_cols
+                else f"s.{q(k)}"
+            )
             return f"t.{q(k)} = {s_side}"
 
         on = " AND ".join(onk(k) for k in keys)
@@ -306,8 +340,10 @@ def write_upsert_jdbc(
         if op_col is not None:
             in_list = ", ".join(f"'{o}'" for o in delete_ops)
             # CAST: some dialects (Spark's Derby writer included) store
-            # StringType as CLOB, which is not directly comparable.
-            op_expr = f"CAST(s.{q(op_col)} AS VARCHAR(16))"
+            # StringType as CLOB, which is not directly comparable. Width
+            # from the staged data so exotic op labels never truncate
+            # into a delete_ops collision.
+            op_expr = f"CAST(s.{q(op_col)} AS VARCHAR({width(op_col, 16)}))"
             merge = (
                 f"MERGE INTO {table} t USING {staging} s ON {on} "
                 f"WHEN MATCHED AND {op_expr} IN ({in_list}) THEN DELETE "

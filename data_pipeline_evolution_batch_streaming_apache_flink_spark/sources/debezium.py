@@ -176,7 +176,7 @@ def decode_logical_message(
     value_col: str = "value",
     fields: dict[str, tuple[str, str | None]] | None = None,
     lenient: bool = False,
-    drop_tombstones: bool = True,
+    drop_tombstones: bool = False,
 ) -> DataFrame:
     """Scenario-5 pipeline: parse the logical-decoding envelope, base64-
     decode ``message.content`` and JSON-path-extract the payload fields
@@ -194,9 +194,13 @@ def decode_logical_message(
     so the decoded document itself is validated; review r7); route with
     ``quarantine_split``.
 
-    ``drop_tombstones``: compacted-topic null values carry no document —
-    filtered out rather than decoded into all-null rows (same contract
-    as :func:`decode_debezium`, review r7).
+    ``drop_tombstones``: compacted-topic null values carry no document.
+    True filters them out; the default False preserves this decoder's
+    long-standing behavior — null values decode to all-null rows, or
+    are quarantined via ``_corrupt_record`` under ``lenient`` (ADVICE
+    r8: flipping the default silently changed existing callers, unlike
+    :func:`decode_debezium` whose True default matches its own prior
+    semantics).
     """
     fields = fields or {
         "order_id": ("$.order_id", "int"),

@@ -345,9 +345,20 @@ def test_review_r7_edge_contracts(spark):
     )
     assert span_corruption(big).count() == 1  # no ARITHMETIC_OVERFLOW
 
-    # a tie group straddling the keep boundary keeps the exact count
+    # a tie group straddling the keep boundary keeps the exact count —
+    # and warns that WHICH tied rows survive is layout-dependent until
+    # a tiebreak_col is given (ADVICE r8)
+    import warnings
+
     ties = spark.createDataFrame(
         [(i, "en", 7.0) for i in range(10)], "doc_id long, lang string, score double"
     )
-    kept = filter_by_percentile(ties, "score", 0.5, partition_by="lang")
+    with pytest.warns(UserWarning, match="tiebreak_col"):
+        kept = filter_by_percentile(ties, "score", 0.5, partition_by="lang")
     assert kept.count() == 5  # cume_dist formulation kept 0
+    # with a tiebreak the kept set is exact and no warning fires
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        det = filter_by_percentile(ties, "score", 0.5, partition_by="lang",
+                                   tiebreak_col="doc_id")
+    assert {r["doc_id"] for r in det.collect()} == {0, 1, 2, 3, 4}

@@ -148,6 +148,35 @@ def test_bucketed_cosine_zero_norm_pairs_dropped(spark):
     assert all(r["cos"] == 1.0 for r in got)
 
 
+def test_lsh_hash_buckets_null_vectors_dropped(spark):
+    """NULL-vector contract (ADVICE r8): NULL embeddings drop from the
+    index; a NULL in the FIRST row must not poison the plane dimension
+    (size(NULL) = -1 previously built an empty plane matrix that hashed
+    every row to bucket 0) and must not crash the np.stack stage."""
+    rows = [
+        (1, None),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.5, 0.2]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    idx = S.lsh_hash_buckets(df, "vec_id", "embedding", n_planes=4, n_tables=2)
+    got = idx.collect()
+    assert {r["__id"] for r in got} == {2, 3, 4}
+    # identical vectors share every bucket; planes are real (not all
+    # rows collapsed to bucket 0)
+    b2 = sorted((r["tbl"], r["bucket"]) for r in got if r["__id"] == 2)
+    b3 = sorted((r["tbl"], r["bucket"]) for r in got if r["__id"] == 3)
+    assert b2 == b3
+    assert len({r["bucket"] for r in got}) > 1
+    # the pair path composes: NULL rows simply never pair
+    pairs = {(r["id_a"], r["id_b"])
+             for r in S.bucketed_cosine_pairs(df, "vec_id", "embedding", 0.9,
+                                              n_planes=2, n_tables=8).collect()}
+    assert pairs == {(2, 3)}
+
+
 def test_ivfpq_recall_one_config_matches_exact(emb):
     """IVF-PQ at probe-all + shortlist-covers-corpus reproduces exact
     brute-force top-k (the suite-oracle gate config), and an approximate

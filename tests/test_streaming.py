@@ -1324,6 +1324,38 @@ def test_upsert_jdbc_null_op_and_string_keys(spark, tmp_path):
     assert got == {("k1", "v1b"), ("k3", "v3")}
 
 
+def test_upsert_jdbc_long_keys_do_not_collide(spark, tmp_path):
+    """ADVICE r8 (medium): the MERGE ON clause used a fixed
+    CAST(.. AS VARCHAR(512)) — explicit casts truncate silently, so two
+    distinct keys sharing a 512-char prefix compared equal and the
+    update hit the wrong target row. Widths are now sized from the
+    staged data, so long keys stay distinct end-to-end."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import write_upsert_jdbc
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/upslong;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    prefix = "p" * 600
+    ka, kb = prefix + "A", prefix + "B"
+    b1 = spark.createDataFrame(
+        [(ka, "va", 1), (kb, "vb", 2)], "email string, val string, ts_ms long"
+    )
+    write_upsert_jdbc(b1, keys="email", order_by="ts_ms", url=url,
+                      table="longsnap", driver=driver)
+    # Update ONLY ka; kb must keep its value (the old truncating cast
+    # matched both rows and delete/update hit the wrong one).
+    b2 = spark.createDataFrame(
+        [(ka, "va2", 3)], "email string, val string, ts_ms long"
+    )
+    write_upsert_jdbc(b2, keys="email", order_by="ts_ms", url=url,
+                      table="longsnap", driver=driver)
+    got = {
+        (r["email"], r["val"])
+        for r in read_jdbc(spark, url, "longsnap", driver=driver).collect()
+    }
+    assert got == {(ka, "va2"), (kb, "vb")}
+
+
 def test_decode_debezium_rejects_meta_column_clash(spark):
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
 
@@ -1352,11 +1384,16 @@ def test_decode_logical_message_tombstones_and_truncated_payload(spark):
                             "source": {"ts_ms": 2, "txId": 2, "lsn": 2},
                             "message": {"prefix": "orders", "content": good_doc[:10]}})
     df = spark.createDataFrame([(good,), (truncated,), (None,)], "value string")
-    out = decode_logical_message(df, lenient=True).collect()
-    assert len(out) == 2  # tombstone dropped
+    out = decode_logical_message(df, lenient=True, drop_tombstones=True).collect()
+    assert len(out) == 2  # tombstone dropped when opted in
     by_tx = {r["txId"]: r for r in out}
     assert by_tx[1]["order_id"] == 7 and by_tx[1]["_corrupt_record"] is None
     assert by_tx[2]["_corrupt_record"] is not None  # truncated -> quarantined
+    # ADVICE r8: the DEFAULT preserves the decoder's original contract —
+    # tombstones decode to all-null rows instead of silently vanishing.
+    dflt = decode_logical_message(df, lenient=True).collect()
+    assert len(dflt) == 3
+    assert sum(1 for r in dflt if r["txId"] is None and r["order_id"] is None) == 1
 
 
 def test_sessionize_drops_null_timestamps(spark):
