@@ -207,13 +207,21 @@ def _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches):
     return n_orders + N_CLIENTS + n_batches * (N_CLIENTS // 10) + 2
 
 
-def _run_rocksdb_stateful(spark, root, n_orders, n_batches):
+def _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=None):
     """Scenario-6's state-store-backed leg (streaming as-of enrichment,
     applyInPandasWithState) at stress scale UNDER RocksDB with changelog
     checkpointing: straight run for throughput + mid-stream-kill restart
     for exactly-once recovery evidence (VERDICT r5 item 3). The
     foreachBatch engine keeps its own state off the store, so this is
-    the leg where the provider actually executes."""
+    the leg where the provider actually executes.
+
+    ``idle_ttl`` (VERDICT r7 #6) drives the manual event-time idle-key
+    expiry path at stress scale: with a TTL far above the batch spacing
+    the mid-stream output is unchanged, and the trailing far-future
+    heartbeat advances the watermark past every key's idle horizon, so
+    ALL keys take the timer-expiry path before the run drains —
+    exercised under RocksDB, digest-compared against the kill/restart
+    run like the base leg."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.streaming import streaming_asof_join
 
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
@@ -230,6 +238,7 @@ def _run_rocksdb_stateful(spark, root, n_orders, n_batches):
             json_file_stream(spark, dim_dir, "client_id int, name string, dts timestamp",
                              max_files_per_trigger=8),
             key="client_id", fact_ts="ts", dim_ts="dts", how="left",
+            idle_ttl=idle_ttl,
         )
 
     def out_df(out):
@@ -283,6 +292,7 @@ def _run_rocksdb_stateful(spark, root, n_orders, n_batches):
     restarted = out_df(out2)
     result = {
         "state_store": "rocksdb+changelog",
+        "idle_ttl": idle_ttl,
         "n_orders": n_orders,
         "n_events": n_events,
         "n_batches": n_batches,
@@ -310,6 +320,10 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     restart = "--restart" in sys.argv
     rocksdb = "--rocksdb" in sys.argv
+    idle_ttl = None
+    for a in sys.argv[1:]:
+        if a.startswith("--idle-ttl="):
+            idle_ttl = a.split("=", 1)[1]
     if rocksdb:
         n_orders = int(args[0]) if args else 100_000
         n_batches = int(args[1]) if len(args) > 1 else 8
@@ -317,7 +331,7 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         root = tempfile.mkdtemp(prefix="dpe_sbench_rdb_")
         try:
-            _run_rocksdb_stateful(spark, root, n_orders, n_batches)
+            _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=idle_ttl)
         finally:
             shutil.rmtree(root, ignore_errors=True)
         return
