@@ -370,14 +370,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for the declared queries — ``suite.ORACLE`` carries
     one SQL string per ``suite.QUERIES`` entry (approximate operators
-    pin recall-1.0 configs so exact SQL twins apply), except three
-    intentionally rows-only entries with no SQL twin: ``bpe_tokenize``
-    (ordered data-dependent rewrite system; exactness pinned by
-    tests/test_bpe.py against a sequential reference), ``pca_project``
+    pin recall-1.0 configs so exact SQL twins apply), except two
+    intentionally rows-only entries with no SQL twin: ``pca_project``
     (eigendecomposition; determinism pinned by the numpy-parity and
-    layout tests in tests/test_stats.py), and ``record_linkage_em``
+    layout tests in tests/test_stats.py) and ``record_linkage_em``
     (iterative EM fixpoint; convergence and layout-independence pinned
-    in tests/test_linkage.py)."""
+    in tests/test_linkage.py). ``bpe_tokenize`` gained a full unrolled
+    SQL twin in r8 (suite._bpe_oracle)."""
     return {
         name: suite.ORACLE[name]
         for name in ordered_names()

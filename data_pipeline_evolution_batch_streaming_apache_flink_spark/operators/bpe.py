@@ -14,11 +14,12 @@ deterministic freq-desc/word-asc cap keeps the driver footprint fixed).
 
 Encoding is Arrow-batched ``mapInPandas`` with per-batch word-level
 memoization (corpora repeat words — each distinct word is encoded once
-per batch), the merge table shipped in the task closure. No SQL oracle
-exists for the encode step (an ordered, data-dependent rewrite system
-is not expressible in one query), so the suite entry is a rows-only
-check; exactness is pinned by unit tests against an independent
-sequential reference implementation.
+per batch), the merge table shipped in the task closure. Exactness is
+pinned two ways: unit tests against an independent sequential reference
+implementation (tests/test_bpe.py), and — since r8 — a full unrolled
+SQL hash twin (``plans.suite._bpe_oracle``: every merge-learning round
+and the rank-ordered encode replayed in DuckDB, with the
+one-replace-pass-per-rule equivalence argument in its docstring).
 """
 
 from __future__ import annotations

@@ -962,20 +962,135 @@ def q_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
     """Real BPE tokenization (operators/bpe.py): merges learned from
     the distributed word histogram (the only corpus pass; driver loop
     is vocabulary-bounded), then Arrow-batched encode with word-level
-    memoization. ROWS-ONLY suite entry — an ordered data-dependent
-    rewrite system has no single-query SQL twin; exactness is pinned by
-    tests/test_bpe.py against an independent sequential reference. The
-    emitted token_checksum makes value drift visible across runs even
-    under the weaker check."""
+    memoization.
+
+    HASH-CHECKED since r8: the ordered rewrite system unrolls into SQL
+    the same way kmeans' Lloyd iterations do — ``_bpe_oracle`` below
+    replays all 64 merge-learning rounds and the rank-ordered encode in
+    DuckDB (exactness additionally pinned by tests/test_bpe.py against
+    a sequential reference). The per-token checksum is the house
+    md5-fold (first 15 hex chars -> 60-bit int, mod 2^32, summed) —
+    exact on any engine with md5, unlike crc32 which DuckDB lacks."""
     t = load_tables(spark, sf, ("documents",))
     merges = bpe_train(t["documents"], num_merges=64, max_words=8000)
     enc = bpe_encode(t["documents"], merges)
     checksum = F.aggregate(
-        F.transform(F.col("bpe_tokens"), lambda s: F.crc32(s.cast("binary")).cast("bigint")),
+        F.transform(
+            F.col("bpe_tokens"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+            % F.lit(4294967296).cast("bigint"),
+        ),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     return enc.select("doc_id", "n_bpe_tokens", checksum.alias("token_checksum"))
+
+
+def _bpe_oracle(num_merges: int = 64, max_words: int = 8000) -> str:
+    """Unrolled-SQL twin of bpe_train + bpe_encode (the kmeans
+    unroll technique applied to a rewrite system).
+
+    Representation: a word's segmentation is a STRING of wrapped
+    tokens — ``\\x01tok\\x01`` concatenated — so merging the learned
+    pair (a, b) is ONE ``replace`` of ``\\x01a\\x01\\x01b\\x01`` with
+    ``\\x01ab\\x01``. replace() is left-to-right non-overlapping, which
+    is exactly encode_word's greedy order, and one pass per rule is
+    exhaustive: a merge's output token can never recreate its own pair
+    (ab = a requires b = '', and components of an earlier-ranked merge
+    cannot be produced by a later-ranked one, since merge k's pair only
+    references symbols that exist after merges 0..k-1). The doc encode
+    joins word segments with \\x02 so no pattern spans a word boundary.
+
+    Per training round: recount weighted adjacent pairs from the
+    current segmentations (equals the Python loop's incrementally
+    maintained counts), argmax ORDER BY cnt DESC, a, b (binary UTF-8
+    collation == Python tuple compare), reseg via the replace. If a
+    degenerate corpus exhausts its pairs early the sentinel pair
+    (chr(3), chr(3)) keeps later rounds as no-ops, matching the Python
+    loop's break. Every stage is MATERIALIZED — each seg CTE is
+    consumed twice (pair counts + next seg) and inlining would double
+    the expression tree per round.
+
+    Charset contract: \\x01/\\x02/\\x03 must not appear in the corpus
+    (the testdata documents are printable ASCII + whitespace —
+    verified; words are whitespace-split so no token contains them).
+    """
+    rx = r"'\x01([^\x01]+)\x01'"  # one wrapped token (RE2 escapes)
+    wrap = "chr(1)||{x}||chr(1)"
+    parts = [f"""
+    WITH hist AS MATERIALIZED (
+      SELECT word, freq FROM (
+        SELECT word, count(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents)
+        WHERE word <> '' GROUP BY word)
+      ORDER BY freq DESC, word LIMIT {max_words}
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_reduce(list_transform(range(1, length(word) + 1),
+                         i -> {wrap.format(x='word[i]')}), (x, y) -> x || y)
+             || {wrap.format(x="'</w>'")} AS seg
+      FROM hist
+    )"""]
+    prev = "seg0"
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+    pc{k} AS MATERIALIZED (
+      SELECT u.a AS a, u.b AS b, sum(freq) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(range(1, len(t)),
+                      i -> {{'a': t[i], 'b': t[i + 1]}})) AS u
+        FROM (SELECT freq, regexp_extract_all(seg, {rx}, 1) AS t FROM {prev})
+        WHERE len(t) >= 2)
+      GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (
+      (SELECT a, b FROM pc{k} ORDER BY cnt DESC, a, b LIMIT 1)
+      UNION ALL
+      (SELECT chr(3), chr(3) WHERE NOT EXISTS (SELECT 1 FROM pc{k}))
+    ),
+    seg{k} AS MATERIALIZED (
+      SELECT s.word, s.freq,
+             replace(s.seg, chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1),
+                     chr(1)||m.a||m.b||chr(1)) AS seg
+      FROM {prev} s CROSS JOIN m{k} m
+    )""")
+        prev = f"seg{k}"
+    parts.append(f""",
+    e0 AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(ws) = 0 THEN '' ELSE
+               list_reduce(list_transform(ws, w ->
+                 list_reduce(list_transform(range(1, length(w) + 1),
+                             i -> {wrap.format(x='w[i]')}), (x, y) -> x || y)
+                 || {wrap.format(x="'</w>'")}),
+                 (x, y) -> x || chr(2) || y)
+             END AS seg
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               w -> w <> '') AS ws
+            FROM documents)
+    )""")
+    prev = "e0"
+    for k in range(1, num_merges + 1):
+        parts.append(f""",
+    e{k} AS MATERIALIZED (
+      SELECT e.doc_id,
+             replace(e.seg, chr(1)||m.a||chr(1)||chr(1)||m.b||chr(1),
+                     chr(1)||m.a||m.b||chr(1)) AS seg
+      FROM e{k - 1} e CROSS JOIN m{k} m
+    )""")
+        prev = f"e{k}"
+    parts.append(f"""
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(t, tok ->
+                  ('0x' || substring(md5(tok), 1, 15))::BIGINT % 4294967296)),
+                (a, e) -> a + e) AS BIGINT) AS token_checksum
+    FROM (SELECT doc_id, regexp_extract_all(seg, {rx}, 1) AS t FROM {prev})
+""")
+    return "".join(parts)
 
 
 def q_profile_columns(spark: SparkSession, sf: str) -> DataFrame:
@@ -2204,6 +2319,8 @@ ORACLE: dict[str, str] = {
 # named CTE; DuckDB needs RECURSIVE declared on the WITH list.
 _SJ03 = _SHINGLE_JACCARD.format(nm1=2, threshold=0.3)
 _SJ03_CTES, _SJ03_FINAL = _SJ03.rsplit("\nSELECT", 1)
+ORACLE["bpe_tokenize"] = _bpe_oracle()
+
 ORACLE["dedup_clusters"] = (
     _SJ03_CTES.replace("WITH", "WITH RECURSIVE", 1)
     + ",\nfpairs AS (SELECT "

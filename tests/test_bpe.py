@@ -107,3 +107,41 @@ def test_encode_compresses():
     # unseen word still encodes (falls back toward characters)
     toks = encode_word("lowest", ranks)
     assert "".join(toks) == "lowest" + END
+
+
+def test_sql_oracle_parity_on_adversarial_corpus(spark, tmp_path):
+    """The unrolled SQL twin (suite._bpe_oracle) must reproduce
+    q_bpe_tokenize bit-for-bit on a corpus the testdata never
+    exercises: repeat-run words (overlapping same-pair adjacency,
+    where greedy left-to-right order matters), words that are
+    prefixes of others, and single-char words."""
+    import duckdb
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    docs = [
+        (0, "aaaa aaa aa a"),
+        (1, "abab ab a b aab abb"),
+        (2, "banana bananas ban an ana nan"),
+        (3, "xxxyyy xyxyxy xxx yyy"),
+        (4, "aaaa abab banana banana aaaa"),
+        (5, "mississippi missis sip pi ss ii"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.parquet(sf_dir + "/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["token_checksum"])
+        for r in suite.QUERIES["bpe_tokenize"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a directory of part files; DuckDB needs the glob
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        d: (n, c) for d, n, c in con.execute(suite.ORACLE["bpe_tokenize"]).fetchall()
+    }
+    assert got == want
+    assert all(n > 0 for n, _ in got.values())

@@ -5,15 +5,15 @@ from __future__ import annotations
 
 import __spark_entry__ as E
 
-# bpe_tokenize: ordered data-dependent rewrite system — no SQL twin
-# (exactness pinned in tests/test_bpe.py). pca_project: driver-side
-# eigensolver — no SQL twin (numpy-parity + layout tests in
-# tests/test_stats.py). record_linkage_em: iterative EM fixpoint over
-# comparison-pattern counts — no closed-form SQL twin (convergence and
-# layout-independence pinned in tests/test_linkage.py; the SCORING it
-# feeds stays oracle-checked via record_linkage). Everything else must
-# have one.
-EXPECTED_ROWS_ONLY: set[str] = {"bpe_tokenize", "pca_project", "record_linkage_em"}
+# pca_project: driver-side eigensolver — no SQL twin (numpy-parity +
+# layout tests in tests/test_stats.py). record_linkage_em: iterative EM
+# fixpoint over comparison-pattern counts — no closed-form SQL twin
+# (convergence and layout-independence pinned in tests/test_linkage.py;
+# the SCORING it feeds stays oracle-checked via record_linkage).
+# Everything else must have one. (bpe_tokenize left this list in r8:
+# its 64 merge rounds + rank-ordered encode unroll into SQL the same
+# way kmeans' Lloyd iterations do — suite._bpe_oracle.)
+EXPECTED_ROWS_ONLY: set[str] = {"pca_project", "record_linkage_em"}
 
 # §2-canonical witnesses that must NEVER leave the driver's 50-slot
 # correctness window (one per SURVEY §2 operator family), plus the
