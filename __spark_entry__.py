@@ -253,12 +253,21 @@ FIRST_ROTATED_ROUND = 6
 # artifact lands would silently shift slots 34-50 to the next cohort).
 # Bump by 1 at the start of each round, when the previous round's
 # artifact gets committed.
-FIRST_UNRECORDED_ROUND = 8
+FIRST_UNRECORDED_ROUND = 9
 
 # The retry lane exists from round 8 (VERDICT r7 #2); earlier rounds
 # consumed a fixed 17-wide cohort slice, and the replay below must
 # reproduce that history exactly to keep the wheel pointer stable.
 LANE_SINCE_ROUND = 8
+
+# From round 9 the lane also catches CONTRACT UPGRADES (VERDICT r8 #2):
+# a query whose latest committed driver row is the weaker rows-only
+# record (err == 'no_oracle') but which NOW declares a SQL twin in
+# ``suite.ORACLE`` has strengthened its contract since the driver last
+# saw it, and needs a hash-green row without waiting for the wheel to
+# wrap (~6 rounds).  Gated by round so the round-8 window replay —
+# computed before this rule existed — stays byte-identical.
+UPGRADE_LANE_SINCE_ROUND = 9
 
 
 def current_round() -> int:
@@ -305,17 +314,33 @@ def _is_red(row: dict) -> bool:
 
 def retry_lane(round_no: int) -> list[str]:
     """Non-pinned queries whose LATEST committed driver row (over
-    artifacts of rounds < round_no) is red, in ROTATION order, capped
-    at the cohort width. Empty before ``LANE_SINCE_ROUND``."""
+    artifacts of rounds < round_no) is red — or, from
+    ``UPGRADE_LANE_SINCE_ROUND``, whose latest row is the rows-only
+    record while the query now declares a SQL twin (contract upgrade)
+    — in ROTATION order, capped at the cohort width. Empty before
+    ``LANE_SINCE_ROUND``."""
     if round_no < LANE_SINCE_ROUND:
         return []
-    latest: dict[str, bool] = {}
+    latest: dict[str, dict] = {}
     for rnd, rows in _committed_artifacts():
         if rnd >= round_no:
             continue
         for q, row in rows.items():
-            latest[q] = _is_red(row)
-    return [q for q in ROTATION if latest.get(q, False)][:COHORT_SIZE]
+            latest[q] = row
+
+    def qualifies(q: str) -> bool:
+        row = latest.get(q)
+        if row is None:
+            return False
+        if _is_red(row):
+            return True
+        return (
+            round_no >= UPGRADE_LANE_SINCE_ROUND
+            and row.get("err") == "no_oracle"
+            and q in suite.ORACLE
+        )
+
+    return [q for q in ROTATION if qualifies(q)][:COHORT_SIZE]
 
 
 def _window_plan(round_no: int) -> tuple[list[str], list[str]]:

@@ -85,14 +85,30 @@ def test_round8_retry_lane_is_the_r7_reds():
         lane_r, cohort_r = E._window_plan(r)
         assert lane_r == []
         assert cohort_r == (E.ROTATION + E.ROTATION)[(r - 6) * 17 :][:17]
-    # Round 9 (with r8 still unrecorded) resumes the wheel exactly where
-    # round 8 left it — no skipped, no re-served positions.
-    _, cohort9 = E._window_plan(9)
-    assert cohort9[0] == "char_entropy"
     # A rows-only record (err == 'no_oracle') is not red.
     assert not E._is_red({"err": "no_oracle", "rows_match": None})
     assert E._is_red({"err": None, "rows_match": True, "schema_match": True,
                       "hash_match": False})
+
+
+def test_round9_lane_is_the_contract_upgrade():
+    """VERDICT r8 #2 'Done' criterion: bpe_tokenize's latest committed
+    driver row is the r6 rows-only record, but the query gained a full
+    SQL twin in r8 — the upgrade lane must serve it this round, and the
+    cohort must resume the wheel exactly where round 8 left it."""
+    lane, cohort = E._window_plan(9)
+    assert lane == ["bpe_tokenize"]
+    assert cohort == [
+        "char_entropy", "bloom_prune", "window_distribution",
+        "dataset_split", "range_join_pairs", "rrf_fusion",
+        "hop_distinct_users", "hop_hll_users", "pagerank_weighted",
+        "k_hop_reach", "pagerank_personalized", "hits_scores",
+        "link_prediction", "url_dedup", "global_ids", "dedup_containment",
+    ]
+    # The gate keeps the pre-rule round-8 replay byte-identical even
+    # though bpe_tokenize's oracle exists in the CURRENT code state.
+    lane8, _ = E._window_plan(8)
+    assert "bpe_tokenize" not in lane8
 
 
 def test_round6_cohort_is_never_driver_checked():
