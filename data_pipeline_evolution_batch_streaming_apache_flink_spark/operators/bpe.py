@@ -24,26 +24,41 @@ one-replace-pass-per-rule equivalence argument in its docstring).
 
 from __future__ import annotations
 
+import re
 from collections import Counter, defaultdict
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import text as TXT
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
 #: End-of-word marker appended as a final symbol so merges can learn
 #: word-final units ("ing</w>") distinct from word-internal ones.
 END = "</w>"
 
+#: The ONE whitespace definition for the whole BPE path (ADVICE r8).
+#: An explicit ASCII class — space, tab, LF, VT, FF, CR — used
+#: verbatim by the Spark histogram split (Java regex), the Arrow
+#: encoder (Python re), and the DuckDB oracle twin (RE2), because the
+#: engines' ``\s`` classes disagree at the edges: RE2 ``\s`` excludes
+#: VT, Python ``str.split()`` additionally splits on Unicode
+#: whitespace (NBSP, U+2028, ...). With this class, VT is a separator
+#: everywhere and Unicode whitespace is word content everywhere.
+WS = " \t\n\x0b\x0c\r"
+WS_PATTERN = "[" + WS + "]+"  # literal chars in a class: same meaning in Java/RE2/re
+_WS_SPLIT = re.compile(WS_PATTERN)
+
 
 def word_histogram(df: DataFrame, text_col: str = "text", max_words: int | None = None) -> DataFrame:
     """Word frequency table (one counted shuffle). ``max_words`` caps to
-    the most frequent types, freq-desc / word-asc deterministic."""
+    the most frequent types, freq-desc / word-asc deterministic.
+    Words are split on the explicit ``WS`` class (empties filtered), so
+    the histogram agrees byte-for-byte with the encoder and the SQL
+    twin on any corpus."""
     counts = (
         fan_out(df.select(F.col(text_col)))
-        .select(F.explode(TXT.tokens(text_col)).alias("word"))
+        .select(F.explode(F.split(F.col(text_col), WS_PATTERN)).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
@@ -65,8 +80,17 @@ def learn_merges(histogram: list[tuple[str, int]], num_merges: int) -> list[tupl
     freq = dict(histogram)
     pair_counts: Counter = Counter()
     pair_words: defaultdict[tuple[str, str], set[str]] = defaultdict(set)
+    # Every symbol string ever in play (alphabet + END + merge outputs).
+    # The SQL twin's one-replace-pass-per-rule equivalence argument
+    # (plans/suite._bpe_oracle) requires each merge's OUTPUT string to
+    # be a brand-new symbol — two rules producing the same string via
+    # different derivations would let the rank-ordered Python encoder
+    # and the sequential SQL replay diverge, so that corpus is rejected
+    # loudly at train time (ADVICE r8).
+    symbols: set[str] = {END}
     for w, syms in words.items():
         f = freq[w]
+        symbols.update(syms)
         for p in zip(syms, syms[1:]):
             pair_counts[p] += f
             pair_words[p].add(w)
@@ -88,8 +112,17 @@ def learn_merges(histogram: list[tuple[str, int]], num_merges: int) -> list[tupl
         if not pair_counts:
             break
         best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
-        merges.append(best)
         merged = best[0] + best[1]
+        if merged in symbols:
+            raise ValueError(
+                f"BPE merge {best!r} produces {merged!r}, a string already "
+                "in the symbol table: the merge list would be ambiguous "
+                "(two derivations of one token) and the SQL oracle's "
+                "sequential replay could diverge from the rank-ordered "
+                "encoder. Reduce num_merges or pre-filter the corpus."
+            )
+        symbols.add(merged)
+        merges.append(best)
         for w in list(pair_words.get(best, ())):
             old = words[w]
             out: list[str] = []
@@ -160,7 +193,9 @@ def bpe_encode(
 
         def enc_text(text: str) -> list[str]:
             out: list[str] = []
-            for w in (text or "").split():
+            for w in _WS_SPLIT.split(text or ""):
+                if not w:
+                    continue
                 toks = cache.get(w)
                 if toks is None:
                     toks = encode_word(w, ranks)

@@ -1014,14 +1014,22 @@ def _bpe_oracle(num_merges: int = 64, max_words: int = 8000) -> str:
     Charset contract: \\x01/\\x02/\\x03 must not appear in the corpus
     (the testdata documents are printable ASCII + whitespace —
     verified; words are whitespace-split so no token contains them).
+    Whitespace is the ONE explicit class ``operators.bpe.WS`` (space,
+    tab, LF, VT, FF, CR — literal chars embedded in the pattern below),
+    shared verbatim with the Spark histogram split and the Python
+    encoder, because the engines' ``\\s`` disagree at the edges (RE2
+    excludes VT; Python str.split() adds Unicode whitespace). Unicode
+    whitespace such as NBSP is word CONTENT on every side (ADVICE r8).
     """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.bpe import WS_PATTERN
+
     rx = r"'\x01([^\x01]+)\x01'"  # one wrapped token (RE2 escapes)
     wrap = "chr(1)||{x}||chr(1)"
     parts = [f"""
     WITH hist AS MATERIALIZED (
       SELECT word, freq FROM (
         SELECT word, count(*) AS freq FROM (
-          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          SELECT unnest(string_split_regex(text, '{WS_PATTERN}')) AS word
           FROM documents)
         WHERE word <> '' GROUP BY word)
       ORDER BY freq DESC, word LIMIT {max_words}
@@ -1068,7 +1076,7 @@ def _bpe_oracle(num_merges: int = 64, max_words: int = 8000) -> str:
                  (x, y) -> x || chr(2) || y)
              END AS seg
       FROM (SELECT doc_id,
-                   list_filter(string_split_regex(trim(text), '\\s+'),
+                   list_filter(string_split_regex(text, '{WS_PATTERN}'),
                                w -> w <> '') AS ws
             FROM documents)
     )""")

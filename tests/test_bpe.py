@@ -145,3 +145,60 @@ def test_sql_oracle_parity_on_adversarial_corpus(spark, tmp_path):
     }
     assert got == want
     assert all(n > 0 for n, _ in got.values())
+
+
+def test_sql_oracle_parity_on_exotic_whitespace(spark, tmp_path):
+    """ADVICE r8: the engines' \\s classes disagree (RE2 excludes VT;
+    Python str.split() adds Unicode whitespace), so the whole BPE path
+    splits on ONE explicit class (operators.bpe.WS). Pin the contract
+    cross-engine: VT/FF are separators on both sides, NBSP and
+    LINE SEPARATOR are word content on both sides."""
+    import duckdb
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
+
+    docs = [
+        (0, "alpha\x0bbeta gamma"),        # VT separates
+        (1, "delta\x0cepsilon\tzeta"),     # FF + tab separate
+        (2, "eta\xa0theta iota\xa0theta"), # NBSP is word content
+        (3, "kappa lambda kappa"),    # U+2028 is word content
+        (4, "  lead trail \r\n mu "),
+        (5, "alpha beta eta\xa0theta"),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.write.parquet(sf_dir + "/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["token_checksum"])
+        for r in suite.QUERIES["bpe_tokenize"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        d: (n, c) for d, n, c in con.execute(suite.ORACLE["bpe_tokenize"]).fetchall()
+    }
+    assert got == want
+    # And the histogram itself treats NBSP-joined text as ONE word.
+    words = {r["word"] for r in word_histogram(df).collect()}
+    assert "eta\xa0theta" in words and "alpha" in words and "beta" in words
+    assert "eta" not in words and "kappa lambda" in words
+
+
+def test_merge_output_collision_raises():
+    """ADVICE r8: the SQL twin's one-pass-per-rule equivalence needs
+    every merge output to be a brand-new symbol string. A corpus over
+    the marker charset can reconstruct an existing symbol via a second
+    derivation — train must reject it loudly, not diverge silently.
+    (Corpus found by brute-force search; the merge ('/w', '</w>')
+    produces '/w</w>', already a symbol by then.)"""
+    import pytest
+
+    hist = sorted(
+        {"/w": 16, "/w</w>": 20, "<///</": 16, "><": 18, "w<": 11}.items(),
+        key=lambda t: (-t[1], t[0]),
+    )
+    with pytest.raises(ValueError, match="already"):
+        learn_merges(hist, 15)
