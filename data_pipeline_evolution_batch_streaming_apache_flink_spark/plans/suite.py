@@ -423,6 +423,7 @@ def q_logical_decoding(spark: SparkSession, sf: str) -> DataFrame:
             "client_name": ("$.client_name", None),
             "total": ("$.total", "int"),
         },
+        drop_tombstones=False,  # explicit per the decoder's contract
     )
 
 

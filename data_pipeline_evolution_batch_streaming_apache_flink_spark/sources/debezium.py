@@ -176,7 +176,7 @@ def decode_logical_message(
     value_col: str = "value",
     fields: dict[str, tuple[str, str | None]] | None = None,
     lenient: bool = False,
-    drop_tombstones: bool = False,
+    drop_tombstones: bool | None = None,
 ) -> DataFrame:
     """Scenario-5 pipeline: parse the logical-decoding envelope, base64-
     decode ``message.content`` and JSON-path-extract the payload fields
@@ -195,13 +195,27 @@ def decode_logical_message(
     ``quarantine_split``.
 
     ``drop_tombstones``: compacted-topic null values carry no document.
-    True filters them out; the default False preserves this decoder's
-    long-standing behavior — null values decode to all-null rows, or
-    are quarantined via ``_corrupt_record`` under ``lenient`` (ADVICE
-    r8: flipping the default silently changed existing callers, unlike
-    :func:`decode_debezium` whose True default matches its own prior
-    semantics).
+    True filters them out; False keeps them — null values decode to
+    all-null rows, or are quarantined via ``_corrupt_record`` under
+    ``lenient``. PASS IT EXPLICITLY: the default flipped in r7 and
+    back in r8, so leaving it unset now behaves as False but emits a
+    plan-time ``UserWarning`` naming the choice being made (ADVICE r9
+    — a caller written against either historical default finds out
+    immediately instead of via silently-kept or silently-dropped
+    tombstone rows).
     """
+    if drop_tombstones is None:
+        import warnings
+
+        warnings.warn(
+            "decode_logical_message: drop_tombstones not specified; "
+            "defaulting to False (tombstones decode to all-null rows, or "
+            "_corrupt_record under lenient). This default has changed "
+            "across releases — pass drop_tombstones explicitly.",
+            UserWarning,
+            stacklevel=2,
+        )
+        drop_tombstones = False
     fields = fields or {
         "order_id": ("$.order_id", "int"),
         "client_name": ("$.client_name", None),

@@ -1167,7 +1167,7 @@ def test_decode_debezium_lenient_batch_and_logical_message(spark):
         "message": {"prefix": "orders", "content": content},
     })
     mdf = spark.createDataFrame([(goodmsg,), ("not json",)], "value string")
-    mout = decode_logical_message(mdf, lenient=True)
+    mout = decode_logical_message(mdf, lenient=True, drop_tombstones=False)
     mclean, mbad = quarantine_split(mout)
     assert mclean.first()["order_id"] == 5
     assert [r["raw"] for r in mbad.collect()] == ["not json"]
@@ -1389,9 +1389,13 @@ def test_decode_logical_message_tombstones_and_truncated_payload(spark):
     by_tx = {r["txId"]: r for r in out}
     assert by_tx[1]["order_id"] == 7 and by_tx[1]["_corrupt_record"] is None
     assert by_tx[2]["_corrupt_record"] is not None  # truncated -> quarantined
-    # ADVICE r8: the DEFAULT preserves the decoder's original contract —
-    # tombstones decode to all-null rows instead of silently vanishing.
-    dflt = decode_logical_message(df, lenient=True).collect()
+    # ADVICE r9: the unset default behaves as False but WARNS at plan
+    # time — the flag's default flipped twice across releases, so the
+    # decoder names the choice instead of making it silently.
+    import pytest
+
+    with pytest.warns(UserWarning, match="drop_tombstones"):
+        dflt = decode_logical_message(df, lenient=True).collect()
     assert len(dflt) == 3
     assert sum(1 for r in dflt if r["txId"] is None and r["order_id"] is None) == 1
 
