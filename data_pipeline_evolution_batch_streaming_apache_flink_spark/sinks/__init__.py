@@ -250,9 +250,24 @@ def write_upsert_jdbc(
     truncates, so two distinct keys sharing a long prefix would compare
     equal and UPDATE/DELETE the wrong target row (ADVICE r7, medium).
     ``varchar_width`` floors the width used when auto-creating the
-    target table; a later batch whose strings exceed the created
-    width fails loudly on INSERT (the database raises truncation)
-    rather than corrupting keys.
+    target table. When a LATER batch stages strings longer than the
+    target's current column width, the sink first tries to ALTER-widen
+    the column in place (Derby and Postgres syntax attempted, current
+    width read from JDBC metadata); only if the dialect refuses does
+    the INSERT fail loudly with the database's truncation error rather
+    than corrupting keys (ADVICE r9: the loud failure alone was an
+    availability cliff for streaming queries).
+
+    Operational notes (ADVICE r9): widths are measured in CHARACTERS
+    via ``LENGTH()`` on the staged CLOB/VARCHAR, which is correct on
+    Derby/Postgres; on byte-semantics dialects (e.g. Oracle VARCHAR2
+    with ``NLS_LENGTH_SEMANTICS=BYTE``) multi-byte strings can exceed
+    the created byte width — there, pre-create the target with CHAR
+    semantics or set ``varchar_width`` to the byte budget. If a widen
+    attempt fails and the query stops, the recovery path is to widen
+    the column manually (or recreate the target) and restart; state is
+    safe because the MERGE is atomic per batch and re-running a batch
+    is idempotent (latest-per-key).
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     compacted = latest_per_key(batch_df, keys, order_by, op_col=None)  # keep deletes for MERGE
@@ -324,6 +339,53 @@ def write_upsert_jdbc(
                 f"CREATE TABLE {table} AS SELECT {', '.join(sel(c) for c in cols)} "
                 f"FROM {staging} WITH NO DATA"
             )
+        else:
+            # A later batch can stage strings longer than the width the
+            # target was created with. Widen in place (best-effort per
+            # dialect) instead of presenting an availability cliff: if
+            # no syntax works, the subsequent INSERT still fails loudly.
+            meta = conn.getMetaData()
+            schema_name, _, bare = table.rpartition(".")
+
+            def target_col_width(col: str) -> int | None:
+                # The table name is UNQUOTED in the DDL (folds per
+                # dialect: Derby/Oracle upper, Postgres lower) while
+                # column names are QUOTED (stored exactly) — probe the
+                # folding combinations.
+                for t_n, c_n in (
+                    (bare, col),
+                    (bare.upper(), col),
+                    (bare.lower(), col),
+                    (bare.upper(), col.upper()),
+                    (bare.lower(), col.lower()),
+                ):
+                    rs = meta.getColumns(None, schema_name.upper() or None, t_n, c_n)
+                    try:
+                        if rs.next():
+                            return int(rs.getInt("COLUMN_SIZE"))
+                    finally:
+                        rs.close()
+                return None
+
+            for c in [c for c in cols if c in string_cols]:
+                need = width(c)
+                cur = target_col_width(c)
+                if cur is None or need <= cur:
+                    continue
+                new_w = max(need, varchar_width)
+                for ddl in (
+                    # Derby / DB2
+                    f"ALTER TABLE {table} ALTER COLUMN {q(c)} "
+                    f"SET DATA TYPE VARCHAR({new_w})",
+                    # Postgres
+                    f"ALTER TABLE {table} ALTER COLUMN {q(c)} "
+                    f"TYPE VARCHAR({new_w})",
+                ):
+                    try:
+                        stmt.executeUpdate(ddl)
+                        break
+                    except Exception:  # noqa: BLE001 - dialect probe
+                        continue
 
         def onk(k: str) -> str:
             s_side = (

@@ -1356,6 +1356,36 @@ def test_upsert_jdbc_long_keys_do_not_collide(spark, tmp_path):
     assert got == {(ka, "va2"), (kb, "vb")}
 
 
+def test_upsert_jdbc_widens_target_for_longer_later_batch(spark, tmp_path):
+    """ADVICE r9: the target's DDL width was frozen at first-batch
+    max(staged, varchar_width), so a later batch with a longer key hit
+    a hard INSERT truncation error — an availability cliff for the
+    streaming query. The sink now ALTER-widens the column in place
+    (verified against real Derby) before the MERGE."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sinks import write_upsert_jdbc
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.jdbc import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/upswide;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    b1 = spark.createDataFrame(
+        [("k1", "v1", 1)], "email string, val string, ts_ms long"
+    )
+    write_upsert_jdbc(b1, keys="email", order_by="ts_ms", url=url,
+                      table="widesnap", driver=driver, varchar_width=8)
+    long_key, long_val = "k" * 40, "v" * 64
+    b2 = spark.createDataFrame(
+        [(long_key, long_val, 2), ("k1", "v1b", 3)],
+        "email string, val string, ts_ms long",
+    )
+    write_upsert_jdbc(b2, keys="email", order_by="ts_ms", url=url,
+                      table="widesnap", driver=driver, varchar_width=8)
+    got = {
+        (r["email"], r["val"])
+        for r in read_jdbc(spark, url, "widesnap", driver=driver).collect()
+    }
+    assert got == {("k1", "v1b"), (long_key, long_val)}
+
+
 def test_decode_debezium_rejects_meta_column_clash(spark):
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.sources.debezium import decode_debezium
 
