@@ -32,6 +32,42 @@ __all__ = [
 ]
 
 
+def _pin_by_key(df: DataFrame, key: str) -> DataFrame:
+    """Materialize an iteration-static relation in RAM, hash-partitioned
+    and sorted WITHIN partitions on the per-round join key.
+
+    ``InMemoryRelation`` preserves outputPartitioning AND ordering, so
+    every round's sort-merge join plans with NO exchange and NO sort on
+    this side — only the small per-round score/label table moves. A
+    ``localCheckpoint`` erases both properties (``Scan ExistingRDD``
+    reports unknown partitioning) and re-pays an edge-list exchange +
+    sort EVERY round; measured at sf0.1×4/×8 the pin halves
+    pagerank/HITS wall time (tools/graph_layout_ab.py, NOTES r9).
+    Default MEMORY_AND_DISK storage spills gracefully when the edge
+    list outgrows executor memory. Callers unpersist() after their
+    final round is eagerly checkpointed.
+
+    NOT free: the pin costs one exchange + sort + cache fill up front,
+    which only repays when the per-round join would otherwise shuffle
+    the edge side. On SMALL graphs the per-round score table broadcasts
+    (AQE runtime re-plan) and the edge side never shuffles — there the
+    pin is pure overhead (interleaved A/B at suite sf0.1: +20-35%).
+    Callers therefore gate it on their node count (``PIN_NODES``):
+    below the threshold the score side is kilobytes → always broadcast;
+    above it, broadcastability fades exactly as the per-round shuffle
+    grows, the regime the pin wins."""
+    pinned = df.repartition(F.col(key)).sortWithinPartitions(key).persist()
+    pinned.count()  # eager fill: round 1 must read the cache, not race it
+    return pinned
+
+
+#: Node-count gate for _pin_by_key (see its docstring). ≤10k nodes the
+#: per-round score/label table is a guaranteed runtime broadcast and the
+#: checkpoint pin is faster; well above it the rounds degrade to
+#: exchange-per-round SMJ, where the pinned layout halves wall time.
+PIN_NODES = 10_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -42,6 +78,7 @@ def pagerank(
     weight: str | None = None,
     seeds: DataFrame | None = None,
     seed_col: str | None = None,
+    prelaid: bool = False,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list.
 
@@ -81,9 +118,15 @@ def pagerank(
     two key-hash shuffles of bounded width per round, no driver-side
     data movement. ``localCheckpoint`` truncates lineage every round so
     K iterations do not stack K plans (same pattern as
-    ``connected_components``). On a real cluster, pre-partitioning the
-    edge list by ``src`` once (bucketed write) removes the edge-side
-    shuffle from every round.
+    ``connected_components``). Pre-partitioning the edge list by
+    ``src`` once (``layout.bucketed_table``) removes the edge-side
+    exchange from every round: pass the bucketed scan with
+    ``prelaid=True`` so the operator trusts the storage layout instead
+    of re-pinning via ``localCheckpoint`` (which would erase the
+    scan's distribution metadata). ``prelaid`` expects an edge list
+    that is already a cheap materialized scan; with ``weight`` the
+    parallel-edge collapse re-shuffles on (src,dst) regardless, so
+    there the flag only skips the pin.
 
     Returns ``(node, rank_micro)`` — rank in integer ``scale`` units.
     """
@@ -105,7 +148,8 @@ def pagerank(
             .groupBy("src", "dst")
             .agg(F.sum("__w").alias("__w"))
         )
-    e = e.localCheckpoint(eager=False)
+    if not prelaid:
+        e = e.localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -141,6 +185,15 @@ def pagerank(
         base_expr = str(((100 - damping_pct) * scale) // (100 * n))
     carry = ["node", "outdeg"] + (["__seed"] if seeds is not None else [])
 
+    # Above PIN_NODES the per-round score side stops being a guaranteed
+    # broadcast and the rounds degrade to exchange-per-round SMJ on the
+    # edge list — re-lay the checkpointed edges once (cheap: reads the
+    # checkpoint, not the caller's derivation) so every round's join is
+    # exchange- and sort-free on this side.
+    pinned = not prelaid and n > PIN_NODES
+    if pinned:
+        e = _pin_by_key(e, "src")
+
     ranks = base_nodes.select(*carry, init_col.cast("bigint").alias("rank_micro"))
     contrib = (
         "rank_micro div outdeg" if weight is None
@@ -169,6 +222,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    if pinned:
+        e.unpersist()  # ranks are eagerly checkpointed; the pin is done
     return ranks.select("node", "rank_micro")
 
 
@@ -303,6 +358,9 @@ def k_hop_reach(
     if hops < 0:
         raise ValueError(f"hops must be >= 0, got {hops}")
     scol = seed_col or seeds.columns[0]
+    # Frontier joins broadcast the (small) frontier side, so the edge
+    # list never shuffles per round — the checkpoint pin suffices here
+    # (the _pin_by_key layout only pays when the probe side is big).
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=False
     )
@@ -376,6 +434,11 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Same gate as pagerank/hits: big label tables stop broadcasting,
+    # so re-lay the checkpointed edges once for exchange-free rounds.
+    pinned = nodes.count() > PIN_NODES
+    if pinned:
+        e = _pin_by_key(e, "src")
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iterations):
         votes = (
@@ -402,6 +465,9 @@ def label_propagation(
             )
             .localCheckpoint(eager=False)
         )
+    if pinned:
+        labels.count()  # materialize the lazy rounds off the pin
+        e.unpersist()
     return labels
 
 
@@ -411,6 +477,8 @@ def hits(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = 10**6,
+    prelaid: bool = False,
+    edges_by_dst: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-integer HITS (Kleinberg hubs & authorities) over a
     directed edge list — the link-analysis complement of
@@ -443,27 +511,54 @@ def hits(
     driver collect); ``localCheckpoint`` truncates lineage per round.
     Parallel edges collapse first (presence, not multiplicity).
 
+    The two halves join the edge list on DIFFERENT keys (auth on
+    ``src``, hub on ``dst``), so the full bucketed-layout lever is two
+    one-time writes: ``prelaid=True`` with a src-bucketed scan as
+    ``edges``, plus the SAME collapsed edge set bucketed by dst as
+    ``edges_by_dst`` (``layout.bucketed_table`` for both). ``prelaid``
+    also skips the internal ``distinct`` — the caller asserts the
+    scans are already parallel-edge-collapsed (the bucketed write of a
+    distinct edge set is exactly that), since a re-distinct would
+    re-shuffle and erase the layout. ``edges_by_dst`` must hold the
+    identical row set to ``edges`` or the result is undefined.
+
     Returns ``(node, hub_micro, auth_micro)`` for every node; nodes
     with no out-edges have hub 0, no in-edges auth 0.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if prelaid:
+        e_dst = (
+            edges_by_dst.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            if edges_by_dst is not None
+            else e
+        )
+    else:
+        e = e.distinct().localCheckpoint(eager=False)
+        e_dst = e
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Above PIN_NODES the per-round score side stops broadcasting; pin
+    # TWO copies off the checkpoint, one per join key, so each half's
+    # SMJ is exchange/sort-free on the edge side (2× cache memory,
+    # MEMORY_AND_DISK spills; unpersisted after the final round).
+    pinned = not prelaid and nodes.count() > PIN_NODES
+    if pinned:
+        base = e
+        e = _pin_by_key(base, "src")
+        e_dst = _pin_by_key(base, "dst")
 
     def _half(scores: DataFrame, join_on: str, emit: str) -> DataFrame:
-        # scores: (node, s). Contributions flow join_on -> emit.
+        # scores: (node, s). Contributions flow join_on -> emit. Each
+        # half joins the edge copy laid out on ITS key.
+        side = e if join_on == "src" else e_dst
         raw = (
-            e.join(scores.select(F.col("node").alias(join_on), "s"), join_on)
+            side.join(scores.select(F.col("node").alias(join_on), "s"), join_on)
             .groupBy(F.col(emit).alias("node"))
             .agg(F.sum("s").alias("__raw"))
         )
@@ -484,6 +579,9 @@ def hits(
     for _ in range(iterations):
         auth = _half(hub, "src", "dst").localCheckpoint(eager=True)
         hub = _half(auth, "dst", "src").localCheckpoint(eager=True)
+    if pinned:
+        e.unpersist()
+        e_dst.unpersist()
     return (
         hub.withColumnRenamed("s", "hub_micro")
         .join(auth.withColumnRenamed("s", "auth_micro"), "node")

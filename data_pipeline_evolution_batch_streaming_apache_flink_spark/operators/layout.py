@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bucketize", "zvalue2", "zorder_write", "compact_files", "compact_partitioned", "manifest_stats", "read_pruned"]
+__all__ = ["bucketize", "zvalue2", "zorder_write", "bucketed_table", "compact_files", "compact_partitioned", "manifest_stats", "read_pruned"]
 
 #: magic-mask bit spread (16 bits -> even positions of 32), the classic
 #: "Interleave bits by Binary Magic Numbers" construction (public
@@ -90,6 +90,52 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> DataFrame:
+    """One-time bucketed materialization of ``df`` on a join key — the
+    shuffle-once-join-many lever for ITERATIVE algorithms (pagerank /
+    HITS / label propagation re-join the same edge list on the same key
+    every round; a bucketed layout pays that key's exchange ONCE at
+    write time and never again).
+
+    ``df.repartition(buckets, key)`` uses the same Murmur3 hashing as
+    the bucket spec, so each write task holds exactly one bucket and
+    every bucket lands in ONE file — the layout Spark requires before
+    it will also trust the ``sortBy`` order (many files per bucket
+    demotes the scan to unsorted). Reading the returned table, the
+    per-round join plans with NO Exchange (and with ``sort`` no Sort)
+    on this side; only the small per-round score table moves.
+
+    At 100 TB this is the difference between K iterations × an
+    edge-list shuffle and K iterations × a node-table shuffle — the
+    edge list is typically 10-100× the node table. Pair with
+    ``pagerank(..., prelaid=True)`` / ``hits(..., prelaid=True)`` so
+    the operators skip their internal re-pinning (a ``localCheckpoint``
+    would erase the scan's distribution metadata).
+
+    ``saveAsTable`` is required (bucket metadata lives in the
+    catalog/metastore — plain ``.parquet(path)`` cannot carry it);
+    the table is OVERWRITTEN if it exists.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+    )
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+    return spark.table(table)
 
 
 def compact_files(

@@ -562,3 +562,47 @@ def test_local_clustering_orientation_and_layout_independent(spark):
     assert a == b
     c = sorted(map(str, local_clustering(e1.repartition(7)).collect()))
     assert a == c
+
+
+def test_pagerank_layouts_are_bit_identical(spark, tmp_path):
+    """r9 layout lever: the three edge layouts — default (gated
+    checkpoint/pin), a prelaid bucketed table, and a graph big enough
+    to cross PIN_NODES — must produce bit-identical ranks (the
+    exact-integer contract is layout-independent by design)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import PIN_NODES
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.layout import bucketed_table
+    from pyspark.sql import functions as F
+
+    # small graph: default path (gate off) vs prelaid bucketed table
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7 + 1) % 50) for i in range(400)], "src long, dst long"
+    ).where("src <> dst")
+    want = sorted(
+        (r["node"], r["rank_micro"])
+        for r in pagerank(edges, iterations=3).collect()
+    )
+    eb = bucketed_table(edges, "t_pr_layout", "src", buckets=4)
+    got = sorted(
+        (r["node"], r["rank_micro"])
+        for r in pagerank(eb, iterations=3, prelaid=True).collect()
+    )
+    spark.sql("DROP TABLE IF EXISTS t_pr_layout")
+    assert got == want
+
+    # big graph: crosses PIN_NODES, exercising the in-RAM pinned path;
+    # compare against the explicit checkpoint layout via prelaid=True
+    n = PIN_NODES + 5_000
+    big = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") * 31 + 7) % n).alias("dst")
+    ).where("src <> dst")
+    a = sorted(
+        (r["node"], r["rank_micro"])
+        for r in pagerank(big, iterations=2).collect()
+    )
+    b = sorted(
+        (r["node"], r["rank_micro"])
+        for r in pagerank(
+            big.localCheckpoint(eager=False), iterations=2, prelaid=True
+        ).collect()
+    )
+    assert a == b and len(a) == n
