@@ -7,7 +7,9 @@ logical batch lands as its own file with increasing mtimes so the file
 source replays them as ordered micro-batches.
 
 Usage: python tools/stream_bench.py [n_orders] [n_batches] [--restart]
-Prints one JSON line.
+       python tools/stream_bench.py N B --rocksdb [--idle-ttl=D] [--hot-pct=P]
+Prints one JSON line. ``--hot-pct=P`` routes P% of facts onto ONE key
+(Zipfian-CDC skew axis, VERDICT r8 #7).
 
 ``--restart`` (VERDICT r4 item 4) runs the SAME input twice: once
 straight through (the baseline), once with an induced mid-stream kill —
@@ -161,11 +163,17 @@ ROCKSDB_PROVIDER = (
 )
 
 
-def _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches):
+def _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches, hot_pct=None):
     """Plain-JSON fact/dim streams for the state-store-backed as-of leg:
     orders (order_id, client_id, ts) in ``n_batches`` mtime-ordered
     files, a dim snapshot plus 10%-churn rename batches, and trailing
-    far-future heartbeats that flush the last gated facts."""
+    far-future heartbeats that flush the last gated facts.
+
+    ``hot_pct`` (VERDICT r8 #7): route that percentage of facts onto
+    ONE key (client_id 1) — the Zipfian-CDC shape. All hot-key events
+    funnel through a single state-grouping task, the worst case for
+    the per-key stateful operator; the run must still drain with
+    digest parity, it just shows the skew ceiling in events/s."""
     os.makedirs(fact_dir)
     os.makedirs(dim_dir)
     per = n_orders // n_batches
@@ -186,10 +194,17 @@ def _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches):
             )).alias("value")
         )
         write_batch(churn, dim_dir, b)
+        key_expr = (F.col("id") % N_CLIENTS).cast("int")
+        if hot_pct:
+            key_expr = (
+                F.when(F.col("id") % 100 < hot_pct, F.lit(1))
+                .otherwise(key_expr)
+                .cast("int")
+            )
         facts = spark.range((b - 1) * per + 1, b * per + 1).select(
             F.to_json(F.struct(
                 F.col("id").alias("order_id"),
-                (F.col("id") % N_CLIENTS).cast("int").alias("client_id"),
+                key_expr.alias("client_id"),
                 _ts(F.lit(b * 100 + 50)).alias("ts"),
             )).alias("value")
         )
@@ -207,7 +222,7 @@ def _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches):
     return n_orders + N_CLIENTS + n_batches * (N_CLIENTS // 10) + 2
 
 
-def _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=None):
+def _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=None, hot_pct=None):
     """Scenario-6's state-store-backed leg (streaming as-of enrichment,
     applyInPandasWithState) at stress scale UNDER RocksDB with changelog
     checkpointing: straight run for throughput + mid-stream-kill restart
@@ -229,7 +244,9 @@ def _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=None):
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true"
     )
     fact_dir, dim_dir = os.path.join(root, "rs_fact"), os.path.join(root, "rs_dim")
-    n_events = _gen_stateful_inputs(spark, fact_dir, dim_dir, n_orders, n_batches)
+    n_events = _gen_stateful_inputs(
+        spark, fact_dir, dim_dir, n_orders, n_batches, hot_pct=hot_pct
+    )
 
     def joined():
         return streaming_asof_join(
@@ -293,6 +310,7 @@ def _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=None):
     result = {
         "state_store": "rocksdb+changelog",
         "idle_ttl": idle_ttl,
+        "hot_key_pct": hot_pct,
         "n_orders": n_orders,
         "n_events": n_events,
         "n_batches": n_batches,
@@ -321,9 +339,12 @@ def main() -> None:
     restart = "--restart" in sys.argv
     rocksdb = "--rocksdb" in sys.argv
     idle_ttl = None
+    hot_pct = None
     for a in sys.argv[1:]:
         if a.startswith("--idle-ttl="):
             idle_ttl = a.split("=", 1)[1]
+        if a.startswith("--hot-pct="):
+            hot_pct = int(a.split("=", 1)[1])
     if rocksdb:
         n_orders = int(args[0]) if args else 100_000
         n_batches = int(args[1]) if len(args) > 1 else 8
@@ -331,7 +352,9 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         root = tempfile.mkdtemp(prefix="dpe_sbench_rdb_")
         try:
-            _run_rocksdb_stateful(spark, root, n_orders, n_batches, idle_ttl=idle_ttl)
+            _run_rocksdb_stateful(
+                spark, root, n_orders, n_batches, idle_ttl=idle_ttl, hot_pct=hot_pct
+            )
         finally:
             shutil.rmtree(root, ignore_errors=True)
         return
