@@ -269,6 +269,15 @@ LANE_SINCE_ROUND = 8
 # computed before this rule existed — stays byte-identical.
 UPGRADE_LANE_SINCE_ROUND = 9
 
+# Replay-stability freeze (review r9): the upgrade test `q in
+# suite.ORACLE` reads the CURRENT code state, so replaying a COMPLETED
+# round's lane through it would shift the wheel pointer whenever an
+# oracle is later added or removed (e.g. pca_project gaining a twin).
+# Once a round's artifact is committed, its upgrade set is therefore
+# frozen here — same discipline as FIRST_UNRECORDED_ROUND, nagged by
+# the same guard test. Only the CURRENT round computes dynamically.
+FROZEN_UPGRADE_LANES: dict[int, tuple[str, ...]] = {}
+
 
 def current_round() -> int:
     """Round number inferred from driver artifacts committed next to
@@ -328,17 +337,21 @@ def retry_lane(round_no: int) -> list[str]:
         for q, row in rows.items():
             latest[q] = row
 
+    if round_no < UPGRADE_LANE_SINCE_ROUND:
+        upgrades: set[str] = set()
+    elif round_no in FROZEN_UPGRADE_LANES:
+        upgrades = set(FROZEN_UPGRADE_LANES[round_no])
+    else:
+        upgrades = {
+            q for q, row in latest.items()
+            if row.get("err") == "no_oracle" and q in suite.ORACLE
+        }
+
     def qualifies(q: str) -> bool:
         row = latest.get(q)
         if row is None:
             return False
-        if _is_red(row):
-            return True
-        return (
-            round_no >= UPGRADE_LANE_SINCE_ROUND
-            and row.get("err") == "no_oracle"
-            and q in suite.ORACLE
-        )
+        return _is_red(row) or q in upgrades
 
     return [q for q in ROTATION if qualifies(q)][:COHORT_SIZE]
 

@@ -148,7 +148,11 @@ def pagerank(
             .groupBy("src", "dst")
             .agg(F.sum("__w").alias("__w"))
         )
-    if not prelaid:
+    # prelaid only vouches for the CALLER's input layout; the weighted
+    # parallel-edge collapse above is derived work either way and must
+    # still be pinned, or every round re-runs its scan + (src,dst)
+    # shuffle (review r9).
+    if not prelaid or weight is not None:
         e = e.localCheckpoint(eager=False)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))

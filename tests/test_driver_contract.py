@@ -173,6 +173,16 @@ def test_first_unrecorded_round_tracks_committed_artifacts():
         "a new CORRECTNESS artifact was committed: bump "
         "__spark_entry__.FIRST_UNRECORDED_ROUND to keep the rotation advancing"
     )
+    # Review r9: the upgrade-lane test `q in suite.ORACLE` is mutable
+    # code state, so every COMPLETED upgrade-era round's lane must be
+    # frozen (FROZEN_UPGRADE_LANES) at the same moment the bump lands,
+    # or a later oracle add/remove silently shifts the wheel replay.
+    for r in range(E.UPGRADE_LANE_SINCE_ROUND, E.FIRST_UNRECORDED_ROUND):
+        assert r in E.FROZEN_UPGRADE_LANES, (
+            f"round {r} is committed but its upgrade-lane set is not frozen: "
+            "add it to __spark_entry__.FROZEN_UPGRADE_LANES (freeze the "
+            "dynamically computed set verbatim)"
+        )
 
 
 def test_bench_covers_every_suite_query():
