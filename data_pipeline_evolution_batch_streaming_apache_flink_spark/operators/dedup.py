@@ -1200,6 +1200,14 @@ def winnow_pairs(
     )
 
 
+#: Auto band_parts rule: one band contributes n_docs rows split across
+#: band_parts directories; size parts so each (band, prefix) dir holds
+#: about this many rows (tiny dirs = file-creation-bound writes locally
+#: AND at object-store scale; huge dirs = coarse probe pruning).
+_LSH_TARGET_DIR_ROWS = 50_000
+_LSH_MAX_BAND_PARTS = 256
+
+
 def lsh_write_index(
     corpus: DataFrame,
     path: str,
@@ -1209,7 +1217,7 @@ def lsh_write_index(
     num_perm: int = 128,
     bands: int = 64,
     seed: int = 42,
-    band_parts: int = 16,
+    band_parts: int | None = None,
 ) -> None:
     """Persist a MinHash-LSH band index for INCREMENTAL near-dup
     admission: the batch twin of ``streaming/neardup.py`` — dedup each
@@ -1223,11 +1231,24 @@ def lsh_write_index(
       prefix) partitions their own band keys name, so a small shard's
       probe reads a fraction of the index instead of all of it;
     - ``docs/`` — ``(id, text)`` once (NOT per band), read only for the
-      exact-Jaccard verification of candidate ids.
+      exact-Jaccard verification of candidate ids;
+    - ``meta/`` — one row recording the signature parameters and the
+      chosen ``band_parts``: probes read the layout from the index
+      instead of having to guess it, and mismatched signature params
+      fail fast instead of silently missing every candidate.
+
+    ``band_parts=None`` (default) sizes the prefix split from the corpus
+    count so each (band, prefix) directory holds ~``_LSH_TARGET_DIR_ROWS``
+    rows: a small corpus writes bands×1 directories (the r8 fixed 16
+    split spent the whole sf0.1 build creating 1024 near-empty files —
+    ~15 s of a ~21 s build), a 10^9-doc corpus writes bands×256.
 
     Build cost: one signature pass + one partitioned write — the
     amortized one-off, same trade as :func:`...similarity.ivf_write_index`.
     """
+    if band_parts is None:
+        n_docs = corpus.count()
+        band_parts = max(1, min(_LSH_MAX_BAND_PARTS, -(-n_docs // _LSH_TARGET_DIR_ROWS)))
     banded = banded_rows(corpus, id_col, text_col, n, num_perm, bands, seed)
     (
         banded.withColumn("__bp", F.pmod(F.col("bhash"), F.lit(band_parts)))
@@ -1244,6 +1265,10 @@ def lsh_write_index(
     corpus.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
     ).write.mode("overwrite").parquet(path + "/docs")
+    corpus.sparkSession.createDataFrame(
+        [(int(band_parts), int(bands), int(num_perm), int(n), int(seed))],
+        "band_parts int, bands int, num_perm int, n int, seed int",
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def lsh_probe_pairs(
@@ -1270,16 +1295,38 @@ def lsh_probe_pairs(
     unprobed prefixes are pruned at planning time and never read. The
     signature parameters MUST match the index build (same shingle n,
     permutations, bands, seed) — band hashes are meaningless across
-    configs. Candidates join on (band, bhash) and are verified with
-    exact Jaccard by re-shingling ONLY the touched docs (probe side +
-    matched corpus ids from ``docs/``), so reported pairs are never
-    false positives; the recall argument is minhash_lsh_pairs' banding
-    bound, unchanged. ``max_bucket`` caps pathological probe buckets
-    like the in-memory operator.
+    configs: when the index carries ``meta/`` (written since r9) a
+    mismatch raises instead of silently missing every candidate, and the
+    stored ``band_parts`` overrides the argument (the prefix split is a
+    property of the index layout, not of the probe). Indexes written
+    before ``meta/`` existed fall back to the ``band_parts`` argument.
+    Candidates join on (band, bhash) and are verified with exact Jaccard
+    by re-shingling ONLY the touched docs (probe side + matched corpus
+    ids from ``docs/``), so reported pairs are never false positives;
+    the recall argument is minhash_lsh_pairs' banding bound, unchanged.
+    ``max_bucket`` caps pathological probe buckets like the in-memory
+    operator.
     """
+    from pyspark.errors import AnalysisException
+
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets
 
     spark = new_docs.sparkSession
+    try:
+        meta = spark.read.parquet(path + "/meta").head()
+    except AnalysisException:
+        meta = None  # pre-meta index: trust the caller's band_parts
+    if meta is not None:
+        stored = {"bands": meta["bands"], "num_perm": meta["num_perm"],
+                  "n": meta["n"], "seed": meta["seed"]}
+        given = {"bands": bands, "num_perm": num_perm, "n": n, "seed": seed}
+        if stored != given:
+            raise ValueError(
+                f"probe signature params {given} do not match the index "
+                f"build {stored} — band hashes are meaningless across "
+                "configs; probe with the parameters the index was built with"
+            )
+        band_parts = int(meta["band_parts"])
     q = banded_rows(new_docs, id_col, text_col, n, num_perm, bands, seed)
     q = cap_buckets(q, ("band", "bhash"), max_bucket).withColumn(
         "__bp", F.pmod(F.col("bhash"), F.lit(band_parts))

@@ -14,8 +14,10 @@
                              generation without a cross join
 
 All distance math is JVM-side (functions/vectors.py) or Arrow-batched
-numpy; k-means fitting uses Spark ML (distributed, seeded); PQ codebook
-sampling is content-hash deterministic (layout-independent).
+numpy. Both quantizer fits (coarse cells and PQ codebooks) train on a
+bounded content-hash sample — deterministic AND layout-independent —
+then apply in one Arrow-batched corpus pass: at 100 TB the data is
+scanned once for assignment, never iterated over by Lloyd's.
 """
 
 from __future__ import annotations
@@ -129,24 +131,163 @@ def cosine_topk(
     )
 
 
-def _fit_cells(corpus: DataFrame, corpus_id: str, vec_col: str, n_cells: int, seed: int):
-    """k-means coarse quantizer: returns (assigned corpus with ``__cell``,
-    broadcast-able centroid DataFrame). One distributed ML fit + one
-    assignment pass over the corpus, no shuffle."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+def _assign_cells(X, cent, chunk: int = 65536):
+    """Cell index per row of X by COSINE against the centroids (X rows
+    must be unit vectors; centroids are normalized here), chunked so the
+    score block never materializes n x k doubles at once for huge X. Ties
+    break to the LOWEST centroid index (argmax) — deterministic. Used by
+    BOTH the driver-side spherical Lloyd's fit and the executor-side
+    assignment pass, so training and assignment geometry are identical
+    by construction."""
+    import numpy as np
 
-    corpus_v = corpus.select(
-        F.col(corpus_id).alias("cid"),
-        F.col(vec_col).alias("__cv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    cu = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    out = np.empty(len(X), dtype=np.int64)
+    for i in range(0, len(X), chunk):
+        out[i : i + chunk] = (X[i : i + chunk] @ cu.T).argmax(1)
+    return out
+
+
+def _hash_sampled_matrix(
+    vectors: DataFrame, sample_frac: float | None, max_train_rows: int | None
+):
+    """(n, d) float64 training matrix drawn LAYOUT-INDEPENDENTLY from the
+    single-column ``v`` DataFrame: every row gets a uniform score from a
+    content hash of its vector (``xxhash64`` — no ``sample()``/
+    ``limit()``, whose picks depend on partition layout), the fraction
+    and cap are hash thresholds, and the matrix is ordered by that hash —
+    so the same data yields a bit-identical matrix regardless of storage
+    order, partitioning, or retries. The cap costs one extra count of the
+    sampled column. Shared by :func:`pq_fit_codebooks` and
+    :func:`_fit_cells`."""
+    import numpy as np
+
+    # Uniform content hash in [0, 1): shift the signed 64-bit hash into
+    # unsigned range. 64 bits keep distinct-vector collisions negligible;
+    # equal hashes are (within rounding) equal vectors, so any tie order
+    # yields the same training matrix.
+    u = (F.xxhash64(F.col("v")).cast("double") + F.lit(float(2 ** 63))) / F.lit(float(2 ** 64))
+    sampled = vectors.withColumn("__u", u)
+    cur_thr = 1.0
+    if sample_frac is not None:
+        sampled = sampled.filter(F.col("__u") < F.lit(float(sample_frac)))
+        cur_thr = float(sample_frac)
+    if max_train_rows is not None:
+        n_rows = sampled.count()
+        if n_rows > max_train_rows:
+            # Threshold with slack (5% + 64 absolute) so ≥ max_train_rows
+            # rows survive with overwhelming probability; the exact cap is
+            # the deterministic hash-order truncation below.
+            frac = min(1.0, max_train_rows / n_rows * 1.05 + 64.0 / n_rows)
+            sampled = sampled.filter(F.col("__u") < F.lit(cur_thr * frac))
+    pdf = sampled.toPandas().sort_values("__u", kind="mergesort", ignore_index=True)
+    if max_train_rows is not None and len(pdf) > max_train_rows:
+        pdf = pdf.head(max_train_rows)
+    if not len(pdf):
+        raise ValueError("cannot fit a quantizer on an empty (or fully sampled-out) corpus")
+    return np.stack(pdf["v"].to_numpy()).astype(np.float64)
+
+
+def _fit_cells(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    sample_frac: float | None = None,
+    max_train_rows: int = 100_000,
+    iters: int = 15,
+    restarts: int = 8,
+):
+    """k-means coarse quantizer: returns (assigned corpus with ``__cell``,
+    broadcast-able centroid DataFrame).
+
+    The fit runs on a bounded content-hash SAMPLE (the standard coarse-
+    quantizer recipe: the cells need ~100k representative rows, not the
+    corpus), spherical Lloyd's in driver numpy (seeded k-means++ init,
+    fixed iterations, restart selection by total cosine — deterministic
+    AND layout-independent, since the sample is content-hash ordered);
+    assignment is ONE Arrow-batched cosine-argmax pass over the corpus
+    against the broadcast centroids — no shuffle. Replaced the
+    pyspark.ml ``KMeans.fit`` (r9): Lloyd's over the FULL corpus is
+    ~20 passes over 100 TB where the sampled fit is one sample pass + one
+    assignment pass, and locally the per-iteration job overhead dominated
+    the cold index builds (~15 s of the sf0.1 IVF-PQ build for 2k
+    vectors). At suite scale the cap exceeds the corpus, so the "sample"
+    is the whole corpus and the fit is exact.
+
+    Returned centroids are the cell MEANS (the quantization centers the
+    IVF-PQ residuals subtract); they are normalized only where cosine
+    needs unit vectors (assignment here, probe ordering in
+    :func:`_probe_cells` — cosine is scale-invariant, so the stored scale
+    is irrelevant there)."""
+    import numpy as np
+
+    X = _hash_sampled_matrix(
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v")),
+        sample_frac, max_train_rows,
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("cid", "__cv", "__cell")
+    # Train and assign on the UNIT SPHERE: cosine is this module's probe
+    # metric, and Euclidean cells fitted on raw-norm vectors misalign
+    # with cosine neighborhoods (measured: probe recall 0.78 vs 0.83 at
+    # n_cells=8/n_probe=4 on sf0.01). For already-normalized inputs
+    # (the IVF-PQ build) this is an idempotent no-op.
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # Spherical k-means (assign by cosine, update by mean), k-means++
+    # seeding, several seeded restarts, keep the highest-total-cosine fit
+    # (FAISS's nredo). Measured against the Euclidean/raw-space
+    # alternatives on the suite embeddings (probe recall at n_cells=8,
+    # n_probe=4, k=3): raw Euclidean single-init 0.77-0.78, Euclidean
+    # 8-restart 0.78-0.85, spherical 8-restart 0.82-0.87 — the cosine
+    # metric the probes use is the one the cells should be fitted in.
+    # Deterministic: restart r draws from default_rng(seed + r).
+    best_score, cent = None, None
+    for restart in range(restarts):
+        rng = np.random.default_rng(seed + restart)
+        trial = np.empty((n_cells, X.shape[1]))
+        trial[0] = X[rng.integers(len(X))]
+        d2 = ((X - trial[0]) ** 2).sum(1)
+        for c in range(1, n_cells):
+            # cum[-1], not d2.sum(): numpy's pairwise sum can differ from
+            # the sequential cumsum in the last ulp, overrunning
+            # searchsorted.
+            cum = np.cumsum(d2)
+            if cum[-1] <= 0:  # fewer distinct rows than cells: duplicate
+                trial[c:] = X[rng.integers(len(X), size=n_cells - c)]
+                break
+            trial[c] = X[np.searchsorted(cum, rng.random() * cum[-1])]
+            d2 = np.minimum(d2, ((X - trial[c]) ** 2).sum(1))
+        for _ in range(iters):
+            assign = _assign_cells(X, trial)
+            for c in range(n_cells):
+                mask = assign == c
+                if mask.any():
+                    trial[c] = X[mask].mean(0)
+        cu = trial / np.maximum(np.linalg.norm(trial, axis=1, keepdims=True), 1e-12)
+        score = (X * cu[_assign_cells(X, trial)]).sum()  # total cosine
+        if best_score is None or score > best_score:
+            best_score, cent = score, trial
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+
+    def _assign(batches):
+        import numpy as np
+        for p in batches:
+            if not len(p):
+                continue
+            V = np.stack(p["__cv"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            yield p.assign(__cell=_assign_cells(V, bc.value).astype(np.int32))
+
+    assigned = corpus.select(
+        F.col(corpus_id).alias("cid"), F.col(vec_col).alias("__cv")
+    ).mapInPandas(_assign, schema=f"cid {cid_type}, __cv {vec_type}, __cell int")
     # Literal centroid table (n_cells x dim doubles — tiny, broadcast).
-    cent_df = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell int, centroid array<double>",
     )
     return assigned, cent_df
@@ -297,28 +438,9 @@ def pq_fit_codebooks(
     """
     import numpy as np
 
-    # Uniform content hash in [0, 1): shift the signed 64-bit hash into
-    # unsigned range. 64 bits keep distinct-vector collisions negligible;
-    # equal hashes are (within rounding) equal vectors, so any tie order
-    # yields the same training matrix.
-    u = (F.xxhash64(F.col("v")).cast("double") + F.lit(float(2 ** 63))) / F.lit(float(2 ** 64))
-    sampled = corpus.select(F.col(vec_col).alias("v")).withColumn("__u", u)
-    cur_thr = 1.0
-    if sample_frac is not None:
-        sampled = sampled.filter(F.col("__u") < F.lit(float(sample_frac)))
-        cur_thr = float(sample_frac)
-    if max_train_rows is not None:
-        n_rows = sampled.count()
-        if n_rows > max_train_rows:
-            # Threshold with slack (5% + 64 absolute) so ≥ max_train_rows
-            # rows survive with overwhelming probability; the exact cap is
-            # the deterministic hash-order truncation below.
-            frac = min(1.0, max_train_rows / n_rows * 1.05 + 64.0 / n_rows)
-            sampled = sampled.filter(F.col("__u") < F.lit(cur_thr * frac))
-    pdf = sampled.toPandas().sort_values("__u", kind="mergesort", ignore_index=True)
-    if max_train_rows is not None and len(pdf) > max_train_rows:
-        pdf = pdf.head(max_train_rows)
-    X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    X = _hash_sampled_matrix(
+        corpus.select(F.col(vec_col).alias("v")), sample_frac, max_train_rows
+    )
     if normalize:
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n, d = X.shape
@@ -562,6 +684,10 @@ def _ivfpq_build(corpus, corpus_id, vec_col, n_cells, m, n_centroids, sample_fra
         "__cell",
         F.zip_with("__cv", "centroid", lambda a, b: a.cast("double") - b).alias("__res"),
     )
+    # The residual table feeds three actions (codebook sample count +
+    # collect, then encode+write) — pin it once instead of re-running
+    # the normalize/assign/join pipeline per action.
+    residuals = residuals.localCheckpoint(eager=False)
     books = pq_fit_codebooks(
         residuals, vec_col="__res", m=m, n_centroids=n_centroids,
         sample_frac=sample_frac, seed=seed, normalize=False,
