@@ -830,6 +830,54 @@ def test_lsh_probe_prunes_partitions(spark, tmp_path):
     assert len(set(keys) & full_keys) < len(full_keys)
 
 
+def test_lsh_index_meta_layout_and_param_guard(spark, tmp_path):
+    """r9 index meta: (1) auto band_parts sizes from the corpus — a small
+    corpus writes bands x 1 directories, not the old fixed bands x 16;
+    (2) the probe reads band_parts from meta/, so a caller passing a
+    wrong band_parts still prunes against the real layout; (3) probing
+    with mismatched SIGNATURE params fails fast instead of silently
+    returning zero candidates."""
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        lsh_probe_pairs, lsh_write_index,
+    )
+
+    corpus, new = _lsh_corpus(spark)
+    path = str(tmp_path / "lshidx3")
+    lsh_write_index(corpus, path, "doc_id", "text", n=3)   # auto parts
+    meta = spark.read.parquet(path + "/meta").head()
+    assert meta["band_parts"] == 1 and meta["n"] == 3
+    dirs = {r["__bp"] for r in spark.read.parquet(path + "/buckets")
+            .select("__bp").distinct().collect()}
+    assert dirs == {0}
+    # stored layout overrides the caller's (wrong) band_parts
+    got = {(r.query_id, r.corpus_id)
+           for r in lsh_probe_pairs(new, path, "doc_id", "text",
+                                    threshold=0.3, n=3, band_parts=999).collect()}
+    assert (21, 20) in got and not any(q == 23 for q, _ in got)
+    # mismatched shingle n: meaningless band hashes -> raise, not miss
+    with pytest.raises(ValueError, match="do not match the index"):
+        lsh_probe_pairs(new, path, "doc_id", "text", threshold=0.3, n=5)
+
+
+def test_fit_cells_layout_independent_and_deterministic(spark):
+    """The r9 coarse quantizer must yield bit-identical centroids and
+    assignments regardless of the corpus' partitioning (content-hash
+    sample order + seeded spherical k-means++), where the old
+    pyspark.ml KMeans fit depended on partition layout."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import _fit_cells
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a1, c1 = _fit_cells(emb, "vec_id", "embedding", 4, 7)
+    a2, c2 = _fit_cells(emb.repartition(13), "vec_id", "embedding", 4, 7)
+    assert [r["centroid"] for r in c1.orderBy("cell").collect()] == \
+           [r["centroid"] for r in c2.orderBy("cell").collect()]
+    assign1 = {r["cid"]: r["__cell"] for r in a1.collect()}
+    assign2 = {r["cid"]: r["__cell"] for r in a2.collect()}
+    assert assign1 == assign2
+
+
 def test_simhash_null_text_matches_bits_twin(spark):
     """Review r7: NULL text -> all-zero signature in BOTH simhash paths
     (the Arrow path previously hashed NULL as the empty string, pairing
