@@ -241,6 +241,9 @@ ROTATION: list[str] = [
     "hourly_spine_gapfill",
     "vector_normalize",
     "json_props_stats",
+    # --- added r9 (appended: the wheel replay only reads positions the
+    # --- pointer has visited, and it is far from wrapping) ---
+    "balanced_shards",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

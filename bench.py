@@ -191,6 +191,7 @@ BENCH_QUERIES = (
     "json_props_stats",
     "repeat_mix",
     "asof_forward",
+    "balanced_shards",
 )
 
 

@@ -649,6 +649,50 @@ def assign_global_ids(
     return out.withColumn(out_col, (F.col(out_col) - 1).cast("long")).drop("__ord")
 
 
+def balanced_shards(
+    df: DataFrame,
+    weight_col: str | Column,
+    n_shards: int,
+    tiebreak_col: str | Column,
+    out_col: str = "shard_id",
+) -> DataFrame:
+    """Assign each row to one of ``n_shards`` output shards so the shard
+    TOTAL WEIGHTS come out near-equal — the export step of a training
+    pipeline (size-balanced WebDataset/TFRecord shards: every reader in
+    a data-parallel job gets the same amount of work). Returns the input
+    plus ``out_col`` in [0, n_shards).
+
+    Snake (boustrophedon) round-robin over the global (weight DESC,
+    tiebreak ASC) rank: each "round" of ``n_shards`` consecutive ranks
+    deals one row to every shard, alternating direction between rounds,
+    so row counts per shard never differ by more than one and the
+    descending order + direction flip cancel the within-round bias —
+    the folded-deal guarantee that the total-weight spread is bounded by
+    a single row's weight, independent of corpus size. Distinct from
+    :func:`pack_sequences` (fixed-CAPACITY packs, documents split across
+    pack boundaries, pack count data-dependent) and
+    :func:`curriculum_order` (ordered range shards: deliberately
+    UNbalanced by weight).
+
+    Cost: one global rank (:func:`assign_global_ids` — range shuffle +
+    in-partition window + a bounded driver round-trip, never a
+    single-partition window) and pure arithmetic. Deterministic and
+    layout-independent provided ``tiebreak_col`` completes a unique key;
+    ``weight_col`` must be non-null numeric (it is negated for the
+    descending range sort)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
+    ranked = assign_global_ids(df, [-w.cast("double"), tb], "__rank")
+    rnd = F.expr(f"__rank div {n_shards}")
+    pos = F.pmod("__rank", F.lit(n_shards))
+    shard = F.when(F.pmod(rnd, F.lit(2)) == 0, pos).otherwise(
+        F.lit(n_shards - 1) - pos
+    )
+    return ranked.withColumn(out_col, shard.cast("int")).drop("__rank")
+
+
 def negative_sample(
     df: DataFrame,
     id_col: str,

@@ -7660,3 +7660,39 @@ ORACLE["js_divergence"] = """
       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
     FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Size-balanced export shards (operators/curation.py balanced_shards)
+# ---------------------------------------------------------------------------
+
+def q_balanced_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Export-side shard assignment: deal the documents corpus into 8
+    shards with near-equal total byte weight (snake round-robin over the
+    global weight-desc rank — see operators/curation.py). Weight is
+    octet_length(text): byte semantics are identical across engines, so
+    the SQL twin is exact. Returns the full assignment (stronger hash
+    check than a per-shard manifest)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import balanced_shards
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"].select(
+        "doc_id", F.octet_length("text").cast("bigint").alias("weight")
+    )
+    return balanced_shards(docs, "weight", 8, "doc_id").select(
+        "doc_id", "weight", "shard_id"
+    )
+
+
+QUERIES["balanced_shards"] = q_balanced_shards
+
+ORACLE["balanced_shards"] = """
+    WITH ranked AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS weight,
+             row_number() OVER (ORDER BY strlen(text) DESC, doc_id ASC) - 1 AS r
+      FROM documents
+    )
+    SELECT doc_id, weight,
+           CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS INT) AS shard_id
+    FROM ranked
+"""

@@ -362,3 +362,39 @@ def test_review_r7_edge_contracts(spark):
         det = filter_by_percentile(ties, "score", 0.5, partition_by="lang",
                                    tiebreak_col="doc_id")
     assert {r["doc_id"] for r in det.collect()} == {0, 1, 2, 3, 4}
+
+
+def test_balanced_shards_balance_counts_and_determinism(spark):
+    """r9 balanced_shards: (1) row counts per shard differ by at most
+    one; (2) total-weight spread is bounded by the largest single row
+    weight (folded-deal guarantee), even on a skewed corpus; (3) the
+    assignment is layout-independent; (4) sequential reference parity
+    (snake over the weight-desc rank)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import balanced_shards
+
+    # skewed weights: a few huge rows + a long tail
+    rows = [(i, 10_000 if i < 3 else ((i * 37) % 97) + 1) for i in range(503)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    n = 8
+    got = balanced_shards(df, "w", n, "id").collect()
+    assert {r["shard_id"] for r in got} == set(range(n))
+    counts = [0] * n
+    totals = [0] * n
+    for r in got:
+        counts[r["shard_id"]] += 1
+        totals[r["shard_id"]] += r["w"]
+    assert max(counts) - min(counts) <= 1
+    assert max(totals) - min(totals) <= max(w for _, w in rows)
+    # layout independence
+    again = {(r["id"], r["shard_id"])
+             for r in balanced_shards(df.repartition(17), "w", n, "id").collect()}
+    assert again == {(r["id"], r["shard_id"]) for r in got}
+    # sequential reference: snake over (w desc, id asc)
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want = {}
+    for rank, (i, _) in enumerate(order):
+        rnd, pos = divmod(rank, n)
+        want[i] = pos if rnd % 2 == 0 else n - 1 - pos
+    assert {r["id"]: r["shard_id"] for r in got} == want
+    with pytest.raises(ValueError, match="n_shards"):
+        balanced_shards(df, "w", 0, "id")
