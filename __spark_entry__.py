@@ -244,6 +244,7 @@ ROTATION: list[str] = [
     # --- added r9 (appended: the wheel replay only reads positions the
     # --- pointer has visited, and it is far from wrapping) ---
     "balanced_shards",
+    "budget_select",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

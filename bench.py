@@ -192,6 +192,7 @@ BENCH_QUERIES = (
     "repeat_mix",
     "asof_forward",
     "balanced_shards",
+    "budget_select",
 )
 
 

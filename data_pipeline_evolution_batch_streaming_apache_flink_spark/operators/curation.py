@@ -693,6 +693,53 @@ def balanced_shards(
     return ranked.withColumn(out_col, shard.cast("int")).drop("__rank")
 
 
+def budget_select(
+    df: DataFrame,
+    score_col: str | Column,
+    cost_col: str | Column,
+    budget: int,
+    tiebreak_col: str | Column,
+    keep_col: str = "selected",
+) -> DataFrame:
+    """Greedy selection under a total COST budget: walk the corpus in
+    (score DESC, tiebreak ASC) order and keep rows while the running cost
+    stays within ``budget`` — the token-budget data-selection step of
+    pretraining curation ("give me the best N-billion-token subset by
+    quality score"), the knapsack relaxation every selection paper
+    reduces to at corpus scale.
+
+    Returns the input plus boolean ``keep_col``. A row is selected iff
+    its own cost still fits after all strictly-better rows: running sum
+    INCLUSIVE of the row <= budget — so one oversized row mid-order is
+    skipped and does NOT unblock later rows (its cost stays counted;
+    the cut is a prefix of the quality order, exactly reproducible in
+    SQL). Deciding instead to re-fill past a skipped row would make the
+    decision for row k depend on k's predecessors' individual fits — a
+    sequential scan, not a prefix sum — and differ from every SQL twin;
+    the prefix rule is the standard, shuffle-disciplined formulation.
+
+    Distinct from :func:`filter_by_percentile` (keep a FRACTION of rows,
+    cost-blind) and :func:`weighted_sample` (randomized). Cost: one
+    global prefix sum (:func:`global_running_sum` via
+    :func:`assign_global_ids`'s struct ordering — range shuffle +
+    bounded driver round-trip), pure arithmetic after.
+
+    ``score_col`` must be non-null numeric (negated for the descending
+    sort); ``tiebreak_col`` must complete a unique key or the cut row is
+    layout-dependent; ``cost_col`` must be non-null and non-negative."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
+    tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
+    tagged = df.withColumn("__ord", F.struct((-s.cast("double")).alias("s"), tb.alias("t")))
+    run = global_running_sum(tagged, "__ord", c.cast("long"), "__run")
+    return (
+        run.withColumn(keep_col, F.col("__run") <= F.lit(int(budget)))
+        .drop("__ord", "__run")
+    )
+
+
 def negative_sample(
     df: DataFrame,
     id_col: str,

@@ -7696,3 +7696,58 @@ ORACLE["balanced_shards"] = """
            CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS INT) AS shard_id
     FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget data selection (operators/curation.py budget_select)
+# ---------------------------------------------------------------------------
+
+def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-under-budget selection: keep the best documents by a
+    simple deterministic quality proxy (distinct-token ratio in ppm —
+    integer arithmetic, engine-portable) while the running byte cost
+    stays within ~25% of the corpus. The selection rule is a prefix of
+    the (score DESC, doc_id ASC) order — see
+    operators/curation.py::budget_select for why the prefix (not
+    re-fill) formulation is the scalable one."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import budget_select
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"].select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("cost"),
+        # integer div, not double /: floor semantics exactly match the
+        # twin's // with no double-rounding at the boundary
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div greatest(CAST(size(split(text, ' ')) AS BIGINT), 1)"
+        ).alias("score"),
+    )
+    total = docs.agg(F.sum("cost")).head()[0] or 0
+    return budget_select(docs, "score", "cost", int(total) // 4, "doc_id").select(
+        "doc_id", "cost", "score", "selected"
+    )
+
+
+QUERIES["budget_select"] = q_budget_select
+
+# The budget is data-dependent (sum(strlen)//4), computed identically on
+# both engines; split(' ') parity: Spark split and DuckDB string_split
+# both keep empty strings on consecutive delimiters.
+ORACLE["budget_select"] = """
+    WITH d AS (
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS cost,
+             CAST((CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+                  // greatest(length(string_split(text, ' ')), 1) AS BIGINT) AS score
+      FROM documents
+    ),
+    b AS (SELECT sum(cost) // 4 AS budget FROM d),
+    r AS (
+      SELECT doc_id, cost, score,
+             sum(cost) OVER (ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM d
+    )
+    SELECT doc_id, cost, score, run <= (SELECT budget FROM b) AS selected
+    FROM r
+"""

@@ -398,3 +398,28 @@ def test_balanced_shards_balance_counts_and_determinism(spark):
     assert {r["id"]: r["shard_id"] for r in got} == want
     with pytest.raises(ValueError, match="n_shards"):
         balanced_shards(df, "w", 0, "id")
+
+
+def test_budget_select_prefix_rule_and_determinism(spark):
+    """r9 budget_select: selection is the maximal prefix of the
+    (score DESC, id ASC) order whose INCLUSIVE running cost fits the
+    budget — an oversized row mid-order is skipped and does not unblock
+    later rows; layout-independent; budget 0 selects nothing."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import budget_select
+
+    #            id, score, cost
+    rows = [(1, 100, 30), (2, 90, 50), (3, 80, 40), (4, 70, 10), (5, 60, 5)]
+    df = spark.createDataFrame(rows, "id long, score long, cost long")
+    got = {r["id"]: r["selected"]
+           for r in budget_select(df, "score", "cost", 85, "id").collect()}
+    # running: 30, 80, 120, 130, 135 -> only ids 1,2 fit; id 3 overruns
+    # and ids 4,5 stay excluded even though 30+50+10+5 would fit
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+    again = {r["id"]: r["selected"]
+             for r in budget_select(df.repartition(7), "score", "cost", 85, "id").collect()}
+    assert again == got
+    none = budget_select(df, "score", "cost", 0, "id")
+    assert all(not r["selected"] for r in none.collect())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget"):
+        budget_select(df, "score", "cost", -1, "id")
