@@ -373,6 +373,33 @@ def main() -> None:
     assert tuple(d_before.collect()[0]) == tuple(d_after.collect()[0])
     print("PASS: table digest invariant under the repartition(17) rewrite")
 
+    print("export: token-budget selection then size-balanced shards:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import (
+        balanced_shards, budget_select,
+    )
+
+    weighted = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("bytes"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div greatest(CAST(size(split(text, ' ')) AS BIGINT), 1)"
+        ).alias("quality_ppm"),
+    )
+    half = (weighted.agg(F.sum("bytes")).head()[0] or 0) // 2
+    picked = budget_select(weighted, "quality_ppm", "bytes", half, "doc_id").where("selected")
+    shards = balanced_shards(picked, "bytes", 4, "doc_id")
+    manifest = shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"), F.sum("bytes").alias("total_bytes")
+    ).orderBy("shard_id")
+    manifest.show()
+    stats = manifest.agg(
+        F.max("total_bytes").alias("mx"), F.min("total_bytes").alias("mn")
+    ).head()
+    biggest = picked.agg(F.max("bytes")).head()[0]
+    assert stats["mx"] - stats["mn"] <= biggest
+    print("PASS: shard weight spread bounded by the largest single document")
+
 
 if __name__ == "__main__":
     main()
