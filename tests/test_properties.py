@@ -722,3 +722,56 @@ def test_bucketed_cosine_verify_modes_agree_incl_zero_norm(spark, vecs, threshol
         ref = fold_cos(arr[ia], arr[ib])
         assert ref is not None, "zero-norm pair emitted despite contract"
         assert round(ref, 6) == cos
+
+
+# ---------------------------------------------------------------------------
+# balanced_shards / budget_select (operators/curation.py, r9): sequential
+# single-threaded references computed in plain Python
+# ---------------------------------------------------------------------------
+
+shard_rows = st.lists(
+    st.tuples(st.integers(0, 10_000)),  # weights; ids assigned by position
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=shard_rows, n=st.integers(min_value=1, max_value=5))
+def test_balanced_shards_matches_sequential_snake(spark, rows, n):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import balanced_shards
+
+    data = [(i, w) for i, (w,) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, w long")
+    got = {r["id"]: r["shard_id"] for r in balanced_shards(df, "w", n, "id").collect()}
+    order = sorted(data, key=lambda t: (-t[1], t[0]))
+    want = {}
+    for rank, (i, _) in enumerate(order):
+        rnd, pos = divmod(rank, n)
+        want[i] = pos if rnd % 2 == 0 else n - 1 - pos
+    assert got == want
+    totals = [0] * n
+    for i, w in data:
+        totals[got[i]] += w
+    assert max(totals) - min(totals) <= max(w for _, w in data)
+
+
+sel_rows = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(0, 30)),  # (score, cost)
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=sel_rows, budget=st.integers(min_value=0, max_value=300))
+def test_budget_select_matches_sequential_prefix(spark, rows, budget):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import budget_select
+
+    data = [(i, s, c) for i, (s, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, score long, cost long")
+    got = {r["id"]: r["selected"]
+           for r in budget_select(df, "score", "cost", budget, "id").collect()}
+    run, want = 0, {}
+    for i, _, c in sorted(data, key=lambda t: (-t[1], t[0])):
+        run += c
+        want[i] = run <= budget
+    assert got == want
