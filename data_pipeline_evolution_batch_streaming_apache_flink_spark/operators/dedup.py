@@ -1208,6 +1208,12 @@ _LSH_TARGET_DIR_ROWS = 50_000
 _LSH_MAX_BAND_PARTS = 256
 
 
+def _auto_band_parts(n_docs: int) -> int:
+    """ceil(n_docs / target-rows-per-dir), clamped to [1, 256] — one
+    band contributes n_docs rows split across this many directories."""
+    return max(1, min(_LSH_MAX_BAND_PARTS, -(-n_docs // _LSH_TARGET_DIR_ROWS)))
+
+
 def lsh_write_index(
     corpus: DataFrame,
     path: str,
@@ -1239,16 +1245,16 @@ def lsh_write_index(
 
     ``band_parts=None`` (default) sizes the prefix split from the corpus
     count so each (band, prefix) directory holds ~``_LSH_TARGET_DIR_ROWS``
-    rows: a small corpus writes bands×1 directories (the r8 fixed 16
-    split spent the whole sf0.1 build creating 1024 near-empty files —
-    ~15 s of a ~21 s build), a 10^9-doc corpus writes bands×256.
+    rows: a small corpus writes bands×1 directories (the r8 fixed-16
+    split made the suite's 2.5k-doc build spend most of its time
+    creating 1024 near-empty files: 10.8 → 3.2 s warmed, probe digests
+    identical — tools/index_build_ab.py), a 10^9-doc corpus bands×256.
 
     Build cost: one signature pass + one partitioned write — the
     amortized one-off, same trade as :func:`...similarity.ivf_write_index`.
     """
     if band_parts is None:
-        n_docs = corpus.count()
-        band_parts = max(1, min(_LSH_MAX_BAND_PARTS, -(-n_docs // _LSH_TARGET_DIR_ROWS)))
+        band_parts = _auto_band_parts(corpus.count())
     banded = banded_rows(corpus, id_col, text_col, n, num_perm, bands, seed)
     (
         banded.withColumn("__bp", F.pmod(F.col("bhash"), F.lit(band_parts)))

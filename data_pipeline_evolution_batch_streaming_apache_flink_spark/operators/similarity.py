@@ -211,9 +211,12 @@ def _fit_cells(
     against the broadcast centroids — no shuffle. Replaced the
     pyspark.ml ``KMeans.fit`` (r9): Lloyd's over the FULL corpus is
     ~20 passes over 100 TB where the sampled fit is one sample pass + one
-    assignment pass, and locally the per-iteration job overhead dominated
-    the cold index builds (~15 s of the sf0.1 IVF-PQ build for 2k
-    vectors). At suite scale the cap exceeds the corpus, so the "sample"
+    assignment pass, the fit cost is CAPPED (100k rows) instead of
+    corpus-proportional, and content-hash sampling makes the centroids
+    layout-independent, which a distributed fit never was. Locally the
+    ML fit's job fan-out dominated cold-session builds (~15 s incl. JVM/
+    BLAS warmup; ~2-3 s warm — tools/index_build_ab.py has the honest
+    A/B). At suite scale the cap exceeds the corpus, so the "sample"
     is the whole corpus and the fit is exact.
 
     Returned centroids are the cell MEANS (the quantization centers the

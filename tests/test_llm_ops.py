@@ -892,3 +892,13 @@ def test_simhash_null_text_matches_bits_twin(spark):
     bits = {r["doc_id"]: r["sig"] for r in packed}
     assert sigs == bits
     assert sigs[1] == 0 and sigs[1] != sigs[2]
+
+
+def test_auto_band_parts_rule():
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _auto_band_parts
+
+    assert _auto_band_parts(0) == 1
+    assert _auto_band_parts(50_000) == 1
+    assert _auto_band_parts(50_001) == 2
+    assert _auto_band_parts(500_000) == 10
+    assert _auto_band_parts(10 ** 9) == 256   # clamp
