@@ -684,7 +684,9 @@ def balanced_shards(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
-    ranked = assign_global_ids(df, [-w.cast("double"), tb], "__rank")
+    # negate in the INPUT type: a double cast would collapse the order of
+    # integer weights past 2^53
+    ranked = assign_global_ids(df, [-w, tb], "__rank")
     rnd = F.expr(f"__rank div {n_shards}")
     pos = F.pmod("__rank", F.lit(n_shards))
     shard = F.when(F.pmod(rnd, F.lit(2)) == 0, pos).otherwise(
@@ -732,7 +734,9 @@ def budget_select(
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
     tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
-    tagged = df.withColumn("__ord", F.struct((-s.cast("double")).alias("s"), tb.alias("t")))
+    # negate in the INPUT type (a double cast would collapse integer
+    # scores past 2^53)
+    tagged = df.withColumn("__ord", F.struct((-s).alias("s"), tb.alias("t")))
     run = global_running_sum(tagged, "__ord", c.cast("long"), "__run")
     return (
         run.withColumn(keep_col, F.col("__run") <= F.lit(int(budget)))
