@@ -245,6 +245,7 @@ ROTATION: list[str] = [
     # --- pointer has visited, and it is far from wrapping) ---
     "balanced_shards",
     "budget_select",
+    "calibration_bins",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

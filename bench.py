@@ -193,6 +193,7 @@ BENCH_QUERIES = (
     "asof_forward",
     "balanced_shards",
     "budget_select",
+    "calibration_bins",
 )
 
 

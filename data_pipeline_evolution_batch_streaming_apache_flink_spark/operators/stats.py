@@ -816,6 +816,67 @@ def roc_auc(
     )
 
 
+def calibration_bins(
+    df: DataFrame,
+    prob_col: str | Column,
+    label_col,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier — the
+    calibration audit that complements :func:`roc_auc` (AUC measures
+    RANKING; a quality/filter model whose probabilities feed weighted
+    sampling or thresholds also needs its probabilities to MEAN what
+    they say). Bins predictions into ``n_bins`` equal-width bins over
+    [0, 1] and reports, per bin, the count, the exact mean predicted
+    probability, and the observed positive rate — both in micro units
+    (bigint), so the table is bit-identical on any engine/layout and
+    ECE/MCE are one weighted fold downstream.
+
+    Exactness: each probability is micro-rounded ONCE (round(p*1e6) —
+    the same row-level quantization discipline as the drift monitors),
+    then everything is integer arithmetic: bin = least(p_micro*B div
+    1e6, B-1) (right-closed last bin), means are integer div. A
+    probability outside [0, 1] raises at scan time (raise_error guard
+    — silent clamping would hide a broken model head). NULL prob/label
+    rows drop, as in :func:`roc_auc`.
+
+    Scale shape: ONE hash aggregate with map-side combine and ≤ n_bins
+    groups of state — streamable from a maintained histogram like the
+    drift family. Returns (bin, n, mean_pred_micro, pos_rate_micro)
+    with empty bins absent (an empty bin has no mean prediction).
+
+    ``label_col``: column name (numeric: sklearn 0/1 convention) or a
+    boolean Column marking positives."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    raw = F.col(label_col) if isinstance(label_col, str) else label_col
+    label = raw
+    if isinstance(label_col, str):
+        from pyspark.sql.types import NumericType
+
+        if isinstance(df.schema[label_col].dataType, NumericType):
+            label = raw != 0
+    pd_ = p.cast("double")
+    pm = F.when(
+        (pd_ < 0) | (pd_ > 1),
+        F.raise_error(F.lit("calibration_bins: probability outside [0, 1]")),
+    ).otherwise(F.round(pd_ * 1_000_000).cast("bigint"))
+    binc = F.least(
+        F.expr(f"__pm * {n_bins} div 1000000"), F.lit(n_bins - 1).cast("bigint")
+    ).cast("int")
+    return (
+        df.filter(pd_.isNotNull() & raw.isNotNull())
+        .select(pm.alias("__pm"), F.when(label, 1).otherwise(0).alias("__y"))
+        .groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(__pm) div count(1)").alias("mean_pred_micro"),
+            F.expr("sum(__y) * 1000000 div count(1)").alias("pos_rate_micro"),
+        )
+    )
+
+
 def cuped_adjust(
     units: DataFrame,
     x_col: str,

@@ -7751,3 +7751,41 @@ ORACLE["budget_select"] = """
     SELECT doc_id, cost, score, run <= (SELECT budget FROM b) AS selected
     FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration audit (operators/stats.py calibration_bins)
+# ---------------------------------------------------------------------------
+
+def q_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram of a length-based 'is English' score: p =
+    least(n_chars, 1000)/1000 (a float in [0,1] whose micro-rounding is
+    EXACT — n_chars is integer, so round(p*1e6) = least(n_chars,1000)*
+    1000 with zero libm exposure) against lang='en', 10 bins. The
+    integer-only bin/mean arithmetic makes the DuckDB twin a hash
+    oracle."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import calibration_bins
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"].withColumn(
+        "p_en", F.least(F.col("n_chars"), F.lit(1000)).cast("double") / 1000.0
+    )
+    return calibration_bins(docs, "p_en", F.col("lang") == "en", n_bins=10)
+
+
+QUERIES["calibration_bins"] = q_calibration_bins
+
+ORACLE["calibration_bins"] = """
+    WITH q AS (
+      SELECT CAST(least(n_chars, 1000) * 1000 AS BIGINT) AS pm,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+    )
+    SELECT CAST(least(pm * 10 // 1000000, 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pm) // count(*) AS BIGINT) AS mean_pred_micro,
+           CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro
+    FROM q
+    GROUP BY 1
+"""

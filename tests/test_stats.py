@@ -781,3 +781,33 @@ def test_standardize_and_winsorize_null_groups(spark):
     wdf = spark.createDataFrame(rows, "id long, grp string, x double")
     out = {r["id"]: r for r in winsorize(wdf, ["grp"], "x", lower_micro=100000, upper_micro=900000).collect()}
     assert out[1]["clipped"] is True and out[20]["clipped"] is True
+
+
+def test_calibration_bins_hand_computed(spark):
+    """r9 calibration_bins: exact micro-integer reliability table on a
+    hand-computed fixture; right-closed last bin (p=1.0 -> bin B-1);
+    numeric label follows the sklearn non-zero convention; NULLs drop;
+    out-of-range probabilities raise."""
+    import pytest
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import calibration_bins
+
+    rows = [
+        (0.05, 1), (0.05, 0),          # bin 0: mean 50000, pos 500000
+        (0.25, 1), (0.35, 0),          # bins 2 and 3
+        (1.0, 1),                      # clamps into bin 9
+        (None, 1), (0.5, None),        # dropped
+    ]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: (r["n"], r["mean_pred_micro"], r["pos_rate_micro"])
+           for r in calibration_bins(df, "p", "y", n_bins=10).collect()}
+    assert got == {
+        0: (2, 50_000, 500_000),
+        2: (1, 250_000, 1_000_000),
+        3: (1, 350_000, 0),
+        9: (1, 1_000_000, 1_000_000),
+    }
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, "p", "y", n_bins=0)
+    bad = spark.createDataFrame([(1.2, 1)], "p double, y int")
+    with pytest.raises(Exception, match="outside"):
+        calibration_bins(bad, "p", "y").collect()
