@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 import data_pipeline_evolution_batch_streaming_apache_flink_spark as eng
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.quality import js_divergence
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import cuped_adjust, roc_auc, welch_ttest
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import (
+    calibration_bins, cuped_adjust, roc_auc, welch_ttest,
+)
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import seasonal_decompose
 
 
@@ -84,6 +86,18 @@ def main() -> None:
     auc = auc_df.collect()[0]["auc"]
     assert 0.0 <= auc <= 1.0
     print(f"PASS: CUPED variance {v['vy']:.0f} -> {v['va']:.0f}; AUC {auc:.3f} in [0,1]")
+
+    print("== calibration: is the length-based 'is English' score honest? ==")
+    scored = docs.withColumn(
+        "p_en", F.least(F.col("n_chars"), F.lit(1000)).cast("double") / 1000.0
+    )
+    cal = calibration_bins(scored, "p_en", F.col("lang") == "en", n_bins=10)
+    cal.orderBy("bin").show()
+    # smoke oracle: bin counts cover every non-null row exactly once
+    assert cal.agg(F.sum("n")).collect()[0][0] == docs.where(
+        "n_chars IS NOT NULL AND lang IS NOT NULL"
+    ).count()
+    print("PASS: calibration bins partition the scored corpus")
 
     spark.stop()
 
