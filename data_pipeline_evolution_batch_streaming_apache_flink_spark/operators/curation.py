@@ -702,6 +702,7 @@ def budget_select(
     budget: int,
     tiebreak_col: str | Column,
     keep_col: str = "selected",
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Greedy selection under a total COST budget: walk the corpus in
     (score DESC, tiebreak ASC) order and keep rows while the running cost
@@ -720,6 +721,13 @@ def budget_select(
     sequential scan, not a prefix sum — and differ from every SQL twin;
     the prefix rule is the standard, shuffle-disciplined formulation.
 
+    ``partition_by``: apply the budget PER GROUP instead of globally —
+    the per-source quota of mixture control ("at most N tokens from any
+    one domain/feed, best-first"). The grouped prefix sum is a plain
+    partitioned window (one hash shuffle on the group key, no global
+    structure needed); the global case needs the distributed two-pass
+    prefix sum because there is no partition key to bound the window.
+
     Distinct from :func:`filter_by_percentile` (keep a FRACTION of rows,
     cost-blind) and :func:`weighted_sample` (randomized). Cost: one
     global prefix sum (:func:`global_running_sum` via
@@ -727,13 +735,23 @@ def budget_select(
     bounded driver round-trip), pure arithmetic after.
 
     ``score_col`` must be non-null numeric (negated for the descending
-    sort); ``tiebreak_col`` must complete a unique key or the cut row is
-    layout-dependent; ``cost_col`` must be non-null and non-negative."""
+    sort); ``tiebreak_col`` must complete a unique key (within the
+    group, when grouped) or the cut row is layout-dependent;
+    ``cost_col`` must be non-null and non-negative."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
     tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
+    if partition_by is not None:
+        w = (
+            Window.partitionBy(partition_by)
+            .orderBy(s.desc(), tb.asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(
+            keep_col, F.sum(c.cast("long")).over(w) <= F.lit(int(budget))
+        )
     # negate in the INPUT type (a double cast would collapse integer
     # scores past 2^53)
     tagged = df.withColumn("__ord", F.struct((-s).alias("s"), tb.alias("t")))

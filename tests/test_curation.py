@@ -423,3 +423,27 @@ def test_budget_select_prefix_rule_and_determinism(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="budget"):
         budget_select(df, "score", "cost", -1, "id")
+
+
+def test_budget_select_per_group_quota(spark):
+    """partition_by applies the budget per group (per-source quota):
+    each source's selection is the prefix of ITS quality order, and the
+    result equals running the global operator per group."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import budget_select
+
+    rows = [
+        ("a", 1, 100, 40), ("a", 2, 90, 40), ("a", 3, 80, 40),
+        ("b", 4, 95, 70), ("b", 5, 85, 20),
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score long, cost long")
+    got = {r["id"]: r["selected"]
+           for r in budget_select(df, "score", "cost", 80, "id",
+                                  partition_by="src").collect()}
+    # a: 40, 80, 120 -> ids 1,2; b: 70, 90 -> id 4 only
+    assert got == {1: True, 2: True, 3: False, 4: True, 5: False}
+    # equivalence with the global operator applied per group
+    for src in ("a", "b"):
+        sub = {r["id"]: r["selected"]
+               for r in budget_select(df.where(F.col("src") == src),
+                                      "score", "cost", 80, "id").collect()}
+        assert sub == {i: got[i] for i in sub}
