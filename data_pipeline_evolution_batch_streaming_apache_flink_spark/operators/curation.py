@@ -22,6 +22,7 @@ import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Knuth multiplicative hash constants (public domain folklore): spread
 #: is good enough for rate-threshold sampling and exactly reproducible in
@@ -737,12 +738,26 @@ def budget_select(
     ``score_col`` must be non-null numeric (negated for the descending
     sort); ``tiebreak_col`` must complete a unique key (within the
     group, when grouped) or the cut row is layout-dependent;
-    ``cost_col`` must be non-null and non-negative."""
+    ``cost_col`` must be non-null, non-negative and of an INTEGRAL type
+    (the prefix sum runs in exact int64 on both engines — a fractional
+    cost would be truncated per row before summing, changing which rows
+    fit; micro-scale fractional costs to an integer unit first, e.g.
+    milli-tokens, the same contract as :func:`calibration_bins`)."""
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
     tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
+    # ADVICE r9: .cast('long') on a fractional cost silently truncates
+    # each row toward zero BEFORE the prefix sum — reject at plan time.
+    cost_dt = df.select(c.alias("__c")).schema[0].dataType
+    if not isinstance(cost_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"budget_select cost_col must be an integral type, got "
+            f"{cost_dt.simpleString()}: per-row truncation before the prefix "
+            f"sum would change which rows fit the budget — micro-scale to an "
+            f"integer unit (e.g. milli-tokens) first"
+        )
     if partition_by is not None:
         w = (
             Window.partitionBy(partition_by)

@@ -1250,12 +1250,21 @@ def lsh_write_index(
     creating 1024 near-empty files: 10.8 → 3.2 s warmed, probe digests
     identical — tools/index_build_ab.py), a 10^9-doc corpus bands×256.
 
-    Build cost: one signature pass + one partitioned write — the
-    amortized one-off, same trade as :func:`...similarity.ivf_write_index`.
+    Build cost: one signature pass + one partitioned write, plus one
+    corpus pass for ``docs/``. With ``band_parts=None`` the sizing count
+    is derived from the (localCheckpointed) signature pass itself —
+    rows-per-band of the banded frame — NOT an extra evaluation of the
+    corpus, which may be an expensive derived pipeline rather than a
+    table scan (ADVICE r9); docs that shingle to nothing contribute no
+    index rows, so rows-per-band is also the more faithful sizing input.
     """
-    if band_parts is None:
-        band_parts = _auto_band_parts(corpus.count())
     banded = banded_rows(corpus, id_col, text_col, n, num_perm, bands, seed)
+    if band_parts is None:
+        # materialize the signature pass once: the count reads it for
+        # free and the partitioned write below reuses it instead of
+        # recomputing shingles+minhash
+        banded = banded.localCheckpoint(eager=True)
+        band_parts = _auto_band_parts(banded.count() // bands)
     (
         banded.withColumn("__bp", F.pmod(F.col("bhash"), F.lit(band_parts)))
         # hash-repartition on the layout keys BEFORE partitionBy: without
@@ -1305,7 +1314,10 @@ def lsh_probe_pairs(
     mismatch raises instead of silently missing every candidate, and the
     stored ``band_parts`` overrides the argument (the prefix split is a
     property of the index layout, not of the probe). Indexes written
-    before ``meta/`` existed fall back to the ``band_parts`` argument.
+    before ``meta/`` existed fall back to the ``band_parts`` argument;
+    a ``meta/`` directory that exists but holds no row is an interrupted
+    write and raises (ADVICE r9 — treating it as pre-meta would silently
+    disable both guards).
     Candidates join on (band, bhash) and are verified with exact Jaccard
     by re-shingling ONLY the touched docs (probe side + matched corpus
     ids from ``docs/``), so reported pairs are never false positives;
@@ -1319,9 +1331,21 @@ def lsh_probe_pairs(
 
     spark = new_docs.sparkSession
     try:
-        meta = spark.read.parquet(path + "/meta").head()
+        meta_df = spark.read.parquet(path + "/meta")
     except AnalysisException:
         meta = None  # pre-meta index: trust the caller's band_parts
+    else:
+        meta = meta_df.head()
+        if meta is None:
+            # ADVICE r9: an existing-but-EMPTY meta/ is an interrupted
+            # write, not a pre-meta index — falling back to the caller's
+            # band_parts would silently disable the signature guard and
+            # the stored layout override, the exact silent-miss mode the
+            # guard exists to prevent.
+            raise ValueError(
+                f"corrupt LSH index at {path!r}: meta/ exists but holds "
+                "no row (interrupted write?) — rebuild with lsh_write_index"
+            )
     if meta is not None:
         stored = {"bands": meta["bands"], "num_perm": meta["num_perm"],
                   "n": meta["n"], "seed": meta["seed"]}

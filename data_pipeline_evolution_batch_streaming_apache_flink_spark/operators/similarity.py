@@ -223,7 +223,16 @@ def _fit_cells(
     IVF-PQ residuals subtract); they are normalized only where cosine
     needs unit vectors (assignment here, probe ordering in
     :func:`_probe_cells` — cosine is scale-invariant, so the stored scale
-    is irrelevant there)."""
+    is irrelevant there).
+
+    Determinism scope (ADVICE r9): layout/retry/restart-independence
+    holds on a GIVEN host — :func:`_assign_cells` scores with BLAS
+    matmul (``X @ cu.T``), whose last-ulp summation order varies across
+    BLAS builds/thread counts, so indexes built on heterogeneous driver
+    hosts can differ in tie-adjacent assignments. Same caveat as the
+    other numpy float paths in this module; the tests pin same-host
+    bit-identity only. Rebuild indexes on one host class, or treat
+    cross-host centroid equality as approximate."""
     import numpy as np
 
     X = _hash_sampled_matrix(

@@ -425,6 +425,31 @@ def test_budget_select_prefix_rule_and_determinism(spark):
         budget_select(df, "score", "cost", -1, "id")
 
 
+def test_budget_select_rejects_fractional_cost(spark):
+    """ADVICE r10: a double cost would be truncated toward zero PER ROW
+    before the prefix sum (0.9 -> 0), silently changing which rows fit
+    the budget — the operator must reject fractional cost types at plan
+    time and tell the caller to micro-scale to an integer unit."""
+    import pytest as _pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 9, 0.9)], "id long, score long, cost double"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        budget_select(df, "score", "cost", 1, "id")
+    with _pytest.raises(TypeError, match="integral"):
+        budget_select(df, "score", "cost", 1, "id", partition_by="score")
+    # micro-scaled integral costs pass (and decimal(.,0) is still
+    # rejected: only byte/short/int/long are exact in the int64 sum)
+    ok = budget_select(
+        df.withColumn("cost", (F.col("cost") * 1000).cast("long")),
+        "score", "cost", 1000, "id",
+    )
+    assert {r["id"]: r["selected"] for r in ok.collect()} == {1: True, 2: False}
+
+
 def test_budget_select_per_group_quota(spark):
     """partition_by applies the budget per group (per-source quota):
     each source's selection is the prefix of ITS quality order, and the

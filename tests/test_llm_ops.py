@@ -861,6 +861,54 @@ def test_lsh_index_meta_layout_and_param_guard(spark, tmp_path):
         lsh_probe_pairs(new, path, "doc_id", "text", threshold=0.3, n=5)
 
 
+def test_lsh_probe_rejects_empty_meta(spark, tmp_path):
+    """ADVICE r10: an existing-but-EMPTY meta/ (interrupted write) must
+    raise a corrupt-index error, not silently fall back to the caller's
+    band_parts — the fallback would disable both the signature-param
+    guard and the stored layout override."""
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        lsh_probe_pairs, lsh_write_index,
+    )
+
+    corpus, new = _lsh_corpus(spark)
+    path = str(tmp_path / "lshidx4")
+    lsh_write_index(corpus, path, "doc_id", "text", n=3)
+    # simulate the interrupted write: meta/ exists, holds zero rows
+    spark.read.parquet(path + "/meta").limit(0).write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
+    with pytest.raises(ValueError, match="corrupt LSH index"):
+        lsh_probe_pairs(new, path, "doc_id", "text", threshold=0.3, n=3)
+
+
+def test_lsh_write_index_evaluates_corpus_twice_not_thrice(spark, tmp_path):
+    """ADVICE r10: with band_parts=None the sizing count must come from
+    the (checkpointed) banded rows, not a third full evaluation of the
+    corpus — costly when the corpus is an expensive derived pipeline.
+    Each corpus row passes the tracked stage exactly twice: once feeding
+    the signature pass, once for the docs/ write."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import lsh_write_index
+
+    corpus, _ = _lsh_corpus(spark)
+    n_rows = corpus.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(batches):
+        for p in batches:
+            acc.add(len(p))
+            yield p
+
+    tracked = corpus.mapInPandas(_tick, corpus.schema)
+    lsh_write_index(tracked, str(tmp_path / "lshidx5"), "doc_id", "text", n=3)
+    assert acc.value == 2 * n_rows, (
+        f"corpus evaluated {acc.value / n_rows:g}x, expected exactly 2x "
+        "(signature pass + docs write; sizing count must reuse the "
+        "checkpointed banded rows)"
+    )
+
+
 def test_fit_cells_layout_independent_and_deterministic(spark):
     """The r9 coarse quantizer must yield bit-identical centroids and
     assignments regardless of the corpus' partitioning (content-hash
