@@ -7709,12 +7709,20 @@ def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     stays within ~25% of the corpus. The selection rule is a prefix of
     the (score DESC, doc_id ASC) order — see
     operators/curation.py::budget_select for why the prefix (not
-    re-fill) formulation is the scalable one."""
+    re-fill) formulation is the scalable one.
+
+    Two legs over the same scored frame (VERDICT r9 #3 — the grouped
+    path must be driver-visible): ``selected`` is the GLOBAL 25% cut
+    (distributed two-pass prefix sum), ``selected_src`` the PER-SOURCE
+    quota at total//20 each (plain partitioned window) — the mixture
+    control of pretraining curation ("at most N bytes from any one
+    feed, best-first")."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import budget_select
 
     t = load_tables(spark, sf, ("documents",))
     docs = t["documents"].select(
         "doc_id",
+        "source",
         F.octet_length("text").cast("bigint").alias("cost"),
         # integer div, not double /: floor semantics exactly match the
         # twin's // with no double-rounding at the boundary
@@ -7724,9 +7732,12 @@ def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("score"),
     )
     total = docs.agg(F.sum("cost")).head()[0] or 0
-    return budget_select(docs, "score", "cost", int(total) // 4, "doc_id").select(
-        "doc_id", "cost", "score", "selected"
+    out = budget_select(docs, "score", "cost", int(total) // 4, "doc_id")
+    out = budget_select(
+        out, "score", "cost", int(total) // 20, "doc_id",
+        keep_col="selected_src", partition_by="source",
     )
+    return out.select("doc_id", "source", "cost", "score", "selected", "selected_src")
 
 
 QUERIES["budget_select"] = q_budget_select
@@ -7736,19 +7747,23 @@ QUERIES["budget_select"] = q_budget_select
 # both keep empty strings on consecutive delimiters.
 ORACLE["budget_select"] = """
     WITH d AS (
-      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS cost,
+      SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS cost,
              CAST((CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
                   // greatest(length(string_split(text, ' ')), 1) AS BIGINT) AS score
       FROM documents
     ),
-    b AS (SELECT sum(cost) // 4 AS budget FROM d),
+    b AS (SELECT sum(cost) // 4 AS budget, sum(cost) // 20 AS quota FROM d),
     r AS (
-      SELECT doc_id, cost, score,
+      SELECT doc_id, source, cost, score,
              sum(cost) OVER (ORDER BY score DESC, doc_id ASC
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+             sum(cost) OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_src
       FROM d
     )
-    SELECT doc_id, cost, score, run <= (SELECT budget FROM b) AS selected
+    SELECT doc_id, source, cost, score,
+           run <= (SELECT budget FROM b) AS selected,
+           run_src <= (SELECT quota FROM b) AS selected_src
     FROM r
 """
 
