@@ -248,13 +248,23 @@ def main() -> None:
     # Full per-query record goes to a committed file; the driver captures
     # only the last ~2000 chars of stdout, so the printed line must stay
     # compact (round-4's 8 KB line was recorded as an unparseable tail).
+    # Calibration-normalized per-query numbers (VERDICT r9 #7): cross-
+    # round warm diffs kept needing a forensic pass to separate host drag
+    # from genuine regressions (+22% raw was +3% normalized in r9) —
+    # publish cal-units (sec / calibration_sec) per query at write time
+    # so the reader's diff self-normalizes.
+    warm_cal = {k: round(v / calibration, 3) for k, v in warm.items()}
+    cold_cal = {k: round(v / calibration, 3) for k, v in timings.items()}
     full = {
         "metric": "suite_wall_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cal": cold_cal,
         "queries_warm": warm,
+        "queries_warm_cal": warm_cal,
         "warm_total": round(sum(warm.values()), 3),
+        "warm_total_cal": round(sum(warm_cal.values()), 3),
         "calibration_sec": calibration,
         "sf": sf_val,
     }
