@@ -246,6 +246,8 @@ ROTATION: list[str] = [
     "balanced_shards",
     "budget_select",
     "calibration_bins",
+    # --- added r10 (appended, same wheel-stability argument) ---
+    "dsir_weights",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

@@ -194,6 +194,7 @@ BENCH_QUERIES = (
     "balanced_shards",
     "budget_select",
     "calibration_bins",
+    "dsir_weights",
 )
 
 

@@ -7804,3 +7804,72 @@ ORACLE["calibration_bins"] = """
     FROM q
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (operators/dsir.py dsir_weights)
+# ---------------------------------------------------------------------------
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data-selection weights: score the whole documents pool by
+    how English-like its hashed-(uni+bi)gram profile is (target = the
+    lang='en' slice), add-one-smoothed log-likelihood ratio in exact
+    micro-nats. Per-bucket ln is rounded to micro BEFORE the per-doc
+    sum, so the twin reproduces every score bit-for-bit."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dsir import dsir_weights
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    return dsir_weights(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=256
+    )
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+
+# Hash parity: the md5 fold is the hashed_features recipe (proven MATCH);
+# bigram indices differ by base (Spark 0-, DuckDB 1-indexed) but name the
+# same adjacent pairs; DuckDB range(1, n) is empty for n <= 1, which is
+# the Spark size>=2 gate.
+ORACLE["dsir_weights"] = r"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(toks,
+               list_transform(range(1, length(toks)),
+                              i -> toks[i] || chr(31) || toks[i + 1]))) AS g
+      FROM tok
+    ),
+    hb AS (
+      SELECT doc_id, lang,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT))),
+               (acc, d) -> acc * 16 + d) % 256 AS INTEGER) AS b
+      FROM grams
+    ),
+    rprof AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),
+    tprof AS (SELECT b, count(*) AS ct FROM hb WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT (SELECT coalesce(sum(ct), 0) FROM tprof) AS tct,
+             (SELECT coalesce(sum(cr), 0) FROM rprof) AS tcr
+    ),
+    lr AS (
+      SELECT r.b,
+             CAST(round((ln(coalesce(t.ct, 0) + 1.0) - ln(r.cr + 1.0)
+                        + ln(tcr + 256 + 0.0) - ln(tct + 256 + 0.0))
+                        * 1000000) AS BIGINT) AS lr_micro
+      FROM rprof r LEFT JOIN tprof t USING (b), tot
+    ),
+    sc AS (
+      SELECT hb.doc_id, count(*) AS n_grams, sum(lr.lr_micro) AS logw_micro
+      FROM hb JOIN lr USING (b) GROUP BY hb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(sc.logw_micro, 0) AS BIGINT) AS logw_micro
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
