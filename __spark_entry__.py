@@ -248,6 +248,7 @@ ROTATION: list[str] = [
     "calibration_bins",
     # --- added r10 (appended, same wheel-stability argument) ---
     "dsir_weights",
+    "margin_mine",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

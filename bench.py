@@ -195,6 +195,7 @@ BENCH_QUERIES = (
     "budget_select",
     "calibration_bins",
     "dsir_weights",
+    "margin_mine",
 )
 
 

@@ -1223,6 +1223,107 @@ def quantize_int8(
     )
 
 
+def margin_mine(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    knn_k: int = 4,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Margin-based pair mining between two embedding corpora — the
+    bitext-mining criterion of Artetxe & Schwenk ("Margin-based Parallel
+    Corpus Mining with Multilingual Sentence Embeddings", 2019; the
+    CCMatrix/LASER pipeline): a raw cosine threshold can't separate true
+    pairs from dense hubs, so each candidate's cosine is RATIO-scored
+    against the average cosine of both endpoints' k nearest neighbours
+    in the opposite corpus::
+
+        margin(x, y) = cos(x, y) / ( avg_kNN(x)/2 + avg_kNN(y)/2 )
+
+    Returns one row per LEFT item: its best-margin right candidate,
+    with ``mutual`` true when the pair is also the best margin for the
+    right item (the forward∩backward filter the paper recommends for
+    precision). Columns: ``{left_id}_l, {right_id}_r, cos, margin_ppm,
+    mutual`` — margin in integer parts-per-million.
+
+    Exact-integer discipline: per-pair cosines come 6dp-rounded from
+    :func:`cosine_topk`; micro-unit sums and one integer division make
+    the margin layout-independent and SQL-twin-reproducible (float
+    means of the kNN cosines would be summation-order-dependent)::
+
+        margin_ppm = (cos_micro · 2·a_k·b_k · 10^6)
+                     div (a_sum·b_k + b_sum·a_k)
+
+    with a_sum/a_k the micro-sum/count of x's kNN cosines in RIGHT and
+    b_sum/b_k of y's kNN in LEFT (counts matter when a corpus is
+    smaller than ``knn_k``). Candidates are the union of forward and
+    backward kNN pairs; pairs whose normalizer is ≤ 0 (possible only
+    when every neighbour cosine is negative — no meaningful margin)
+    are dropped.
+
+    Scale shape: two :func:`cosine_topk` passes (each scans one corpus
+    once, no shuffle, the other side broadcast under
+    ``max_query_rows``), two bounded-width grouped sums, and joins on
+    pair endpoints whose cardinality is ≤ (|L| + |R|)·knn_k. The id
+    spaces of the two corpora may overlap (nothing is self-masked —
+    corpora are distinct by contract)."""
+    if knn_k < 1:
+        raise ValueError(f"knn_k must be >= 1, got {knn_k}")
+    fwd = cosine_topk(
+        left, right, left_id, right_id, left_vec, right_vec,
+        k=knn_k, include_self=True, max_query_rows=max_query_rows,
+    ).select(
+        F.col(left_id + "_q").alias("l"),
+        F.col(right_id + "_c").alias("r"),
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    )
+    bwd = cosine_topk(
+        right, left, right_id, left_id, right_vec, left_vec,
+        k=knn_k, include_self=True, max_query_rows=max_query_rows,
+    ).select(
+        F.col(left_id + "_c").alias("l"),
+        F.col(right_id + "_q").alias("r"),
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    )
+    a_norm = fwd.groupBy("l").agg(
+        F.sum("cos_micro").alias("a_sum"), F.count(F.lit(1)).alias("a_k")
+    )
+    b_norm = bwd.groupBy("r").agg(
+        F.sum("cos_micro").alias("b_sum"), F.count(F.lit(1)).alias("b_k")
+    )
+    cand = fwd.unionByName(bwd).dropDuplicates(["l", "r"])
+    scored = (
+        cand.join(a_norm, "l")
+        .join(b_norm, "r")
+        .withColumn(
+            "margin_ppm",
+            F.expr(
+                "(cos_micro * 2 * a_k * b_k * 1000000)"
+                " div (a_sum * b_k + b_sum * a_k)"
+            ),
+        )
+        .where(F.expr("a_sum * b_k + b_sum * a_k > 0"))
+    )
+    wl = Window.partitionBy("l").orderBy(F.col("margin_ppm").desc(), F.col("r").asc())
+    wr = Window.partitionBy("r").orderBy(F.col("margin_ppm").desc(), F.col("l").asc())
+    ranked = scored.withColumn("__rl", F.row_number().over(wl)).withColumn(
+        "__rr", F.row_number().over(wr)
+    )
+    return (
+        ranked.where(F.col("__rl") == 1)
+        .select(
+            F.col("l").alias(left_id + "_l"),
+            F.col("r").alias(right_id + "_r"),
+            (F.col("cos_micro") / 1e6).alias("cos"),
+            "margin_ppm",
+            (F.col("__rr") == 1).alias("mutual"),
+        )
+    )
+
+
 def ndcg_binary(
     results: DataFrame,
     query_col: str,

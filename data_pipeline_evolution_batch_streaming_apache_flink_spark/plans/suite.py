@@ -7873,3 +7873,80 @@ ORACLE["dsir_weights"] = r"""
            CAST(coalesce(sc.logw_micro, 0) AS BIGINT) AS logw_micro
     FROM documents d LEFT JOIN sc USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Margin-based pair mining (operators/similarity.py margin_mine)
+# ---------------------------------------------------------------------------
+
+def q_margin_mine(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitext-style pair mining between two disjoint halves of the
+    embeddings table (even vec_ids as the LEFT corpus, odd as RIGHT):
+    per left vector, the best margin-scored right candidate plus the
+    forward-and-backward `mutual` flag. Margin arithmetic is micro-int
+    (exact sums, one truncating integer division — verified identical
+    semantics on both engines for negative numerators), so the twin
+    reproduces every row."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import margin_mine
+
+    t = load_tables(spark, sf, ("embeddings",))
+    left = t["embeddings"].where(F.col("vec_id") % 2 == 0)
+    right = t["embeddings"].where(F.col("vec_id") % 2 == 1)
+    return margin_mine(left, right, "vec_id", "vec_id", knn_k=4)
+
+
+QUERIES["margin_mine"] = q_margin_mine
+
+ORACLE["margin_mine"] = _COSINE_CTE.format(
+    join_cond="a.vec_id % 2 = 0 AND b.vec_id % 2 = 1"
+) + """
+    , sm AS (
+      SELECT id_a AS lid, id_b AS rid,
+             CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+      FROM scored
+    ),
+    fk AS (
+      SELECT * FROM (
+        SELECT lid, rid, cos_micro,
+               row_number() OVER (PARTITION BY lid
+                                  ORDER BY cos_micro DESC, rid ASC) AS rk
+        FROM sm
+      ) WHERE rk <= 4
+    ),
+    bk AS (
+      SELECT * FROM (
+        SELECT lid, rid, cos_micro,
+               row_number() OVER (PARTITION BY rid
+                                  ORDER BY cos_micro DESC, lid ASC) AS rk
+        FROM sm
+      ) WHERE rk <= 4
+    ),
+    an AS (SELECT lid, sum(cos_micro) AS a_sum, count(*) AS a_k FROM fk GROUP BY lid),
+    bn AS (SELECT rid, sum(cos_micro) AS b_sum, count(*) AS b_k FROM bk GROUP BY rid),
+    cand AS (
+      SELECT DISTINCT lid, rid, cos_micro FROM (
+        SELECT lid, rid, cos_micro FROM fk
+        UNION ALL SELECT lid, rid, cos_micro FROM bk
+      )
+    ),
+    sc AS (
+      SELECT cand.lid, cand.rid, cand.cos_micro,
+             (cand.cos_micro * 2 * a_k * b_k * 1000000)
+               // (a_sum * b_k + b_sum * a_k) AS margin_ppm
+      FROM cand JOIN an USING (lid) JOIN bn USING (rid)
+      WHERE a_sum * b_k + b_sum * a_k > 0
+    ),
+    rked AS (
+      SELECT lid, rid, cos_micro, margin_ppm,
+             row_number() OVER (PARTITION BY lid
+                                ORDER BY margin_ppm DESC, rid ASC) AS rl,
+             row_number() OVER (PARTITION BY rid
+                                ORDER BY margin_ppm DESC, lid ASC) AS rr
+      FROM sc
+    )
+    SELECT lid AS vec_id_l, rid AS vec_id_r,
+           cos_micro / 1000000.0 AS cos,
+           CAST(margin_ppm AS BIGINT) AS margin_ppm,
+           rr = 1 AS mutual
+    FROM rked WHERE rl = 1
+"""

@@ -1,0 +1,122 @@
+"""Margin-based pair mining (operators/similarity.py margin_mine).
+
+The sequential reference reproduces the exact micro-int arithmetic in
+plain Python, so values (not just ordering) are pinned.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import margin_mine
+
+
+def _cos6(a, b) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    return round(num / den, 6)
+
+
+def _reference(left: dict, right: dict, k: int):
+    cosm = {
+        (l, r): round(_cos6(lv, rv) * 1_000_000)
+        for l, lv in left.items() for r, rv in right.items()
+    }
+    fwd = {
+        l: sorted(right, key=lambda r: (-cosm[(l, r)], r))[:k] for l in left
+    }
+    bwd = {
+        r: sorted(left, key=lambda l: (-cosm[(l, r)], l))[:k] for r in right
+    }
+    a = {l: (sum(cosm[(l, r)] for r in fwd[l]), len(fwd[l])) for l in left}
+    b = {r: (sum(cosm[(l, r)] for l in bwd[r]), len(bwd[r])) for r in right}
+    cand = {(l, r) for l in left for r in fwd[l]} | {
+        (l, r) for r in right for l in bwd[r]
+    }
+    margins = {}
+    for l, r in cand:
+        (asum, ak), (bsum, bk) = a[l], b[r]
+        den = asum * bk + bsum * ak
+        if den > 0:
+            n = cosm[(l, r)] * 2 * ak * bk * 1_000_000
+            margins[(l, r)] = int(n / den) if n >= 0 else -int(-n // den)
+    best_l = {
+        l: min((p for p in margins if p[0] == l),
+               key=lambda p: (-margins[p], p[1]), default=None)
+        for l in left
+    }
+    best_r = {
+        r: min((p for p in margins if p[1] == r),
+               key=lambda p: (-margins[p], p[0]), default=None)
+        for r in right
+    }
+    out = {}
+    for l, p in best_l.items():
+        if p is None:
+            continue
+        out[l] = (p[1], cosm[p] / 1e6, margins[p], best_r[p[1]] == p)
+    return out
+
+
+# LEFT corpus with a clear partner structure; RIGHT contains a "hub"
+# (close to everything) and specific partners — the shape margin
+# scoring exists to disambiguate.
+LEFT = {
+    0: [1.0, 0.05, 0.0],
+    2: [0.05, 1.0, 0.0],
+    4: [0.4, 0.4, 0.8],
+}
+RIGHT = {
+    1: [0.95, 0.1, 0.05],   # partner of 0
+    3: [0.1, 0.9, 0.1],     # partner of 2
+    5: [0.5, 0.5, 0.5],     # hub: fairly close to everyone
+}
+
+
+def _run(spark, k=2):
+    rows_l = [(i, v) for i, v in LEFT.items()]
+    rows_r = [(i, v) for i, v in RIGHT.items()]
+    l = spark.createDataFrame(rows_l, "vec_id long, embedding array<float>")
+    r = spark.createDataFrame(rows_r, "vec_id long, embedding array<float>")
+    out = margin_mine(l, r, "vec_id", "vec_id", knn_k=k)
+    return {
+        row["vec_id_l"]: (
+            row["vec_id_r"], row["cos"], row["margin_ppm"], row["mutual"]
+        )
+        for row in out.collect()
+    }
+
+
+def test_margin_matches_sequential_reference(spark):
+    # float32 storage: the reference must see the same rounded vectors
+    import numpy as np
+
+    left32 = {i: [float(np.float32(x)) for x in v] for i, v in LEFT.items()}
+    right32 = {i: [float(np.float32(x)) for x in v] for i, v in RIGHT.items()}
+    got = _run(spark, k=2)
+    want = _reference(left32, right32, k=2)
+    assert got == want
+    # the planted partners win and are mutual
+    assert got[0][0] == 1 and got[0][3]
+    assert got[2][0] == 3 and got[2][3]
+
+
+def test_margin_layout_independent(spark):
+    rows_l = [(i, v) for i, v in LEFT.items()]
+    rows_r = [(i, v) for i, v in RIGHT.items()]
+    l = spark.createDataFrame(rows_l, "vec_id long, embedding array<float>")
+    r = spark.createDataFrame(rows_r, "vec_id long, embedding array<float>")
+    a = margin_mine(l, r, "vec_id", "vec_id", knn_k=2).collect()
+    b = margin_mine(
+        l.repartition(5), r.repartition(3), "vec_id", "vec_id", knn_k=2
+    ).collect()
+    key = lambda rows: sorted(tuple(x) for x in rows)  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_margin_rejects_bad_k(spark):
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="knn_k"):
+        margin_mine(df, df, "vec_id", "vec_id", knn_k=0)
