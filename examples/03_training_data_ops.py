@@ -400,6 +400,30 @@ def main() -> None:
     assert stats["mx"] - stats["mn"] <= biggest
     print("PASS: shard weight spread bounded by the largest single document")
 
+    print("DSIR importance weights (target = the English slice) -> budget cut:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dsir import dsir_weights
+
+    w = dsir_weights(docs, docs.where(F.col("lang") == "en"), n_buckets=256)
+    scored = docs.select("doc_id", "lang", F.octet_length("text").alias("bytes")).join(
+        w, "doc_id"
+    )
+    # the target-conditioned selection: best-by-weight under half the bytes
+    half = (scored.agg(F.sum("bytes")).head()[0] or 0) // 2
+    sel = budget_select(scored, "logw_micro", "bytes", half, "doc_id").where("selected")
+    print("language mix of the DSIR-selected half (should skew English):")
+    sel.groupBy("lang").count().orderBy(F.col("count").desc()).show()
+
+    print("margin-based pair mining between two embedding pools:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import margin_mine
+
+    mined = margin_mine(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "vec_id", "vec_id", knn_k=4,
+    )
+    mined.orderBy(F.col("margin_ppm").desc()).show(5)
+    print("mutual best pairs:", mined.where("mutual").count(), "of", mined.count())
+
 
 if __name__ == "__main__":
     main()

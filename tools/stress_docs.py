@@ -54,6 +54,9 @@ QUERIES = (
     # fit's rank stage is the two-pass prefix sum over the saturating-vocab
     # token histogram
     "rake_keywords", "zipf_fit",
+    # round-10: DSIR profiles are bounded-width counted shuffles; scoring
+    # is explode + broadcast join + per-doc sum — linear in the pool
+    "dsir_weights",
 )
 
 
