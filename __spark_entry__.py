@@ -249,6 +249,7 @@ ROTATION: list[str] = [
     # --- added r10 (appended, same wheel-stability argument) ---
     "dsir_weights",
     "margin_mine",
+    "tokenizer_fertility",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

@@ -196,6 +196,7 @@ BENCH_QUERIES = (
     "calibration_bins",
     "dsir_weights",
     "margin_mine",
+    "tokenizer_fertility",
 )
 
 

@@ -7950,3 +7950,48 @@ ORACLE["margin_mine"] = _COSINE_CTE.format(
            rr = 1 AS mutual
     FROM rked WHERE rl = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility audit (operators/bpe.py composition)
+# ---------------------------------------------------------------------------
+
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility — BPE tokens per byte, in ppm —
+    the multilingual-mixture audit (a language the tokenizer fragments
+    pays more sequence length per byte of content; mixture weights and
+    per-language budgets need this table). Same in-engine BPE as
+    bpe_tokenize (merges learned once from the distributed word
+    histogram); the twin wraps the unrolled _bpe_oracle as a CTE and
+    aggregates identically, integer division throughout."""
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    merges = bpe_train(docs, num_merges=64, max_words=8000)
+    enc = bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+    return (
+        docs.select("doc_id", "lang", F.octet_length("text").alias("__bytes"))
+        .join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("__bytes").cast("bigint").alias("total_bytes"),
+            F.expr(
+                "CAST(sum(n_bpe_tokens) * 1000000"
+                " div greatest(sum(__bytes), 1) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        )
+    )
+
+
+QUERIES["tokenizer_fertility"] = q_tokenizer_fertility
+
+ORACLE["tokenizer_fertility"] = f"""
+    WITH enc AS ({_bpe_oracle()})
+    SELECT d.lang,
+           CAST(sum(e.n_bpe_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(strlen(d.text)) AS BIGINT) AS total_bytes,
+           CAST(sum(e.n_bpe_tokens) * 1000000
+                // greatest(sum(strlen(d.text)), 1) AS BIGINT) AS fertility_ppm
+    FROM enc e JOIN documents d USING (doc_id)
+    GROUP BY 1
+"""
