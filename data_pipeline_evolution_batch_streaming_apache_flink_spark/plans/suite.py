@@ -7845,10 +7845,7 @@ ORACLE["dsir_weights"] = r"""
     ),
     hb AS (
       SELECT doc_id, lang,
-             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(range(1, 16),
-                 i -> CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT))),
-               (acc, d) -> acc * 16 + d) % 256 AS INTEGER) AS b
+             CAST(('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS INTEGER) AS b
       FROM grams
     ),
     rprof AS (SELECT b, count(*) AS cr FROM hb GROUP BY b),

@@ -253,3 +253,27 @@ def test_review_r7_sketch_edges(spark):
     panes = spark.createDataFrame([], "__w long, bucket int, r int")
     with _pytest.raises(ValueError, match="positive"):
         hop_merge_estimate(panes, 0, 900000, pane_col="__w")
+
+
+def test_hash60_conv_matches_original_fold(spark):
+    """r10: hash60 / _hash60_sql / _salted_hash60 switched from the
+    15-step locate-fold to conv(substring(md5, 1, 15), 16, 10) for ~4x
+    throughput — every committed oracle (hashed_features, HLL, CMS)
+    assumes the VALUE is unchanged, so pin fold == conv on a real
+    column, including multi-byte input."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.sketches import hash60
+
+    df = spark.createDataFrame(
+        [("alpha",), ("",), ("Grüße 中文 🎉",), ("42",)], "v string"
+    )
+    fold = F.expr(
+        "aggregate(transform(sequence(1, 15), i -> "
+        "CAST(locate(substr(md5(CAST(v AS STRING)), i, 1), '0123456789abcdef') - 1 AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, d) -> acc * 16 + d)"
+    )
+    rows = df.select(hash60("v").alias("a"), fold.alias("b")).collect()
+    assert all(r["a"] == r["b"] for r in rows)
+    # and the hash range stays 60-bit non-negative
+    assert all(0 <= r["a"] < (1 << 60) for r in rows)
