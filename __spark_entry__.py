@@ -250,6 +250,7 @@ ROTATION: list[str] = [
     "dsir_weights",
     "margin_mine",
     "tokenizer_fertility",
+    "soft_dedup",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

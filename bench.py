@@ -197,6 +197,7 @@ BENCH_QUERIES = (
     "dsir_weights",
     "margin_mine",
     "tokenizer_fertility",
+    "soft_dedup",
 )
 
 

@@ -850,6 +850,51 @@ def dedup_clusters(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    out_col: str = "weight_ppm",
+) -> DataFrame:
+    """SOFT deduplication: down-weight near-duplicate clusters instead
+    of dropping members (the SoftDedup idea — He et al. 2024, "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training"; also the sampling-weight variant most curation stacks
+    keep alongside hard dedup). Hard dedup throws away the signal that a
+    document was independently published many times; soft dedup keeps
+    every member but gives a cluster of size m weight ``1/m`` each, so a
+    cluster contributes ~one document's worth of expected training mass
+    while preserving intra-cluster variation.
+
+    ``pairs`` is any near-dup pair set (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_lsh_pairs`, :func:`simhash_pairs`, ...). Returns
+    ``df`` plus ``out_col``: ``10^6 div m`` ppm for members of an
+    m-sized cluster, ``10^6`` for documents in no pair (already
+    unique). Integer division keeps it engine-exact; downstream
+    samplers (``curation.weighted_sample`` /
+    ``curation.temperature_resample``) consume the ppm column directly.
+
+    Scale shape: :func:`connected_components` on the pair graph (pairs
+    ≪ corpus), one grouped count per component, one broadcast-friendly
+    left join back onto the corpus keyed by ``id_col`` — the corpus is
+    touched once."""
+    comp = connected_components(pairs, id_a, id_b, max_iter)
+    sized = comp.join(
+        comp.groupBy("comp").agg(F.count(F.lit(1)).alias("__m")), "comp"
+    ).select(F.col("node").alias("__node"), "__m")
+    return (
+        df.join(sized, F.col(id_col) == F.col("__node"), "left")
+        .withColumn(
+            out_col,
+            F.expr("CAST(1000000 div coalesce(__m, 1) AS BIGINT)"),
+        )
+        .drop("__node", "__m")
+    )
+
+
 def near_dedup(
     df: DataFrame,
     id_col: str,

@@ -7992,3 +7992,49 @@ ORACLE["tokenizer_fertility"] = f"""
     FROM enc e JOIN documents d USING (doc_id)
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication weights (operators/dedup.py soft_dedup_weights)
+# ---------------------------------------------------------------------------
+
+def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Down-weight near-dup clusters instead of dropping: every doc in
+    an m-sized component of the exact 3-gram Jaccard pair graph (the
+    dedup_clusters pair set) gets sampling weight 10^6 div m ppm;
+    unique docs keep full weight. The twin replays the same recursive
+    component walk and the same integer division."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import soft_dedup_weights
+
+    t = load_tables(spark, sf, ("documents",))
+    pairs = ngram_jaccard_pairs(t["documents"], "doc_id", "text", n=3, threshold=0.3)
+    return soft_dedup_weights(
+        t["documents"].select("doc_id", "lang", "source"), pairs, "doc_id"
+    )
+
+
+QUERIES["soft_dedup"] = q_soft_dedup
+
+ORACLE["soft_dedup"] = (
+    _SJ03_CTES.replace("WITH", "WITH RECURSIVE", 1)
+    + ",\nfpairs AS (SELECT "
+    + _SJ03_FINAL
+    + """),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM fpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM fpairs
+),
+walk(node, comp) AS (
+  SELECT DISTINCT a AS node, a AS comp FROM edges
+  UNION
+  SELECT e.a AS node, w.comp FROM walk w JOIN edges e ON w.node = e.b
+),
+lab AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+sizes AS (SELECT comp, count(*) AS m FROM lab GROUP BY comp),
+wts AS (SELECT lab.node, sizes.m FROM lab JOIN sizes ON lab.comp = sizes.comp)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(1000000 // coalesce(wts.m, 1) AS BIGINT) AS weight_ppm
+FROM documents d LEFT JOIN wts ON d.doc_id = wts.node
+"""
+)

@@ -950,3 +950,27 @@ def test_auto_band_parts_rule():
     assert _auto_band_parts(50_001) == 2
     assert _auto_band_parts(500_000) == 10
     assert _auto_band_parts(10 ** 9) == 256   # clamp
+
+
+def test_soft_dedup_weights(spark):
+    """r10 soft dedup: an m-cluster's members each get 10^6 div m ppm,
+    unpaired docs keep full weight, every input row survives, and the
+    result is layout-independent."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    # components: {1,2,3} (chain), {4,5}; 6 unique
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["weight_ppm"]
+           for r in soft_dedup_weights(docs, pairs, "doc_id").collect()}
+    assert got == {1: 333333, 2: 333333, 3: 333333, 4: 500000, 5: 500000, 6: 1000000}
+    again = {r["doc_id"]: r["weight_ppm"]
+             for r in soft_dedup_weights(docs.repartition(5), pairs.repartition(3),
+                                         "doc_id").collect()}
+    assert again == got
+    # expected training mass: each cluster ~1 doc, plus the unique doc
+    assert abs(sum(got.values()) / 1e6 - 3.0) < 1e-4
