@@ -251,6 +251,7 @@ ROTATION: list[str] = [
     "margin_mine",
     "tokenizer_fertility",
     "soft_dedup",
+    "cross_lm_scores",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

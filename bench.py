@@ -198,6 +198,7 @@ BENCH_QUERIES = (
     "margin_mine",
     "tokenizer_fertility",
     "soft_dedup",
+    "cross_lm_scores",
 )
 
 

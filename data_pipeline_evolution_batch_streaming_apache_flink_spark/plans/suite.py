@@ -8038,3 +8038,66 @@ SELECT d.doc_id, d.lang, d.source,
 FROM documents d LEFT JOIN wts ON d.doc_id = wts.node
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus LM scoring (operators/lm.py bigram_lm + bigram_lm_scores)
+# ---------------------------------------------------------------------------
+
+def q_cross_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's actual filtering shape: the LM is trained on a TARGET
+    slice (lang='en' — the stand-in for 'high-quality reference
+    corpus'), and the WHOLE pool is scored under it — wrong-language
+    and off-distribution documents land at the smoothed floor. Same
+    exact-integer micro-log-likelihood discipline as lm_scores; the
+    self-trained variant stays as the separate lm_scores query."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    c2, c1, vocab = bigram_lm(docs.where(F.col("lang") == "en"))
+    return bigram_lm_scores(docs, c2, c1, vocab)
+
+
+QUERIES["cross_lm_scores"] = q_cross_lm_scores
+
+ORACLE["cross_lm_scores"] = r"""
+    WITH tt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    st AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    bgt AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM tt WHERE len(toks) >= 2)
+    ),
+    bgs AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM st WHERE len(toks) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bgt GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgt GROUP BY 1),
+    v AS (SELECT count(DISTINCT tk) AS V FROM (SELECT unnest(toks) AS tk FROM tt)),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1.c1, 0) + v.V AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS lp
+      FROM bgs b
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS logp_micro_sum,
+           CAST((sum(lp) - ((sum(lp) % count(*)) + count(*)) % count(*)) // count(*)
+                AS BIGINT) AS avg_logp_micro
+    FROM lp GROUP BY doc_id
+"""

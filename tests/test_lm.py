@@ -94,3 +94,28 @@ def test_self_scored_matches_two_step_path(spark):
         map(tuple, self_scored_bigram_lm(docs.repartition(7)).collect())
     )
     assert fused2 == two_step
+
+
+def test_cross_corpus_scoring_separates_target_from_offdist(spark):
+    """r10 cross-LM shape (CCNet): train on a target slice, score the
+    pool — in-distribution docs must average higher log-likelihood than
+    off-distribution ones, and the target slice's own scores must match
+    scoring it in isolation (the model is corpus-independent of the
+    score side)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+    target_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "the cat ran to the dog"),
+    ]
+    off_rows = [(4, "uno dos tres cuatro"), (5, "cinco seis siete ocho")]
+    pool = spark.createDataFrame(target_rows + off_rows, "doc_id long, text string")
+    target = pool.where("doc_id <= 3")
+    c2, c1, v = bigram_lm(target)
+    got = {r["doc_id"]: r["avg_logp_micro"]
+           for r in bigram_lm_scores(pool, c2, c1, v).collect()}
+    assert min(got[i] for i in (1, 2, 3)) > max(got[i] for i in (4, 5))
+    alone = {r["doc_id"]: r["avg_logp_micro"]
+             for r in bigram_lm_scores(target, c2, c1, v).collect()}
+    assert alone == {i: got[i] for i in (1, 2, 3)}
