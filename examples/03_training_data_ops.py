@@ -424,6 +424,28 @@ def main() -> None:
     mined.orderBy(F.col("margin_ppm").desc()).show(5)
     print("mutual best pairs:", mined.where("mutual").count(), "of", mined.count())
 
+    print("soft dedup: near-dup clusters down-weighted instead of dropped:")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        soft_dedup_weights,
+    )
+
+    sd_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    weighted_docs = soft_dedup_weights(docs.select("doc_id"), sd_pairs, "doc_id")
+    weighted_docs.groupBy("weight_ppm").count().orderBy("weight_ppm").show(5)
+
+    print("cross-LM filter (CCNet shape: LM trained on the English slice):")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import bigram_lm, bigram_lm_scores
+
+    c2m, c1m, vm = bigram_lm(docs.where(F.col("lang") == "en"))
+    lm_out = bigram_lm_scores(docs, c2m, c1m, vm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    print("avg log-likelihood by language (target language should lead):")
+    lm_out.groupBy("lang").agg(F.avg("avg_logp_micro").alias("avg")).orderBy(
+        F.col("avg").desc()
+    ).show()
+
 
 if __name__ == "__main__":
     main()

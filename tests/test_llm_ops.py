@@ -974,3 +974,8 @@ def test_soft_dedup_weights(spark):
     assert again == got
     # expected training mass: each cluster ~1 doc, plus the unique doc
     assert abs(sum(got.values()) / 1e6 - 3.0) < 1e-4
+    # empty pair set: everything is unique, full weight everywhere
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    alone = {r["doc_id"]: r["weight_ppm"]
+             for r in soft_dedup_weights(docs, no_pairs, "doc_id").collect()}
+    assert alone == {i: 1000000 for i in range(1, 7)}
