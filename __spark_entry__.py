@@ -252,6 +252,7 @@ ROTATION: list[str] = [
     "tokenizer_fertility",
     "soft_dedup",
     "cross_lm_scores",
+    "ts_correlation_topk",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

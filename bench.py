@@ -199,6 +199,7 @@ BENCH_QUERIES = (
     "tokenizer_fertility",
     "soft_dedup",
     "cross_lm_scores",
+    "ts_correlation_topk",
 )
 
 

@@ -437,3 +437,116 @@ def seasonal_decompose(
             F.round((F.col("__d_micro") - F.col("__c_micro")) / sc, 6),
         ).alias("remainder"),
     )
+
+
+def series_vectors(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str | Column,
+    n_buckets: int,
+    value_col: str | Column | None = None,
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Dense integer vector per series: one ``array<bigint>`` of length
+    ``n_buckets`` per ``id_col``, slot ``i`` holding the event COUNT
+    (or the exact sum of integral ``value_col``) for bucket ``i``;
+    buckets with no rows are zero. Rows whose bucket falls outside
+    ``[0, n_buckets)`` raise — a silent drop would skew every
+    similarity downstream.
+
+    Shape: one counted shuffle on (id, bucket) with map-side combine,
+    then one grouped sort-free array build per id (sort_array over
+    (bucket, value) structs — deterministic under any layout). The
+    dense-slot fill is arithmetic on the grouped result, NOT a spine
+    join: state per series is bounded by ``n_buckets``."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    b = (F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col).cast("int")
+    if value_col is None:
+        v = F.lit(1).cast("bigint")
+    else:
+        vc = F.col(value_col) if isinstance(value_col, str) else value_col
+        vt = df.select(vc.alias("__v")).schema[0].dataType
+        from pyspark.sql import types as T
+
+        if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            raise TypeError(
+                f"series_vectors value_col must be integral, got "
+                f"{vt.simpleString()}: the similarity downstream relies on "
+                "exact integer sums (micro-scale floats first)"
+            )
+        v = vc.cast("bigint")
+    cells = (
+        df.select(F.col(id_col).alias("__id"), b.alias("__b"), v.alias("__v"))
+        .groupBy("__id", "__b")
+        .agg(F.sum("__v").alias("__v"))
+    )
+    # range guard rides the aggregate output (cheap: post-combine rows)
+    guarded = cells.withColumn(
+        "__v",
+        F.when(
+            (F.col("__b") >= 0) & (F.col("__b") < n_buckets), F.col("__v")
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"series_vectors: bucket out of [0, {n_buckets}): "),
+            F.col("__b").cast("string"),
+        ))),
+    )
+    pairs = guarded.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("__b", "__v"))).alias("__p")
+    )
+    # dense fill: walk 0..n-1, consuming the sorted sparse pairs
+    dense = F.expr(
+        f"transform(sequence(0, {n_buckets - 1}), i -> "
+        # try_element_at, not element_at: ANSI mode reserves the right to
+        # throw on missing map keys; try_ is NULL-on-missing by contract
+        "coalesce(try_element_at(map_from_entries(__p), i), CAST(0 AS BIGINT)))"
+    )
+    return pairs.select(F.col("__id").alias(id_col), dense.alias(vec_col))
+
+
+def ts_correlation_topk(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str | Column,
+    n_buckets: int,
+    k: int = 5,
+    value_col: str | Column | None = None,
+    query_filter: Column | None = None,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Time-series similarity search: top-k most CORRELATED series per
+    query series — "which users/sensors/feeds behave like this one"
+    (the distributed similarity-search shape of the streaming-TS
+    literature, e.g. EDBT'19 time-series similarity for streams).
+
+    Exactness trick: Pearson correlation IS cosine similarity of
+    mean-centered vectors, and centering by ``w_i = n·v_i − Σv``
+    (multiply through by n) keeps every coordinate an exact bigint
+    while leaving cosine unchanged — so the whole house ANN stack
+    (:func:`...similarity.cosine_topk`: corpus scanned once, query side
+    broadcast, left-fold float parity, 6dp rounding, id tiebreak)
+    computes exact Pearson with a plain-SQL twin and no float drift.
+
+    Constant series (zero variance → correlation undefined) are
+    DROPPED from both sides, deterministically. ``query_filter``
+    selects the query series (default: all-vs-all, self excluded);
+    ``cos`` in the output is the Pearson r.
+
+    Scale: :func:`series_vectors` is one counted shuffle bounded at
+    n_buckets state per series; the top-k pass inherits cosine_topk's
+    contract (``max_query_rows`` caps the broadcast side)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import cosine_topk
+
+    vecs = series_vectors(df, id_col, bucket_col, n_buckets, value_col)
+    centered = F.expr(
+        "transform(vec, x -> x * CAST(size(vec) AS BIGINT)"
+        " - aggregate(vec, CAST(0 AS BIGINT), (a, y) -> a + y))"
+    )
+    mat = vecs.select(id_col, centered.alias("__w")).where(
+        F.expr("exists(__w, x -> x != 0)")
+    )
+    queries = mat if query_filter is None else mat.where(query_filter)
+    return cosine_topk(
+        queries, mat, id_col, id_col, "__w", "__w",
+        k=k, include_self=False, max_query_rows=max_query_rows,
+    )

@@ -8101,3 +8101,67 @@ ORACLE["cross_lm_scores"] = r"""
                 AS BIGINT) AS avg_logp_micro
     FROM lp GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (operators/timeseries.py ts_correlation_topk)
+# ---------------------------------------------------------------------------
+
+def q_ts_correlation_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral similarity search over the events clickstream: each
+    user's 31-slot daily-activity count series, top-3 most Pearson-
+    correlated other users per query user (user_id < 10). Exactness:
+    integer mean-centering (w = n·v − Σv) turns Pearson into cosine of
+    exact-bigint vectors, so the house cosine_topk parity (left-fold
+    doubles, 6dp rounding, id tiebreak) carries over unchanged and the
+    twin is plain SQL. Constant series drop (r undefined)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_correlation_topk
+
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select("user_id", (F.dayofmonth("ts") - 1).alias("day"))
+    return ts_correlation_topk(
+        ev, "user_id", "day", n_buckets=31, k=3,
+        query_filter=F.col("user_id") < 10,
+    )
+
+
+QUERIES["ts_correlation_topk"] = q_ts_correlation_topk
+
+ORACLE["ts_correlation_topk"] = """
+    WITH cells AS (
+      SELECT user_id, CAST(day(ts) - 1 AS INT) AS b, count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ids AS (SELECT DISTINCT user_id FROM cells),
+    spine AS (
+      SELECT ids.user_id, i.b
+      FROM ids CROSS JOIN (SELECT unnest(range(0, 31)) AS b) i
+    ),
+    dense AS (
+      SELECT s.user_id, s.b, CAST(coalesce(c.v, 0) AS BIGINT) AS v
+      FROM spine s LEFT JOIN cells c ON s.user_id = c.user_id AND s.b = c.b
+    ),
+    vecs AS (
+      SELECT user_id, list(v ORDER BY b) AS vec FROM dense GROUP BY user_id
+    ),
+    cent AS (
+      SELECT user_id,
+             list_transform(vec, x -> CAST(x * 31 - list_sum(vec) AS DOUBLE)) AS e
+      FROM vecs
+      WHERE len(list_filter(vec, x -> x * 31 <> list_sum(vec))) > 0
+    ),
+    scored AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b,
+        round(
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i])), (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])), (x, y) -> x + y))),
+          6) AS cos
+      FROM cent a JOIN cent b ON a.user_id < 10 AND a.user_id <> b.user_id
+    )
+    SELECT id_a AS user_id_q, id_b AS user_id_c, cos, CAST(rank AS INT) AS rank FROM (
+      SELECT id_a, id_b, cos,
+             row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
