@@ -77,6 +77,18 @@ def main() -> None:
     assert benford.count() == 9
     print("PASS: chi-squared bit-identical under repartition(13); Benford covers digits 1-9")
 
+    print("== behavioral twins: top-2 Pearson-correlated users by daily activity ==")
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_correlation_topk
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id", (F.dayofmonth("ts") - 1).alias("day")
+    )
+    twins = ts_correlation_topk(
+        ev, "user_id", "day", n_buckets=31, k=2,
+        query_filter=F.col("user_id") < 5,
+    )
+    twins.orderBy("user_id_q", "rank").show(10)
+
     spark.stop()
 
 
