@@ -775,3 +775,98 @@ def test_budget_select_matches_sequential_prefix(spark, rows, budget):
         run += c
         want[i] = run <= budget
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ts_correlation_topk (operators/timeseries.py, r10): numpy.corrcoef is the
+# sequential reference — exact to 6dp because the engine's integer centering
+# and left-fold cosine reproduce Pearson without float drift
+# ---------------------------------------------------------------------------
+
+ts_mats = st.lists(  # per-series bucket counts, some possibly constant
+    st.lists(st.integers(0, 9), min_size=4, max_size=4),
+    min_size=2, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(mat=ts_mats)
+def test_ts_correlation_matches_numpy(spark, mat):
+    import numpy as np
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_correlation_topk
+
+    rows = [(sid, b) for sid, counts in enumerate(mat)
+            for b, c in enumerate(counts) for _ in range(c)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "sid long, b int")
+    got = {(r["sid_q"], r["rank"]): (r["sid_c"], r["cos"])
+           for r in ts_correlation_topk(df, "sid", "b", 4, k=2).collect()}
+    # live series: appear in df AND non-constant over the 4 buckets
+    live = [s for s, c in enumerate(mat) if sum(c) > 0 and len(set(c)) > 1]
+    want = {}
+    if len(live) >= 2:
+        M = np.array([mat[s] for s in live], dtype=np.float64)
+        C = np.corrcoef(M)
+        for qi, q in enumerate(live):
+            scored = sorted(((round(C[qi, ci], 6), c)
+                             for ci, c in enumerate(live) if c != q),
+                            key=lambda t: (-t[0], t[1]))
+            for rank, (cos, c) in enumerate(scored[:2], start=1):
+                want[(q, rank)] = (c, cos)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dsir_weights (operators/dsir.py, r10): plain-python hashlib reference
+# ---------------------------------------------------------------------------
+
+dsir_corpora = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=5),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(toks=dsir_corpora, tmask=st.integers(min_value=1, max_value=255))
+def test_dsir_matches_reference_on_random_corpora(spark, toks, tmask):
+    import hashlib
+    import math
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dsir import dsir_weights
+
+    raw = {i: " ".join(ws) for i, ws in enumerate(toks)}
+    target_ids = {i for i in raw if (tmask >> (i % 8)) & 1}
+    if not target_ids:
+        target_ids = {0}
+    B = 64
+
+    def h(g):
+        acc = 0
+        for ch in hashlib.md5(g.encode()).hexdigest()[:15]:
+            acc = acc * 16 + int(ch, 16)
+        return acc % B
+
+    def grams(text):
+        t = text.strip().split() if text.strip() else [""]
+        return t + [t[i] + chr(31) + t[i + 1] for i in range(len(t) - 1)]
+
+    rb, tb, per = {}, {}, {}
+    for i, text in raw.items():
+        bs = [h(g) for g in grams(text)]
+        per[i] = bs
+        for b in bs:
+            rb[b] = rb.get(b, 0) + 1
+            if i in target_ids:
+                tb[b] = tb.get(b, 0) + 1
+    ct, cr = sum(tb.values()), sum(rb.values())
+    lr = {b: round((math.log(tb.get(b, 0) + 1.0) - math.log(rb[b] + 1.0)
+                    + math.log(cr + B) - math.log(ct + B)) * 1e6) for b in rb}
+    want = {i: (len(bs), sum(lr[b] for b in bs)) for i, bs in per.items()}
+
+    df = spark.createDataFrame(list(raw.items()), "doc_id long, text string")
+    tgt = df.where(F.col("doc_id").isin([int(x) for x in target_ids]))
+    got = {r["doc_id"]: (r["n_grams"], r["logw_micro"])
+           for r in dsir_weights(df, tgt, n_buckets=B).collect()}
+    assert got == want
