@@ -1375,21 +1375,31 @@ def lsh_probe_pairs(
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets
 
     spark = new_docs.sparkSession
-    try:
-        meta_df = spark.read.parquet(path + "/meta")
-    except AnalysisException:
-        meta = None  # pre-meta index: trust the caller's band_parts
+    # "pre-meta index" means the meta/ PATH does not exist at all; any
+    # existing-but-broken state (unreadable parquet from a killed write,
+    # a dir holding only _temporary, zero committed rows) is an
+    # interrupted write and must raise — falling back to the caller's
+    # band_parts would silently disable the signature guard and the
+    # stored layout override, the exact silent-miss mode the guard
+    # exists to prevent (ADVICE r9 + review r10: the read exception
+    # alone cannot distinguish absent from corrupt).
+    jvm = spark._jvm
+    meta_hpath = jvm.org.apache.hadoop.fs.Path(path + "/meta")
+    meta_exists = meta_hpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    ).exists(meta_hpath)
+    if not meta_exists:
+        meta = None  # genuinely pre-meta index: trust the caller's band_parts
     else:
-        meta = meta_df.head()
+        try:
+            meta = spark.read.parquet(path + "/meta").head()
+        except AnalysisException:
+            meta = None
         if meta is None:
-            # ADVICE r9: an existing-but-EMPTY meta/ is an interrupted
-            # write, not a pre-meta index — falling back to the caller's
-            # band_parts would silently disable the signature guard and
-            # the stored layout override, the exact silent-miss mode the
-            # guard exists to prevent.
             raise ValueError(
-                f"corrupt LSH index at {path!r}: meta/ exists but holds "
-                "no row (interrupted write?) — rebuild with lsh_write_index"
+                f"corrupt LSH index at {path!r}: meta/ exists but is "
+                "unreadable or holds no row (interrupted write?) — "
+                "rebuild with lsh_write_index"
             )
     if meta is not None:
         stored = {"bands": meta["bands"], "num_perm": meta["num_perm"],

@@ -48,10 +48,11 @@ def _gram_buckets(
     df: DataFrame, id_col: str, text_col: str, n_buckets: int, portable: bool
 ) -> DataFrame:
     """(id, b) with multiplicity: every unigram and bigram of the
-    whitespace tokenization, hashed into ``n_buckets``. Docs whose text
-    is NULL (or tokenizes to < 2 tokens) emit their unigrams only; the
-    bigram branch is gated because Spark's ``sequence(0, -1)`` is a
-    DESCENDING two-element array, not empty."""
+    whitespace tokenization, hashed into ``n_buckets``. Docs tokenizing
+    to < 2 tokens emit their unigrams only (the bigram branch is gated
+    because Spark's ``sequence(0, -1)`` is a DESCENDING two-element
+    array, not empty); NULL-text docs emit NO rows at all — the caller
+    left-joins them back (``dsir_weights`` scores them (0, 0))."""
     h = _hash60_sql("g") if portable else f"pmod(xxhash64(g), {1 << 60})"
     # fan_out BEFORE the gram build: the md5 fold is expensive per-row
     # work (the hashed_features lesson), and small parquet inputs arrive
@@ -114,7 +115,14 @@ def dsir_weights(
     reproducible in SQL)."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    r_grams = _gram_buckets(raw, id_col, text_col, n_buckets, portable)
+    # lazy-pin the raw gram build: it feeds BOTH the r_prof profile and
+    # the scoring join, and without the pin the explode + per-gram hash
+    # over the whole pool executes once per consumer (review r10 — the
+    # self_scored_bigram_lm / lsh_write_index house rule). Lazy, so a
+    # single-consumer plan pays nothing extra; rows are narrow (id, int).
+    r_grams = _gram_buckets(raw, id_col, text_col, n_buckets, portable).localCheckpoint(
+        eager=False
+    )
     t_prof = _gram_buckets(target, id_col, text_col, n_buckets, portable).groupBy(
         "b"
     ).agg(F.count(F.lit(1)).alias("ct"))

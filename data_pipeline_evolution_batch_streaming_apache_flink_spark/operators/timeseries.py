@@ -461,14 +461,25 @@ def series_vectors(
     join: state per series is bounded by ``n_buckets``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    b = (F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col).cast("int")
+    from pyspark.sql import types as T
+
+    bc = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
+    # same integral contract as value_col (review r10): a fractional
+    # bucket would be truncated toward zero per row (3.9 -> slot 3,
+    # -0.5 -> slot 0), silently mis-bucketing every series
+    bt = df.select(bc.alias("__b")).schema[0].dataType
+    if not isinstance(bt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"series_vectors bucket_col must be integral, got "
+            f"{bt.simpleString()}: truncation would silently mis-bucket "
+            "rows — floor/scale to an integer bucket id first"
+        )
+    b = bc.cast("int")
     if value_col is None:
         v = F.lit(1).cast("bigint")
     else:
         vc = F.col(value_col) if isinstance(value_col, str) else value_col
         vt = df.select(vc.alias("__v")).schema[0].dataType
-        from pyspark.sql import types as T
-
         if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
             raise TypeError(
                 f"series_vectors value_col must be integral, got "
@@ -491,15 +502,22 @@ def series_vectors(
             F.col("__b").cast("string"),
         ))),
     )
+    # build the sparse map ONCE inside the aggregate (an Aggregate node
+    # is a substitution boundary, so the later transform cannot inline
+    # and rebuild it per slot — review r10: the withColumn form rebuilt
+    # map_from_entries n_buckets times per series). Lookups are still
+    # linear in the series' occupied buckets (Spark map access is a
+    # scan), so the fill is O(n_buckets x occupied) interpreted work —
+    # fine for the bounded n_buckets this operator contracts; truly
+    # huge bucket domains want a spine join instead.
     pairs = guarded.groupBy("__id").agg(
-        F.array_sort(F.collect_list(F.struct("__b", "__v"))).alias("__p")
+        F.expr("map_from_entries(array_sort(collect_list(struct(__b, __v))))").alias("__m")
     )
-    # dense fill: walk 0..n-1, consuming the sorted sparse pairs
     dense = F.expr(
         f"transform(sequence(0, {n_buckets - 1}), i -> "
         # try_element_at, not element_at: ANSI mode reserves the right to
         # throw on missing map keys; try_ is NULL-on-missing by contract
-        "coalesce(try_element_at(map_from_entries(__p), i), CAST(0 AS BIGINT)))"
+        "coalesce(try_element_at(__m, i), CAST(0 AS BIGINT)))"
     )
     return pairs.select(F.col("__id").alias(id_col), dense.alias(vec_col))
 

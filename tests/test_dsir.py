@@ -107,3 +107,26 @@ def test_dsir_rejects_tiny_bucket_space(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_buckets"):
         dsir_weights(df, df, n_buckets=1)
+
+
+def test_dsir_gram_build_runs_once_over_the_pool(spark):
+    """Review r10: the raw gram build feeds both the profile and the
+    scoring join — the lazy pin must keep the pool's expensive
+    explode+hash stage at ONE execution. The tracked stage sees each
+    raw row exactly twice: once feeding the (pinned) gram build, once
+    for the id-only left join."""
+    df = spark.createDataFrame(list(RAW.items()), "doc_id long, text string")
+    n_rows = df.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(batches):
+        for p in batches:
+            acc.add(len(p))
+            yield p
+
+    tracked = df.mapInPandas(_tick, df.schema)
+    dsir_weights(tracked, df.where("doc_id IN (1, 2)"), n_buckets=64).collect()
+    assert acc.value == 2 * n_rows, (
+        f"raw pool evaluated {acc.value / n_rows:g}x, expected exactly 2x "
+        "(pinned gram build + id join)"
+    )

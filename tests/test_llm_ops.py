@@ -881,6 +881,18 @@ def test_lsh_probe_rejects_empty_meta(spark, tmp_path):
     ).parquet(path + "/meta")
     with pytest.raises(ValueError, match="corrupt LSH index"):
         lsh_probe_pairs(new, path, "doc_id", "text", threshold=0.3, n=3)
+    # review r10: an UNREADABLE meta/ (killed mid-write — dir exists,
+    # no committed parquet) must also raise, not fall back to pre-meta
+    import shutil
+
+    path2 = str(tmp_path / "lshidx4b")
+    lsh_write_index(corpus, path2, "doc_id", "text", n=3)
+    shutil.rmtree(path2 + "/meta")
+    import os
+
+    os.makedirs(path2 + "/meta")  # exists, holds nothing readable
+    with pytest.raises(ValueError, match="corrupt LSH index"):
+        lsh_probe_pairs(new, path2, "doc_id", "text", threshold=0.3, n=3)
 
 
 def test_lsh_write_index_evaluates_corpus_twice_not_thrice(spark, tmp_path):

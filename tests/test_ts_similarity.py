@@ -71,3 +71,12 @@ def test_ts_correlation_layout_independent(spark):
     b = sorted(map(tuple, ts_correlation_topk(
         df.repartition(7), "sid", "b", 5, k=2).collect()))
     assert a == b
+
+
+def test_series_vectors_rejects_fractional_bucket(spark):
+    """Review r10: a double bucket would truncate toward zero per row
+    (3.9 -> slot 3, -0.5 -> slot 0) and silently mis-bucket series —
+    reject at plan time, same contract as value_col."""
+    df = spark.createDataFrame([(1, 3.9)], "sid long, b double")
+    with pytest.raises(TypeError, match="integral"):
+        series_vectors(df, "sid", "b", 4)
