@@ -265,7 +265,7 @@ FIRST_ROTATED_ROUND = 6
 # artifact lands would silently shift slots 34-50 to the next cohort).
 # Bump by 1 at the start of each round, when the previous round's
 # artifact gets committed.
-FIRST_UNRECORDED_ROUND = 10
+FIRST_UNRECORDED_ROUND = 11
 
 # The retry lane exists from round 8 (VERDICT r7 #2); earlier rounds
 # consumed a fixed 17-wide cohort slice, and the replay below must
@@ -288,7 +288,10 @@ UPGRADE_LANE_SINCE_ROUND = 9
 # Once a round's artifact is committed, its upgrade set is therefore
 # frozen here — same discipline as FIRST_UNRECORDED_ROUND, nagged by
 # the same guard test. Only the CURRENT round computes dynamically.
-FROZEN_UPGRADE_LANES: dict[int, tuple[str, ...]] = {9: ("bpe_tokenize",)}
+FROZEN_UPGRADE_LANES: dict[int, tuple[str, ...]] = {
+    9: ("bpe_tokenize",),
+    10: (),
+}
 
 
 def current_round() -> int:
