@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import is_exact_integral
+
 #: Knuth multiplicative hash constants (public domain folklore): spread
 #: is good enough for rate-threshold sampling and exactly reproducible in
 #: any engine with 64-bit integer arithmetic.
@@ -750,10 +752,13 @@ def budget_select(
     tb = F.col(tiebreak_col) if isinstance(tiebreak_col, str) else tiebreak_col
     # ADVICE r9: .cast('long') on a fractional cost silently truncates
     # each row toward zero BEFORE the prefix sum — reject at plan time.
+    # ADVICE r10: decimal(p, 0) is exact-integral (no truncation
+    # possible) and passes; fractional decimals stay rejected.
     cost_dt = df.select(c.alias("__c")).schema[0].dataType
-    if not isinstance(cost_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+    if not is_exact_integral(cost_dt):
         raise TypeError(
-            f"budget_select cost_col must be an integral type, got "
+            f"budget_select cost_col must be an exact integral type "
+            f"(byte/short/int/long or decimal(p, 0)), got "
             f"{cost_dt.simpleString()}: per-row truncation before the prefix "
             f"sum would change which rows fit the budget — micro-scale to an "
             f"integer unit (e.g. milli-tokens) first"

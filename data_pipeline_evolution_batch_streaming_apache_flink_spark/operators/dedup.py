@@ -1259,6 +1259,17 @@ def _auto_band_parts(n_docs: int) -> int:
     return max(1, min(_LSH_MAX_BAND_PARTS, -(-n_docs // _LSH_TARGET_DIR_ROWS)))
 
 
+def _hadoop_path_exists(spark, path: str) -> bool | None:
+    """Authoritative FS existence via the py4j bridge on a classic
+    session; ``None`` under Spark Connect (no ``_jvm``, ADVICE r10) —
+    the caller then falls back to read-and-classify-the-error."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        return None
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hpath)
+
+
 def lsh_write_index(
     corpus: DataFrame,
     path: str,
@@ -1381,26 +1392,32 @@ def lsh_probe_pairs(
     # interrupted write and must raise — falling back to the caller's
     # band_parts would silently disable the signature guard and the
     # stored layout override, the exact silent-miss mode the guard
-    # exists to prevent (ADVICE r9 + review r10: the read exception
+    # exists to prevent (ADVICE r9 + review r10: a bare read exception
     # alone cannot distinguish absent from corrupt).
-    jvm = spark._jvm
-    meta_hpath = jvm.org.apache.hadoop.fs.Path(path + "/meta")
-    meta_exists = meta_hpath.getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    ).exists(meta_hpath)
-    if not meta_exists:
+    # Classic sessions get the authoritative Hadoop FS existence check;
+    # under Spark Connect (_jvm absent, ADVICE r10) fall back to the
+    # read path and use the AnalysisException error condition to tell
+    # absent (PATH_NOT_FOUND) from corrupt (any other failure).
+    meta_exists = _hadoop_path_exists(spark, path + "/meta")
+    if meta_exists is False:
         meta = None  # genuinely pre-meta index: trust the caller's band_parts
     else:
+        corrupt = ValueError(
+            f"corrupt LSH index at {path!r}: meta/ exists but is "
+            "unreadable or holds no row (interrupted write?) — "
+            "rebuild with lsh_write_index"
+        )
         try:
             meta = spark.read.parquet(path + "/meta").head()
-        except AnalysisException:
-            meta = None
-        if meta is None:
-            raise ValueError(
-                f"corrupt LSH index at {path!r}: meta/ exists but is "
-                "unreadable or holds no row (interrupted write?) — "
-                "rebuild with lsh_write_index"
-            )
+        except AnalysisException as exc:
+            cond = getattr(exc, "getCondition", getattr(exc, "getErrorClass", lambda: None))()
+            if meta_exists is None and cond == "PATH_NOT_FOUND":
+                meta = None  # Connect-path equivalent of the FS miss
+            else:
+                raise corrupt from exc
+        else:
+            if meta is None:
+                raise corrupt
     if meta is not None:
         stored = {"bands": meta["bands"], "num_perm": meta["num_perm"],
                   "n": meta["n"], "seed": meta["seed"]}

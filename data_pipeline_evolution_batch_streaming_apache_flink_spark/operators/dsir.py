@@ -94,8 +94,11 @@ def dsir_weights(
     ``target``: returns ``(id_col, n_grams, logw_micro)`` — the
     log-likelihood ratio in integer micro-nats (bigint) and the
     feature count (for optional length normalization; the paper's
-    resampling uses the raw sum). One row per raw document; documents
-    with no features (NULL/empty text) score 0 with ``n_grams`` 0.
+    resampling uses the raw sum). One row per raw document; only
+    NULL-text documents score 0 with ``n_grams`` 0 — an empty string
+    tokenizes to a single ``''`` token and so contributes one unigram
+    (``n_grams`` 1, both engines; pinned by
+    ``test_dsir_null_and_empty_text``).
 
     Deliberately SLIM output (no text passthrough): at pool scale the
     caller joins the two columns back on ``id_col`` — or feeds them

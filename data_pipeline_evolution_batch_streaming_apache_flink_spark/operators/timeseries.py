@@ -461,16 +461,17 @@ def series_vectors(
     join: state per series is bounded by ``n_buckets``."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    from pyspark.sql import types as T
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import is_exact_integral
 
     bc = F.col(bucket_col) if isinstance(bucket_col, str) else bucket_col
     # same integral contract as value_col (review r10): a fractional
     # bucket would be truncated toward zero per row (3.9 -> slot 3,
-    # -0.5 -> slot 0), silently mis-bucketing every series
+    # -0.5 -> slot 0), silently mis-bucketing every series. decimal(p, 0)
+    # is exact-integral and passes (ADVICE r10).
     bt = df.select(bc.alias("__b")).schema[0].dataType
-    if not isinstance(bt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+    if not is_exact_integral(bt):
         raise TypeError(
-            f"series_vectors bucket_col must be integral, got "
+            f"series_vectors bucket_col must be exact-integral, got "
             f"{bt.simpleString()}: truncation would silently mis-bucket "
             "rows — floor/scale to an integer bucket id first"
         )
@@ -480,9 +481,9 @@ def series_vectors(
     else:
         vc = F.col(value_col) if isinstance(value_col, str) else value_col
         vt = df.select(vc.alias("__v")).schema[0].dataType
-        if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        if not is_exact_integral(vt):
             raise TypeError(
-                f"series_vectors value_col must be integral, got "
+                f"series_vectors value_col must be exact-integral, got "
                 f"{vt.simpleString()}: the similarity downstream relies on "
                 "exact integer sums (micro-scale floats first)"
             )

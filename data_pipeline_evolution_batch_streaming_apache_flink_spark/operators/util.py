@@ -62,3 +62,17 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def is_exact_integral(dt) -> bool:
+    """True for types whose ``cast('long')`` cannot truncate a value:
+    byte/short/int/long, plus DecimalType with scale 0 (an exact
+    integral representation — ADVICE r10: rejecting decimal(p, 0)
+    token counts was a false positive). Fractional decimals and floats
+    stay rejected by callers: their per-row truncation before an exact
+    prefix/grouped sum silently changes the result."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return True
+    return isinstance(dt, T.DecimalType) and dt.scale == 0

@@ -5741,12 +5741,25 @@ def q_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     projection. No DuckDB oracle — an eigensolver is not SQL-expressible
     (rows-only check, like bpe_tokenize); determinism is pinned instead
     by the layout-independence and numpy-parity tests in
-    tests/test_stats.py."""
+    tests/test_stats.py. The driver-facing output folds the projected
+    ``array<double>`` to scalar columns (the q_vector_normalize checksum
+    pattern — sum of round(component*1e6) as bigint) because the driver's
+    pandas canonicalizer cannot sort ndarray cells (VERDICT r10 #1)."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.stats import pca_fit, pca_project
 
     t = load_tables(spark, sf, ("embeddings",))
     model = pca_fit(t["embeddings"], "embedding", k=8)
-    return pca_project(t["embeddings"], "vec_id", "embedding", model)
+    proj = pca_project(t["embeddings"], "vec_id", "embedding", model)
+    checksum = F.aggregate(
+        F.transform(F.col("pca"), lambda x: F.round(x * 1e6).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return proj.select(
+        "vec_id",
+        F.size("pca").alias("k"),
+        checksum.alias("pca_checksum"),
+    )
 
 
 QUERIES["pca_project"] = q_pca_project

@@ -441,13 +441,27 @@ def test_budget_select_rejects_fractional_cost(spark):
         budget_select(df, "score", "cost", 1, "id")
     with _pytest.raises(TypeError, match="integral"):
         budget_select(df, "score", "cost", 1, "id", partition_by="score")
-    # micro-scaled integral costs pass (and decimal(.,0) is still
-    # rejected: only byte/short/int/long are exact in the int64 sum)
+    # fractional decimals are rejected too: same per-row truncation
+    with _pytest.raises(TypeError, match="integral"):
+        budget_select(
+            df.withColumn("cost", F.col("cost").cast("decimal(10,2)")),
+            "score", "cost", 1, "id",
+        )
+    # micro-scaled integral costs pass
     ok = budget_select(
         df.withColumn("cost", (F.col("cost") * 1000).cast("long")),
         "score", "cost", 1000, "id",
     )
     assert {r["id"]: r["selected"] for r in ok.collect()} == {1: True, 2: False}
+    # ADVICE r10: decimal(p, 0) is EXACT integral — no truncation is
+    # possible, so decimal token counts must pass, same answer as long
+    ok_dec = budget_select(
+        df.withColumn(
+            "cost", (F.col("cost") * 1000).cast("decimal(10,0)")
+        ),
+        "score", "cost", 1000, "id",
+    )
+    assert {r["id"]: r["selected"] for r in ok_dec.collect()} == {1: True, 2: False}
 
 
 def test_budget_select_per_group_quota(spark):

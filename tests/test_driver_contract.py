@@ -217,11 +217,24 @@ def test_entry_smoke(spark):
 def test_every_query_executes_at_sf0001(spark):
     """Each queries() entry must build a valid plan and materialize at
     the smallest scale factor — catches any query broken by refactors
-    before the driver's sf0.01 correctness gate does."""
+    before the driver's sf0.01 correctness gate does. Also pins that
+    every driver-facing schema is atomic-only: the driver's pandas
+    canonicalizer sorts/factorizes every column, and array/map cells
+    arrive as unhashable ndarrays/dicts that crash even the rows-only
+    check (VERDICT r10 #1, pca_project)."""
+    from pyspark.sql.types import ArrayType, MapType
+
     failures = []
     for name, fn in sorted(E.queries().items()):
         try:
-            fn(spark, "/root/testdata/sf0.001").limit(5).collect()
+            df = fn(spark, "/root/testdata/sf0.001")
+            bad = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))
+            ]
+            if bad:
+                failures.append(f"{name}: non-canonicalizable columns {bad}")
+            df.limit(5).collect()
         except Exception as exc:  # noqa: BLE001 - collecting a report
             failures.append(f"{name}: {type(exc).__name__}: {exc}")
     assert not failures, "\n".join(failures)

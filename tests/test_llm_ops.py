@@ -991,3 +991,52 @@ def test_soft_dedup_weights(spark):
     alone = {r["doc_id"]: r["weight_ppm"]
              for r in soft_dedup_weights(docs, no_pairs, "doc_id").collect()}
     assert alone == {i: 1000000 for i in range(1, 7)}
+
+
+def test_lsh_probe_without_jvm_bridge(spark, tmp_path, monkeypatch):
+    """ADVICE r10: lsh_probe_pairs reached into spark._jvm/_jsc for the
+    meta/ existence check, which does not exist under Spark Connect.
+    With the bridge unavailable the probe must fall back to the read
+    path and still distinguish absent (PATH_NOT_FOUND -> pre-meta
+    fallback) from corrupt (anything else -> raise). Simulated by
+    stubbing the FS-existence helper to the Connect answer (None) —
+    nulling _jvm itself breaks classic pyspark's error-capture
+    internals, so the helper is the seam."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import dedup as D
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import (
+        lsh_probe_pairs, lsh_write_index,
+    )
+
+    corpus, new = _lsh_corpus(spark)
+    path = str(tmp_path / "lshidx_nojvm")
+    lsh_write_index(corpus, path, "doc_id", "text", n=3)
+    want = {(r.query_id, r.corpus_id)
+            for r in lsh_probe_pairs(new, path, "doc_id", "text",
+                                     threshold=0.3, n=3).collect()}
+
+    monkeypatch.setattr(D, "_hadoop_path_exists", lambda s, p: None)
+    # healthy index: meta read succeeds, same pairs as the jvm path
+    got = {(r.query_id, r.corpus_id)
+           for r in lsh_probe_pairs(new, path, "doc_id", "text",
+                                    threshold=0.3, n=3).collect()}
+    assert got == want and got  # non-empty: doc 21 matches 20
+    # pre-meta index (meta/ absent): PATH_NOT_FOUND -> caller fallback
+    path2 = str(tmp_path / "lshidx_nojvm_premeta")
+    lsh_write_index(corpus, path2, "doc_id", "text", n=3)
+    shutil.rmtree(path2 + "/meta")
+    got2 = {(r.query_id, r.corpus_id)
+            for r in lsh_probe_pairs(new, path2, "doc_id", "text",
+                                     threshold=0.3, n=3).collect()}
+    assert got2 == want
+    # corrupt index (meta/ exists, nothing readable): must still raise
+    path3 = str(tmp_path / "lshidx_nojvm_corrupt")
+    lsh_write_index(corpus, path3, "doc_id", "text", n=3)
+    shutil.rmtree(path3 + "/meta")
+    os.makedirs(path3 + "/meta")
+    with pytest.raises(ValueError, match="corrupt LSH index"):
+        lsh_probe_pairs(new, path3, "doc_id", "text", threshold=0.3, n=3)

@@ -41,7 +41,10 @@ def _reference(left: dict, right: dict, k: int):
         den = asum * bk + bsum * ak
         if den > 0:
             n = cosm[(l, r)] * 2 * ak * bk * 1_000_000
-            margins[(l, r)] = int(n / den) if n >= 0 else -int(-n // den)
+            # truncating integer division toward zero, in EXACT integer
+            # arithmetic on both branches (ADVICE r10: int(n / den) goes
+            # through a float and can be 1 off near an exact quotient)
+            margins[(l, r)] = n // den if n >= 0 else -((-n) // den)
     best_l = {
         l: min((p for p in margins if p[0] == l),
                key=lambda p: (-margins[p], p[1]), default=None)

@@ -80,3 +80,22 @@ def test_series_vectors_rejects_fractional_bucket(spark):
     df = spark.createDataFrame([(1, 3.9)], "sid long, b double")
     with pytest.raises(TypeError, match="integral"):
         series_vectors(df, "sid", "b", 4)
+
+
+def test_series_vectors_accepts_decimal_scale0(spark):
+    """ADVICE r10: decimal(p, 0) buckets/values are exact integral —
+    no truncation is possible, so they must pass the guard and produce
+    the same vectors as their long-typed twins; fractional decimals
+    stay rejected."""
+    df = spark.createDataFrame(
+        [(1, 0, 2), (1, 3, 1), (2, 2, 5)], "sid long, b long, v long"
+    )
+    dec = df.selectExpr(
+        "sid", "cast(b as decimal(10,0)) b", "cast(v as decimal(10,0)) v"
+    )
+    want = {r["sid"]: r["vec"] for r in series_vectors(df, "sid", "b", 4, value_col="v").collect()}
+    got = {r["sid"]: r["vec"] for r in series_vectors(dec, "sid", "b", 4, value_col="v").collect()}
+    assert got == want == {1: [2, 0, 0, 1], 2: [0, 0, 5, 0]}
+    frac = df.selectExpr("sid", "cast(b as decimal(10,2)) b")
+    with pytest.raises(TypeError, match="integral"):
+        series_vectors(frac, "sid", "b", 4)
