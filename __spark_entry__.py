@@ -253,6 +253,9 @@ ROTATION: list[str] = [
     "soft_dedup",
     "cross_lm_scores",
     "ts_correlation_topk",
+    # --- added r11 (appended, same wheel-stability argument) ---
+    "margin_mine_ivf",
+    "ts_lagged_topk",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

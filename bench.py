@@ -200,6 +200,8 @@ BENCH_QUERIES = (
     "soft_dedup",
     "cross_lm_scores",
     "ts_correlation_topk",
+    "margin_mine_ivf",
+    "ts_lagged_topk",
 )
 
 

@@ -1288,6 +1288,22 @@ def margin_mine(
         F.col(right_id + "_q").alias("r"),
         F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
     )
+    return _margin_select(fwd, bwd, left_id, right_id)
+
+
+def _margin_select(fwd: DataFrame, bwd: DataFrame, left_id: str, right_id: str) -> DataFrame:
+    """Shared margin-scoring tail of :func:`margin_mine` /
+    :func:`margin_mine_ivf`: given forward and backward kNN pair frames
+    (columns ``l, r, cos_micro``), compute the exact-integer margin,
+    pick each left item's best-margin partner, and flag mutual bests.
+
+    Each input frame feeds BOTH its normalizer aggregate and the
+    candidate union, so it is eagerly checkpointed here — without the
+    pin the upstream kNN pass (a full corpus scan per evaluation)
+    would run twice per side. Bounded: |corpus| x knn_k rows each,
+    distributed across executor storage."""
+    fwd = fwd.localCheckpoint(eager=True)
+    bwd = bwd.localCheckpoint(eager=True)
     a_norm = fwd.groupBy("l").agg(
         F.sum("cos_micro").alias("a_sum"), F.count(F.lit(1)).alias("a_k")
     )
@@ -1322,6 +1338,222 @@ def margin_mine(
             (F.col("__rr") == 1).alias("mutual"),
         )
     )
+
+
+def _centroid_matrix(cent_df: DataFrame):
+    """Collect the (tiny, n_cells x dim) centroid table to a unit-row
+    numpy matrix ordered by cell id."""
+    import numpy as np
+
+    pdf = cent_df.toPandas().sort_values("cell", ignore_index=True)
+    if list(pdf["cell"]) != list(range(len(pdf))):
+        raise ValueError("centroid table must hold cells 0..n_cells-1")
+    cent = np.stack(pdf["centroid"].to_numpy()).astype(np.float64)
+    return cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+
+def _probe_cells_distributed(
+    df: DataFrame, id_col: str, vec_col: str, cent, n_probe: int
+) -> DataFrame:
+    """``n_probe`` nearest cells per row, computed EXECUTOR-SIDE (one
+    Arrow-batched argsort pass against the broadcast centroid matrix)
+    and exploded to ``(qid, __qv, __cell)`` rows — no driver collect, so
+    the "query" side may be a full corpus. Ties break to the lowest
+    cell id, matching :func:`_probe_cells`."""
+    import numpy as np
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+
+    def _probe(batches):
+        import pandas as pd
+
+        cu = bc.value
+        take = min(n_probe, len(cu))
+        for p in batches:
+            if not len(p):
+                continue
+            V = np.stack(p["qid_vec"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            # stable argsort on the negated scores: equal scores keep
+            # ascending-cell order — the lowest-cell tiebreak of
+            # _probe_cells, fully vectorized across the batch
+            order = np.argsort(-(V @ cu.T), axis=1, kind="stable")[:, :take]
+            rep = np.repeat(np.arange(len(p)), take)
+            yield pd.DataFrame({
+                "qid": p["qid"].to_numpy()[rep],
+                "__qv": p["qid_vec"].to_numpy()[rep],
+                "__cell": order.ravel().astype(np.int32),
+            })
+
+    return df.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qid_vec")
+    ).mapInPandas(_probe, schema=f"qid {id_type}, __qv {vec_type}, __cell int")
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    include_self: bool = True,
+    cent_df: DataFrame | None = None,
+) -> DataFrame:
+    """Distributed approximate kNN JOIN between two large embedding
+    corpora — the pool-scale sibling of :func:`cosine_topk`, with NO
+    query-side driver collect or broadcast (no ``max_query_rows`` cap):
+    both sides may be 100 TB.
+
+    Shape: a shared coarse quantizer (``cent_df``, or fitted on
+    ``corpus`` via :func:`_fit_cells`'s bounded content-hash sample)
+    assigns each corpus row its nearest cell and each query row its
+    ``n_probe`` nearest cells (both Arrow-batched executor passes); the
+    two sides then equi-join on ``__cell`` — a plain shuffle join whose
+    candidate count is sum over cells of |Q_cell·n_probe| x |C_cell|,
+    i.e. ~``n_probe/n_cells`` of the cross product — score JVM-side
+    (``functions.vectors.cosine``, bit-identical to the numpy fold in
+    :func:`cosine_topk`, rounded 6dp) and rank per query. Size
+    ``n_cells`` ~ sqrt(corpus rows) so cells stay executor-sized; a hot
+    cell is a skewed join key — AQE's skew-join split
+    (``spark.sql.adaptive.enabled``) is the standard mitigation and
+    needs no code here.
+
+    With ``n_probe == n_cells`` every pair is a candidate and the
+    result EQUALS :func:`cosine_topk` (same rounding, same tiebreak) —
+    the digest check the tests pin. Returns
+    ``({query_id}_q, {corpus_id}_c, cos, rank)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if cent_df is None:
+        _, cent_df = _fit_cells(corpus, corpus_id, corpus_vec, n_cells, seed)
+    cent = _centroid_matrix(cent_df)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    cid_type = corpus.schema[corpus_id].dataType.simpleString()
+    cvec_type = corpus.schema[corpus_vec].dataType.simpleString()
+
+    def _assign(batches):
+        import numpy as np
+
+        for p in batches:
+            if not len(p):
+                continue
+            V = np.stack(p["__cv"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            yield p.assign(__cell=_assign_cells(V, bc.value).astype(np.int32))
+
+    assigned = fan_out(
+        corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv"))
+    ).mapInPandas(_assign, schema=f"cid {cid_type}, __cv {cvec_type}, __cell int")
+    qcells = _probe_cells_distributed(fan_out(queries), query_id, query_vec, cent, n_probe)
+    qid_type = queries.schema[query_id].dataType.simpleString()
+
+    # Arrow-batched pair scoring: Spark's higher-order functions are
+    # interpreted (no codegen), so a JVM aggregate/zip_with cosine per
+    # candidate pair is ~10x slower than this vectorized numpy fold —
+    # which keeps the exact left-fold summation order of cosine_topk's
+    # _fold_matmul (acc += Q[:,i]*C[:,i] per dim), so values are
+    # bit-identical to the broadcast path and the SQL twin.
+    def _pair_cos(batches):
+        import numpy as np
+
+        for p in batches:
+            if not len(p):
+                continue
+            Q = np.stack(p["__qv"].to_numpy()).astype(np.float64)
+            C = np.stack(p["__cv"].to_numpy()).astype(np.float64)
+            dot = np.zeros(len(p))
+            nq = np.zeros(len(p))
+            nc = np.zeros(len(p))
+            for i in range(Q.shape[1]):
+                dot += Q[:, i] * C[:, i]
+                nq += Q[:, i] * Q[:, i]
+                nc += C[:, i] * C[:, i]
+            # sqrt each norm separately: sqrt(a)*sqrt(b) is the JVM /
+            # SQL-twin formulation and can differ from sqrt(a*b) in the
+            # last ulp, flipping 6dp-boundary roundings
+            yield p[["qid", "cid"]].assign(cos=dot / (np.sqrt(nq) * np.sqrt(nc)))
+
+    scored = (
+        qcells.join(assigned, "__cell")
+        .mapInPandas(_pair_cos, schema=f"qid {qid_type}, cid {cid_type}, cos double")
+        .withColumn("cos", F.round("cos", 6))
+    )
+    if not include_self:
+        scored = scored.filter(F.col("qid") != F.col("cid"))
+    return _rank_probe_hits(scored, query_id, corpus_id, k)
+
+
+def margin_mine_ivf(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    knn_k: int = 4,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Pool-scale :func:`margin_mine`: identical margin criterion and
+    output contract, but the two kNN passes run through
+    :func:`ivf_knn_join` — no query-side collect/broadcast, so BOTH
+    corpora may exceed ``margin_mine``'s ``max_query_rows`` cap
+    (mining all of a 100 TB left corpus against a 100 TB right one).
+
+    The coarse quantizer is fitted ONCE on a bounded content-hash
+    sample of the UNION of both corpora, so forward and backward
+    passes share one cell geometry (a per-side fit would make the two
+    probe sets inconsistent near cell borders for no recall gain).
+
+    Approximation scope: the kNN sets (candidates AND the margin's
+    kNN-average normalizers) are IVF-approximate; with
+    ``n_probe == n_cells`` the probe is exhaustive and the result
+    equals :func:`margin_mine` exactly (pinned by test). Recall at
+    n_probe < n_cells follows the IVF recall curve of
+    ``tools/ann_recall.py``."""
+    if knn_k < 1:
+        raise ValueError(f"knn_k must be >= 1, got {knn_k}")
+    union_vecs = left.select(F.col(left_vec).alias("embedding")).unionByName(
+        right.select(F.col(right_vec).alias("embedding"))
+    )
+    # Fit on the union: _fit_cells' assignment output is lazy and
+    # discarded — only the (eager, driver-side, sample-bounded)
+    # centroid fit is paid here.
+    _, cent_df = _fit_cells(
+        union_vecs.withColumn("__uid", F.monotonically_increasing_id()),
+        "__uid", "embedding", n_cells, seed,
+    )
+    fwd = ivf_knn_join(
+        left, right, left_id, right_id, left_vec, right_vec,
+        k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
+        include_self=True, cent_df=cent_df,
+    ).select(
+        F.col(left_id + "_q").alias("l"),
+        F.col(right_id + "_c").alias("r"),
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    )
+    bwd = ivf_knn_join(
+        right, left, right_id, left_id, right_vec, left_vec,
+        k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
+        include_self=True, cent_df=cent_df,
+    ).select(
+        F.col(left_id + "_c").alias("l"),
+        F.col(right_id + "_q").alias("r"),
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    )
+    return _margin_select(fwd, bwd, left_id, right_id)
 
 
 def ndcg_binary(

@@ -556,13 +556,33 @@ def ts_correlation_topk(
     contract (``max_query_rows`` caps the broadcast side)."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import cosine_topk
 
+    mat = _centered_series(df, id_col, bucket_col, n_buckets, value_col)
+    queries = mat if query_filter is None else mat.where(query_filter)
+    return cosine_topk(
+        queries, mat, id_col, id_col, "__w", "__w",
+        k=k, include_self=False, max_query_rows=max_query_rows,
+    )
+
+
+def _centered_series(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str | Column,
+    n_buckets: int,
+    value_col: str | Column | None,
+) -> DataFrame:
+    """Exact-bigint mean-centered series matrix ``(id_col, __w)`` shared
+    by :func:`ts_correlation_topk` and :func:`ts_lagged_topk`:
+    ``w_i = n·v_i − Σv`` multiplies the centering through by n so every
+    coordinate stays integral; constant series (all-equal ``w`` would be
+    all-zero — correlation undefined) are dropped deterministically."""
     vecs = series_vectors(df, id_col, bucket_col, n_buckets, value_col)
     # hoist the row sum into its own projection: an inline
     # aggregate(vec) inside the transform lambda would re-sum the
     # vector PER ELEMENT (O(n_buckets^2) interpreted HOF work per row),
     # and the exists() filter below would alias-substitute the whole
     # centering a second time — measured 7.2 -> 0.9 s warm at sf0.1.
-    mat = (
+    return (
         vecs.withColumn(
             "__s", F.expr("aggregate(vec, CAST(0 AS BIGINT), (a, y) -> a + y)")
         )
@@ -576,8 +596,111 @@ def ts_correlation_topk(
         # the vector pipeline (bounded: #series rows)
         .localCheckpoint(eager=True)
     )
+
+
+def ts_lagged_topk(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str | Column,
+    n_buckets: int,
+    k: int = 5,
+    max_lag: int = 3,
+    value_col: str | Column | None = None,
+    query_filter: Column | None = None,
+    max_query_rows: int | None = 100_000,
+) -> DataFrame:
+    """Lagged time-series similarity search: top-k series per query by
+    the best Pearson correlation over a bounded CIRCULAR lag sweep —
+    "who behaves like X, shifted by up to ``max_lag`` buckets" (lead/lag
+    discovery: a series that tracks the query d days later surfaces
+    with its lag).
+
+    Semantics: ``r(q, c, ℓ) = Pearson(rot_ℓ(q), c)`` for
+    ℓ ∈ [−max_lag, +max_lag], where ``rot_ℓ(q)[i] = q[(i+ℓ) mod n]`` —
+    positive ℓ aligns the query's LATER buckets with the candidate's
+    earlier ones (the candidate lags the query by ℓ). Rotation (not
+    truncation) keeps the exact-integer centering trick of
+    :func:`ts_correlation_topk` intact: a rotated centered vector is a
+    permutation, so Σw, the norm, and integrality are all invariant and
+    every lag's correlation is cosine of exact-bigint vectors. Callers
+    who must not wrap can pad the bucket domain with ``max_lag`` empty
+    slots. Reported per pair: the MAX r over the sweep and the SMALLEST
+    lag attaining it. Self-pairs are excluded at every lag.
+
+    Plan shape: candidate generation is one
+    :func:`...similarity.cosine_topk` pass per lag (2·max_lag+1 scans
+    of the CHECKPOINTED series matrix — #series × n_buckets ints, far
+    smaller than the raw event table, so the sweep multiplies a small
+    scan, not the source read); the union of per-lag top-k provably
+    contains the global top-k under the shared (r desc, id asc) order.
+    Candidates — ≤ |Q|·k·(2·max_lag+1) pairs — are then re-scored
+    across ALL lags in one JVM pass (left-fold double aggregates, the
+    same summation order as cosine_topk, so re-scored values equal the
+    candidate-pass values bit-for-bit), which pins the min-lag tiebreak
+    exactly even when a pair missed some lag's top-k.
+
+    Returns ``({id_col}_q, {id_col}_c, cos, lag, rank)`` — ``cos`` is
+    the best Pearson r (6dp), ``lag`` the smallest ℓ attaining it."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import cosine_topk
+
+    if max_lag < 0:
+        raise ValueError(f"max_lag must be >= 0, got {max_lag}")
+    if 2 * max_lag + 1 > n_buckets:
+        raise ValueError(
+            f"lag sweep wider than the bucket domain: 2*{max_lag}+1 > {n_buckets}"
+        )
+    mat = _centered_series(df, id_col, bucket_col, n_buckets, value_col)
     queries = mat if query_filter is None else mat.where(query_filter)
-    return cosine_topk(
-        queries, mat, id_col, id_col, "__w", "__w",
-        k=k, include_self=False, max_query_rows=max_query_rows,
+    n = n_buckets
+    cand = None
+    for lag in range(-max_lag, max_lag + 1):
+        rotated = queries.select(
+            id_col,
+            F.expr(
+                f"transform(sequence(0, {n - 1}), i -> "
+                f"element_at(__w, pmod(i + {lag}, {n}) + 1))"
+            ).alias("__w"),
+        )
+        hits = cosine_topk(
+            rotated, mat, id_col, id_col, "__w", "__w",
+            k=k, include_self=False, max_query_rows=max_query_rows,
+        ).select(F.col(id_col + "_q").alias("qid"), F.col(id_col + "_c").alias("cid"))
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates(["qid", "cid"])
+    qside = mat.select(F.col(id_col).alias("qid"), F.col("__w").alias("__qw"))
+    cside = mat.select(F.col(id_col).alias("cid"), F.col("__w").alias("__cw"))
+    # all-lag exact re-score: per pair, 2·max_lag+1 left-fold double
+    # dots over the two bigint vectors; norms are rotation-invariant
+    dots = F.expr(
+        f"transform(sequence({-max_lag}, {max_lag}), l -> round("
+        f"aggregate(sequence(0, {n - 1}), CAST(0.0 AS DOUBLE), (a, i) -> "
+        f"a + CAST(element_at(__qw, pmod(i + l, {n}) + 1) AS DOUBLE)"
+        f" * CAST(element_at(__cw, i + 1) AS DOUBLE))"
+        f" / (sqrt(aggregate(__qw, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        f" * sqrt(aggregate(__cw, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6))"
+    )
+    # materialize the per-pair lag-score arrays BEFORE extracting
+    # max/position: alias substitution would otherwise re-inline the
+    # whole (2·max_lag+1)-fold aggregate once per consumer. Bounded:
+    # candidate pairs x (2·max_lag+1) doubles.
+    lagged = (
+        cand.join(qside, "qid").join(cside, "cid")
+        .select("qid", "cid", dots.alias("__coss"))
+        .localCheckpoint(eager=True)
+    )
+    scored = lagged.select(
+        "qid", "cid",
+        F.array_max("__coss").alias("cos"),
+        (F.array_position("__coss", F.array_max("__coss")) - 1 - max_lag)
+        .cast("int").alias("lag"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col + "_q"),
+            F.col("cid").alias(id_col + "_c"),
+            "cos", "lag", "rank",
+        )
     )

@@ -7962,6 +7962,34 @@ ORACLE["margin_mine"] = _COSINE_CTE.format(
 """
 
 
+def q_margin_mine_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Pool-scale margin mining (operators/similarity.py
+    margin_mine_ivf): the same bitext criterion as q_margin_mine but
+    through the distributed IVF kNN join — no query-side collect or
+    broadcast, both corpora shuffle-join on their coarse-quantizer
+    cell. Run at n_probe == n_cells, where the candidate set is the
+    full cross product and the result provably EQUALS margin_mine
+    (tests pin the digest), so the exact-margin oracle doubles as this
+    query's twin and the driver hash-checks the whole distributed
+    machinery (executor-side cell assignment, probe explode, shuffle
+    join, ranking) end-to-end. Approximate probing (n_probe < n_cells,
+    the actual 100 TB configuration) is covered by the recall tests
+    and tools/ann_recall.py."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import margin_mine_ivf
+
+    t = load_tables(spark, sf, ("embeddings",))
+    left = t["embeddings"].where(F.col("vec_id") % 2 == 0)
+    right = t["embeddings"].where(F.col("vec_id") % 2 == 1)
+    return margin_mine_ivf(
+        left, right, "vec_id", "vec_id", knn_k=4, n_cells=8, n_probe=8
+    )
+
+
+QUERIES["margin_mine_ivf"] = q_margin_mine_ivf
+
+ORACLE["margin_mine_ivf"] = ORACLE["margin_mine"]
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer fertility audit (operators/bpe.py composition)
 # ---------------------------------------------------------------------------
@@ -8176,5 +8204,73 @@ ORACLE["ts_correlation_topk"] = """
       SELECT id_a, id_b, cos,
              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
       FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+def q_ts_lagged_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead/lag behavioral similarity (operators/timeseries.py
+    ts_lagged_topk): per query user, the top-3 users whose 31-slot
+    daily-activity series best correlates with the query's under a ±2
+    day circular lag sweep, reporting the best Pearson r and the
+    smallest lag attaining it. Candidate generation is one cosine_topk
+    pass per lag over the checkpointed centered matrix; the final
+    (r, lag) comes from an all-lag JVM re-score whose left-fold double
+    order matches both the candidate pass and the twin's list_reduce
+    fold, so values hash-match exactly."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_lagged_topk
+
+    t = load_tables(spark, sf, ("events",))
+    ev = t["events"].select("user_id", (F.dayofmonth("ts") - 1).alias("day"))
+    return ts_lagged_topk(
+        ev, "user_id", "day", n_buckets=31, k=3, max_lag=2,
+        query_filter=F.col("user_id") < 10,
+    )
+
+
+QUERIES["ts_lagged_topk"] = q_ts_lagged_topk
+
+ORACLE["ts_lagged_topk"] = """
+    WITH cells AS (
+      SELECT user_id, CAST(day(ts) - 1 AS INT) AS b, count(*) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    ids AS (SELECT DISTINCT user_id FROM cells),
+    spine AS (
+      SELECT ids.user_id, i.b
+      FROM ids CROSS JOIN (SELECT unnest(range(0, 31)) AS b) i
+    ),
+    dense AS (
+      SELECT s.user_id, s.b, CAST(coalesce(c.v, 0) AS BIGINT) AS v
+      FROM spine s LEFT JOIN cells c ON s.user_id = c.user_id AND s.b = c.b
+    ),
+    vecs AS (
+      SELECT user_id, list(v ORDER BY b) AS vec FROM dense GROUP BY user_id
+    ),
+    cent AS (
+      SELECT user_id,
+             list_transform(vec, x -> CAST(x * 31 - list_sum(vec) AS DOUBLE)) AS e
+      FROM vecs
+      WHERE len(list_filter(vec, x -> x * 31 <> list_sum(vec))) > 0
+    ),
+    lagged AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b,
+        list_transform(range(-2, 3), lag -> round(
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> a.e[(((i - 1 + lag) % 31 + 31) % 31) + 1] * b.e[i])), (x, y) -> x + y)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> a.e[i] * a.e[i])), (x, y) -> x + y))
+           * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> b.e[i] * b.e[i])), (x, y) -> x + y))),
+          6)) AS coss
+      FROM cent a JOIN cent b ON a.user_id < 10 AND a.user_id <> b.user_id
+    ),
+    best AS (
+      SELECT id_a, id_b,
+             list_max(coss) AS cos,
+             CAST(list_position(coss, list_max(coss)) - 3 AS INT) AS lag
+      FROM lagged
+    )
+    SELECT id_a AS user_id_q, id_b AS user_id_c, cos, lag, CAST(rank AS INT) AS rank FROM (
+      SELECT id_a, id_b, cos, lag,
+             row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b ASC) AS rank
+      FROM best
     ) WHERE rank <= 3
 """

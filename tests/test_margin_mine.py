@@ -123,3 +123,79 @@ def test_margin_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="knn_k"):
         margin_mine(df, df, "vec_id", "vec_id", knn_k=0)
+
+
+def _bigger_corpora(spark, nl=60, nr=50, d=8, seed=7):
+    """Deterministic clustered corpora big enough to exercise several
+    cells: left item i prefers right item i % nr."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(nr, d))
+    right_rows = [(j, [float(x) for x in base[j]]) for j in range(nr)]
+    left_rows = [
+        (i, [float(x) for x in base[i % nr] + 0.05 * rng.normal(size=d)])
+        for i in range(nl)
+    ]
+    l = spark.createDataFrame(left_rows, "vec_id long, embedding array<float>")
+    r = spark.createDataFrame(right_rows, "vec_id long, embedding array<float>")
+    return l, r
+
+
+def test_margin_mine_ivf_exhaustive_probe_equals_exact(spark):
+    """VERDICT r10 #5: with n_probe == n_cells every pair is a
+    candidate, so the pool-scale path must reproduce margin_mine
+    EXACTLY — same rounding, same margins, same mutual flags."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import margin_mine_ivf
+
+    l, r = _bigger_corpora(spark)
+    exact = sorted(tuple(x) for x in margin_mine(l, r, "vec_id", "vec_id", knn_k=3).collect())
+    ivf = sorted(tuple(x) for x in margin_mine_ivf(
+        l, r, "vec_id", "vec_id", knn_k=3, n_cells=4, n_probe=4
+    ).collect())
+    assert ivf == exact and len(ivf) == 60
+
+
+def test_margin_mine_ivf_layout_independent_and_approx_sane(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import margin_mine_ivf
+
+    l, r = _bigger_corpora(spark)
+    a = margin_mine_ivf(l, r, "vec_id", "vec_id", knn_k=3, n_cells=4, n_probe=2)
+    b = margin_mine_ivf(
+        l.repartition(7), r.repartition(5), "vec_id", "vec_id",
+        knn_k=3, n_cells=4, n_probe=2,
+    )
+    key = lambda df: sorted(tuple(x) for x in df.collect())  # noqa: E731
+    ka, kb = key(a), key(b)
+    assert ka == kb
+    # approximate probe still recovers most planted partners
+    got = {row[0]: row[1] for row in ka}
+    hits = sum(1 for i, j in got.items() if j == i % 50)
+    assert hits >= 0.7 * len(got) and len(got) >= 50
+
+
+def test_ivf_knn_join_exhaustive_equals_cosine_topk(spark):
+    """n_probe == n_cells makes the distributed kNN join candidate set
+    the full cross product: ranking, rounding, and tiebreaks must then
+    match cosine_topk row for row (both include_self settings)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import cosine_topk, ivf_knn_join
+
+    l, r = _bigger_corpora(spark, nl=25, nr=20)
+    for inc in (True, False):
+        want = sorted(tuple(x) for x in cosine_topk(
+            l, r, "vec_id", "vec_id", k=4, include_self=inc
+        ).collect())
+        got = sorted(tuple(x) for x in ivf_knn_join(
+            l, r, "vec_id", "vec_id", k=4, n_cells=3, n_probe=3, include_self=inc
+        ).collect())
+        assert got == want
+
+
+def test_ivf_knn_join_guards(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_knn_join
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="k must"):
+        ivf_knn_join(df, df, "vec_id", "vec_id", k=0)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_knn_join(df, df, "vec_id", "vec_id", n_probe=0)

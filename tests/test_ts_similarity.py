@@ -1,7 +1,9 @@
 """Time-series similarity search (operators/timeseries.py
-series_vectors + ts_correlation_topk)."""
+series_vectors + ts_correlation_topk + ts_lagged_topk)."""
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pytest
@@ -99,3 +101,129 @@ def test_series_vectors_accepts_decimal_scale0(spark):
     frac = df.selectExpr("sid", "cast(b as decimal(10,2)) b")
     with pytest.raises(TypeError, match="integral"):
         series_vectors(frac, "sid", "b", 4)
+
+
+def _lag_reference(series: dict, n: int, k: int, max_lag: int):
+    """All-pairs x all-lags sequential reference: center w = n*v - sum,
+    circular-rotate the QUERY, cosine rounded 6dp, per pair max r with
+    the smallest attaining lag, per query top-k by (r desc, id asc)."""
+    cent = {}
+    for sid, vec in series.items():
+        s = sum(vec)
+        w = [x * n - s for x in vec]
+        if any(x != 0 for x in w):
+            cent[sid] = w
+    out = {}
+    for q, qw in cent.items():
+        rows = []
+        for c, cw in cent.items():
+            if c == q:
+                continue
+            best, best_lag = None, None
+            for lag in range(-max_lag, max_lag + 1):
+                dot = 0.0
+                for i in range(n):
+                    dot += float(qw[(i + lag) % n]) * float(cw[i])
+                nq = math.sqrt(sum(float(x) * float(x) for x in qw))
+                nc = math.sqrt(sum(float(x) * float(x) for x in cw))
+                r = round(dot / (nq * nc), 6)
+                if best is None or r > best:
+                    best, best_lag = r, lag
+            rows.append((c, best, best_lag))
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        out[q] = [
+            (c, r, lag, rk + 1) for rk, (c, r, lag) in enumerate(rows[:k])
+        ]
+    return out
+
+
+def _lag_df(spark, series):
+    rows = [
+        (sid, b, v)
+        for sid, vec in series.items()
+        for b, v in enumerate(vec)
+        if v != 0
+    ]
+    return spark.createDataFrame(rows, "sid long, b int, v long")
+
+
+def test_ts_lagged_matches_sequential_reference(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_lagged_topk
+
+    import random
+
+    rng = random.Random(11)
+    n = 12
+    series = {sid: [rng.randrange(0, 6) for _ in range(n)] for sid in range(9)}
+    series[9] = [3] * n  # constant: dropped on both sides
+    df = _lag_df(spark, series)
+    got = {}
+    for row in ts_lagged_topk(df, "sid", "b", n, k=3, max_lag=2, value_col="v").collect():
+        got.setdefault(row["sid_q"], []).append(
+            (row["sid_c"], row["cos"], row["lag"], row["rank"])
+        )
+    for q in got:
+        got[q].sort(key=lambda t: t[3])
+    want = _lag_reference(series, n, k=3, max_lag=2)
+    assert got == want
+    assert 9 not in got and all(9 != c for rows in got.values() for c, *_ in rows)
+
+
+def test_ts_lagged_finds_planted_shift(spark):
+    """Series 1 is series 0 rotated: 1[t] = 0[t+2] (1 lags 0 by 2), so
+    querying 0 must surface 1 at r=1.0 with lag=+2 under the documented
+    sign convention rot_lag(q)[i] = q[(i+lag) mod n]."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_lagged_topk
+
+    n = 10
+    base = [5, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    series = {
+        0: base,
+        1: [base[(i + 2) % n] for i in range(n)],
+        2: [1, 0, 2, 0, 1, 0, 3, 0, 1, 0],
+    }
+    df = _lag_df(spark, series)
+    out = {
+        (r["sid_q"], r["rank"]): (r["sid_c"], r["cos"], r["lag"])
+        for r in ts_lagged_topk(df, "sid", "b", n, k=1, max_lag=3, value_col="v").collect()
+    }
+    assert out[(0, 1)] == (1, 1.0, 2)
+    assert out[(1, 1)] == (0, 1.0, -2)
+
+
+def test_ts_lagged_layout_independent_and_zero_lag_matches_plain(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import (
+        ts_correlation_topk, ts_lagged_topk,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    n = 8
+    series = {sid: [rng.randrange(0, 5) for _ in range(n)] for sid in range(7)}
+    df = _lag_df(spark, series)
+    a = sorted(tuple(x) for x in ts_lagged_topk(df, "sid", "b", n, k=2, max_lag=2, value_col="v").collect())
+    b = sorted(tuple(x) for x in ts_lagged_topk(
+        df.repartition(9), "sid", "b", n, k=2, max_lag=2, value_col="v"
+    ).collect())
+    assert a == b
+    # max_lag=0 degenerates to plain correlation search plus lag==0
+    plain = sorted(
+        (r["sid_q"], r["sid_c"], r["cos"], r["rank"])
+        for r in ts_correlation_topk(df, "sid", "b", n, k=2, value_col="v").collect()
+    )
+    lag0 = ts_lagged_topk(df, "sid", "b", n, k=2, max_lag=0, value_col="v")
+    assert sorted(
+        (r["sid_q"], r["sid_c"], r["cos"], r["rank"]) for r in lag0.collect()
+    ) == plain
+    assert {r["lag"] for r in lag0.collect()} == {0}
+
+
+def test_ts_lagged_guards(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.timeseries import ts_lagged_topk
+
+    df = spark.createDataFrame([(1, 0, 1)], "sid long, b int, v long")
+    with pytest.raises(ValueError, match="max_lag"):
+        ts_lagged_topk(df, "sid", "b", 4, max_lag=-1)
+    with pytest.raises(ValueError, match="wider than the bucket domain"):
+        ts_lagged_topk(df, "sid", "b", 4, max_lag=2)
