@@ -256,6 +256,7 @@ ROTATION: list[str] = [
     # --- added r11 (appended, same wheel-stability argument) ---
     "margin_mine_ivf",
     "ts_lagged_topk",
+    "kcenter_select",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17

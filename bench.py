@@ -202,6 +202,7 @@ BENCH_QUERIES = (
     "ts_correlation_topk",
     "margin_mine_ivf",
     "ts_lagged_topk",
+    "kcenter_select",
 )
 
 

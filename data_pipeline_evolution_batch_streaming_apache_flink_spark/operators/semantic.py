@@ -251,3 +251,100 @@ def kmeans_quantized(
     )
     centroids = cent.select(F.col("cid").alias("cluster"), F.col("__c").alias("centroid_micro"))
     return out, centroids
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Greedy farthest-point k-center coreset selection (Gonzalez 1985,
+    the classic 2-approximation) — diversity-aware data selection: pick
+    ``k`` maximally spread exemplars, then assign every point to its
+    nearest exemplar. The coreset/facility-location shape of
+    embedding-based training-data curation (cover the distribution with
+    k representatives; per-exemplar groups then feed balanced sampling
+    or dedup-by-representative).
+
+    Determinism discipline matches :func:`kmeans_quantized`: vectors
+    quantize to micro-int bigints and ALL distances are exact integer
+    squared Euclidean, so selection and assignment are bit-identical
+    under any layout and unroll into plain SQL. Seed: the minimum id.
+    Each round picks the point FARTHEST from its nearest chosen center
+    (max d2, id tiebreak, already-chosen ids excluded); assignment
+    ties break to the earlier-chosen center (selection order).
+
+    Scale shape: the greedy sweep is inherently k sequential passes —
+    each is one narrow scan (id, vector, running d2) updating d2
+    against ONE new center (a broadcast literal of d ints) plus a
+    1-row argmax agg; the running frame is re-checkpointed per round
+    so pass j never replays rounds 0..j-1. Driver round-trips: k
+    single-row collects (the chosen exemplar + its vector). The final
+    assignment is one broadcast cross join against the k-row center
+    table. k is a SMALL constant by contract (guarded ≤ 256) — for
+    thousands of centers use kmeans_quantized instead.
+
+    Returns ``(id_col, center_id, center_order int, d2 bigint)`` —
+    ``d2`` the exact squared micro-distance to the assigned center;
+    chosen exemplars appear with ``d2 = 0`` and themselves as center.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > 256:
+        raise ValueError(
+            f"k={k} exceeds the greedy k-center contract (<= 256 sequential "
+            "passes); use kmeans_quantized for large center counts"
+        )
+    quant = F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    pts = df.select(id_col, quant.alias("__v")).localCheckpoint(eager=True)
+
+    def _d2(center_vec: list) -> F.Column:
+        lit = F.array(*[F.lit(int(x)).cast("bigint") for x in center_vec])
+        return F.aggregate(
+            F.zip_with("__v", lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda a, e: a + e,
+        )
+
+    seed = pts.select(F.min(F.struct(F.col(id_col).alias("i"), F.col("__v").alias("v")))).head()[0]
+    if seed is None:
+        raise ValueError("kcenter_select on an empty DataFrame")
+    centers = [(seed["i"], seed["v"])]
+    cur = pts.withColumn("__d2", _d2(seed["v"]))
+    for _ in range(1, k):
+        cur = cur.localCheckpoint(eager=True)  # argmax + update both read it
+        chosen = [c for c, _ in centers]
+        far = (
+            cur.where(~F.col(id_col).isin(chosen))
+            .select(F.min(F.struct(
+                (-F.col("__d2")).alias("nd"),
+                F.col(id_col).alias("i"),
+                F.col("__v").alias("v"),
+            )))
+            .head()[0]
+        )
+        if far is None:
+            break  # k exceeds the corpus: return the full point set as centers
+        centers.append((far["i"], far["v"]))
+        cur = cur.withColumn("__d2", F.least(F.col("__d2"), _d2(far["v"])))
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    cent_df = spark.createDataFrame(
+        [(j, c, [int(x) for x in v]) for j, (c, v) in enumerate(centers)],
+        f"center_order int, center_id {id_type}, __c array<bigint>",
+    )
+    paird = F.expr(
+        "aggregate(zip_with(__v, __c, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (a, e) -> a + e)"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2p").asc(), F.col("center_order").asc())
+    return (
+        pts.crossJoin(F.broadcast(cent_df))
+        .withColumn("__d2p", paird)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col, "center_id", "center_order", F.col("__d2p").alias("d2"))
+    )

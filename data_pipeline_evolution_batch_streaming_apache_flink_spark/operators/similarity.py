@@ -1406,6 +1406,7 @@ def ivf_knn_join(
     seed: int = 42,
     include_self: bool = True,
     cent_df: DataFrame | None = None,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Distributed approximate kNN JOIN between two large embedding
     corpora — the pool-scale sibling of :func:`cosine_topk`, with NO
@@ -1416,26 +1417,42 @@ def ivf_knn_join(
     ``corpus`` via :func:`_fit_cells`'s bounded content-hash sample)
     assigns each corpus row its nearest cell and each query row its
     ``n_probe`` nearest cells (both Arrow-batched executor passes); the
-    two sides then equi-join on ``__cell`` — a plain shuffle join whose
-    candidate count is sum over cells of |Q_cell·n_probe| x |C_cell|,
-    i.e. ~``n_probe/n_cells`` of the cross product — score JVM-side
-    (``functions.vectors.cosine``, bit-identical to the numpy fold in
-    :func:`cosine_topk`, rounded 6dp) and rank per query. Size
-    ``n_cells`` ~ sqrt(corpus rows) so cells stay executor-sized; a hot
-    cell is a skewed join key — AQE's skew-join split
-    (``spark.sql.adaptive.enabled``) is the standard mitigation and
-    needs no code here.
+    two sides then COGROUP on ``__cell`` and each cell scores as one
+    numpy block matmul — every vector crosses the shuffle exactly once
+    (a pair-level join would ship both vectors per candidate pair:
+    measured 6x slower at 48k/side). Per (query, cell) only the local
+    top-k rows (with the same 2e-6 rounding slack as
+    :func:`cosine_topk`) leave Python; the exact global ranking runs
+    JVM-side on those few rows. The fold order inside the block matmul
+    is cosine_topk's left-fold, so scores are bit-identical to the
+    broadcast path and the SQL twin.
+
+    Sizing: ``n_cells`` ~ sqrt(corpus rows) keeps cells executor-sized.
+    A hot cell is one cogroup task (AQE cannot split a group) —
+    n_cells is the skew lever. The quantizer fit is driver-side
+    O(restarts · iters · min(sample, max_train_rows) · n_cells · dim);
+    cap ``max_train_rows`` near 100-300 rows per cell (the FAISS
+    training heuristic) when n_cells is large — centroids only steer
+    recall, never correctness of returned scores.
 
     With ``n_probe == n_cells`` every pair is a candidate and the
     result EQUALS :func:`cosine_topk` (same rounding, same tiebreak) —
     the digest check the tests pin. Returns
     ``({query_id}_q, {corpus_id}_c, cos, rank)``."""
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_matmul, _fold_norms
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if cent_df is None:
-        _, cent_df = _fit_cells(corpus, corpus_id, corpus_vec, n_cells, seed)
+        _, cent_df = _fit_cells(
+            corpus, corpus_id, corpus_vec, n_cells, seed,
+            max_train_rows=max_train_rows,
+        )
     cent = _centroid_matrix(cent_df)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cent)
@@ -1458,39 +1475,38 @@ def ivf_knn_join(
     qcells = _probe_cells_distributed(fan_out(queries), query_id, query_vec, cent, n_probe)
     qid_type = queries.schema[query_id].dataType.simpleString()
 
-    # Arrow-batched pair scoring: Spark's higher-order functions are
-    # interpreted (no codegen), so a JVM aggregate/zip_with cosine per
-    # candidate pair is ~10x slower than this vectorized numpy fold —
-    # which keeps the exact left-fold summation order of cosine_topk's
-    # _fold_matmul (acc += Q[:,i]*C[:,i] per dim), so values are
-    # bit-identical to the broadcast path and the SQL twin.
-    def _pair_cos(batches):
-        import numpy as np
-
-        for p in batches:
-            if not len(p):
-                continue
-            Q = np.stack(p["__qv"].to_numpy()).astype(np.float64)
-            C = np.stack(p["__cv"].to_numpy()).astype(np.float64)
-            dot = np.zeros(len(p))
-            nq = np.zeros(len(p))
-            nc = np.zeros(len(p))
-            for i in range(Q.shape[1]):
-                dot += Q[:, i] * C[:, i]
-                nq += Q[:, i] * Q[:, i]
-                nc += C[:, i] * C[:, i]
-            # sqrt each norm separately: sqrt(a)*sqrt(b) is the JVM /
-            # SQL-twin formulation and can differ from sqrt(a*b) in the
-            # last ulp, flipping 6dp-boundary roundings
-            yield p[["qid", "cid"]].assign(cos=dot / (np.sqrt(nq) * np.sqrt(nc)))
+    def _score_cell(lq: pd.DataFrame, rc: pd.DataFrame) -> pd.DataFrame:
+        if not len(lq) or not len(rc):
+            return pd.DataFrame({"qid": lq["qid"].iloc[:0], "cid": rc["cid"].iloc[:0],
+                                 "cos": np.array([], dtype=np.float64)})
+        Q = np.stack(lq["__qv"].to_numpy()).astype(np.float64)
+        C = np.stack(rc["__cv"].to_numpy()).astype(np.float64)
+        ids_q = lq["qid"].to_numpy()
+        ids_c = rc["cid"].to_numpy()
+        cos = _fold_matmul(Q, C) / (_fold_norms(Q)[:, None] * _fold_norms(C)[None, :])
+        if not include_self:
+            cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
+        frames = []
+        for qi in range(len(ids_q)):
+            row = cos[qi]
+            kth = np.partition(row, -k)[-k] if len(row) > k else -np.inf
+            keep = np.nonzero(row >= kth - 2e-6)[0]
+            keep = keep[np.isfinite(row[keep])]
+            if len(keep):
+                frames.append(pd.DataFrame(
+                    {"qid": ids_q[qi], "cid": ids_c[keep], "cos": row[keep]}
+                ))
+        if not frames:
+            return pd.DataFrame({"qid": lq["qid"].iloc[:0], "cid": rc["cid"].iloc[:0],
+                                 "cos": np.array([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
 
     scored = (
-        qcells.join(assigned, "__cell")
-        .mapInPandas(_pair_cos, schema=f"qid {qid_type}, cid {cid_type}, cos double")
+        qcells.groupBy("__cell")
+        .cogroup(assigned.groupBy("__cell"))
+        .applyInPandas(_score_cell, schema=f"qid {qid_type}, cid {cid_type}, cos double")
         .withColumn("cos", F.round("cos", 6))
     )
-    if not include_self:
-        scored = scored.filter(F.col("qid") != F.col("cid"))
     return _rank_probe_hits(scored, query_id, corpus_id, k)
 
 
@@ -1505,6 +1521,7 @@ def margin_mine_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """Pool-scale :func:`margin_mine`: identical margin criterion and
     output contract, but the two kNN passes run through
@@ -1533,7 +1550,7 @@ def margin_mine_ivf(
     # centroid fit is paid here.
     _, cent_df = _fit_cells(
         union_vecs.withColumn("__uid", F.monotonically_increasing_id()),
-        "__uid", "embedding", n_cells, seed,
+        "__uid", "embedding", n_cells, seed, max_train_rows=max_train_rows,
     )
     fwd = ivf_knn_join(
         left, right, left_id, right_id, left_vec, right_vec,

@@ -3221,6 +3221,85 @@ ORACLE["kmeans"] = (
 
 
 # ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (operators/semantic.py kcenter_select)
+# ---------------------------------------------------------------------------
+
+def q_kcenter_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Diversity coreset over the embeddings table: 6 greedy
+    farthest-point exemplars (Gonzalez), every vector assigned to its
+    nearest exemplar — exact micro-int squared distances throughout,
+    so the k sequential selection rounds unroll into chained SQL CTEs
+    (same discipline as the kmeans oracle) and every assignment and
+    distance hash-matches."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.semantic import kcenter_select
+
+    t = load_tables(spark, sf, ("embeddings",))
+    return kcenter_select(t["embeddings"], "vec_id", "embedding", k=6)
+
+
+QUERIES["kcenter_select"] = q_kcenter_select
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center: round j picks the not-yet-chosen point
+    with max running d2 (vec_id tiebreak) and folds its distance into
+    the running min — mirroring kcenter_select's iteration exactly."""
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, len(p.v) + 1), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i]))), (a, e) -> a + e)"
+    )
+    parts = [
+        """
+    WITH pts AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, v AS c FROM pts ORDER BY vec_id LIMIT 1
+    ),
+    d0 AS (
+      SELECT p.vec_id, p.v, """ + dist + """ AS d2
+      FROM pts p CROSS JOIN c0 c
+    )"""
+    ]
+    for j in range(1, k):
+        excl = " UNION ALL ".join(f"SELECT cid FROM c{i}" for i in range(j))
+        parts.append(f""",
+    c{j} AS (
+      SELECT vec_id AS cid, v AS c FROM (
+        SELECT * FROM d{j - 1} WHERE vec_id NOT IN ({excl})
+        ORDER BY d2 DESC, vec_id ASC LIMIT 1)
+    ),
+    d{j} AS (
+      SELECT p.vec_id, p.v, least(p.d2, {dist}) AS d2
+      FROM d{j - 1} p CROSS JOIN c{j} c
+    )""")
+    centers = " UNION ALL ".join(
+        f"SELECT {j} AS center_order, cid, c FROM c{j}" for j in range(k)
+    )
+    return "".join(parts) + f""",
+    centers AS ({centers}),
+    assign AS (
+      SELECT vec_id, cid, center_order, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, center_order ASC) AS rn
+      FROM (
+        SELECT p.vec_id, ct.cid, ct.center_order, {dist.replace("c.c[i]", "ct.c[i]")} AS d2
+        FROM pts p CROSS JOIN centers ct
+      )
+    )
+    SELECT vec_id, cid AS center_id, CAST(center_order AS INT) AS center_order, d2
+    FROM assign WHERE rn = 1
+"""
+
+
+ORACLE["kcenter_select"] = _kcenter_oracle(6)
+
+
+# ---------------------------------------------------------------------------
 # In-engine bigram LM scoring (operators/lm.py)
 # ---------------------------------------------------------------------------
 

@@ -57,6 +57,11 @@ QUERIES = (
     # round-10: DSIR profiles are bounded-width counted shuffles; scoring
     # is explode + broadcast join + per-doc sum — linear in the pool
     "dsir_weights",
+    # round-11 (VERDICT r10 #6): unlike DSIR's fixed-n_buckets tables,
+    # cross-LM's c2/c1 grow with the TARGET vocabulary and join-shuffle
+    # against the pool's bigrams — replica token mutation grows both
+    # sides linearly, the worst case for the c2 join
+    "cross_lm_scores",
 )
 
 
@@ -108,6 +113,17 @@ def main() -> None:
                     best = min(best, time.time() - t0)
                 results[str(factor)][q] = round(best, 2)
                 print(f"x{factor:<3} ({rows[factor]:>7} docs) {q:<22} {best:6.2f}s", flush=True)
+                # several suite queries localCheckpoint intermediates;
+                # the ContextCleaner frees those blocks only after GC
+                # notices the orphaned refs — nudge both runtimes so a
+                # later timing never pays an earlier run's storage
+                # eviction (same caveat as tools/stress_curation.py;
+                # measured here as a monotonic ~1.5x drift across
+                # back-to-back cross_lm_scores runs regardless of size)
+                import gc
+
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
         print(json.dumps({"base": BASE, "docs": rows, "timings": results}))
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -13,7 +13,7 @@ At the largest factor the LEFT side exceeds 100k rows, where
 runs the IVF path at the same size: the "executing beyond the cap"
 evidence for SCALE.md (VERDICT r10 #5).
 
-Usage: python tools/stress_margin.py [factors...]   (default: 4 16 48)
+Usage: python tools/stress_margin.py [factors...]   (default: 16 64 224)
 """
 
 from __future__ import annotations
@@ -65,7 +65,7 @@ def build(spark, factor: int, out_dir: str) -> int:
 
 
 def main() -> None:
-    factors = [int(a) for a in sys.argv[1:]] or [4, 16, 48]
+    factors = [int(a) for a in sys.argv[1:]] or [16, 64, 224]
     spark = get_spark("stress-margin", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10).mapInPandas(lambda it: it, "id long").count()  # warm python pool
@@ -95,12 +95,22 @@ def main() -> None:
                 margin_mine_ivf(
                     left, right, "vec_id", "vec_id",
                     knn_k=4, n_cells=n_cells, n_probe=4,
+                    # FAISS heuristic: ~200 training rows per cell keeps
+                    # the driver-side quantizer fit flat as n_cells grows
+                    max_train_rows=200 * n_cells,
                 ).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             results[str(factor)] = {
                 "rows_per_side": n_left, "total": n, "n_cells": n_cells,
                 "beyond_cap": capped, "ivf_sec": round(best, 2),
             }
+            # _margin_select eagerly checkpoints the kNN frames; free
+            # the orphaned blocks before the next factor's timing
+            # (tools/stress_curation.py caveat)
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             print(
                 f"x{factor:<3} ({n_left:>7}/side, n_cells={n_cells:>3}, "
                 f"beyond_cap={capped}) margin_mine_ivf {best:6.2f}s",
