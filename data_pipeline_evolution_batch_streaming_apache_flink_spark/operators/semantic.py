@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import vectors as V
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import sample_hash
 
-__all__ = ["assign_clusters", "kmeans_quantized", "semantic_dedup"]
+__all__ = ["assign_clusters", "kcenter_select", "kmeans_quantized", "semantic_dedup"]
 
 
 def assign_clusters(
@@ -286,8 +286,11 @@ def kcenter_select(
     thousands of centers use kmeans_quantized instead.
 
     Returns ``(id_col, center_id, center_order int, d2 bigint)`` —
-    ``d2`` the exact squared micro-distance to the assigned center;
-    chosen exemplars appear with ``d2 = 0`` and themselves as center.
+    ``d2`` the exact squared micro-distance to the assigned center.
+    Chosen exemplars appear with ``d2 = 0``; each is its own center
+    UNLESS it duplicates an earlier exemplar's vector (possible only
+    when the corpus has fewer distinct vectors than k), in which case
+    the earlier-order tiebreak assigns it to that earlier center.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

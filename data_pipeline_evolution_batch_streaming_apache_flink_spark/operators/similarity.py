@@ -108,16 +108,7 @@ def cosine_topk(
             cos = _fold_matmul(Qm, C) / (nQ[:, None] * _fold_norms(C)[None, :])
             if not include_self:
                 cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
-            frames = []
-            for qi in range(len(ids_q)):
-                row = cos[qi]
-                kth = np.partition(row, -k)[-k] if len(row) > k else -np.inf
-                keep = np.nonzero(row >= kth - 2e-6)[0]
-                keep = keep[np.isfinite(row[keep])]
-                if len(keep):
-                    frames.append(pd.DataFrame(
-                        {"qid": ids_q[qi], "cid": ids_c[keep], "cos": row[keep]}
-                    ))
+            frames = _local_topk_frames(ids_q, ids_c, cos, k)
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -129,6 +120,47 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(query_id + "_q"), F.col("cid").alias(corpus_id + "_c"), "cos", "rank")
     )
+
+
+def _local_topk_frames(ids_q, ids_c, cos, k: int) -> list:
+    """Per-query LOCAL top-k candidate rows from a scored block —
+    shared by :func:`cosine_topk` (per corpus partition) and
+    :func:`ivf_knn_join` (per quantizer cell). The 2e-6 slack below
+    the raw kth score keeps rounded ties alive for the exact global
+    6dp ranking; -inf self-masks drop via isfinite. This block is
+    load-bearing for the suite's hash checks — one copy only."""
+    import numpy as np
+    import pandas as pd
+
+    frames = []
+    for qi in range(len(ids_q)):
+        row = cos[qi]
+        kth = np.partition(row, -k)[-k] if len(row) > k else -np.inf
+        keep = np.nonzero(row >= kth - 2e-6)[0]
+        keep = keep[np.isfinite(row[keep])]
+        if len(keep):
+            frames.append(pd.DataFrame(
+                {"qid": ids_q[qi], "cid": ids_c[keep], "cos": row[keep]}
+            ))
+    return frames
+
+
+def _cell_assign_mapper(cent_bc):
+    """mapInPandas function assigning each ``(cid, __cv)`` row its
+    nearest cell by cosine against the broadcast centroid matrix —
+    shared by :func:`_fit_cells` and :func:`ivf_knn_join`."""
+
+    def _assign(batches):
+        import numpy as np
+
+        for p in batches:
+            if not len(p):
+                continue
+            V = np.stack(p["__cv"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            yield p.assign(__cell=_assign_cells(V, cent_bc.value).astype(np.int32))
+
+    return _assign
 
 
 def _assign_cells(X, cent, chunk: int = 65536):
@@ -284,19 +316,11 @@ def _fit_cells(
     bc = spark.sparkContext.broadcast(cent)
     cid_type = corpus.schema[corpus_id].dataType.simpleString()
     vec_type = corpus.schema[vec_col].dataType.simpleString()
-
-    def _assign(batches):
-        import numpy as np
-        for p in batches:
-            if not len(p):
-                continue
-            V = np.stack(p["__cv"].to_numpy()).astype(np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            yield p.assign(__cell=_assign_cells(V, bc.value).astype(np.int32))
-
     assigned = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(vec_col).alias("__cv")
-    ).mapInPandas(_assign, schema=f"cid {cid_type}, __cv {vec_type}, __cell int")
+    ).mapInPandas(
+        _cell_assign_mapper(bc), schema=f"cid {cid_type}, __cv {vec_type}, __cell int"
+    )
     # Literal centroid table (n_cells x dim doubles — tiny, broadcast).
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
@@ -1353,24 +1377,22 @@ def _centroid_matrix(cent_df: DataFrame):
 
 
 def _probe_cells_distributed(
-    df: DataFrame, id_col: str, vec_col: str, cent, n_probe: int
+    df: DataFrame, id_col: str, vec_col: str, cent_bc, n_probe: int
 ) -> DataFrame:
     """``n_probe`` nearest cells per row, computed EXECUTOR-SIDE (one
-    Arrow-batched argsort pass against the broadcast centroid matrix)
-    and exploded to ``(qid, __qv, __cell)`` rows — no driver collect, so
-    the "query" side may be a full corpus. Ties break to the lowest
-    cell id, matching :func:`_probe_cells`."""
+    Arrow-batched argsort pass against the already-broadcast centroid
+    matrix ``cent_bc``) and exploded to ``(qid, __qv, __cell)`` rows —
+    no driver collect, so the "query" side may be a full corpus. Ties
+    break to the lowest cell id, matching :func:`_probe_cells`."""
     import numpy as np
 
-    spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(cent)
     id_type = df.schema[id_col].dataType.simpleString()
     vec_type = df.schema[vec_col].dataType.simpleString()
 
     def _probe(batches):
         import pandas as pd
 
-        cu = bc.value
+        cu = cent_bc.value
         take = min(n_probe, len(cu))
         for p in batches:
             if not len(p):
@@ -1418,9 +1440,10 @@ def ivf_knn_join(
     assigns each corpus row its nearest cell and each query row its
     ``n_probe`` nearest cells (both Arrow-batched executor passes); the
     two sides then COGROUP on ``__cell`` and each cell scores as one
-    numpy block matmul — every vector crosses the shuffle exactly once
-    (a pair-level join would ship both vectors per candidate pair:
-    measured 6x slower at 48k/side). Per (query, cell) only the local
+    numpy block matmul — each corpus vector crosses the shuffle exactly
+    once and each query vector ``n_probe`` times (a pair-level join
+    would ship both vectors per CANDIDATE PAIR: measured 6x slower at
+    48k/side). Per (query, cell) only the local
     top-k rows (with the same 2e-6 rounding slack as
     :func:`cosine_topk`) leave Python; the exact global ranking runs
     JVM-side on those few rows. The fold order inside the block matmul
@@ -1458,27 +1481,21 @@ def ivf_knn_join(
     bc = spark.sparkContext.broadcast(cent)
     cid_type = corpus.schema[corpus_id].dataType.simpleString()
     cvec_type = corpus.schema[corpus_vec].dataType.simpleString()
-
-    def _assign(batches):
-        import numpy as np
-
-        for p in batches:
-            if not len(p):
-                continue
-            V = np.stack(p["__cv"].to_numpy()).astype(np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-            yield p.assign(__cell=_assign_cells(V, bc.value).astype(np.int32))
-
     assigned = fan_out(
         corpus.select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv"))
-    ).mapInPandas(_assign, schema=f"cid {cid_type}, __cv {cvec_type}, __cell int")
-    qcells = _probe_cells_distributed(fan_out(queries), query_id, query_vec, cent, n_probe)
+    ).mapInPandas(
+        _cell_assign_mapper(bc), schema=f"cid {cid_type}, __cv {cvec_type}, __cell int"
+    )
+    qcells = _probe_cells_distributed(fan_out(queries), query_id, query_vec, bc, n_probe)
     qid_type = queries.schema[query_id].dataType.simpleString()
+
+    def _empty(lq: pd.DataFrame, rc: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"qid": lq["qid"].iloc[:0], "cid": rc["cid"].iloc[:0],
+                             "cos": np.array([], dtype=np.float64)})
 
     def _score_cell(lq: pd.DataFrame, rc: pd.DataFrame) -> pd.DataFrame:
         if not len(lq) or not len(rc):
-            return pd.DataFrame({"qid": lq["qid"].iloc[:0], "cid": rc["cid"].iloc[:0],
-                                 "cos": np.array([], dtype=np.float64)})
+            return _empty(lq, rc)
         Q = np.stack(lq["__qv"].to_numpy()).astype(np.float64)
         C = np.stack(rc["__cv"].to_numpy()).astype(np.float64)
         ids_q = lq["qid"].to_numpy()
@@ -1486,20 +1503,8 @@ def ivf_knn_join(
         cos = _fold_matmul(Q, C) / (_fold_norms(Q)[:, None] * _fold_norms(C)[None, :])
         if not include_self:
             cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
-        frames = []
-        for qi in range(len(ids_q)):
-            row = cos[qi]
-            kth = np.partition(row, -k)[-k] if len(row) > k else -np.inf
-            keep = np.nonzero(row >= kth - 2e-6)[0]
-            keep = keep[np.isfinite(row[keep])]
-            if len(keep):
-                frames.append(pd.DataFrame(
-                    {"qid": ids_q[qi], "cid": ids_c[keep], "cos": row[keep]}
-                ))
-        if not frames:
-            return pd.DataFrame({"qid": lq["qid"].iloc[:0], "cid": rc["cid"].iloc[:0],
-                                 "cos": np.array([], dtype=np.float64)})
-        return pd.concat(frames, ignore_index=True)
+        frames = _local_topk_frames(ids_q, ids_c, cos, k)
+        return pd.concat(frames, ignore_index=True) if frames else _empty(lq, rc)
 
     scored = (
         qcells.groupBy("__cell")

@@ -475,7 +475,12 @@ def series_vectors(
             f"{bt.simpleString()}: truncation would silently mis-bucket "
             "rows — floor/scale to an integer bucket id first"
         )
-    b = bc.cast("int")
+    # bucket stays in the WIDE type (bigint) through the range guard —
+    # an early cast('int') would let a >= 2^31 bucket silently WRAP into
+    # range on an ANSI-off cluster before the guard looks (review r11);
+    # is_exact_integral caps decimals at p <= 18, so cast('bigint') is
+    # itself loss-free. The int narrowing happens after the guard.
+    b = bc.cast("bigint")
     if value_col is None:
         v = F.lit(1).cast("bigint")
     else:
@@ -511,7 +516,8 @@ def series_vectors(
     # scan), so the fill is O(n_buckets x occupied) interpreted work —
     # fine for the bounded n_buckets this operator contracts; truly
     # huge bucket domains want a spine join instead.
-    pairs = guarded.groupBy("__id").agg(
+    # narrow to int ONLY after the guard proved the value in range
+    pairs = guarded.withColumn("__b", F.col("__b").cast("int")).groupBy("__id").agg(
         F.expr("map_from_entries(array_sort(collect_list(struct(__b, __v))))").alias("__m")
     )
     dense = F.expr(
@@ -670,13 +676,20 @@ def ts_lagged_topk(
     qside = mat.select(F.col(id_col).alias("qid"), F.col("__w").alias("__qw"))
     cside = mat.select(F.col(id_col).alias("cid"), F.col("__w").alias("__cw"))
     # all-lag exact re-score: per pair, 2·max_lag+1 left-fold double
-    # dots over the two bigint vectors; norms are rotation-invariant
+    # dots over the two bigint vectors. The QUERY norm folds its squares
+    # in ROTATED order — mathematically the same sum (a permutation),
+    # but bit-for-bit what the candidate pass computed (cosine_topk
+    # folds the rotated vector it was handed), so re-scored values
+    # cannot drift a 6dp rounding step from the candidate cut at
+    # 1-ulp boundaries (review r11; the oracle mirrors this fold).
     dots = F.expr(
         f"transform(sequence({-max_lag}, {max_lag}), l -> round("
         f"aggregate(sequence(0, {n - 1}), CAST(0.0 AS DOUBLE), (a, i) -> "
         f"a + CAST(element_at(__qw, pmod(i + l, {n}) + 1) AS DOUBLE)"
         f" * CAST(element_at(__cw, i + 1) AS DOUBLE))"
-        f" / (sqrt(aggregate(__qw, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        f" / (sqrt(aggregate(sequence(0, {n - 1}), CAST(0.0 AS DOUBLE), (a, i) -> "
+        f"a + CAST(element_at(__qw, pmod(i + l, {n}) + 1) AS DOUBLE)"
+        f" * CAST(element_at(__qw, pmod(i + l, {n}) + 1) AS DOUBLE)))"
         f" * sqrt(aggregate(__cw, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6))"
     )
     # materialize the per-pair lag-score arrays BEFORE extracting

@@ -65,14 +65,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
 
 def is_exact_integral(dt) -> bool:
-    """True for types whose ``cast('long')`` cannot truncate a value:
-    byte/short/int/long, plus DecimalType with scale 0 (an exact
-    integral representation — ADVICE r10: rejecting decimal(p, 0)
-    token counts was a false positive). Fractional decimals and floats
-    stay rejected by callers: their per-row truncation before an exact
-    prefix/grouped sum silently changes the result."""
+    """True for types whose ``cast('long')`` can neither truncate nor
+    overflow: byte/short/int/long, plus DecimalType with scale 0 AND
+    precision <= 18 (an exact int64-representable integral — ADVICE
+    r10: rejecting decimal(p, 0) token counts was a false positive).
+    decimal(p > 18, 0) stays rejected (review r11): its values can
+    exceed int64, where cast('long') crashes under ANSI or yields a
+    silent NULL without it — the same silent-wrongness class the guard
+    exists to prevent. Fractional decimals and floats stay rejected:
+    their per-row truncation before an exact prefix/grouped sum
+    silently changes the result."""
     from pyspark.sql import types as T
 
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return True
-    return isinstance(dt, T.DecimalType) and dt.scale == 0
+    return isinstance(dt, T.DecimalType) and dt.scale == 0 and dt.precision <= 18

@@ -8333,10 +8333,12 @@ ORACLE["ts_lagged_topk"] = """
       WHERE len(list_filter(vec, x -> x * 31 <> list_sum(vec))) > 0
     ),
     lagged AS (
+      -- query norm folded in ROTATED order, matching the engine's
+      -- candidate pass and re-score exactly (review r11)
       SELECT a.user_id AS id_a, b.user_id AS id_b,
         list_transform(range(-2, 3), lag -> round(
           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> a.e[(((i - 1 + lag) % 31 + 31) % 31) + 1] * b.e[i])), (x, y) -> x + y)
-          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> a.e[i] * a.e[i])), (x, y) -> x + y))
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> a.e[(((i - 1 + lag) % 31 + 31) % 31) + 1] * a.e[(((i - 1 + lag) % 31 + 31) % 31) + 1])), (x, y) -> x + y))
            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 32), i -> b.e[i] * b.e[i])), (x, y) -> x + y))),
           6)) AS coss
       FROM cent a JOIN cent b ON a.user_id < 10 AND a.user_id <> b.user_id

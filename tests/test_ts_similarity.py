@@ -227,3 +227,32 @@ def test_ts_lagged_guards(spark):
         ts_lagged_topk(df, "sid", "b", 4, max_lag=-1)
     with pytest.raises(ValueError, match="wider than the bucket domain"):
         ts_lagged_topk(df, "sid", "b", 4, max_lag=2)
+
+
+def test_series_vectors_wide_bucket_raises_not_wraps(spark):
+    """Review r11: the bucket used to be cast('int') BEFORE the range
+    guard, so a >= 2^31 value could silently WRAP into range on an
+    ANSI-off cluster. The range guard now sees the wide (bigint) value;
+    the int narrowing runs post-guard on in-range rows only. Either the
+    guard's message (non-ANSI evaluation order) or ANSI's CAST_OVERFLOW
+    may surface first — both are LOUD; the bug was the silent wrap."""
+    df = spark.createDataFrame([(1, 2 ** 32, 1)], "sid long, b long, v long")
+    with pytest.raises(Exception, match="bucket out of|CAST_OVERFLOW"):
+        series_vectors(df, "sid", "b", 4, value_col="v").collect()
+
+
+def test_exact_integral_rejects_wide_decimals(spark):
+    """Review r11: decimal(p > 18, 0) can exceed int64, where
+    cast('long') crashes under ANSI or NULLs without it — the guard
+    must reject it at plan time despite scale 0."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import is_exact_integral
+    from pyspark.sql import types as T
+
+    assert is_exact_integral(T.DecimalType(18, 0))
+    assert not is_exact_integral(T.DecimalType(19, 0))
+    assert not is_exact_integral(T.DecimalType(38, 0))
+    wide = spark.createDataFrame([(1, 0)], "sid long, b long").selectExpr(
+        "sid", "cast(b as decimal(38,0)) b"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        series_vectors(wide, "sid", "b", 4)
