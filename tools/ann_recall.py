@@ -92,6 +92,28 @@ def main() -> None:
             {"n_probe": n_probe, "refine": refine, "recall": round(rec, 3), "sec": round(dt, 2)}
         )
 
+    # distributed kNN JOIN (round-11): same cell geometry as IVF but no
+    # query-side collect — its recall curve vs n_probe substantiates the
+    # margin_mine_ivf approximation claim; n_probe == n_cells must hit
+    # recall 1.0 by the exhaustive-probe equality contract
+    results["knn_join"] = []
+    for n_probe in (1, 2, 4, 8, 16):
+        t0 = time.time()
+        got = {
+            (r["vec_id_q"], r["vec_id_c"])
+            for r in S.ivf_knn_join(
+                q, emb, "vec_id", "vec_id", k=K,
+                n_cells=16, n_probe=n_probe, include_self=False,
+            ).collect()
+        }
+        dt = time.time() - t0
+        rec = len(exact & got) / len(exact)
+        print(f"{'knn-join n_cells=16 n_probe=' + str(n_probe):<38} {rec:>9.3f} {dt:>7.2f}")
+        results["knn_join"].append(
+            {"n_probe": n_probe, "recall": round(rec, 3), "sec": round(dt, 2)}
+        )
+    assert results["knn_join"][-1]["recall"] == 1.0, "exhaustive knn-join probe must be exact"
+
     # persisted IVF index: partition-pruned probes must match the
     # in-memory IVF bit-for-bit at the same seed, at every n_probe
     import shutil
