@@ -12,7 +12,7 @@ this module is the thin driver-facing façade.
 Ordering contract (driver-checked window rotation)
 --------------------------------------------------
 The driver's correctness harness caps at the FIRST 50 ``queries()``
-entries, while the suite declares 176.  To accumulate driver-side
+entries, while the suite declares 177.  To accumulate driver-side
 evidence for every query over successive rounds, ``queries()`` /
 ``oracle_sql()`` emit a deterministic per-round ordering:
 
@@ -44,7 +44,7 @@ evidence for every query over successive rounds, ``queries()`` /
   The window advances each round by committing the previous artifact
   and bumping ``FIRST_UNRECORDED_ROUND``; a guard test nags if the
   bump is forgotten.
-* slots 51–176: the remaining queries in ``ROTATION`` order (the local
+* slots 51–177: the remaining queries in ``ROTATION`` order (the local
   full-suite mirror ``tools/check_oracle.py`` still runs all of them).
 
 ``tests/test_driver_contract.py`` pins this manifest: the first 50
@@ -257,6 +257,7 @@ ROTATION: list[str] = [
     "margin_mine_ivf",
     "ts_lagged_topk",
     "kcenter_select",
+    "excess_lm_scores",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17
@@ -404,7 +405,7 @@ def rotation_cohort(round_no: int) -> list[str]:
 
 
 def ordered_names(round_no: int | None = None) -> list[str]:
-    """All suite query names (176 as of r11) in this round's driver-facing order."""
+    """All suite query names (177 as of r11) in this round's driver-facing order."""
     rnd = current_round() if round_no is None else round_no
     lane, cohort = _window_plan(rnd)
     window = PINNED + lane + cohort

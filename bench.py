@@ -203,6 +203,7 @@ BENCH_QUERIES = (
     "margin_mine_ivf",
     "ts_lagged_topk",
     "kcenter_select",
+    "excess_lm_scores",
 )
 
 

@@ -178,3 +178,78 @@ def self_scored_bigram_lm(
         "avg_logp_micro",
         F.expr("(logp_micro_sum - pmod(logp_micro_sum, n_bigrams)) div n_bigrams"),
     )
+
+
+def excess_lm_scores(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excess-loss data selection signal (the RHO-1 / "Selective
+    Language Modeling" criterion, Lin et al. 2024, reduced to the
+    in-engine bigram LM): every pool document scored under BOTH a
+    reference LM trained on the high-quality ``target`` slice and a
+    self LM trained on the pool itself, with the per-document excess
+    ``ref_logp − self_logp`` in exact micro-nats. Documents the
+    reference model finds LIKELY but the pool model finds SURPRISING
+    (large positive excess) are the underrepresented-but-high-quality
+    ones selection should favor; boilerplate the pool already models
+    well scores near zero or negative.
+
+    Scale shape: the pool's bigram table is built ONCE and pinned
+    (same lazy-checkpoint rationale as :func:`self_scored_bigram_lm` —
+    it feeds the self counts AND the scoring join), then one join
+    chain picks up both models' counts; the two 1-row vocab frames
+    broadcast. Cost ≈ one cross_lm_scores plus the self counts —
+    strictly cheaper than running the two scorers separately (which
+    would tokenize the pool three times). The c2 growth caveat on
+    :func:`bigram_lm_scores` applies to both models here.
+
+    Returns ``(id_col, n_bigrams, ref_logp_micro, self_logp_micro,
+    excess_micro, avg_excess_micro)`` — one row per pool document with
+    >= 2 tokens; sums are exact bigint, the average is the same
+    floor-division idiom as the other LM scorers."""
+    bg = _bigrams(pool, id_col, text_col).localCheckpoint(eager=False)
+    c2t, c1t, vt = bigram_lm(target, id_col, text_col)
+    c2s = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2s"))
+    c1s = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1s"))
+    vs = pool.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).agg(F.count_distinct("w").alias("Vs"))
+
+    def _lp(c2_col: str, c1_col: str, v_col: str):
+        return F.round(
+            F.log(
+                (F.coalesce(F.col(c2_col), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col(c1_col), F.lit(0)) + F.col(v_col)).cast("double")
+            )
+            * 1e6
+        ).cast("bigint")
+
+    scored = (
+        bg.join(c2t.withColumnRenamed("c2", "c2t"), ["w1", "w2"], "left")
+        .join(c1t.withColumnRenamed("c1", "c1t"), "w1", "left")
+        .join(c2s, ["w1", "w2"], "left")
+        .join(c1s, "w1", "left")
+        .crossJoin(F.broadcast(vt))
+        .crossJoin(F.broadcast(vs))
+        .select(
+            id_col,
+            _lp("c2t", "c1t", "V").alias("__ref"),
+            _lp("c2s", "c1s", "Vs").alias("__self"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__ref").alias("ref_logp_micro"),
+            F.sum("__self").alias("self_logp_micro"),
+        )
+        .withColumn("excess_micro", F.col("ref_logp_micro") - F.col("self_logp_micro"))
+        .withColumn(
+            "avg_excess_micro",
+            F.expr("(excess_micro - pmod(excess_micro, n_bigrams)) div n_bigrams"),
+        )
+    )

@@ -8223,6 +8223,76 @@ ORACLE["cross_lm_scores"] = r"""
 """
 
 
+def q_excess_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """RHO-1-style excess-loss selection signal (operators/lm.py
+    excess_lm_scores): every document scored under the en-slice
+    reference LM AND the pool's self LM; the per-doc micro-nat excess
+    ref − self ranks underrepresented-but-reference-likely documents
+    above pool boilerplate. Both scores are exact bigint sums, so the
+    twin reproduces every row (it merges the cross_lm and lm_scores
+    CTE chains)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import excess_lm_scores
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    return excess_lm_scores(docs, docs.where(F.col("lang") == "en"))
+
+
+QUERIES["excess_lm_scores"] = q_excess_lm_scores
+
+ORACLE["excess_lm_scores"] = r"""
+    WITH tt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    st AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    bgt AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM tt WHERE len(toks) >= 2)
+    ),
+    bgs AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM st WHERE len(toks) >= 2)
+    ),
+    c2t AS (SELECT w1, w2, count(*) AS c2t FROM bgt GROUP BY 1, 2),
+    c1t AS (SELECT w1, count(*) AS c1t FROM bgt GROUP BY 1),
+    vt AS (SELECT count(DISTINCT tk) AS V FROM (SELECT unnest(toks) AS tk FROM tt)),
+    c2s AS (SELECT w1, w2, count(*) AS c2s FROM bgs GROUP BY 1, 2),
+    c1s AS (SELECT w1, count(*) AS c1s FROM bgs GROUP BY 1),
+    vs AS (SELECT count(DISTINCT tk) AS Vs FROM (SELECT unnest(toks) AS tk FROM st)),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(coalesce(c2t.c2t, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1t.c1t, 0) + vt.V AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS ref,
+             CAST(round(ln(CAST(coalesce(c2s.c2s, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1s.c1s, 0) + vs.Vs AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS self
+      FROM bgs b
+      LEFT JOIN c2t USING (w1, w2)
+      LEFT JOIN c1t USING (w1)
+      LEFT JOIN c2s USING (w1, w2)
+      LEFT JOIN c1s USING (w1)
+      CROSS JOIN vt CROSS JOIN vs
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(ref) AS BIGINT) AS ref_logp_micro,
+           CAST(sum(self) AS BIGINT) AS self_logp_micro,
+           CAST(sum(ref) - sum(self) AS BIGINT) AS excess_micro,
+           CAST(((sum(ref) - sum(self))
+                 - (((sum(ref) - sum(self)) % count(*)) + count(*)) % count(*))
+                // count(*) AS BIGINT) AS avg_excess_micro
+    FROM lp GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Time-series similarity search (operators/timeseries.py ts_correlation_topk)
 # ---------------------------------------------------------------------------

@@ -119,3 +119,59 @@ def test_cross_corpus_scoring_separates_target_from_offdist(spark):
     alone = {r["doc_id"]: r["avg_logp_micro"]
              for r in bigram_lm_scores(target, c2, c1, v).collect()}
     assert alone == {i: got[i] for i in (1, 2, 3)}
+
+
+def test_excess_lm_matches_two_scorer_composition(spark):
+    """excess_lm_scores must be bit-identical to composing the two
+    tested scorers (reference LM on the target slice + self-trained LM
+    on the pool) and subtracting — the fused path only shares the
+    tokenization, never changes a value. Sign sanity: documents the
+    reference models well but the pool does not score positive excess;
+    pool-boilerplate the reference never saw scores negative."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import (
+        bigram_lm, bigram_lm_scores, excess_lm_scores, self_scored_bigram_lm,
+    )
+
+    target_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "the cat ran to the dog"),
+    ]
+    # doc 4 is reference-like but unique in the pool; 5/6 are pool
+    # boilerplate (repeated) the reference never saw
+    pool_rows = target_rows + [
+        (4, "the dog ran to the mat"),
+        (5, "uno dos tres cuatro uno dos"),
+        (6, "uno dos tres cuatro uno dos"),
+    ]
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    target = pool.where("doc_id <= 3")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ref_logp_micro"], r["self_logp_micro"],
+                      r["excess_micro"], r["avg_excess_micro"])
+        for r in excess_lm_scores(pool, target).collect()
+    }
+    c2, c1, v = bigram_lm(target)
+    ref = {r["doc_id"]: (r["n_bigrams"], r["logp_micro_sum"])
+           for r in bigram_lm_scores(pool, c2, c1, v).collect()}
+    own = {r["doc_id"]: r["logp_micro_sum"]
+           for r in self_scored_bigram_lm(pool).collect()}
+    assert set(got) == set(ref) == set(own)
+    for d, (n, r_sum, s_sum, ex, avg) in got.items():
+        assert (n, r_sum) == ref[d]
+        assert s_sum == own[d]
+        assert ex == r_sum - s_sum
+        assert avg == (ex - (((ex % n) + n) % n)) // n
+    # selection story: ranking by excess puts the reference-like doc
+    # above the pool boilerplate (absolute sign depends on the vocab
+    # size asymmetry of the two smoothed models at toy scale — the
+    # criterion is relative, as in the paper)
+    assert got[4][4] > max(got[5][4], got[6][4])
+    assert got[5][3] < 0 and got[6][3] < 0  # boilerplate: self >> ref
+    # layout independence
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["ref_logp_micro"], r["self_logp_micro"],
+                      r["excess_micro"], r["avg_excess_micro"])
+        for r in excess_lm_scores(pool.repartition(7), target.repartition(3)).collect()
+    }
+    assert b == got
