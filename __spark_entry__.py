@@ -270,7 +270,7 @@ FIRST_ROTATED_ROUND = 6
 # artifact lands would silently shift slots 34-50 to the next cohort).
 # Bump by 1 at the start of each round, when the previous round's
 # artifact gets committed.
-FIRST_UNRECORDED_ROUND = 11
+FIRST_UNRECORDED_ROUND = 12
 
 # The retry lane exists from round 8 (VERDICT r7 #2); earlier rounds
 # consumed a fixed 17-wide cohort slice, and the replay below must
@@ -296,6 +296,10 @@ UPGRADE_LANE_SINCE_ROUND = 9
 FROZEN_UPGRADE_LANES: dict[int, tuple[str, ...]] = {
     9: ("bpe_tokenize",),
     10: (),
+    # r11's dynamic upgrade set was empty (its lane slot was the
+    # pca_project RED retry, not an upgrade) — computed from the
+    # committed artifacts before bumping FIRST_UNRECORDED_ROUND to 12.
+    11: (),
 }
 
 

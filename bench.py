@@ -225,6 +225,30 @@ def calibration_seconds(spark) -> float:
     return round(min(reps), 3)
 
 
+def _prior_record() -> dict:
+    """The previously committed BENCH_FULL.json, for the contention
+    self-check (VERDICT r11 #3). Prefer the git HEAD copy (the working
+    tree one may already be this run's draft); fall back to the on-disk
+    file; empty dict when neither parses."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        blob = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"], cwd=here,
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            return json.loads(blob.stdout)
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(here, "BENCH_FULL.json")) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = eng.get_spark("dpe-bench", cpus=cpus)
@@ -253,6 +277,33 @@ def main() -> None:
             reps.append(time.time() - t0)
         warm[name] = round(min(reps), 3)
 
+    # Contention self-check (VERDICT r11 #3): the r11 record shipped a
+    # host-contention artifact (lsh_incremental 6.50 s committed vs
+    # 3.54 s re-measured) that the next round would misread as a
+    # regression baseline. Any query whose CAL-NORMALIZED warm time
+    # exceeds its previously committed cal-normalized value by >1.5x
+    # gets one extra isolated rep — after the stress_curation GC nudge,
+    # so the rep never pays an earlier query's storage eviction — and
+    # the record notes which entries were re-run.
+    prior = _prior_record()
+    prior_cal = prior.get("queries_warm_cal", {})
+    reran: list[str] = []
+    for name in BENCH_QUERIES:
+        prev = prior_cal.get(name)
+        if prev is None or prev <= 0:
+            continue
+        if warm[name] / calibration <= 1.5 * prev:
+            continue
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        fn = suite.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm[name] = round(min(warm[name], time.time() - t0), 3)
+        reran.append(name)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query record goes to a committed file; the driver captures
@@ -276,6 +327,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "warm_total_cal": round(sum(warm_cal.values()), 3),
         "calibration_sec": calibration,
+        "contention_reran": sorted(reran),
         "sf": sf_val,
     }
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")

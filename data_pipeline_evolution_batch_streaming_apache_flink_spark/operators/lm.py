@@ -204,7 +204,16 @@ def excess_lm_scores(
     broadcast. Cost ≈ one cross_lm_scores plus the self counts —
     strictly cheaper than running the two scorers separately (which
     would tokenize the pool three times). The c2 growth caveat on
-    :func:`bigram_lm_scores` applies to both models here.
+    :func:`bigram_lm_scores` applies to both models here, and DOUBLY:
+    the SELF model's ``c2s`` scales with the POOL vocabulary (not the
+    curated target's), so it is the first join build side to outgrow
+    executor-memory partitioning. Measured flat-then-linear through
+    16x pool growth with a mutating vocabulary (SCALE.md round-12:
+    16x docs → 2.0x wall; map-side partial aggregation keeps both c2
+    exchanges minor). If the pool vocabulary explodes beyond that,
+    the fallback on ``bigram_lm_scores`` applies verbatim — switch to
+    ``operators.dsir.dsir_weights``' hashed gram profiles, whose model
+    state is bounded at ``n_buckets`` regardless of vocabulary.
 
     Returns ``(id_col, n_bigrams, ref_logp_micro, self_logp_micro,
     excess_micro, avg_excess_micro)`` — one row per pool document with

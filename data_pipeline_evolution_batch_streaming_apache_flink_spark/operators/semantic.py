@@ -253,6 +253,22 @@ def kmeans_quantized(
     return out, centroids
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind an EAGER ``localCheckpoint``
+    DataFrame that will never be read again. ``DataFrame.unpersist()``
+    cannot do this — a local checkpoint persists its RDD outside the
+    cache manager — so this reaches the ``LogicalRDD`` plan node's RDD
+    and unpersists it directly. Best-effort: on Spark Connect (no
+    ``_jdf``) or an unexpected plan shape it silently leaves the blocks
+    to the ContextCleaner, the pre-fix behavior."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def kcenter_select(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -317,8 +333,20 @@ def kcenter_select(
         raise ValueError("kcenter_select on an empty DataFrame")
     centers = [(seed["i"], seed["v"])]
     cur = pts.withColumn("__d2", _d2(seed["v"]))
+    prev_ckpt: DataFrame | None = None
     for _ in range(1, k):
         cur = cur.localCheckpoint(eager=True)  # argmax + update both read it
+        # Free the PRIOR round's checkpoint blocks now that this round's
+        # eager checkpoint (built from them) has materialized — without
+        # this, up to k copies of (id, vec, d2) sit in executor storage
+        # until driver GC lets the ContextCleaner reclaim them (ADVICE
+        # r11). df.unpersist() is a no-op for localCheckpoint blocks
+        # (the RDD is persisted outside the cache manager), so reach the
+        # LogicalRDD's checkpointed RDD directly; never applied to
+        # ``pts``, which the final assignment join still reads.
+        if prev_ckpt is not None:
+            _unpersist_local_checkpoint(prev_ckpt)
+        prev_ckpt = cur
         chosen = [c for c, _ in centers]
         far = (
             cur.where(~F.col(id_col).isin(chosen))
@@ -333,6 +361,8 @@ def kcenter_select(
             break  # k exceeds the corpus: return the full point set as centers
         centers.append((far["i"], far["v"]))
         cur = cur.withColumn("__d2", F.least(F.col("__d2"), _d2(far["v"])))
+    if prev_ckpt is not None:
+        _unpersist_local_checkpoint(prev_ckpt)  # the result reads only pts
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     cent_df = spark.createDataFrame(

@@ -1322,12 +1322,17 @@ def _margin_select(fwd: DataFrame, bwd: DataFrame, left_id: str, right_id: str) 
     pick each left item's best-margin partner, and flag mutual bests.
 
     Each input frame feeds BOTH its normalizer aggregate and the
-    candidate union, so it is eagerly checkpointed here — without the
-    pin the upstream kNN pass (a full corpus scan per evaluation)
-    would run twice per side. Bounded: |corpus| x knn_k rows each,
-    distributed across executor storage."""
-    fwd = fwd.localCheckpoint(eager=True)
-    bwd = bwd.localCheckpoint(eager=True)
+    candidate union, so it is checkpointed here — without the pin the
+    upstream kNN pass (a full corpus scan per evaluation) would run
+    twice per side. LAZY (``eager=False``, as in ``excess_lm_scores``):
+    the checkpoint still materializes exactly once, at the first
+    action, and is shared by the normalizer aggregate and the candidate
+    union — but building the plan (explain, conditional pipelines) no
+    longer executes both complete kNN passes at construction time
+    (ADVICE r11). Bounded: |corpus| x knn_k rows each, distributed
+    across executor storage."""
+    fwd = fwd.localCheckpoint(eager=False)
+    bwd = bwd.localCheckpoint(eager=False)
     a_norm = fwd.groupBy("l").agg(
         F.sum("cos_micro").alias("a_sum"), F.count(F.lit(1)).alias("a_k")
     )
@@ -1382,8 +1387,12 @@ def _probe_cells_distributed(
     """``n_probe`` nearest cells per row, computed EXECUTOR-SIDE (one
     Arrow-batched argsort pass against the already-broadcast centroid
     matrix ``cent_bc``) and exploded to ``(qid, __qv, __cell)`` rows —
-    no driver collect, so the "query" side may be a full corpus. Ties
-    break to the lowest cell id, matching :func:`_probe_cells`."""
+    no driver collect, so the "query" side may be a full corpus. The
+    TIEBREAK RULE matches :func:`_probe_cells` (equal scores go to the
+    lowest cell id), but the scores themselves come from a BLAS matmul
+    while ``_probe_cells`` folds the cosine in SQL — last-ulp score
+    differences can yield tie-adjacent probe sets that differ between
+    the two paths (same caveat as documented on ``_fit_cells``)."""
     import numpy as np
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -1415,6 +1424,28 @@ def _probe_cells_distributed(
     ).mapInPandas(_probe, schema=f"qid {id_type}, __qv {vec_type}, __cell int")
 
 
+#: Auto cell_parts rule (the band_parts discipline of
+#: ``dedup._auto_band_parts`` carried over, VERDICT r11 #2): a quantizer
+#: cell is ONE cogroup task — AQE cannot split a pandas cogroup — so a
+#: hot cell (one dense embedding cluster) is a straggler at scale. Size
+#: parts so each (cell, part) task scores about this many corpus rows.
+#: 25k corpus rows/part tracks the sqrt-cell sizing norm (1e9-row
+#: corpus, ~31k cells of ~31k rows) and, with the query-side chunking
+#: inside ``_score_cell``, bounds the per-task score block at
+#: ``_IVF_Q_CHUNK x 25k`` doubles (~200 MB).
+_IVF_TARGET_CELL_ROWS = 25_000
+_IVF_MAX_CELL_PARTS = 256
+#: Query rows scored per numpy block inside a cogroup task — a pure
+#: within-task loop (per-pair scores and per-query top-k are chunk-
+#: independent), so the full Q x C cos matrix never materializes.
+_IVF_Q_CHUNK = 1024
+
+
+def _auto_cell_parts(n_rows: int) -> int:
+    """ceil(n_rows / target-rows-per-task), clamped to [1, 256]."""
+    return max(1, min(_IVF_MAX_CELL_PARTS, -(-n_rows // _IVF_TARGET_CELL_ROWS)))
+
+
 def ivf_knn_join(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1429,6 +1460,7 @@ def ivf_knn_join(
     include_self: bool = True,
     cent_df: DataFrame | None = None,
     max_train_rows: int = 100_000,
+    cell_parts: int | None = None,
 ) -> DataFrame:
     """Distributed approximate kNN JOIN between two large embedding
     corpora — the pool-scale sibling of :func:`cosine_topk`, with NO
@@ -1451,8 +1483,34 @@ def ivf_knn_join(
     broadcast path and the SQL twin.
 
     Sizing: ``n_cells`` ~ sqrt(corpus rows) keeps cells executor-sized.
-    A hot cell is one cogroup task (AQE cannot split a group) —
-    n_cells is the skew lever. The quantizer fit is driver-side
+    A hot cell is one cogroup task (AQE cannot split a group) — and a
+    skewed quantizer cell (one dense embedding cluster) would otherwise
+    be the straggler at 100 TB, since raising ``n_cells`` re-fits the
+    whole geometry. ``cell_parts`` is the in-operator lever (VERDICT
+    r11 #2, the ``band_parts`` pattern of ``lsh_write_index``): corpus
+    rows sub-split their cell by a content hash of the id
+    (``pmod(xxhash64(cid), parts)`` — deterministic, layout-
+    independent) and the query side replicates across the parts, so a
+    hot cell becomes ``parts`` independent tasks. EXACTNESS IS
+    UNCHANGED: per-pair scores are block-composition-independent
+    (``_fold_matmul`` folds dims per pair), each corpus row lands in
+    exactly one (cell, part) so no duplicate candidate pairs arise, a
+    part's local top-k threshold is never above the unsplit cell's, so
+    the candidate union only GROWS — and the exact global row_number
+    ranking then returns the identical top-k (digest-pinned by test).
+    ``cell_parts=None`` (default) sizes parts PER CELL from exact cell
+    counts: the corpus assignment is (lazily) localCheckpointed, one
+    ``groupBy(__cell).count()`` pass reads it (n_cells rows to the
+    driver — bounded by contract), and the cogroup reuses the
+    checkpoint instead of recomputing the assignment scan, so the count
+    pass costs one materialization, not two corpus scans. All-cold
+    corpora (every cell under ``_IVF_TARGET_CELL_ROWS``) keep parts=1
+    everywhere and the plan is the unsplit plan. ``cell_parts=1``
+    forces the unsplit path (no count pass); an int > 1 splits EVERY
+    cell uniformly (no count pass — for when the caller knows the
+    skew). Cost of a split: each query row ships ``parts`` times for
+    its hot cells only (per-cell parts), nothing for cold ones.
+    The quantizer fit is driver-side
     O(restarts · iters · min(sample, max_train_rows) · n_cells · dim);
     cap ``max_train_rows`` near 100-300 rows per cell (the FAISS
     training heuristic) when n_cells is large — centroids only steer
@@ -1471,6 +1529,8 @@ def ivf_knn_join(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if cell_parts is not None and cell_parts < 1:
+        raise ValueError(f"cell_parts must be >= 1, got {cell_parts}")
     if cent_df is None:
         _, cent_df = _fit_cells(
             corpus, corpus_id, corpus_vec, n_cells, seed,
@@ -1489,6 +1549,44 @@ def ivf_knn_join(
     qcells = _probe_cells_distributed(fan_out(queries), query_id, query_vec, bc, n_probe)
     qid_type = queries.schema[query_id].dataType.simpleString()
 
+    # hot-cell split sizing (see docstring): per-cell parts from exact
+    # counts when cell_parts is None, uniform when an int > 1
+    pmap: dict[int, int] = {}
+    if cell_parts is None:
+        assigned = assigned.localCheckpoint(eager=False)
+        pmap = {
+            int(r["__cell"]): _auto_cell_parts(int(r["cnt"]))
+            for r in assigned.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()  # bounded: <= n_cells rows by construction
+        }
+    elif cell_parts > 1:
+        pmap = {c: int(cell_parts) for c in range(len(cent))}
+    split = any(p > 1 for p in pmap.values())
+    if split:
+        parts_df = spark.createDataFrame(
+            [(c, pmap.get(c, 1)) for c in range(len(cent))],
+            "__cell int, __parts int",
+        )
+        assigned = (
+            assigned.join(F.broadcast(parts_df), "__cell")
+            .withColumn(
+                "__part",
+                F.pmod(F.xxhash64(F.col("cid")), F.col("__parts")).cast("int"),
+            )
+            .drop("__parts")
+        )
+        qcells = (
+            qcells.join(F.broadcast(parts_df), "__cell")
+            .withColumn(
+                "__part",
+                # sequence of ints explodes to int directly (a generator
+                # cannot nest inside a cast)
+                F.explode(F.sequence(F.lit(0), F.col("__parts") - F.lit(1))),
+            )
+            .drop("__parts")
+        )
+
     def _empty(lq: pd.DataFrame, rc: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"qid": lq["qid"].iloc[:0], "cid": rc["cid"].iloc[:0],
                              "cos": np.array([], dtype=np.float64)})
@@ -1500,15 +1598,27 @@ def ivf_knn_join(
         C = np.stack(rc["__cv"].to_numpy()).astype(np.float64)
         ids_q = lq["qid"].to_numpy()
         ids_c = rc["cid"].to_numpy()
-        cos = _fold_matmul(Q, C) / (_fold_norms(Q)[:, None] * _fold_norms(C)[None, :])
-        if not include_self:
-            cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
-        frames = _local_topk_frames(ids_q, ids_c, cos, k)
+        nc = _fold_norms(C)[None, :]
+        frames = []
+        # chunk the query axis so the score block is bounded at
+        # _IVF_Q_CHUNK x |cell part| doubles regardless of how many
+        # queries probe this cell — per-pair scores and per-query
+        # top-k are chunk-independent, so this is invisible in the
+        # output (the Q x C matrix of the unchunked path never needs
+        # to exist at once)
+        for qs in range(0, len(Q), _IVF_Q_CHUNK):
+            Qb = Q[qs : qs + _IVF_Q_CHUNK]
+            ib = ids_q[qs : qs + _IVF_Q_CHUNK]
+            cos = _fold_matmul(Qb, C) / (_fold_norms(Qb)[:, None] * nc)
+            if not include_self:
+                cos = np.where(ib[:, None] == ids_c[None, :], -np.inf, cos)
+            frames.extend(_local_topk_frames(ib, ids_c, cos, k))
         return pd.concat(frames, ignore_index=True) if frames else _empty(lq, rc)
 
+    keys = ["__cell", "__part"] if split else ["__cell"]
     scored = (
-        qcells.groupBy("__cell")
-        .cogroup(assigned.groupBy("__cell"))
+        qcells.groupBy(*keys)
+        .cogroup(assigned.groupBy(*keys))
         .applyInPandas(_score_cell, schema=f"qid {qid_type}, cid {cid_type}, cos double")
         .withColumn("cos", F.round("cos", 6))
     )
@@ -1527,6 +1637,7 @@ def margin_mine_ivf(
     n_probe: int = 4,
     seed: int = 42,
     max_train_rows: int = 100_000,
+    cell_parts: int | None = None,
 ) -> DataFrame:
     """Pool-scale :func:`margin_mine`: identical margin criterion and
     output contract, but the two kNN passes run through
@@ -1560,7 +1671,7 @@ def margin_mine_ivf(
     fwd = ivf_knn_join(
         left, right, left_id, right_id, left_vec, right_vec,
         k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
-        include_self=True, cent_df=cent_df,
+        include_self=True, cent_df=cent_df, cell_parts=cell_parts,
     ).select(
         F.col(left_id + "_q").alias("l"),
         F.col(right_id + "_c").alias("r"),
@@ -1569,7 +1680,7 @@ def margin_mine_ivf(
     bwd = ivf_knn_join(
         right, left, right_id, left_id, right_vec, left_vec,
         k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
-        include_self=True, cent_df=cent_df,
+        include_self=True, cent_df=cent_df, cell_parts=cell_parts,
     ).select(
         F.col(left_id + "_c").alias("l"),
         F.col(right_id + "_q").alias("r"),

@@ -12,7 +12,15 @@ from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.semant
 
 
 def _quant(vec):
-    return [round(x * 1_000_000) for x in vec]
+    # sign-aware half-away-from-zero, mirroring Spark's HALF_UP round()
+    # — Python round() is banker's rounding and would diverge from the
+    # engine on a component landing exactly on a .5 micro boundary
+    # (ADVICE r11)
+    import math
+
+    return [
+        int(math.copysign(math.floor(abs(x) * 1_000_000 + 0.5), x)) for x in vec
+    ]
 
 
 def _d2(a, b):
@@ -121,3 +129,42 @@ def test_kcenter_guards(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         kcenter_select(empty, "vec_id", "embedding", k=2)
+
+
+def test_kcenter_frees_per_round_checkpoints(spark):
+    """ADVICE r11: each greedy round unpersists the PRIOR round's local
+    checkpoint once the new one materializes — storage must not grow by
+    ~k frames per call. Allow the two live frames (pts + the current
+    round's) plus anything persisted before the call."""
+    rng = random.Random(11)
+    points = {i: [rng.uniform(-1, 1) for _ in range(4)] for i in range(50)}
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = _collect(kcenter_select(_df(spark, points), "vec_id", "embedding", k=12))
+    assert len(out) == 50
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (
+        f"kcenter_select leaked {after - before} persistent RDDs for k=12"
+    )
+
+
+def test_quant_reference_matches_spark_half_up(spark):
+    """ADVICE r11: the test reference must quantize half-away-from-zero
+    like Spark round(), not Python banker's rounding. Probe with values
+    whose micro product is EXACTLY n + 0.5 in doubles."""
+    probes = []
+    n = 1
+    while len(probes) < 4 and n < 10_000:
+        x = (n + 0.5) / 1_000_000.0
+        if x * 1_000_000.0 == n + 0.5:  # round-trips exactly -> a true tie
+            probes.extend([x, -x])
+        n += 2  # odd n: banker's rounding would go DOWN, HALF_UP goes UP
+    assert probes, "no exactly-representable .5 micro boundary found"
+    got = _quant(probes)
+    want = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in probes], "x double")
+        .selectExpr("CAST(round(x * 1000000.0) AS BIGINT) AS q")
+        .collect()
+    ]
+    assert got == want

@@ -62,6 +62,12 @@ QUERIES = (
     # against the pool's bigrams — replica token mutation grows both
     # sides linearly, the worst case for the c2 join
     "cross_lm_scores",
+    # round-12 (VERDICT r11 #5): excess-loss inherits cross_lm's c2-join
+    # caveat TWICE — the target-trained c2t AND the pool-trained c2s are
+    # both shuffle-joined against the pool's bigrams (only the 1-row
+    # vocab frames broadcast), and the self-model side's bigram table
+    # grows with the pool itself under replica token mutation
+    "excess_lm_scores",
 )
 
 
