@@ -12,7 +12,7 @@ this module is the thin driver-facing façade.
 Ordering contract (driver-checked window rotation)
 --------------------------------------------------
 The driver's correctness harness caps at the FIRST 50 ``queries()``
-entries, while the suite declares 177.  To accumulate driver-side
+entries, while the suite declares 178.  To accumulate driver-side
 evidence for every query over successive rounds, ``queries()`` /
 ``oracle_sql()`` emit a deterministic per-round ordering:
 
@@ -44,7 +44,7 @@ evidence for every query over successive rounds, ``queries()`` /
   The window advances each round by committing the previous artifact
   and bumping ``FIRST_UNRECORDED_ROUND``; a guard test nags if the
   bump is forgotten.
-* slots 51–177: the remaining queries in ``ROTATION`` order (the local
+* slots 51–178: the remaining queries in ``ROTATION`` order (the local
   full-suite mirror ``tools/check_oracle.py`` still runs all of them).
 
 ``tests/test_driver_contract.py`` pins this manifest: the first 50
@@ -258,6 +258,8 @@ ROTATION: list[str] = [
     "ts_lagged_topk",
     "kcenter_select",
     "excess_lm_scores",
+    # --- added r12 (appended, same wheel-stability argument) ---
+    "domain_mixture",
 ]
 
 COHORT_SIZE = 50 - len(PINNED)  # 17
@@ -409,7 +411,7 @@ def rotation_cohort(round_no: int) -> list[str]:
 
 
 def ordered_names(round_no: int | None = None) -> list[str]:
-    """All suite query names (177 as of r11) in this round's driver-facing order."""
+    """All suite query names (178 as of r12) in this round's driver-facing order."""
     rnd = current_round() if round_no is None else round_no
     lane, cohort = _window_plan(rnd)
     window = PINNED + lane + cohort

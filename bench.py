@@ -204,6 +204,7 @@ BENCH_QUERIES = (
     "ts_lagged_topk",
     "kcenter_select",
     "excess_lm_scores",
+    "domain_mixture",
 )
 
 

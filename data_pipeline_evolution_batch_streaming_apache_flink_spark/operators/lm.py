@@ -262,3 +262,92 @@ def excess_lm_scores(
             F.expr("(excess_micro - pmod(excess_micro, n_bigrams)) div n_bigrams"),
         )
     )
+
+
+def domain_mixture_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+    smoothing_ppm: int = 0,
+) -> DataFrame:
+    """Domain mixture reweighting from per-domain excess loss — the
+    DoReMi recipe (Xie et al. 2023) reduced to the engine's bigram-LM
+    excess signal and EXACT integer arithmetic: aggregate
+    :func:`excess_lm_scores` per domain, clip negative domains to zero,
+    and normalize the clipped per-bigram excesses into parts-per-million
+    sampling weights. Domains the reference model likes but the pool
+    under-represents get upweighted; boilerplate-heavy domains the pool
+    already models well fall toward the smoothing floor. (DoReMi proper
+    iterates exponentiated-gradient updates against a reference model
+    per round; this is the deterministic single-step variant — the
+    linear normalization of the same clipped excess signal — chosen so
+    every weight is a ratio of exact bigints and the whole operator
+    unrolls into plain SQL. Callers wanting the iterative loop can
+    re-run with the previous round's weights applied as sampling rates
+    upstream.)
+
+    ``smoothing_ppm`` mixes the excess-proportional weights with the
+    uniform distribution (DoReMi's ``s``): final = ((1e6 − s) · w) div
+    1e6 + s div n_domains, all floor divisions — so weight sums can
+    undershoot 1e6 by at most n_domains ppm, never overshoot. When
+    every domain clips to zero (the pool already matches the target
+    everywhere) the weights are uniform.
+
+    Scale shape: one :func:`excess_lm_scores` pass (its cost model and
+    c2-growth caveat apply verbatim), one id-keyed join to recover the
+    domain column, one counted shuffle onto domain keys, and a 1-row
+    totals frame broadcast back — per-domain state is four bigints, so
+    the domain table is executor-trivial at any corpus size. Domains
+    whose documents ALL have < 2 tokens contribute no bigrams and are
+    absent from the output (no score exists to weight them).
+
+    Returns ``(domain_col, n_docs, n_bigrams, excess_micro_sum,
+    avg_excess_micro, weight_ppm)`` — ``avg_excess_micro`` the exact
+    floor of the domain's per-bigram excess in micro-nats."""
+    if not 0 <= smoothing_ppm <= 1_000_000:
+        raise ValueError(
+            f"smoothing_ppm must be in [0, 1000000], got {smoothing_ppm}"
+        )
+    ex = excess_lm_scores(pool, target, id_col, text_col)
+    dom = pool.select(id_col, domain_col)
+    per_dom = (
+        ex.join(dom, id_col)
+        .groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("excess_micro").alias("excess_micro_sum"),
+        )
+        .withColumn(
+            "avg_excess_micro",
+            F.expr(
+                "(excess_micro_sum - pmod(excess_micro_sum, n_bigrams))"
+                " div n_bigrams"
+            ),
+        )
+        .withColumn("__clip", F.greatest("avg_excess_micro", F.lit(0).cast("bigint")))
+    )
+    totals = per_dom.agg(
+        F.sum("__clip").alias("__tc"), F.count(F.lit(1)).alias("__nd")
+    )
+    s = int(smoothing_ppm)
+    return (
+        per_dom.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__raw",
+            F.when(
+                F.col("__tc") > 0,
+                F.expr("(__clip * 1000000) div __tc"),
+            ).otherwise(F.expr("1000000 div __nd")),
+        )
+        .withColumn(
+            "weight_ppm",
+            F.expr(f"(({1_000_000 - s} * __raw) div 1000000) + ({s} div __nd)"),
+        )
+        .select(
+            domain_col, "n_docs", "n_bigrams", "excess_micro_sum",
+            "avg_excess_micro", "weight_ppm",
+        )
+    )

@@ -8425,3 +8425,95 @@ ORACLE["ts_lagged_topk"] = """
       FROM best
     ) WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture reweighting (operators/lm.py domain_mixture_weights)
+# ---------------------------------------------------------------------------
+
+def q_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (operators/lm.py
+    domain_mixture_weights): the per-domain aggregate of the RHO-1
+    excess-loss signal, clipped at zero and normalized to ppm sampling
+    weights over the documents table's ``source`` domains (en slice as
+    the reference target, smoothing 0). Every weight is a ratio of
+    exact bigints, so the twin reproduces each row bit-for-bit."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import domain_mixture_weights
+
+    t = load_tables(spark, sf, ("documents",))
+    docs = t["documents"]
+    return domain_mixture_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+QUERIES["domain_mixture"] = q_domain_mixture
+
+ORACLE["domain_mixture"] = r"""
+    WITH tt AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    st AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    bgt AS (
+      SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM tt WHERE len(toks) >= 2)
+    ),
+    bgs AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS u
+        FROM st WHERE len(toks) >= 2)
+    ),
+    c2t AS (SELECT w1, w2, count(*) AS c2t FROM bgt GROUP BY 1, 2),
+    c1t AS (SELECT w1, count(*) AS c1t FROM bgt GROUP BY 1),
+    vt AS (SELECT count(DISTINCT tk) AS V FROM (SELECT unnest(toks) AS tk FROM tt)),
+    c2s AS (SELECT w1, w2, count(*) AS c2s FROM bgs GROUP BY 1, 2),
+    c1s AS (SELECT w1, count(*) AS c1s FROM bgs GROUP BY 1),
+    vs AS (SELECT count(DISTINCT tk) AS Vs FROM (SELECT unnest(toks) AS tk FROM st)),
+    lp AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(coalesce(c2t.c2t, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1t.c1t, 0) + vt.V AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS ref,
+             CAST(round(ln(CAST(coalesce(c2s.c2s, 0) + 1 AS DOUBLE)
+                           / CAST(coalesce(c1s.c1s, 0) + vs.Vs AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS self
+      FROM bgs b
+      LEFT JOIN c2t USING (w1, w2)
+      LEFT JOIN c1t USING (w1)
+      LEFT JOIN c2s USING (w1, w2)
+      LEFT JOIN c1s USING (w1)
+      CROSS JOIN vt CROSS JOIN vs
+    ),
+    ex AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(ref) - sum(self) AS BIGINT) AS exm
+      FROM lp GROUP BY doc_id
+    ),
+    pd AS (
+      SELECT d.source AS source, count(*) AS n_docs,
+             CAST(sum(ex.n_bigrams) AS BIGINT) AS n_bigrams,
+             CAST(sum(ex.exm) AS BIGINT) AS excess_micro_sum
+      FROM ex JOIN documents d USING (doc_id)
+      GROUP BY 1
+    ),
+    pdc AS (
+      SELECT *,
+             CAST((excess_micro_sum
+                   - (((excess_micro_sum % n_bigrams) + n_bigrams) % n_bigrams))
+                  // n_bigrams AS BIGINT) AS avg_excess_micro,
+             greatest(CAST((excess_micro_sum
+                   - (((excess_micro_sum % n_bigrams) + n_bigrams) % n_bigrams))
+                  // n_bigrams AS BIGINT), 0) AS clip
+      FROM pd
+    ),
+    tot AS (SELECT sum(clip) AS tc, count(*) AS nd FROM pdc)
+    SELECT source, n_docs, n_bigrams, excess_micro_sum, avg_excess_micro,
+           CAST(CASE WHEN tot.tc > 0 THEN (clip * 1000000) // tot.tc
+                     ELSE 1000000 // tot.nd END AS BIGINT) AS weight_ppm
+    FROM pdc CROSS JOIN tot
+"""

@@ -175,3 +175,78 @@ def test_excess_lm_matches_two_scorer_composition(spark):
         for r in excess_lm_scores(pool.repartition(7), target.repartition(3)).collect()
     }
     assert b == got
+
+
+def test_domain_mixture_matches_excess_aggregation(spark):
+    """domain_mixture_weights must equal aggregating the (tested)
+    excess_lm_scores output per domain in exact integer arithmetic:
+    floor per-bigram average, clip at zero, linear ppm normalization.
+    Also pins the selection story: the under-represented-but-
+    reference-like domain outweighs the boilerplate one."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import (
+        domain_mixture_weights, excess_lm_scores,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "web"),
+        (2, "the dog sat on the mat", "web"),
+        (3, "the cat ran to the dog", "web"),
+        # books: reference-identical text (clearly positive excess);
+        # spam: pool boilerplate the reference never saw (negative)
+        (4, "the cat sat on the mat", "books"),
+        (5, "uno dos tres cuatro uno dos", "spam"),
+        (6, "uno dos tres cuatro uno dos", "spam"),
+    ]
+    pool = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = pool.where("doc_id <= 3")
+    got = {
+        r["source"]: (r["n_docs"], r["n_bigrams"], r["excess_micro_sum"],
+                      r["avg_excess_micro"], r["weight_ppm"])
+        for r in domain_mixture_weights(pool, target).collect()
+    }
+    # reference: aggregate the tested per-doc signal in python ints
+    ex = excess_lm_scores(pool, target).collect()
+    dom_of = {i: s for i, _, s in rows}
+    agg: dict[str, list[int]] = {}
+    for r in ex:
+        d = dom_of[r["doc_id"]]
+        a = agg.setdefault(d, [0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_bigrams"]
+        a[2] += r["excess_micro"]
+    want = {}
+    for d, (nd, nb, exm) in agg.items():
+        avg = (exm - (((exm % nb) + nb) % nb)) // nb
+        want[d] = (nd, nb, exm, avg, max(avg, 0))
+    tc = sum(c for *_, c in want.values())
+    for d, (nd, nb, exm, avg, clip) in want.items():
+        w = (clip * 1_000_000) // tc if tc > 0 else 1_000_000 // len(want)
+        want[d] = (nd, nb, exm, avg, w)
+    assert got == want
+    assert got["books"][4] > got["spam"][4]
+    assert sum(w for *_, w in got.values()) <= 1_000_000
+
+
+def test_domain_mixture_smoothing_and_uniform_fallback(spark):
+    """smoothing_ppm=1e6 forces the uniform distribution; a pool whose
+    every domain clips to zero (pool == target: excess is identically
+    0) falls back to uniform at any smoothing; out-of-range smoothing
+    raises."""
+    import pytest
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import domain_mixture_weights
+
+    rows = [
+        (1, "a b c d", "x"),
+        (2, "e f g h", "y"),
+        (3, "a b e f", "z"),
+    ]
+    pool = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    full = domain_mixture_weights(pool, pool, smoothing_ppm=1_000_000).collect()
+    assert {r["weight_ppm"] for r in full} == {1_000_000 // 3}
+    # pool == target: excess_micro = 0 everywhere -> uniform fallback
+    zero = domain_mixture_weights(pool, pool).collect()
+    assert {r["weight_ppm"] for r in zero} == {1_000_000 // 3}
+    assert all(r["excess_micro_sum"] == 0 for r in zero)
+    with pytest.raises(ValueError, match="smoothing_ppm"):
+        domain_mixture_weights(pool, pool, smoothing_ppm=-1)

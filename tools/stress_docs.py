@@ -68,6 +68,11 @@ QUERIES = (
     # vocab frames broadcast), and the self-model side's bigram table
     # grows with the pool itself under replica token mutation
     "excess_lm_scores",
+    # round-12: the DoReMi-style reduction of the excess signal — one
+    # extra id-keyed join + a counted shuffle onto domain keys on top
+    # of excess_lm_scores; the 20-domain weight table is trivially
+    # bounded, so any super-linearity would come from the excess pass
+    "domain_mixture",
 )
 
 
