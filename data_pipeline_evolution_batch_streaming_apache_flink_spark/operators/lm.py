@@ -328,6 +328,12 @@ def domain_mixture_weights(
             ),
         )
         .withColumn("__clip", F.greatest("avg_excess_micro", F.lit(0).cast("bigint")))
+        # pinned: the domain table feeds BOTH the totals aggregate and
+        # the final weight join — without the pin the entire excess
+        # pass upstream runs twice (house rule for an intermediate
+        # consumed through different exchanges; lazy, so building the
+        # plan stays execution-free). n_domains rows — storage-trivial.
+        .localCheckpoint(eager=False)
     )
     totals = per_dom.agg(
         F.sum("__clip").alias("__tc"), F.count(F.lit(1)).alias("__nd")
