@@ -181,7 +181,10 @@ def _assign_cells(X, cent, chunk: int = 65536):
 
 
 def _hash_sampled_matrix(
-    vectors: DataFrame, sample_frac: float | None, max_train_rows: int | None
+    vectors: DataFrame,
+    sample_frac: float | None,
+    max_train_rows: int | None,
+    return_count: bool = False,
 ):
     """(n, d) float64 training matrix drawn LAYOUT-INDEPENDENTLY from the
     single-column ``v`` DataFrame: every row gets a uniform score from a
@@ -190,8 +193,12 @@ def _hash_sampled_matrix(
     and cap are hash thresholds, and the matrix is ordered by that hash —
     so the same data yields a bit-identical matrix regardless of storage
     order, partitioning, or retries. The cap costs one extra count of the
-    sampled column. Shared by :func:`pq_fit_codebooks` and
-    :func:`_fit_cells`."""
+    sampled column. Shared by :func:`pq_fit_codebooks`,
+    :func:`_fit_cells`, and :func:`ivf_knn_join`'s cell-population
+    estimator. ``return_count=True`` returns ``(matrix, n_rows)`` where
+    ``n_rows`` is the pre-cap row count of the (frac-filtered) input —
+    with ``sample_frac=None`` that is the full corpus count, reusing the
+    count the cap logic already pays."""
     import numpy as np
 
     # Uniform content hash in [0, 1): shift the signed 64-bit hash into
@@ -201,6 +208,7 @@ def _hash_sampled_matrix(
     u = (F.xxhash64(F.col("v")).cast("double") + F.lit(float(2 ** 63))) / F.lit(float(2 ** 64))
     sampled = vectors.withColumn("__u", u)
     cur_thr = 1.0
+    n_rows: int | None = None
     if sample_frac is not None:
         sampled = sampled.filter(F.col("__u") < F.lit(float(sample_frac)))
         cur_thr = float(sample_frac)
@@ -212,12 +220,15 @@ def _hash_sampled_matrix(
             # the deterministic hash-order truncation below.
             frac = min(1.0, max_train_rows / n_rows * 1.05 + 64.0 / n_rows)
             sampled = sampled.filter(F.col("__u") < F.lit(cur_thr * frac))
+    if return_count and n_rows is None:
+        n_rows = sampled.count()
     pdf = sampled.toPandas().sort_values("__u", kind="mergesort", ignore_index=True)
     if max_train_rows is not None and len(pdf) > max_train_rows:
         pdf = pdf.head(max_train_rows)
     if not len(pdf):
         raise ValueError("cannot fit a quantizer on an empty (or fully sampled-out) corpus")
-    return np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    return (mat, n_rows) if return_count else mat
 
 
 def _fit_cells(
@@ -1498,18 +1509,21 @@ def ivf_knn_join(
     part's local top-k threshold is never above the unsplit cell's, so
     the candidate union only GROWS — and the exact global row_number
     ranking then returns the identical top-k (digest-pinned by test).
-    ``cell_parts=None`` (default) sizes parts PER CELL from exact cell
-    counts: the corpus assignment is (lazily) localCheckpointed, one
-    ``groupBy(__cell).count()`` pass reads it (n_cells rows to the
-    driver — bounded by contract), and the cogroup reuses the
-    checkpoint instead of recomputing the assignment scan, so the count
-    pass costs one materialization, not two corpus scans. All-cold
-    corpora (every cell under ``_IVF_TARGET_CELL_ROWS``) keep parts=1
-    everywhere and the plan is the unsplit plan. ``cell_parts=1``
-    forces the unsplit path (no count pass); an int > 1 splits EVERY
-    cell uniformly (no count pass — for when the caller knows the
-    skew). Cost of a split: each query row ships ``parts`` times for
-    its hot cells only (per-cell parts), nothing for cold ones.
+    ``cell_parts=None`` (default) sizes parts PER CELL from cell
+    populations ESTIMATED on the same bounded content-hash sample
+    discipline as the quantizer fit (one ``max_train_rows``-capped
+    sample pass + the corpus count that pass already pays — never a
+    corpus-sized checkpoint or a second assignment scan; estimation is
+    safe because the result is digest-identical at ANY parts value,
+    so sampling error only moves the straggler threshold, and a cell
+    hot enough to straggle is by definition heavily represented in a
+    uniform sample). All-cold corpora (every cell under
+    ``_IVF_TARGET_CELL_ROWS``) keep parts=1 everywhere and the plan is
+    the unsplit plan. ``cell_parts=1`` forces the unsplit path (no
+    sizing pass); an int > 1 splits EVERY cell uniformly (no sizing
+    pass — for when the caller knows the skew). Cost of a split: each
+    query row ships ``parts`` times for its hot cells only (per-cell
+    parts), nothing for cold ones.
     The quantizer fit is driver-side
     O(restarts · iters · min(sample, max_train_rows) · n_cells · dim);
     cap ``max_train_rows`` near 100-300 rows per cell (the FAISS
@@ -1549,16 +1563,25 @@ def ivf_knn_join(
     qcells = _probe_cells_distributed(fan_out(queries), query_id, query_vec, bc, n_probe)
     qid_type = queries.schema[query_id].dataType.simpleString()
 
-    # hot-cell split sizing (see docstring): per-cell parts from exact
-    # counts when cell_parts is None, uniform when an int > 1
+    # hot-cell split sizing (see docstring): per-cell parts from
+    # SAMPLE-ESTIMATED cell populations when cell_parts is None (exact
+    # counts would cost either a corpus-sized checkpoint or a second
+    # assignment pass; sizing is a pure performance lever — the result
+    # is digest-identical at ANY parts, so estimation error only
+    # shifts the straggler threshold), uniform when an int > 1
     pmap: dict[int, int] = {}
     if cell_parts is None:
-        assigned = assigned.localCheckpoint(eager=False)
+        X, n_corpus = _hash_sampled_matrix(
+            corpus.select(F.col(corpus_vec).cast("array<double>").alias("v")),
+            None, max_train_rows, return_count=True,
+        )
+        Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        scounts = np.bincount(_assign_cells(Xu, cent), minlength=len(cent))
+        scale = (n_corpus or len(X)) / max(len(X), 1)
         pmap = {
-            int(r["__cell"]): _auto_cell_parts(int(r["cnt"]))
-            for r in assigned.groupBy("__cell")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()  # bounded: <= n_cells rows by construction
+            c: _auto_cell_parts(int(scounts[c] * scale))
+            for c in range(len(cent))
+            if scounts[c] > 0
         }
     elif cell_parts > 1:
         pmap = {c: int(cell_parts) for c in range(len(cent))}
