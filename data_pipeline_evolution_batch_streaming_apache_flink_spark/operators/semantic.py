@@ -295,7 +295,10 @@ def kcenter_select(
     each is one narrow scan (id, vector, running d2) updating d2
     against ONE new center (a broadcast literal of d ints) plus a
     1-row argmax agg; the running frame is re-checkpointed per round
-    so pass j never replays rounds 0..j-1. Driver round-trips: k
+    so pass j never replays rounds 0..j-1, and the PRIOR round's
+    checkpoint blocks are unpersisted as soon as the new one
+    materializes (ADVICE r11 — storage stays at two live frames, not
+    k). Driver round-trips: k
     single-row collects (the chosen exemplar + its vector). The final
     assignment is one broadcast cross join against the k-row center
     table. k is a SMALL constant by contract (guarded ≤ 256) — for
