@@ -1472,6 +1472,7 @@ def ivf_knn_join(
     cent_df: DataFrame | None = None,
     max_train_rows: int = 100_000,
     cell_parts: int | None = None,
+    query_parts: int | None = None,
 ) -> DataFrame:
     """Distributed approximate kNN JOIN between two large embedding
     corpora — the pool-scale sibling of :func:`cosine_topk`, with NO
@@ -1524,6 +1525,18 @@ def ivf_knn_join(
     pass — for when the caller knows the skew). Cost of a split: each
     query row ships ``parts`` times for its hot cells only (per-cell
     parts), nothing for cold ones.
+
+    ``query_parts`` is the SYMMETRIC lever for a hot QUERY cluster —
+    many queries probing one cell is the same straggler (and cogroup
+    task-memory) shape on the other axis. Query splitting is trivially
+    exact: distinct queries are independent, so sub-splitting a cell's
+    probing queries by ``pmod(xxhash64(qid), qp)`` and replicating the
+    cell's corpus rows per query-part changes no candidate set at all.
+    The two levers compose as a 2D grid — each (query, corpus) pair
+    meets exactly once, at ``(cell, hash(cid) mod cp, hash(qid) mod
+    qp)`` — and the same None/1/int>1 contract applies (None estimates
+    per-cell query fan-in on a capped content-hash query sample probed
+    driver-side with the executor probe's exact argsort).
     The quantizer fit is driver-side
     O(restarts · iters · min(sample, max_train_rows) · n_cells · dim);
     cap ``max_train_rows`` near 100-300 rows per cell (the FAISS
@@ -1545,6 +1558,8 @@ def ivf_knn_join(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     if cell_parts is not None and cell_parts < 1:
         raise ValueError(f"cell_parts must be >= 1, got {cell_parts}")
+    if query_parts is not None and query_parts < 1:
+        raise ValueError(f"query_parts must be >= 1, got {query_parts}")
     if cent_df is None:
         _, cent_df = _fit_cells(
             corpus, corpus_id, corpus_vec, n_cells, seed,
@@ -1564,50 +1579,94 @@ def ivf_knn_join(
     qid_type = queries.schema[query_id].dataType.simpleString()
 
     # hot-cell split sizing (see docstring): per-cell parts from
-    # SAMPLE-ESTIMATED cell populations when cell_parts is None (exact
-    # counts would cost either a corpus-sized checkpoint or a second
+    # SAMPLE-ESTIMATED populations when the knob is None (exact counts
+    # would cost either a corpus-sized checkpoint or a second
     # assignment pass; sizing is a pure performance lever — the result
     # is digest-identical at ANY parts, so estimation error only
-    # shifts the straggler threshold), uniform when an int > 1
+    # shifts the straggler threshold), uniform when an int > 1. The
+    # split is 2D: ``pmap`` sub-splits a cell's CORPUS rows (content
+    # hash of cid), ``qmap`` its probing QUERIES (content hash of qid)
+    # — a hot QUERY cluster is the same straggler/task-memory shape on
+    # the other axis, and query splitting is trivially exact (distinct
+    # queries are independent; each (q, c) pair still meets exactly
+    # once, at (cell, hash(cid) mod cp, hash(qid) mod qp)). An empty
+    # side makes the sizing sample raise; that degrades to no split,
+    # never to an error (the join result is empty anyway).
     pmap: dict[int, int] = {}
+    qmap: dict[int, int] = {}
     if cell_parts is None:
-        X, n_corpus = _hash_sampled_matrix(
-            corpus.select(F.col(corpus_vec).cast("array<double>").alias("v")),
-            None, max_train_rows, return_count=True,
-        )
-        Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        scounts = np.bincount(_assign_cells(Xu, cent), minlength=len(cent))
-        scale = (n_corpus or len(X)) / max(len(X), 1)
-        pmap = {
-            c: _auto_cell_parts(int(scounts[c] * scale))
-            for c in range(len(cent))
-            if scounts[c] > 0
-        }
+        try:
+            X, n_corpus = _hash_sampled_matrix(
+                corpus.select(F.col(corpus_vec).cast("array<double>").alias("v")),
+                None, max_train_rows, return_count=True,
+            )
+        except ValueError:
+            X, n_corpus = None, 0
+        if X is not None:
+            Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            scounts = np.bincount(_assign_cells(Xu, cent), minlength=len(cent))
+            scale = (n_corpus or len(X)) / max(len(X), 1)
+            pmap = {
+                c: _auto_cell_parts(int(scounts[c] * scale))
+                for c in range(len(cent))
+                if scounts[c] > 0
+            }
     elif cell_parts > 1:
         pmap = {c: int(cell_parts) for c in range(len(cent))}
-    split = any(p > 1 for p in pmap.values())
+    if query_parts is None:
+        try:
+            Xq, n_q = _hash_sampled_matrix(
+                queries.select(F.col(query_vec).cast("array<double>").alias("v")),
+                None, max_train_rows, return_count=True,
+            )
+        except ValueError:
+            Xq, n_q = None, 0
+        if Xq is not None:
+            Xqu = Xq / np.maximum(np.linalg.norm(Xq, axis=1, keepdims=True), 1e-12)
+            take = min(n_probe, len(cent))
+            # same normalized-centroid stable argsort as the executor
+            # probe, so the estimated fan-in matches the real one
+            order = np.argsort(-(Xqu @ cent.T), axis=1, kind="stable")[:, :take]
+            qcounts = np.bincount(order.ravel(), minlength=len(cent))
+            qscale = (n_q or len(Xq)) / max(len(Xq), 1)
+            qmap = {
+                c: _auto_cell_parts(int(qcounts[c] * qscale))
+                for c in range(len(cent))
+                if qcounts[c] > 0
+            }
+    elif query_parts > 1:
+        qmap = {c: int(query_parts) for c in range(len(cent))}
+    split = any(p > 1 for p in pmap.values()) or any(p > 1 for p in qmap.values())
     if split:
         parts_df = spark.createDataFrame(
-            [(c, pmap.get(c, 1)) for c in range(len(cent))],
-            "__cell int, __parts int",
+            [(c, pmap.get(c, 1), qmap.get(c, 1)) for c in range(len(cent))],
+            "__cell int, __cp int, __qp int",
         )
         assigned = (
             assigned.join(F.broadcast(parts_df), "__cell")
             .withColumn(
                 "__part",
-                F.pmod(F.xxhash64(F.col("cid")), F.col("__parts")).cast("int"),
+                F.pmod(F.xxhash64(F.col("cid")), F.col("__cp")).cast("int"),
             )
-            .drop("__parts")
+            .withColumn(
+                "__qpart",
+                # sequence of ints explodes to int directly (a generator
+                # cannot nest inside a cast)
+                F.explode(F.sequence(F.lit(0), F.col("__qp") - F.lit(1))),
+            )
+            .drop("__cp", "__qp")
         )
         qcells = (
             qcells.join(F.broadcast(parts_df), "__cell")
             .withColumn(
-                "__part",
-                # sequence of ints explodes to int directly (a generator
-                # cannot nest inside a cast)
-                F.explode(F.sequence(F.lit(0), F.col("__parts") - F.lit(1))),
+                "__qpart",
+                F.pmod(F.xxhash64(F.col("qid")), F.col("__qp")).cast("int"),
             )
-            .drop("__parts")
+            .withColumn(
+                "__part",
+                F.explode(F.sequence(F.lit(0), F.col("__cp") - F.lit(1))),
+            )
+            .drop("__cp", "__qp")
         )
 
     def _empty(lq: pd.DataFrame, rc: pd.DataFrame) -> pd.DataFrame:
@@ -1638,7 +1697,7 @@ def ivf_knn_join(
             frames.extend(_local_topk_frames(ib, ids_c, cos, k))
         return pd.concat(frames, ignore_index=True) if frames else _empty(lq, rc)
 
-    keys = ["__cell", "__part"] if split else ["__cell"]
+    keys = ["__cell", "__part", "__qpart"] if split else ["__cell"]
     scored = (
         qcells.groupBy(*keys)
         .cogroup(assigned.groupBy(*keys))
@@ -1661,6 +1720,7 @@ def margin_mine_ivf(
     seed: int = 42,
     max_train_rows: int = 100_000,
     cell_parts: int | None = None,
+    query_parts: int | None = None,
 ) -> DataFrame:
     """Pool-scale :func:`margin_mine`: identical margin criterion and
     output contract, but the two kNN passes run through
@@ -1695,6 +1755,7 @@ def margin_mine_ivf(
         left, right, left_id, right_id, left_vec, right_vec,
         k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
         include_self=True, cent_df=cent_df, cell_parts=cell_parts,
+        query_parts=query_parts,
     ).select(
         F.col(left_id + "_q").alias("l"),
         F.col(right_id + "_c").alias("r"),
@@ -1704,6 +1765,7 @@ def margin_mine_ivf(
         right, left, right_id, left_id, right_vec, left_vec,
         k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
         include_self=True, cent_df=cent_df, cell_parts=cell_parts,
+        query_parts=query_parts,
     ).select(
         F.col(left_id + "_c").alias("l"),
         F.col(right_id + "_q").alias("r"),

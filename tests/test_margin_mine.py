@@ -299,3 +299,55 @@ def test_ivf_knn_join_cell_parts_guard(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="cell_parts"):
         ivf_knn_join(df, df, "vec_id", "vec_id", cell_parts=0)
+
+
+def test_ivf_knn_join_query_parts_digest_equal(spark):
+    """The symmetric query-side split (and the 2D combo with
+    cell_parts) must be invisible in the output — distinct queries are
+    independent, and each (query, corpus) pair meets exactly once on
+    the 2D grid."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_knn_join
+
+    df = _skewed_corpora(spark)
+    base = sorted(tuple(x) for x in ivf_knn_join(
+        df, df, "vec_id", "vec_id", k=3, n_cells=4, n_probe=2,
+        include_self=False, cell_parts=1, query_parts=1,
+    ).collect())
+    qsplit = sorted(tuple(x) for x in ivf_knn_join(
+        df, df, "vec_id", "vec_id", k=3, n_cells=4, n_probe=2,
+        include_self=False, cell_parts=1, query_parts=4,
+    ).collect())
+    assert qsplit == base
+    grid = sorted(tuple(x) for x in ivf_knn_join(
+        df, df, "vec_id", "vec_id", k=3, n_cells=4, n_probe=2,
+        include_self=False, cell_parts=3, query_parts=2,
+    ).collect())
+    assert grid == base
+
+
+def test_ivf_knn_join_auto_query_parts_splits_hot_fanin(spark, monkeypatch):
+    """The auto query-fan-in estimator must engage on the dense
+    cluster (its queries all probe one cell) and still match the
+    unsplit digests."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import similarity
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_knn_join
+
+    monkeypatch.setattr(similarity, "_IVF_TARGET_CELL_ROWS", 16)
+    df = _skewed_corpora(spark)
+    got = sorted(tuple(x) for x in ivf_knn_join(
+        df, df, "vec_id", "vec_id", k=3, n_cells=4, n_probe=2,
+        include_self=False, cell_parts=1, query_parts=None,
+    ).collect())
+    want = sorted(tuple(x) for x in ivf_knn_join(
+        df, df, "vec_id", "vec_id", k=3, n_cells=4, n_probe=2,
+        include_self=False, cell_parts=1, query_parts=1,
+    ).collect())
+    assert got == want
+
+
+def test_ivf_knn_join_query_parts_guard(spark):
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import ivf_knn_join
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="query_parts"):
+        ivf_knn_join(df, df, "vec_id", "vec_id", query_parts=0)
