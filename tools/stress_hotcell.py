@@ -113,7 +113,7 @@ def main() -> None:
                 ivf_knn_join(
                     emb, emb, "vec_id", "vec_id", k=K,
                     n_cells=N_CELLS, n_probe=N_PROBE,
-                    include_self=False, cell_parts=parts,
+                    include_self=False, cell_parts=parts, query_parts=parts,
                 ).write.format("noop").mode("overwrite").save()
                 best = time.time() - t0
                 t0 = time.time()
@@ -121,7 +121,7 @@ def main() -> None:
                     ivf_knn_join(
                         emb, emb, "vec_id", "vec_id", k=K,
                         n_cells=N_CELLS, n_probe=N_PROBE,
-                        include_self=False, cell_parts=parts,
+                        include_self=False, cell_parts=parts, query_parts=parts,
                     )
                     .select(
                         # order-independent XOR digest (a bigint SUM of
