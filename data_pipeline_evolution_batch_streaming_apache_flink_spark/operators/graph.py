@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import unpersist_local_checkpoint
+
 __all__ = [
     "pagerank",
     "triangle_stats",
@@ -203,6 +205,7 @@ def pagerank(
         "rank_micro div outdeg" if weight is None
         else "(rank_micro * __w) div outdeg"
     )
+    prev_ranks: DataFrame | None = None
     for _ in range(iterations):
         contribs = (
             e.join(
@@ -226,8 +229,20 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # the new eager checkpoint has materialized; the prior round's
+        # blocks are dead — free them (the kcenter_select storage
+        # discipline, ADVICE r11). Never touches base_nodes or the
+        # final round, which the returned select still reads.
+        if prev_ranks is not None:
+            unpersist_local_checkpoint(prev_ranks)
+        prev_ranks = ranks
     if pinned:
         e.unpersist()  # ranks are eagerly checkpointed; the pin is done
+    if prev_ranks is not None:
+        # every round read base_nodes; with the final ranks checkpoint
+        # materialized, its blocks are dead too (the returned select
+        # reads only the last ranks checkpoint)
+        unpersist_local_checkpoint(base_nodes)
     return ranks.select("node", "rank_micro")
 
 
@@ -381,13 +396,26 @@ def k_hop_reach(
             .localCheckpoint(eager=True)
         )
         n_new = nxt.count()
+        prev_reached, prev_frontier = reached, frontier
         reached = reached.union(nxt).localCheckpoint(eager=True)
+        # the new reached checkpoint has materialized; the prior
+        # round's reached and frontier blocks are dead (kcenter
+        # discipline, ADVICE r11). Hop 1 skips frontier: it IS the
+        # initial reached object.
+        unpersist_local_checkpoint(prev_reached)
+        if prev_frontier is not prev_reached:
+            unpersist_local_checkpoint(prev_frontier)
         frontier = nxt
         rows.append((h, rows[-1][1] + n_new, n_new))
         if n_new == 0:
             # frontier exhausted: remaining hops add nothing
             rows.extend((i, rows[-1][1], 0) for i in range(h + 1, hops + 1))
             break
+    # the census rows are already on the driver — nothing downstream
+    # reads the BFS frames, so the last round's blocks are dead too
+    unpersist_local_checkpoint(reached)
+    if frontier is not reached:
+        unpersist_local_checkpoint(frontier)
     return seeds.sparkSession.createDataFrame(
         rows, "hop int, n_reached bigint, n_new bigint"
     )
@@ -444,6 +472,7 @@ def label_propagation(
     if pinned:
         e = _pin_by_key(e, "src")
     labels = nodes.withColumn("label", F.col("node"))
+    rounds: list[DataFrame] = []
     for _ in range(iterations):
         votes = (
             e.join(
@@ -469,9 +498,16 @@ def label_propagation(
             )
             .localCheckpoint(eager=False)
         )
+        rounds.append(labels)
     if pinned:
         labels.count()  # materialize the lazy rounds off the pin
         e.unpersist()
+        # the count materialized every round's lazy checkpoint; all but
+        # the final round's blocks are dead (kcenter discipline, ADVICE
+        # r11). Only safe on this branch — unpinned returns are lazy
+        # and an unpersisted local checkpoint cannot be recomputed.
+        for r in rounds[:-1]:
+            unpersist_local_checkpoint(r)
     return labels
 
 
@@ -580,9 +616,19 @@ def hits(
         )
 
     hub = nodes.select("node", F.lit(scale).cast("bigint").alias("s"))
+    prev_auth: DataFrame | None = None
+    prev_hub: DataFrame | None = None
     for _ in range(iterations):
         auth = _half(hub, "src", "dst").localCheckpoint(eager=True)
+        # auth materialized reading the prior hub; free that round's
+        # blocks (kcenter discipline, ADVICE r11) — never the final
+        # auth/hub, which the returned join still reads
+        if prev_hub is not None:
+            unpersist_local_checkpoint(prev_hub)
         hub = _half(auth, "dst", "src").localCheckpoint(eager=True)
+        if prev_auth is not None:
+            unpersist_local_checkpoint(prev_auth)
+        prev_auth, prev_hub = auth, hub
     if pinned:
         e.unpersist()
         e_dst.unpersist()
@@ -781,6 +827,10 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         n_next = pruned.count()
+        # pruned is materialized; the pre-peel round's edge blocks are
+        # dead (kcenter discipline, ADVICE r11) — the final round's
+        # survivors stay persisted for the returned degree aggregate
+        unpersist_local_checkpoint(e)
         e = pruned
         if n_next == n_edges:
             converged = True

@@ -38,6 +38,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions import vectors as V
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.curation import sample_hash
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import (
+    unpersist_local_checkpoint as _unpersist_local_checkpoint,
+)
 
 __all__ = ["assign_clusters", "kcenter_select", "kmeans_quantized", "semantic_dedup"]
 
@@ -251,22 +254,6 @@ def kmeans_quantized(
     )
     centroids = cent.select(F.col("cid").alias("cluster"), F.col("__c").alias("centroid_micro"))
     return out, centroids
-
-
-def _unpersist_local_checkpoint(df: DataFrame) -> None:
-    """Free the storage blocks behind an EAGER ``localCheckpoint``
-    DataFrame that will never be read again. ``DataFrame.unpersist()``
-    cannot do this — a local checkpoint persists its RDD outside the
-    cache manager — so this reaches the ``LogicalRDD`` plan node's RDD
-    and unpersists it directly. Best-effort: on Spark Connect (no
-    ``_jdf``) or an unexpected plan shape it silently leaves the blocks
-    to the ContextCleaner, the pre-fix behavior."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith(".LogicalRDD"):
-            plan.rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def kcenter_select(

@@ -80,3 +80,24 @@ def is_exact_integral(dt) -> bool:
     if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return True
     return isinstance(dt, T.DecimalType) and dt.scale == 0 and dt.precision <= 18
+
+
+def unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free the storage blocks behind an EAGER ``localCheckpoint``
+    DataFrame that will never be read again — the iterative-operator
+    storage discipline (ADVICE r11, first applied to ``kcenter_select``
+    and worth ~1.5x at 256k rows; the graph family's per-round
+    checkpoints leak the same way). ``DataFrame.unpersist()`` cannot do
+    this — a local checkpoint persists its RDD outside the cache
+    manager — so this reaches the ``LogicalRDD`` plan node's RDD and
+    unpersists it directly. Best-effort: on Spark Connect (no
+    ``_jdf``) or an unexpected plan shape it silently leaves the
+    blocks to the ContextCleaner, the pre-fix behavior. Only call on a
+    frame whose every consumer has ALREADY materialized: a local
+    checkpoint cannot be recomputed once its blocks are dropped."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
