@@ -272,7 +272,7 @@ FIRST_ROTATED_ROUND = 6
 # artifact lands would silently shift slots 34-50 to the next cohort).
 # Bump by 1 at the start of each round, when the previous round's
 # artifact gets committed.
-FIRST_UNRECORDED_ROUND = 12
+FIRST_UNRECORDED_ROUND = 13
 
 # The retry lane exists from round 8 (VERDICT r7 #2); earlier rounds
 # consumed a fixed 17-wide cohort slice, and the replay below must
@@ -302,6 +302,11 @@ FROZEN_UPGRADE_LANES: dict[int, tuple[str, ...]] = {
     # pca_project RED retry, not an upgrade) — computed from the
     # committed artifacts before bumping FIRST_UNRECORDED_ROUND to 12.
     11: (),
+    # r12's dynamic upgrade set was empty (no latest-committed row is
+    # rows-only while declaring a suite.ORACLE twin) — computed from
+    # the committed r01–r11 artifacts before bumping
+    # FIRST_UNRECORDED_ROUND to 13.
+    12: (),
 }
 
 
