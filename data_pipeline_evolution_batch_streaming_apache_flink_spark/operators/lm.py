@@ -289,11 +289,15 @@ def domain_mixture_weights(
     upstream.)
 
     ``smoothing_ppm`` mixes the excess-proportional weights with the
-    uniform distribution (DoReMi's ``s``): final = ((1e6 − s) · w) div
-    1e6 + s div n_domains, all floor divisions — so weight sums can
-    undershoot 1e6 by at most n_domains ppm, never overshoot. When
-    every domain clips to zero (the pool already matches the target
-    everywhere) the weights are uniform.
+    uniform distribution (DoReMi's ``s``): final = ((1e6 − s) · clip)
+    div total_clip + s div n_domains — the (1e6 − s) factor is folded
+    into the normalization so only TWO floor divisions apply per
+    weight (ADVICE r12: a separate raw-normalization floor stacked a
+    third). Weight sums can therefore undershoot 1e6 by at most
+    2·n_domains − 2 ppm (each term's floors lose < 1 ppm per domain),
+    never overshoot. When every domain clips to zero (the pool already
+    matches the target everywhere) the weights are uniform:
+    1e6 div n_domains each, regardless of smoothing.
 
     Scale shape: one :func:`excess_lm_scores` pass (its cost model and
     c2-growth caveat apply verbatim), one id-keyed join to recover the
@@ -342,15 +346,11 @@ def domain_mixture_weights(
     return (
         per_dom.crossJoin(F.broadcast(totals))
         .withColumn(
-            "__raw",
+            "weight_ppm",
             F.when(
                 F.col("__tc") > 0,
-                F.expr("(__clip * 1000000) div __tc"),
+                F.expr(f"(({1_000_000 - s} * __clip) div __tc) + ({s} div __nd)"),
             ).otherwise(F.expr("1000000 div __nd")),
-        )
-        .withColumn(
-            "weight_ppm",
-            F.expr(f"(({1_000_000 - s} * __raw) div 1000000) + ({s} div __nd)"),
         )
         .select(
             domain_col, "n_docs", "n_bigrams", "excess_micro_sum",

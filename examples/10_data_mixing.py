@@ -61,8 +61,8 @@ def main() -> None:
     sm = domain_mixture_weights(docs, target, smoothing_ppm=200_000)
     sm.orderBy(F.col("weight_ppm").desc()).show(10, truncate=False)
     tot = sm.agg(F.sum("weight_ppm")).head()[0]
-    print(f"weight mass: {tot} ppm (floor divisions undershoot 1e6 "
-          f"by at most n_domains ppm, never overshoot)")
+    print(f"weight mass: {tot} ppm (two floor divisions per weight "
+          f"undershoot 1e6 by at most 2*n_domains - 2 ppm, never overshoot)")
 
 
 if __name__ == "__main__":

@@ -250,3 +250,36 @@ def test_domain_mixture_smoothing_and_uniform_fallback(spark):
     assert all(r["excess_micro_sum"] == 0 for r in zero)
     with pytest.raises(ValueError, match="smoothing_ppm"):
         domain_mixture_weights(pool, pool, smoothing_ppm=-1)
+
+
+def test_domain_mixture_smoothing_undershoot_bound(spark):
+    """ADVICE r12: with the (1e6 - s) factor folded into the clip
+    normalization only two floor divisions apply per weight, so the
+    weight mass undershoots 1e6 by at most 2*n_domains - 2 ppm and
+    never overshoots. Three token-renamed (hence equal-clip) domains at
+    s=500000 pin the worst case exactly: 333332 * 3 = 999996 (the old
+    three-floor formula produced 999993 here)."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.lm import domain_mixture_weights
+
+    # Pool and target are symmetric under the token renaming a->b->c->a,
+    # so the three domains carry identical positive excess (equal clips).
+    pool = spark.createDataFrame(
+        [(1, "a a a a", "x"), (2, "b b b b", "y"), (3, "c c c c", "z")],
+        "doc_id long, text string, source string",
+    )
+    target = spark.createDataFrame(
+        [(1, "a a a a a a"), (2, "b b b b b b"), (3, "c c c c c c")],
+        "doc_id long, text string",
+    )
+    rows = domain_mixture_weights(pool, target, smoothing_ppm=500_000).collect()
+    assert all(r["excess_micro_sum"] > 0 for r in rows)  # clips positive
+    weights = [r["weight_ppm"] for r in rows]
+    assert len(set(weights)) == 1 and weights[0] == 333_332
+    assert sum(weights) == 999_996  # undershoot 4 == 2*3 - 2, the bound
+
+    for s in (0, 1, 123_457, 999_999, 1_000_000):
+        tot = sum(
+            r["weight_ppm"]
+            for r in domain_mixture_weights(pool, target, smoothing_ppm=s).collect()
+        )
+        assert 1_000_000 - (2 * 3 - 2) <= tot <= 1_000_000, (s, tot)
