@@ -241,9 +241,17 @@ def _fit_cells(
     max_train_rows: int = 100_000,
     iters: int = 15,
     restarts: int = 8,
+    return_sample: bool = False,
 ):
     """k-means coarse quantizer: returns (assigned corpus with ``__cell``,
-    broadcast-able centroid DataFrame).
+    broadcast-able centroid DataFrame) — plus, with
+    ``return_sample=True``, the unit-normalized training sample matrix
+    and the pre-cap sampled-row count, so an in-call
+    :func:`ivf_knn_join` fit can feed the cell-population estimator
+    WITHOUT a second sampling pass over the same corpus (ADVICE r12:
+    the sizing re-ran the exact count + capped ``toPandas`` collect
+    this fit had just paid). With ``sample_frac=None`` (every caller
+    here) the returned count is the full corpus row count.
 
     The fit runs on a bounded content-hash SAMPLE (the standard coarse-
     quantizer recipe: the cells need ~100k representative rows, not the
@@ -278,10 +286,14 @@ def _fit_cells(
     cross-host centroid equality as approximate."""
     import numpy as np
 
-    X = _hash_sampled_matrix(
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v")),
-        sample_frac, max_train_rows,
-    )
+    vectors = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if return_sample:
+        # The capped sample already pays this count — returning it is free.
+        X, n_rows = _hash_sampled_matrix(
+            vectors, sample_frac, max_train_rows, return_count=True
+        )
+    else:
+        X, n_rows = _hash_sampled_matrix(vectors, sample_frac, max_train_rows), None
     # Train and assign on the UNIT SPHERE: cosine is this module's probe
     # metric, and Euclidean cells fitted on raw-norm vectors misalign
     # with cosine neighborhoods (measured: probe recall 0.78 vs 0.83 at
@@ -337,6 +349,10 @@ def _fit_cells(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell int, centroid array<double>",
     )
+    if return_sample:
+        # X was normalized onto the unit sphere above — exactly the
+        # matrix the ivf_knn_join cell-population estimator assigns.
+        return assigned, cent_df, X, n_rows
     return assigned, cent_df
 
 
@@ -1512,9 +1528,12 @@ def ivf_knn_join(
     ranking then returns the identical top-k (digest-pinned by test).
     ``cell_parts=None`` (default) sizes parts PER CELL from cell
     populations ESTIMATED on the same bounded content-hash sample
-    discipline as the quantizer fit (one ``max_train_rows``-capped
-    sample pass + the corpus count that pass already pays — never a
-    corpus-sized checkpoint or a second assignment scan; estimation is
+    discipline as the quantizer fit — when the fit runs in-call its
+    sample matrix and corpus count are REUSED outright (zero extra
+    passes; ADVICE r12), and with a caller-provided ``cent_df`` it is
+    one ``max_train_rows``-capped sample pass + the corpus count that
+    pass already pays — never a corpus-sized checkpoint or a second
+    assignment scan (estimation is
     safe because the result is digest-identical at ANY parts value,
     so sampling error only moves the straggler threshold, and a cell
     hot enough to straggle is by definition heavily represented in a
@@ -1560,10 +1579,11 @@ def ivf_knn_join(
         raise ValueError(f"cell_parts must be >= 1, got {cell_parts}")
     if query_parts is not None and query_parts < 1:
         raise ValueError(f"query_parts must be >= 1, got {query_parts}")
+    fit_X, fit_n = None, 0
     if cent_df is None:
-        _, cent_df = _fit_cells(
+        _, cent_df, fit_X, fit_n = _fit_cells(
             corpus, corpus_id, corpus_vec, n_cells, seed,
-            max_train_rows=max_train_rows,
+            max_train_rows=max_train_rows, return_sample=True,
         )
     cent = _centroid_matrix(cent_df)
     spark = corpus.sparkSession
@@ -1595,17 +1615,23 @@ def ivf_knn_join(
     pmap: dict[int, int] = {}
     qmap: dict[int, int] = {}
     if cell_parts is None:
-        try:
-            X, n_corpus = _hash_sampled_matrix(
-                corpus.select(F.col(corpus_vec).cast("array<double>").alias("v")),
-                None, max_train_rows, return_count=True,
-            )
-        except ValueError:
-            X, n_corpus = None, 0
-        if X is not None:
-            Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # When the quantizer fit ran in-call, its unit-normalized sample
+        # and corpus count ARE the sizing inputs — reuse them instead of
+        # re-running the identical content-hash sample pass (ADVICE r12).
+        if fit_X is not None:
+            Xu, n_corpus = fit_X, fit_n
+        else:
+            try:
+                X, n_corpus = _hash_sampled_matrix(
+                    corpus.select(F.col(corpus_vec).cast("array<double>").alias("v")),
+                    None, max_train_rows, return_count=True,
+                )
+                Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            except ValueError:
+                Xu, n_corpus = None, 0
+        if Xu is not None:
             scounts = np.bincount(_assign_cells(Xu, cent), minlength=len(cent))
-            scale = (n_corpus or len(X)) / max(len(X), 1)
+            scale = (n_corpus or len(Xu)) / max(len(Xu), 1)
             pmap = {
                 c: _auto_cell_parts(int(scounts[c] * scale))
                 for c in range(len(cent))

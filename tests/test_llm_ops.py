@@ -943,6 +943,30 @@ def test_lsh_write_index_evaluates_corpus_twice_not_thrice(spark, tmp_path):
     )
 
 
+def test_fit_cells_return_sample_contract(spark):
+    """ADVICE r12: an in-call ivf_knn_join fit hands its sample to the
+    cell-population estimator. The contract that reuse relies on: the
+    returned matrix is unit-normalized (what _assign_cells needs) and
+    the count is the FULL corpus row count (sample_frac=None), not the
+    capped sample size."""
+    import numpy as np
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import _fit_cells
+
+    import random
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    _, _, X, n = _fit_cells(
+        emb, "vec_id", "embedding", 4, 7, max_train_rows=25, return_sample=True
+    )
+    assert n == 40 and len(X) == 25
+    assert np.allclose(np.linalg.norm(X, axis=1), 1.0)
+
+
 def test_fit_cells_layout_independent_and_deterministic(spark):
     """The r9 coarse quantizer must yield bit-identical centroids and
     assignments regardless of the corpus' partitioning (content-hash
