@@ -1018,6 +1018,7 @@ def bucketed_cosine_pairs(
     max_bucket: int | None = None,
     hashed: DataFrame | None = None,
     verify: str = "pairs",
+    bucket_parts: int | None = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs: rows hash to a sign-pattern
     bucket per table; only same-bucket pairs are compared, then verified
@@ -1058,7 +1059,9 @@ def bucketed_cosine_pairs(
       threshold. Shuffle volume scales with corpus x n_tables — at the
       suite's gate config that is 32k vector rows versus 1.7M candidate
       pairs carrying two full vectors each (measured 4.3 -> ~2 s warm at
-      sf0.1). Same per-group K^2 bound, still guarded by ``max_bucket``.
+      sf0.1). Same per-group K^2 bound, still guarded by ``max_bucket``;
+      ``bucket_parts`` (default 1) is the opt-in hot-bucket grid split —
+      rationale and exactness argument on :func:`_bucket_verified_pairs`.
 
     Zero-norm vectors: cosine is undefined (0/0), and such pairs are
     DROPPED by contract — documented rather than incidental (ADVICE r6:
@@ -1083,7 +1086,9 @@ def bucketed_cosine_pairs(
     # scale (the same fetch-for-shortlist shape as _exact_rerank).
     hashed = cap_buckets(hashed, ("tbl", "bucket"), max_bucket)
     if verify == "bucket":
-        return _bucket_verified_pairs(df, hashed, id_col, vec_col, threshold)
+        return _bucket_verified_pairs(
+            df, hashed, id_col, vec_col, threshold, bucket_parts=bucket_parts
+        )
     buckets = (
         hashed.groupBy("tbl", "bucket")
         .agg(F.collect_list("__id").alias("__xs"))
@@ -1152,12 +1157,20 @@ def bucketed_cosine_pairs(
     )
 
 
+#: Per-task row budget for a split LSH verify bucket: a K x K score
+#: block is K^2 doubles, so 5k rows ~ 200 MB — the same per-task bound
+#: the ivf_knn_join grid targets on its corpus axis.
+_LSH_TARGET_BUCKET_ROWS = 5_000
+_LSH_MAX_BUCKET_PARTS = 64
+
+
 def _bucket_verified_pairs(
     df: DataFrame,
     hashed: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
+    bucket_parts: int | None = 1,
 ) -> DataFrame:
     """Dense-regime verification for :func:`bucketed_cosine_pairs`
     (``verify="bucket"``): ship each vector once per (table, bucket)
@@ -1172,7 +1185,30 @@ def _bucket_verified_pairs(
     negative result (verify-before-dedup, 8.6 -> 16.7 s) measured the
     INTERPRETED per-element HOF fold re-scoring per occurrence; the
     per-group vectorized matmul removes that cost, which is what flips
-    the trade-off here (measured 4.3 -> ~2 s warm at sf0.1)."""
+    the trade-off here (measured 4.3 -> ~2 s warm at sf0.1).
+
+    ``bucket_parts`` is the hot-bucket split lever (VERDICT r12 #5, the
+    ``cell_parts`` pattern of :func:`ivf_knn_join`): LSH buckets track
+    embedding density, so one dense cluster is one oversized cogroup
+    task here exactly as a hot quantizer cell is there. With parts > 1
+    a bucket's rows sub-split by a content hash of the id and every
+    unordered part pair (i <= j) becomes its own task — the proven
+    block-grid of ``dedup.embedding_cosine_pairs``, so each unordered
+    row pair still meets exactly once per (table, bucket) and per-pair
+    scores are fold-order identical (digest parity test-pinned).
+    ``None`` sizes parts PER BUCKET from an exact window count over the
+    (already bucket-partitioned) frame — no extra exchange, cold
+    buckets keep parts=1 but still pay the grid's two-sided row
+    shipment (~2x a cold bucket's shuffle bytes).
+
+    The DEFAULT is 1 (unsplit), unlike ``cell_parts``' auto — a
+    deliberate asymmetry: quantizer cell geometry is fixed by the fit
+    (re-celling re-fits everything), but LSH bucket width IS a caller
+    knob — one more ``n_planes`` halves every bucket, and
+    ``max_bucket`` already drops adversarial collapse — so the
+    raise-and-retune contract is the primary answer and the split is
+    the opt-in for steady-state probes of a PERSISTED index, where
+    re-hashing (rebuilding the index) costs more than splitting."""
     import numpy as np
     import pandas as pd
 
@@ -1181,29 +1217,113 @@ def _bucket_verified_pairs(
         _fold_norms,
     )
 
+    if bucket_parts is not None and bucket_parts < 1:
+        raise ValueError(f"bucket_parts must be >= 1 or None, got {bucket_parts}")
     idt = df.schema[id_col].dataType.simpleString()
     margin = threshold - 1e-6
     withv = hashed.join(
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")), "__id"
     )
 
-    def _bucket_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        A = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
-        ids = pdf["__id"].to_numpy()
-        norms = _fold_norms(A)
-        denom = norms[:, None] * norms[None, :]
-        # zero-norm contract (see bucketed_cosine_pairs): 0/0 drops
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = _fold_matmul(A, A) / denom
-        mask = (ids[:, None] < ids[None, :]) & (denom > 0) & (cos >= margin)
-        ia, ib = np.nonzero(mask)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "cos": cos[ia, ib]})
+    if bucket_parts == 1:
 
-    out = withv.groupBy("tbl", "bucket").applyInPandas(
-        _bucket_verify, schema=f"id_a {idt}, id_b {idt}, cos double"
-    )
+        def _bucket_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            A = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            ids = pdf["__id"].to_numpy()
+            norms = _fold_norms(A)
+            denom = norms[:, None] * norms[None, :]
+            # zero-norm contract (see bucketed_cosine_pairs): 0/0 drops
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = _fold_matmul(A, A) / denom
+            mask = (ids[:, None] < ids[None, :]) & (denom > 0) & (cos >= margin)
+            ia, ib = np.nonzero(mask)
+            return pd.DataFrame(
+                {"id_a": ids[ia], "id_b": ids[ib], "cos": cos[ia, ib]}
+            )
+
+        out = withv.groupBy("tbl", "bucket").applyInPandas(
+            _bucket_verify, schema=f"id_a {idt}, id_b {idt}, cos double"
+        )
+    else:
+        # Grid split (see docstring): parts per row — per-bucket from a
+        # window count (None; the window's hash partitioning on the
+        # bucket keys matches the downstream groupBy, so no extra
+        # exchange — the cap_buckets argument) or uniform (int > 1).
+        if bucket_parts is None:
+            w = Window.partitionBy("tbl", "bucket")
+            withp = (
+                withv.withColumn("__bn", F.count(F.lit(1)).over(w))
+                .withColumn(
+                    "__parts",
+                    F.least(
+                        F.ceil(F.col("__bn") / F.lit(_LSH_TARGET_BUCKET_ROWS)),
+                        F.lit(_LSH_MAX_BUCKET_PARTS),
+                    ).cast("int"),
+                )
+                .drop("__bn")
+            )
+        else:
+            withp = withv.withColumn("__parts", F.lit(int(bucket_parts)))
+        withp = withp.withColumn(
+            "__p", F.pmod(F.xxhash64("__id"), F.col("__parts")).cast("int")
+        )
+        a_side = withp.select(
+            "tbl",
+            "bucket",
+            F.col("__p").alias("__ki"),
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__parts") - F.lit(1))
+            ).alias("__kj"),
+            F.lit("a").alias("__side"),
+            "__id",
+            "__v",
+        )
+        b_side = withp.select(
+            "tbl",
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("__p"))).alias("__ki"),
+            F.col("__p").alias("__kj"),
+            F.lit("b").alias("__side"),
+            "__id",
+            "__v",
+        )
+
+        def _grid_verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            pa = pdf[pdf["__side"] == "a"]
+            pb = pdf[pdf["__side"] == "b"]
+            if not len(pa) or not len(pb):
+                return empty
+            A = np.stack(pa["__v"].to_numpy()).astype(np.float64)
+            B = np.stack(pb["__v"].to_numpy()).astype(np.float64)
+            ids_a = pa["__id"].to_numpy()
+            ids_b = pb["__id"].to_numpy()
+            denom = _fold_norms(A)[:, None] * _fold_norms(B)[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = _fold_matmul(A, B) / denom
+            if key[2] == key[3]:
+                # diagonal part pair: both sides hold the same rows —
+                # the strict < keeps each unordered pair once
+                mask = (ids_a[:, None] < ids_b[None, :]) & (denom > 0) & (cos >= margin)
+                ia, ib = np.nonzero(mask)
+                lo, hi = ids_a[ia], ids_b[ib]
+            else:
+                # disjoint parts: each cross pair appears exactly once;
+                # canonicalize the orientation for the global dedup
+                ia, ib = np.nonzero((denom > 0) & (cos >= margin))
+                ua, ub = ids_a[ia], ids_b[ib]
+                swap = ua > ub
+                lo = np.where(swap, ub, ua)
+                hi = np.where(swap, ua, ub)
+            return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ia, ib]})
+
+        out = (
+            a_side.unionByName(b_side)
+            .groupBy("tbl", "bucket", "__ki", "__kj")
+            .applyInPandas(_grid_verify, schema=f"id_a {idt}, id_b {idt}, cos double")
+        )
     return (
         out.dropDuplicates(["id_a", "id_b"])
         .withColumn("cos", F.round("cos", 6))

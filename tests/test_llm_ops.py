@@ -131,6 +131,36 @@ def test_bucketed_cosine_persisted_buckets_parity(emb, tmp_path):
     assert dense == fresh
 
 
+def test_bucket_verify_grid_split_parity(emb, monkeypatch):
+    """VERDICT r12 #5: the hot-bucket grid split of the dense verify
+    path must be digest-identical to the unsplit path at ANY parts
+    value — uniform int, parts exceeding bucket sizes, and the
+    per-bucket auto sizing (forced on by shrinking the target)."""
+    base = {(r["id_a"], r["id_b"], r["cos"])
+            for r in S.bucketed_cosine_pairs(
+                emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16,
+                verify="bucket").collect()}
+    assert len(base) > 0
+    for parts in (3, 64):
+        split = {(r["id_a"], r["id_b"], r["cos"])
+                 for r in S.bucketed_cosine_pairs(
+                     emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16,
+                     verify="bucket", bucket_parts=parts).collect()}
+        assert split == base, f"grid split diverges at parts={parts}"
+    # auto (None): force every bucket hot so the window sizing engages
+    monkeypatch.setattr(S, "_LSH_TARGET_BUCKET_ROWS", 2)
+    auto = {(r["id_a"], r["id_b"], r["cos"])
+            for r in S.bucketed_cosine_pairs(
+                emb, "vec_id", "embedding", 0.45, n_planes=3, n_tables=16,
+                verify="bucket", bucket_parts=None).collect()}
+    assert auto == base
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_parts"):
+        S.bucketed_cosine_pairs(
+            emb, "vec_id", "embedding", 0.45, verify="bucket", bucket_parts=0)
+
+
 def test_bucketed_cosine_zero_norm_pairs_dropped(spark):
     """Zero-norm contract (ADVICE r6): cosine with a zero vector is
     undefined and the pair is dropped — deterministically, not as a
