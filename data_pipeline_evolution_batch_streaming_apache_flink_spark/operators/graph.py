@@ -69,6 +69,19 @@ def _pin_by_key(df: DataFrame, key: str) -> DataFrame:
 #: exchange-per-round SMJ, where the pinned layout halves wall time.
 PIN_NODES = 10_000
 
+#: Node-count ceiling for EXPLICITLY broadcasting the per-round
+#: score/label table (guide §3.1: broadcast the side that fits, and
+#: hint it — size ESTIMATES for a post-aggregation side are wrong
+#: often enough that the planner instead broadcast the EDGE list here,
+#: 22 MiB per half-round at suite scale, r13 plan audit). A score row
+#: is an id plus one or two bigints (~40 B serialized), so 2M nodes is
+#: a ~80 MB hash relation — comfortably inside executor memory at any
+#: cluster size, and far under the 8 GB broadcast hard cap. The gate is
+#: computed from the runtime node count, so it is scale-adaptive, not
+#: a local-mode constant: a 100 TB corpus graph (n >> 2M) takes the
+#: pinned sort-merge path exactly as before.
+BROADCAST_NODES = 2_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -191,12 +204,17 @@ def pagerank(
         base_expr = str(((100 - damping_pct) * scale) // (100 * n))
     carry = ["node", "outdeg"] + (["__seed"] if seeds is not None else [])
 
-    # Above PIN_NODES the per-round score side stops being a guaranteed
-    # broadcast and the rounds degrade to exchange-per-round SMJ on the
-    # edge list — re-lay the checkpointed edges once (cheap: reads the
-    # checkpoint, not the caller's derivation) so every round's join is
-    # exchange- and sort-free on this side.
-    pinned = not prelaid and n > PIN_NODES
+    # Two regimes (guide §3.1, r13 plan audit — same scheme as
+    # :func:`hits`). Small graphs (n ≤ BROADCAST_NODES): broadcast-HINT
+    # the per-round rank table (an eager checkpoint scans as
+    # ExistingRDD with an unknowably-large size estimate, so the
+    # planner otherwise broadcasts the EDGE list every round) and keep
+    # the checkpointed edges as the streamed probe side. Big graphs:
+    # re-lay the checkpointed edges once (cheap: reads the checkpoint,
+    # not the caller's derivation) so every round's SMJ is exchange-
+    # and sort-free on this side.
+    small = n <= BROADCAST_NODES
+    pinned = not prelaid and not small
     if pinned:
         e = _pin_by_key(e, "src")
 
@@ -207,17 +225,19 @@ def pagerank(
     )
     prev_ranks: DataFrame | None = None
     for _ in range(iterations):
+        rank_side = ranks.filter(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("src"), "rank_micro", "outdeg"
+        )
+        if small:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            e.join(
-                ranks.filter(F.col("outdeg").isNotNull()).select(
-                    F.col("node").alias("src"), "rank_micro", "outdeg"
-                ),
-                "src",
-            )
+            e.join(rank_side, "src")
             .select(F.col("dst").alias("node"), F.expr(contrib).alias("__contrib"))
             .groupBy("node")
             .agg(F.sum("__contrib").alias("__in"))
         )
+        if small:
+            contribs = F.broadcast(contribs)
         ranks = (
             base_nodes.join(contribs, "node", "left")
             .select(
@@ -466,18 +486,24 @@ def label_propagation(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Same gate as pagerank/hits: big label tables stop broadcasting,
-    # so re-lay the checkpointed edges once for exchange-free rounds.
-    pinned = nodes.count() > PIN_NODES
+    # Same two regimes as pagerank/hits (guide §3.1, r13 plan audit):
+    # small graphs broadcast-HINT the per-round label table (the
+    # checkpointed label side scans as ExistingRDD with an unknown size
+    # estimate, so the planner otherwise broadcasts the edge list every
+    # round); big graphs re-lay the checkpointed edges once for
+    # exchange-free SMJ rounds.
+    small = nodes.count() <= BROADCAST_NODES
+    pinned = not small
     if pinned:
         e = _pin_by_key(e, "src")
     labels = nodes.withColumn("label", F.col("node"))
     rounds: list[DataFrame] = []
     for _ in range(iterations):
+        label_side = labels.select(F.col("node").alias("src"), "label")
+        if small:
+            label_side = F.broadcast(label_side)
         votes = (
-            e.join(
-                labels.select(F.col("node").alias("src"), "label"), "src"
-            )
+            e.join(label_side, "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("votes"))
         )
@@ -490,6 +516,8 @@ def label_propagation(
             )
             .select("node", (-F.col("m.nl")).cast("bigint").alias("__new"))
         )
+        if small:
+            picked = F.broadcast(picked)
         labels = (
             labels.join(picked, "node", "left")
             .select(
@@ -583,36 +611,54 @@ def hits(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Above PIN_NODES the per-round score side stops broadcasting; pin
-    # TWO copies off the checkpoint, one per join key, so each half's
-    # SMJ is exchange/sort-free on the edge side (2× cache memory,
-    # MEMORY_AND_DISK spills; unpersisted after the final round).
-    pinned = not prelaid and nodes.count() > PIN_NODES
+    # Two regimes (guide §3.1, r13 plan audit). Small graphs
+    # (n ≤ BROADCAST_NODES): the per-round score table is a few MB at
+    # most — broadcast-HINT it (the planner's estimate for a
+    # post-aggregation side is unreliable enough that it instead
+    # broadcast the 22 MiB edge list per half-round at suite scale) and
+    # keep the checkpointed edges as the streamed probe side: zero
+    # per-round exchange on either join input, no pin to pay for. Big
+    # graphs: pin TWO copies off the checkpoint, one per join key, so
+    # each half's SMJ is exchange/sort-free on the edge side (2× cache
+    # memory, MEMORY_AND_DISK spills; unpersisted after the final
+    # round).
+    n = nodes.count()
+    small = n <= BROADCAST_NODES
+    pinned = not prelaid and not small
     if pinned:
         base = e
         e = _pin_by_key(base, "src")
         e_dst = _pin_by_key(base, "dst")
 
+    raw_ckpts: list[DataFrame] = []
+
     def _half(scores: DataFrame, join_on: str, emit: str) -> DataFrame:
         # scores: (node, s). Contributions flow join_on -> emit. Each
-        # half joins the edge copy laid out on ITS key.
+        # half joins the edge copy laid out on ITS key. Nodes whose
+        # score is zero need no row here: they contribute nothing to
+        # the sums, identically to an explicit 0 — the full node set is
+        # zero-filled ONCE on the returned frame instead of once per
+        # half (r13: removes a join + sort from every half-round).
         side = e if join_on == "src" else e_dst
+        sc = scores.select(F.col("node").alias(join_on), "s")
+        if small:
+            sc = F.broadcast(sc)
         raw = (
-            side.join(scores.select(F.col("node").alias(join_on), "s"), join_on)
+            side.join(sc, join_on)
             .groupBy(F.col(emit).alias("node"))
             .agg(F.sum("s").alias("__raw"))
+            # raw feeds BOTH the 1-row max and the normalized
+            # projection: unpinned, the whole join+aggregate subtree
+            # plans (and runs) TWICE per half (r13 plan audit, ~40%
+            # of hits wall at sf0.1). Lazy checkpoint; the round loop
+            # frees the blocks once the half's eager checkpoint lands.
+            .localCheckpoint(eager=False)
         )
+        raw_ckpts.append(raw)
         mx = raw.agg(F.max("__raw").alias("__mx"))
-        normed = (
-            raw.crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.expr(f"(__raw * {scale}) div __mx").cast("bigint").alias("s"),
-            )
-        )
-        return (
-            nodes.join(normed, "node", "left")
-            .select("node", F.coalesce("s", F.lit(0)).cast("bigint").alias("s"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"(__raw * {scale}) div __mx").cast("bigint").alias("s"),
         )
 
     hub = nodes.select("node", F.lit(scale).cast("bigint").alias("s"))
@@ -628,14 +674,27 @@ def hits(
         hub = _half(auth, "dst", "src").localCheckpoint(eager=True)
         if prev_auth is not None:
             unpersist_local_checkpoint(prev_auth)
+        # both halves of the round are materialized: their raw
+        # checkpoints have no further reader
+        for r in raw_ckpts:
+            unpersist_local_checkpoint(r)
+        raw_ckpts.clear()
         prev_auth, prev_hub = auth, hub
     if pinned:
         e.unpersist()
         e_dst.unpersist()
+    hubj = hub.withColumnRenamed("s", "hub_micro")
+    authj = auth.withColumnRenamed("s", "auth_micro")
+    if small:
+        hubj, authj = F.broadcast(hubj), F.broadcast(authj)
     return (
-        hub.withColumnRenamed("s", "hub_micro")
-        .join(auth.withColumnRenamed("s", "auth_micro"), "node")
-        .select("node", "hub_micro", "auth_micro")
+        nodes.join(hubj, "node", "left")
+        .join(authj, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_micro", F.lit(0)).cast("bigint").alias("hub_micro"),
+            F.coalesce("auth_micro", F.lit(0)).cast("bigint").alias("auth_micro"),
+        )
     )
 
 

@@ -4029,6 +4029,18 @@ ORACLE["asof_nearest"] = """
 _PR_ITER = 4
 
 
+def _decode_cs_node(col: str) -> F.Column:
+    """Render a bigint-encoded purchase-graph node id (even=customer
+    ``2*custkey``, odd=supplier ``2*suppkey+1``) back to the suite's
+    'c<custkey>' / 's<suppkey>' string form — the r13 optimization runs
+    the iterative graph rounds on bigints (guide §2.3) and pays the
+    string concat exactly once, here."""
+    return F.expr(
+        f"concat(CASE WHEN {col} % 2 = 0 THEN 'c' ELSE 's' END,"
+        f" CAST({col} div 2 AS STRING))"
+    ).alias("node")
+
+
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Integer fixed-point PageRank on the customer↔supplier purchase
     graph (orders⋈lineitem, both directions so no node dangles in the
@@ -4038,19 +4050,27 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf, ("orders", "lineitem"))
+    # r13: every iterative round shuffles node ids — run the rounds on
+    # BIGINT-encoded ids (even=customer, odd=supplier: the
+    # lpa_communities encoding) and render the 'c…'/'s…' strings ONCE
+    # on the result (guide §2.3 narrower types: the id bijection leaves
+    # every degree/rank identical, so output strings are unchanged —
+    # oracle-hash-pinned).
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
         )
         .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iterations=_PR_ITER)
+    return pagerank(edges, iterations=_PR_ITER).select(
+        _decode_cs_node("node"), "rank_micro"
+    )
 
 
 QUERIES["pagerank"] = q_pagerank
@@ -4827,12 +4847,14 @@ def q_pagerank_personalized(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf, ("orders", "lineitem", "customer"))
+    # r13: bigint-encoded rounds + one final string render, exactly as
+    # q_pagerank (the seed set uses the same even=customer encoding).
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -4841,9 +4863,11 @@ def q_pagerank_personalized(spark: SparkSession, sf: str) -> DataFrame:
     )
     seeds = (
         t["customer"].where(F.col("c_mktsegment") == "BUILDING")
-        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+        .select((F.col("c_custkey").cast("bigint") * 2).alias("node"))
     )
-    return pagerank(edges, iterations=_PPR_ITER, seeds=seeds)
+    return pagerank(edges, iterations=_PPR_ITER, seeds=seeds).select(
+        _decode_cs_node("node"), "rank_micro"
+    )
 
 
 QUERIES["pagerank_personalized"] = q_pagerank_personalized
@@ -4913,16 +4937,20 @@ def q_hits(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import hits
 
     t = load_tables(spark, sf, ("orders", "lineitem"))
+    # r13: bigint-encoded rounds + one final string render, exactly as
+    # q_pagerank (the id bijection leaves every sum/max unchanged).
     edges = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return hits(edges, iterations=_HITS_ITER)
+    return hits(edges, iterations=_HITS_ITER).select(
+        _decode_cs_node("node"), "hub_micro", "auth_micro"
+    )
 
 
 QUERIES["hits_scores"] = q_hits
