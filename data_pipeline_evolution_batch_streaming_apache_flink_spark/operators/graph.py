@@ -753,7 +753,11 @@ def link_prediction(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds the center join AND (with max_degree) the capped-set
+    # semi-join and the reported-degree aggregation — unpinned, each
+    # consumer re-runs the 2|E|-row count shuffle (r13 plan audit: the
+    # suite plan held 4 copies of it). Bounded: one row per node.
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).persist()
     # wedge centers: z with its degree-derived Adamic-Adar term, hubs
     # capped. Degree-1 centers can't form a wedge — drop them BEFORE the
     # term evaluates (ln(1)=0 would divide-by-zero under ANSI mode).
@@ -769,6 +773,14 @@ def link_prediction(
     )
     if max_degree is not None:
         centers = centers.where(F.col("deg") <= max_degree)
+    # both wedge-join sides consume centers: pin one materialization
+    # (same reason triangle_stats/local_clustering pin their oriented
+    # set). Bounded: Σ deg(z) over surviving centers ≤ 2|E| rows.
+    # persist (not localCheckpoint): InMemoryRelation keeps size stats,
+    # so the planner can still broadcast the small sides downstream —
+    # an ExistingRDD scan reports an unknown size and forces SMJ
+    # everywhere (r13 A/B: persist 2.9-4.4 s vs ckpt 3.9-6.6 s warm).
+    centers = centers.persist()
     left = centers.select("z", F.col("leaf").alias("node_a"), "__aa")
     right = centers.select("z", F.col("leaf").alias("node_b"))
     pairs = (
@@ -800,6 +812,10 @@ def link_prediction(
             adj.join(capped.withColumnRenamed("u", "v"), "v", "left_semi")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
+            # feeds both endpoint joins below — pin the capped-degree
+            # recount once (bounded: one row per node; persist keeps
+            # the size stats broadcastable, see centers above)
+            .persist()
         )
     else:
         deg_rep = deg

@@ -5012,17 +5012,38 @@ def q_link_prediction(spark: SparkSession, sf: str) -> DataFrame:
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import link_prediction
 
     t = load_tables(spark, sf, ("orders", "lineitem"))
+    # r13: run the wedge machinery on bigint-encoded ids (guide §2.3,
+    # same encoding as q_pagerank). The operator canonicalizes pairs
+    # NUMERICALLY, the suite contract orders them LEXICOGRAPHICALLY
+    # ('c10' < 'c9'), and every score is pair-symmetric — so decode and
+    # re-canonicalize once at the end, swapping the degree columns with
+    # their endpoints. Same unordered pair set, same scores,
+    # oracle-hash-pinned.
     edges = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
-    return link_prediction(
-        edges, min_common=_LP_MIN_CN, max_degree=_LP_MAX_DEG
+    raw = link_prediction(edges, min_common=_LP_MIN_CN, max_degree=_LP_MAX_DEG)
+    dec = raw.select(
+        _decode_cs_node("node_a").alias("sa"),
+        _decode_cs_node("node_b").alias("sb"),
+        "common_neighbors", "deg_a", "deg_b",
+        "adamic_adar_micro", "jaccard_micro",
+    )
+    flip = F.col("sa") > F.col("sb")
+    return dec.select(
+        F.when(flip, F.col("sb")).otherwise(F.col("sa")).alias("node_a"),
+        F.when(flip, F.col("sa")).otherwise(F.col("sb")).alias("node_b"),
+        "common_neighbors",
+        F.when(flip, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_a"),
+        F.when(flip, F.col("deg_a")).otherwise(F.col("deg_b")).alias("deg_b"),
+        "adamic_adar_micro",
+        "jaccard_micro",
     )
 
 
