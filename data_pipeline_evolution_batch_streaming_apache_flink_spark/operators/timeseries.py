@@ -633,12 +633,17 @@ def ts_lagged_topk(
     slots. Reported per pair: the MAX r over the sweep and the SMALLEST
     lag attaining it. Self-pairs are excluded at every lag.
 
-    Plan shape: candidate generation is one
-    :func:`...similarity.cosine_topk` pass per lag (2·max_lag+1 scans
-    of the CHECKPOINTED series matrix — #series × n_buckets ints, far
-    smaller than the raw event table, so the sweep multiplies a small
-    scan, not the source read); the union of per-lag top-k provably
-    contains the global top-k under the shared (r desc, id asc) order.
+    Plan shape: candidate generation is ONE scan of the CHECKPOINTED
+    series matrix (#series × n_buckets ints, far smaller than the raw
+    event table): the query matrix is collected once, every lag's
+    rotation is a numpy column permutation of it (bit-identical to the
+    per-lag SQL rotation — same values, same fold order), and each
+    corpus batch scores all 2·max_lag+1 rotated query matrices,
+    emitting lag-tagged local top-k rows; a single (lag, query) window
+    then ranks them exactly as a per-lag pass would (r13: previously
+    one cosine_topk pass — query collect + corpus scan + window — PER
+    lag). The union of per-lag top-k provably contains the global
+    top-k under the shared (r desc, id asc) order.
     Candidates — ≤ |Q|·k·(2·max_lag+1) pairs — are then re-scored
     across ALL lags in one JVM pass (left-fold double aggregates, the
     same summation order as cosine_topk, so re-scored values equal the
@@ -647,7 +652,17 @@ def ts_lagged_topk(
 
     Returns ``({id_col}_q, {id_col}_c, cos, lag, rank)`` — ``cos`` is
     the best Pearson r (6dp), ``lag`` the smallest ℓ attaining it."""
-    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import cosine_topk
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_matmul, _fold_norms
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.similarity import (
+        _collect_query_vectors,
+        _local_topk_frames,
+    )
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.util import fan_out
 
     if max_lag < 0:
         raise ValueError(f"max_lag must be >= 0, got {max_lag}")
@@ -658,21 +673,58 @@ def ts_lagged_topk(
     mat = _centered_series(df, id_col, bucket_col, n_buckets, value_col)
     queries = mat if query_filter is None else mat.where(query_filter)
     n = n_buckets
-    cand = None
-    for lag in range(-max_lag, max_lag + 1):
-        rotated = queries.select(
-            id_col,
-            F.expr(
-                f"transform(sequence(0, {n - 1}), i -> "
-                f"element_at(__w, pmod(i + {lag}, {n}) + 1))"
-            ).alias("__w"),
-        )
-        hits = cosine_topk(
-            rotated, mat, id_col, id_col, "__w", "__w",
-            k=k, include_self=False, max_query_rows=max_query_rows,
-        ).select(F.col(id_col + "_q").alias("qid"), F.col(id_col + "_c").alias("cid"))
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.dropDuplicates(["qid", "cid"])
+    spark = mat.sparkSession
+    # one query collect; every lag's rotated matrix is a column
+    # permutation of it — identical values and identical left-fold
+    # column ORDER to the per-lag SQL rotation, so scores are
+    # bit-for-bit what a per-lag cosine_topk pass computes
+    qdf = _collect_query_vectors(queries, id_col, "__w", max_query_rows)
+    Q = np.stack(qdf["__qv"].to_numpy()).astype(np.float64)
+    q_ids = qdf["qid"].to_numpy()
+    lags = list(range(-max_lag, max_lag + 1))
+    idx = np.arange(n)
+    rots = [
+        (lag, Q[:, (idx + lag) % n]) for lag in lags
+    ]
+    bc = spark.sparkContext.broadcast(
+        (q_ids, [(lag, Qr, _fold_norms(Qr)) for lag, Qr in rots])
+    )
+    id_type = mat.schema[id_col].dataType.simpleString()
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, lagged_qs = bc.value
+        for p in batches:
+            if not len(p):
+                continue
+            C = np.stack(p["__cid_vec"].to_numpy()).astype(np.float64)
+            ids_c = p["__cid"].to_numpy()
+            nc = _fold_norms(C)
+            for lag, Qm, nQ in lagged_qs:
+                cos = _fold_matmul(Qm, C) / (nQ[:, None] * nc[None, :])
+                cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
+                frames = _local_topk_frames(ids_q, ids_c, cos, k)
+                if frames:
+                    out = pd.concat(frames, ignore_index=True)
+                    out["lag"] = np.int32(lag)
+                    yield out
+
+    c = fan_out(
+        mat.select(F.col(id_col).alias("__cid"), F.col("__w").alias("__cid_vec"))
+    )
+    scored = (
+        c.mapInPandas(_score, schema=f"qid {id_type}, cid {id_type}, cos double, lag int")
+        .withColumn("cos", F.round("cos", 6))
+    )
+    # exact per-lag global top-k (cosine_topk's ranking, one window for
+    # all lags), then the distinct pair union — identical to unioning
+    # 2·max_lag+1 independent cosine_topk results
+    wlag = Window.partitionBy("lag", "qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    cand = (
+        scored.withColumn("__rk", F.row_number().over(wlag))
+        .filter(F.col("__rk") <= k)
+        .select("qid", "cid")
+        .dropDuplicates(["qid", "cid"])
+    )
     qside = mat.select(F.col(id_col).alias("qid"), F.col("__w").alias("__qw"))
     cside = mat.select(F.col(id_col).alias("cid"), F.col("__w").alias("__cw"))
     # all-lag exact re-score: per pair, 2·max_lag+1 left-fold double
