@@ -185,6 +185,7 @@ def _hash_sampled_matrix(
     sample_frac: float | None,
     max_train_rows: int | None,
     return_count: bool = False,
+    return_hashes: bool = False,
 ):
     """(n, d) float64 training matrix drawn LAYOUT-INDEPENDENTLY from the
     single-column ``v`` DataFrame: every row gets a uniform score from a
@@ -198,7 +199,12 @@ def _hash_sampled_matrix(
     estimator. ``return_count=True`` returns ``(matrix, n_rows)`` where
     ``n_rows`` is the pre-cap row count of the (frac-filtered) input —
     with ``sample_frac=None`` that is the full corpus count, reusing the
-    count the cap logic already pays."""
+    count the cap logic already pays. ``return_hashes=True`` appends the
+    rows' hash scores (ascending, aligned with the matrix) so a caller
+    can MERGE two sides' samples into the union's sample without a
+    third pass: the lowest-``max_train_rows`` hashes of A ∪ B are a
+    subset of each side's lowest-``max_train_rows`` (r13,
+    ``margin_mine_ivf``)."""
     import numpy as np
 
     # Uniform content hash in [0, 1): shift the signed 64-bit hash into
@@ -228,7 +234,12 @@ def _hash_sampled_matrix(
     if not len(pdf):
         raise ValueError("cannot fit a quantizer on an empty (or fully sampled-out) corpus")
     mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    return (mat, n_rows) if return_count else mat
+    out = (mat,)
+    if return_count:
+        out += (n_rows,)
+    if return_hashes:
+        out += (pdf["__u"].to_numpy().astype(np.float64),)
+    return out if len(out) > 1 else mat
 
 
 def _fit_cells(
@@ -242,6 +253,7 @@ def _fit_cells(
     iters: int = 15,
     restarts: int = 8,
     return_sample: bool = False,
+    _sample=None,
 ):
     """k-means coarse quantizer: returns (assigned corpus with ``__cell``,
     broadcast-able centroid DataFrame) — plus, with
@@ -287,7 +299,15 @@ def _fit_cells(
     import numpy as np
 
     vectors = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-    if return_sample:
+    if _sample is not None:
+        # Caller-provided (raw matrix, pre-cap count) — e.g.
+        # margin_mine_ivf merges its two sides' hash samples into the
+        # union's sample (bit-identical by the subset property on
+        # _hash_sampled_matrix) instead of paying a third scan. Copy:
+        # the normalization below is in-place and the caller reuses the
+        # raw matrices for the sizing estimators.
+        X, n_rows = _sample[0].copy(), _sample[1]
+    elif return_sample:
         # The capped sample already pays this count — returning it is free.
         X, n_rows = _hash_sampled_matrix(
             vectors, sample_frac, max_train_rows, return_count=True
@@ -1609,6 +1629,8 @@ def ivf_knn_join(
     max_train_rows: int = 100_000,
     cell_parts: int | None = None,
     query_parts: int | None = None,
+    _corpus_sizing=None,
+    _query_sizing=None,
 ) -> DataFrame:
     """Distributed approximate kNN JOIN between two large embedding
     corpora — the pool-scale sibling of :func:`cosine_topk`, with NO
@@ -1738,7 +1760,19 @@ def ivf_knn_join(
         # When the quantizer fit ran in-call, its unit-normalized sample
         # and corpus count ARE the sizing inputs — reuse them instead of
         # re-running the identical content-hash sample pass (ADVICE r12).
-        if fit_X is not None:
+        # ``_corpus_sizing`` is the caller-side variant of the same reuse
+        # (r13, margin_mine_ivf: the raw hash sample of each side is
+        # taken once and fed to both directions' joins): a (raw matrix,
+        # pre-cap count) tuple exactly as _hash_sampled_matrix returns,
+        # or (None, 0) for a side known to be empty.
+        if _corpus_sizing is not None:
+            Xc, n_corpus = _corpus_sizing
+            Xu = (
+                Xc / np.maximum(np.linalg.norm(Xc, axis=1, keepdims=True), 1e-12)
+                if Xc is not None
+                else None
+            )
+        elif fit_X is not None:
             Xu, n_corpus = fit_X, fit_n
         else:
             try:
@@ -1760,13 +1794,16 @@ def ivf_knn_join(
     elif cell_parts > 1:
         pmap = {c: int(cell_parts) for c in range(len(cent))}
     if query_parts is None:
-        try:
-            Xq, n_q = _hash_sampled_matrix(
-                queries.select(F.col(query_vec).cast("array<double>").alias("v")),
-                None, max_train_rows, return_count=True,
-            )
-        except ValueError:
-            Xq, n_q = None, 0
+        if _query_sizing is not None:
+            Xq, n_q = _query_sizing
+        else:
+            try:
+                Xq, n_q = _hash_sampled_matrix(
+                    queries.select(F.col(query_vec).cast("array<double>").alias("v")),
+                    None, max_train_rows, return_count=True,
+                )
+            except ValueError:
+                Xq, n_q = None, 0
         if Xq is not None:
             Xqu = Xq / np.maximum(np.linalg.norm(Xq, axis=1, keepdims=True), 1e-12)
             take = min(n_probe, len(cent))
@@ -1885,23 +1922,54 @@ def margin_mine_ivf(
     equals :func:`margin_mine` exactly (pinned by test). Recall at
     n_probe < n_cells follows the IVF recall curve of
     ``tools/ann_recall.py``."""
+    import numpy as np
+
     if knn_k < 1:
         raise ValueError(f"knn_k must be >= 1, got {knn_k}")
     union_vecs = left.select(F.col(left_vec).alias("embedding")).unionByName(
         right.select(F.col(right_vec).alias("embedding"))
     )
+    # ONE content-hash sample pass per side (r13). Each side's raw
+    # sample serves three consumers that previously paid their own
+    # passes: the union quantizer fit (the union's lowest-hash
+    # max_train_rows rows are a subset of the two sides' lowest-hash
+    # sets — merge by hash, truncate: bit-identical to sampling the
+    # union), the forward join's corpus/query sizing estimators, and
+    # the backward join's (roles swapped). 5 scans -> 2.
+    def _side_sample(df: DataFrame, vec: str):
+        try:
+            return _hash_sampled_matrix(
+                df.select(F.col(vec).cast("array<double>").alias("v")),
+                None, max_train_rows, return_count=True, return_hashes=True,
+            )
+        except ValueError:
+            return None, 0, None
+
+    XL, nL, uL = _side_sample(left, left_vec)
+    XR, nR, uR = _side_sample(right, right_vec)
+    if XL is None and XR is None:
+        raise ValueError(
+            "cannot fit a quantizer on an empty (or fully sampled-out) corpus"
+        )
+    parts = [(X, u) for X, u in ((XL, uL), (XR, uR)) if X is not None]
+    Xall = np.concatenate([p[0] for p in parts])
+    uall = np.concatenate([p[1] for p in parts])
+    order = np.argsort(uall, kind="stable")
+    union_sample = Xall[order][:max_train_rows]
     # Fit on the union: _fit_cells' assignment output is lazy and
-    # discarded — only the (eager, driver-side, sample-bounded)
-    # centroid fit is paid here.
+    # discarded — only the (driver-side, sample-bounded) centroid fit
+    # is paid here, on the merged sample (zero extra scans).
     _, cent_df = _fit_cells(
         union_vecs.withColumn("__uid", F.monotonically_increasing_id()),
         "__uid", "embedding", n_cells, seed, max_train_rows=max_train_rows,
+        _sample=(union_sample, nL + nR),
     )
     fwd = ivf_knn_join(
         left, right, left_id, right_id, left_vec, right_vec,
         k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
         include_self=True, cent_df=cent_df, cell_parts=cell_parts,
         query_parts=query_parts,
+        _corpus_sizing=(XR, nR), _query_sizing=(XL, nL),
     ).select(
         F.col(left_id + "_q").alias("l"),
         F.col(right_id + "_c").alias("r"),
@@ -1912,6 +1980,7 @@ def margin_mine_ivf(
         k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
         include_self=True, cent_df=cent_df, cell_parts=cell_parts,
         query_parts=query_parts,
+        _corpus_sizing=(XL, nL), _query_sizing=(XR, nR),
     ).select(
         F.col(left_id + "_c").alias("l"),
         F.col(right_id + "_q").alias("r"),
