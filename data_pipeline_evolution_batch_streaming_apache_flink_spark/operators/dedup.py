@@ -1236,9 +1236,14 @@ def winnow_pairs(
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_df)
         )
-        fps = fps.join(keep.select("fp"), "fp")
+        # the filtered index feeds the totals AND the join below: pin it
+        # or the df-count aggregate + semi-join replay per consumer (r13
+        # plan audit: the unpinned suite plan held 4 copies). persist
+        # (not localCheckpoint) keeps size stats broadcastable.
+        fps = fps.join(keep.select("fp"), "fp").persist()
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
-    withn = fps.join(sizes, "id")
+    # both self-join sides consume withn — pin one materialization
+    withn = fps.join(sizes, "id").persist()
     a = withn.select(
         F.col("id").alias("id_a"), F.col("__n").alias("fp_a"), "fp"
     )
