@@ -819,6 +819,8 @@ def connected_components(
     Raises if ``max_iter`` rounds don't converge (pathological chain
     longer than max_iter — raise the cap for adversarial graphs).
     """
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.graph import BROADCAST_NODES
+
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -828,18 +830,25 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Near-dup pair graphs are tiny next to the corpus: broadcast-HINT
+    # the per-round label table below the graph family's node gate
+    # (guide §3.1 — an eager checkpoint scans with an unknown size
+    # estimate, so the planner otherwise sort-merge-joins every round).
+    small = labels.count() <= BROADCAST_NODES
     for _ in range(max_iter):
+        lab = labels.hint("broadcast") if small else labels
         neighbor_min = (
-            sym.join(labels, sym["b"] == labels["node"])
+            sym.join(lab, sym["b"] == lab["node"])
             .select(F.col("a").alias("node"), F.col("comp"))
             .union(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
         neighbor_min = neighbor_min.localCheckpoint(eager=True)
+        old = labels.alias("o")
         changed = (
             neighbor_min.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(old.hint("broadcast") if small else old, "node")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
