@@ -57,6 +57,14 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     compute — worth it whenever downstream work is >> shuffle cost. At
     real scale (partitions >= cores) this is a no-op, so operators can
     call it unconditionally.
+
+    CALLER CONTRACT (r13): pass a scan-shaped or checkpointed frame.
+    The partition probe below is ``DataFrame.rdd``, which on a
+    shuffle-CONTAINING frame executes every upstream query stage under
+    AQE just to learn the post-coalesce width — one full extra
+    execution of the subtree (measured: a 3M-row aggregate ran twice).
+    Materialize such frames first (eager ``localCheckpoint``), which
+    also gives the probe the true width for free.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -1229,7 +1229,13 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     t = load_tables(spark, sf, ("documents",))
     bench = t["documents"].filter(F.col("doc_id") < 20)
     train = t["documents"].filter(F.col("doc_id") >= 20)
-    clean = decontaminate(train, bench, "doc_id", "doc_id", n=3, min_shared=3)
+    # r13: materialize the decontaminated survivors once. fan_out's
+    # partition probe (DataFrame.rdd) EXECUTES upstream query stages on
+    # a shuffle-containing frame, so unpinned, the whole shingle
+    # anti-join ran twice — once for the probe, once for the real pass.
+    clean = decontaminate(
+        train, bench, "doc_id", "doc_id", n=3, min_shared=3
+    ).localCheckpoint(eager=True)
     withpii = clean.select(
         "doc_id",
         F.concat(
