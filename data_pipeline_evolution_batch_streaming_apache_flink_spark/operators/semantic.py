@@ -142,20 +142,54 @@ def semantic_dedup(
             F.col("__csize") <= max_cluster
         ).drop("__csize")
 
-    a = pair_src.select(
-        F.col("__pid").alias("__id_a"), F.col("__pvec").alias("__va"),
-        F.col("__pnrm").alias("__na"), "cluster",
+    # Within-cluster scoring as one numpy block pass per cluster (r13;
+    # guide §4.2 — the exploded pair join evaluated an O(dim) SQL fold
+    # per pair and was ~75% of warm wall). _fold_matmul reproduces
+    # V.dot's left-fold summation order bit-for-bit (the cosine_topk
+    # equivalence this module already relies on), the norms are the
+    # SQL-computed __pnrm values unchanged, and the division is the
+    # same single IEEE op — so raw scores are identical to the pair
+    # join's. Python emits only pairs within 1e-6 slack of the
+    # threshold; the exact HALF_UP 6dp rounding + threshold runs
+    # JVM-side (house rounding discipline — numpy's round is
+    # banker's, never used).
+    import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_matmul
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    chunk = 1024  # bound the cos block at chunk x |cluster| doubles
+
+    def _near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"__did": pdf["__pid"].iloc[:0], "__cos": np.array([], dtype=np.float64)})
+        pdf = pdf.sort_values("__pid", ignore_index=True)
+        Vm = np.stack(pdf["__pvec"].to_numpy()).astype(np.float64)
+        nrm = pdf["__pnrm"].to_numpy(dtype=np.float64)
+        ids = pdf["__pid"].to_numpy()
+        out_ids, out_cos = [], []
+        for i0 in range(0, len(Vm), chunk):
+            A = Vm[i0 : i0 + chunk]
+            cos = _fold_matmul(A, Vm) / (nrm[i0 : i0 + chunk, None] * nrm[None, :])
+            # strict upper triangle on the id-sorted order = id_a < id_b
+            rows, cols = np.nonzero(
+                (cos >= threshold - 1e-6)
+                & (np.arange(len(Vm))[None, :] > (i0 + np.arange(len(A)))[:, None])
+            )
+            if len(rows):
+                out_ids.append(ids[cols])
+                out_cos.append(cos[rows, cols])
+        if not out_ids:
+            return pd.DataFrame({"__did": pdf["__pid"].iloc[:0], "__cos": np.array([], dtype=np.float64)})
+        return pd.DataFrame({"__did": np.concatenate(out_ids), "__cos": np.concatenate(out_cos)})
+
+    scored = pair_src.groupBy("cluster").applyInPandas(
+        _near_pairs, schema=f"__did {id_type}, __cos double"
     )
-    b = pair_src.select(
-        F.col("__pid").alias("__id_b"), F.col("__pvec").alias("__vb"),
-        F.col("__pnrm").alias("__nb"), "cluster",
-    )
-    cos6 = F.round(V.dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
     doomed = (
-        a.join(b, "cluster")
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(cos6 >= threshold)
-        .select(F.col("__id_b").alias(id_col))
+        scored.filter(F.round(F.col("__cos"), 6) >= threshold)
+        .select(F.col("__did").alias(id_col))
         .distinct()
     )
     return assigned.join(doomed, id_col, "left_anti")

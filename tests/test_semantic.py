@@ -89,3 +89,45 @@ def test_max_cluster_guard_keeps_rows_instead_of_exploding(spark):
     assert guarded.count() == 50
     unguarded = semantic_dedup(df, "vec_id", "embedding", k=2, threshold=0.5)
     assert unguarded.count() == 1
+
+
+def test_semantic_dedup_block_scoring_matches_pair_join(spark, sf_dir):
+    """r13: within-cluster scoring moved from an exploded SQL pair join
+    to a per-cluster numpy block pass. The drop set must equal the old
+    formulation's exactly — including pairs at the 6dp rounding
+    boundary and clusters larger than the 1024-row scoring chunk (the
+    sf0.01 embeddings at k=2 exceed it, exercising the chunk loop)."""
+    emb = _emb(spark, sf_dir)
+    k, threshold = 2, 0.45
+    kept = semantic_dedup(emb, "vec_id", "embedding", k=k, threshold=threshold)
+    got = sorted(r["vec_id"] for r in kept.select("vec_id").collect())
+
+    # reference: the pre-r13 exploded pair-join formulation, verbatim
+    assigned = assign_clusters(emb, "vec_id", "embedding", k)
+    pair_src = assigned.select(
+        F.col("vec_id").alias("__pid"),
+        F.col("embedding").alias("__pvec"),
+        V.norm("embedding").alias("__pnrm"),
+        "cluster",
+    )
+    a = pair_src.select(
+        F.col("__pid").alias("__id_a"), F.col("__pvec").alias("__va"),
+        F.col("__pnrm").alias("__na"), "cluster",
+    )
+    b = pair_src.select(
+        F.col("__pid").alias("__id_b"), F.col("__pvec").alias("__vb"),
+        F.col("__pnrm").alias("__nb"), "cluster",
+    )
+    cos6 = F.round(V.dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
+    doomed = (
+        a.join(b, "cluster")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(cos6 >= threshold)
+        .select(F.col("__id_b").alias("vec_id"))
+        .distinct()
+    )
+    want = sorted(
+        r["vec_id"]
+        for r in assigned.join(doomed, "vec_id", "left_anti").select("vec_id").collect()
+    )
+    assert got == want and len(got) > 0
