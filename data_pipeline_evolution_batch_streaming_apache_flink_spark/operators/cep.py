@@ -211,6 +211,18 @@ def match_pattern(
     ``id_col`` whenever ``order_col`` can tie — without it, the order
     of equal-time events (and hence matching) depends on partition
     layout.
+
+    Execution (r14): one hash repartition on the key + a JVM sort by
+    ``(key, order, id)`` feeding a single ``mapInPandas`` scan with
+    cross-batch group carry-over — NOT ``groupBy().applyInPandas``,
+    whose per-group Arrow/pandas framing dominates wall time when keys
+    are many and small (the funnel shape: ~10 events/user). The scan
+    slices each key's rows out of the whole sorted Arrow batch by
+    boundary detection, so per-key overhead is two numpy slices; a key
+    spanning a batch boundary is buffered and completed in the next
+    batch (state = one key's rows, the same bound the grouped form
+    had). The JVM sort replaces the per-group ``lexsort`` — identical
+    ``(order, id)`` order within every key.
     """
     import numpy as np
 
@@ -257,26 +269,71 @@ def match_pattern(
     out_schema = T.StructType(fields)
     out_names = [f.name for f in fields]
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        key = pdf[key_col].iloc[0]
-        ts = pdf["__ts"].to_numpy(dtype="int64")
-        ids = pdf["__id"].to_numpy(dtype="int64") if id_col else np.zeros(len(ts), dtype="int64")
-        order = np.lexsort((ids, ts))
-        ts = ts[order]
-        ids = ids[order]
-        preds = [
-            np.flatnonzero(pdf[f"__p{j}"].to_numpy(dtype="object")[order] == True)  # noqa: E712 (None-safe)
-            for j in range(k)
-        ]
-        matches, _ = _match_events(ts, preds, within, emit)
-        rows = []
+    def _scan_group(rows_out: list, key, ts, ids, flags, s: int, e: int) -> None:
+        """Match one key's slice [s, e) of the sorted batch arrays and
+        append its output rows. The slice is already in (ts, id) order
+        (the JVM sort), so no per-group lexsort is needed."""
+        gts = ts[s:e]
+        preds = [np.flatnonzero(fl[s:e]) for fl in flags]
+        matches, _ = _match_events(gts, preds, within, emit)
+        if not matches:
+            return
+        gids = ids[s:e] if id_col else None
         for seq, picked in enumerate(matches, start=1):
             row = [key, seq]
             for i in picked:
-                row.append(int(ts[i]))
+                row.append(int(gts[i]))
                 if id_col:
-                    row.append(int(ids[i]))
-            rows.append(row)
-        return pd.DataFrame(rows, columns=out_names)
+                    row.append(int(gids[i]))
+            rows_out.append(row)
 
-    return slim.groupBy(key_col).applyInPandas(fn, out_schema)
+    def scan(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            # group boundaries in the sorted batch; factorize groups a
+            # null key's rows under one code (groupBy parity)
+            codes, _ = pd.factorize(pdf[key_col], use_na_sentinel=False)
+            change = np.flatnonzero(np.diff(codes)) + 1
+            # the last key may continue into the next Arrow batch —
+            # hold its rows back and complete it there (or in the flush)
+            last_start = int(change[-1]) if len(change) else 0
+            carry = pdf.iloc[last_start:]
+            if not last_start:
+                continue
+            keys = pdf[key_col]
+            ts = pdf["__ts"].to_numpy(dtype="int64")
+            ids = pdf["__id"].to_numpy(dtype="int64") if id_col else None
+            flags = [
+                pdf[f"__p{j}"].to_numpy(dtype="object") == True  # noqa: E712 (None-safe)
+                for j in range(k)
+            ]
+            bounds = np.concatenate(([0], change))
+            rows: list = []
+            for gi in range(len(bounds) - 1):
+                s, e = int(bounds[gi]), int(bounds[gi + 1])
+                _scan_group(rows, keys.iloc[s], ts, ids, flags, s, e)
+            if rows:
+                yield pd.DataFrame(rows, columns=out_names)
+        if carry is not None and len(carry):
+            ts = carry["__ts"].to_numpy(dtype="int64")
+            ids = carry["__id"].to_numpy(dtype="int64") if id_col else None
+            flags = [
+                carry[f"__p{j}"].to_numpy(dtype="object") == True  # noqa: E712
+                for j in range(k)
+            ]
+            rows = []
+            _scan_group(rows, carry[key_col].iloc[0], ts, ids, flags, 0, len(carry))
+            if rows:
+                yield pd.DataFrame(rows, columns=out_names)
+
+    sort_cols = [key_col, "__ts"] + (["__id"] if id_col else [])
+    return (
+        slim.repartition(key_col)
+        .sortWithinPartitions(*sort_cols)
+        .mapInPandas(scan, out_schema)
+    )

@@ -193,6 +193,38 @@ def test_matches_sequential_reference(spark, within, emit):
     assert got == sorted(want)
 
 
+def test_groups_spanning_arrow_batches(spark):
+    """r14: the sorted-MapInPandas scan buffers a key whose rows cross
+    an Arrow batch boundary and completes it in the next batch. Shrink
+    the Arrow batch to 7 rows so most keys span batches (including one
+    600-row key spanning dozens), and check the result against the
+    sequential reference — byte-equal to what the grouped form gave."""
+    rng = random.Random(7)
+    types = ["signup", "click", "purchase", "view", "error"]
+    rows = []
+    # one dominant key (spans many batches) + many small keys
+    for _ in range(600):
+        rows.append((99, rng.randrange(500), rng.choice(types)))
+    for _ in range(400):
+        rows.append((rng.randrange(40), rng.randrange(200), rng.choice(types)))
+    per_key: dict = {}
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 7)
+    try:
+        got = _run(spark, rows, within=60, emit="all")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    for i, (u, ts, t) in enumerate(rows):
+        per_key.setdefault(u, []).append((ts, i, t))
+    want = []
+    for u, evs in per_key.items():
+        for seq, m in enumerate(
+            _reference_matches(evs, ["signup", "click", "purchase"], 60, "all"), start=1
+        ):
+            want.append((u, seq, m[0][0], m[1][0], m[2][0]))
+    assert got == sorted(want) and len(want) > 10
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -210,11 +242,17 @@ def test_strict_plan_native_single_shuffle(spark, sf_dir):
 def test_relaxed_plan_single_shuffle_preds_before_python(spark, sf_dir):
     """match_pattern: one key shuffle into the Arrow stage; the step
     predicates must be evaluated below it (in the scan-side project),
-    not inside Python."""
+    not inside Python. r14: the Arrow stage is a single sorted
+    MapInPandas scan (cross-batch group carry-over), not per-group
+    FlatMapGroupsInPandas — per-group framing dominated wall time on
+    many small keys."""
     from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
 
     plan = _plan(suite.QUERIES["cep_funnel"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" not in plan
+    # the scan feeds from a JVM sort on (key, order, id) — the order
+    # the per-group lexsort used to establish in Python
+    assert "Sort [user_id" in plan
     # the boolean step flags are computed by a JVM-side Project
     assert "__p0" in plan and "__p2" in plan
