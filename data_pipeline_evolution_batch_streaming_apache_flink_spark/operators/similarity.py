@@ -253,6 +253,7 @@ def _fit_cells(
     iters: int = 15,
     restarts: int = 8,
     return_sample: bool = False,
+    return_centroids: bool = False,
     _sample=None,
 ):
     """k-means coarse quantizer: returns (assigned corpus with ``__cell``,
@@ -369,6 +370,12 @@ def _fit_cells(
         [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
         "cell int, centroid array<double>",
     )
+    if return_centroids:
+        # The raw centroid MATRIX, driver-side — callers that need the
+        # normalized probe matrix can derive it directly instead of
+        # paying _centroid_matrix's collect job on cent_df (whose rows
+        # are float(x) round-trips of exactly these values).
+        return assigned, cent_df, cent
     if return_sample:
         # X was normalized onto the unit sphere above — exactly the
         # matrix the ivf_knn_join cell-population estimator assigns.
@@ -1482,7 +1489,10 @@ def margin_mine(
     return _margin_select(fwd, bwd, left_id, right_id)
 
 
-def _margin_select(fwd: DataFrame, bwd: DataFrame, left_id: str, right_id: str) -> DataFrame:
+def _margin_select(
+    fwd: DataFrame, bwd: DataFrame, left_id: str, right_id: str,
+    _pinned: bool = False,
+) -> DataFrame:
     """Shared margin-scoring tail of :func:`margin_mine` /
     :func:`margin_mine_ivf`: given forward and backward kNN pair frames
     (columns ``l, r, cos_micro``), compute the exact-integer margin,
@@ -1497,9 +1507,16 @@ def _margin_select(fwd: DataFrame, bwd: DataFrame, left_id: str, right_id: str) 
     union — but building the plan (explain, conditional pipelines) no
     longer executes both complete kNN passes at construction time
     (ADVICE r11). Bounded: |corpus| x knn_k rows each, distributed
-    across executor storage."""
-    fwd = fwd.localCheckpoint(eager=False)
-    bwd = bwd.localCheckpoint(eager=False)
+    across executor storage.
+
+    ``_pinned=True`` (r14, margin_mine_ivf): the caller's fwd/bwd are
+    already cheap reads of ONE pinned candidate frame — identical
+    LogicalRDD under both subtrees, so the planner's ReuseExchange
+    dedupes the per-side window shuffles within the final query and the
+    two extra checkpoint-materialization jobs here would buy nothing."""
+    if not _pinned:
+        fwd = fwd.localCheckpoint(eager=False)
+        bwd = bwd.localCheckpoint(eager=False)
     a_norm = fwd.groupBy("l").agg(
         F.sum("cos_micro").alias("a_sum"), F.count(F.lit(1)).alias("a_k")
     )
@@ -1890,6 +1907,58 @@ def ivf_knn_join(
     return _rank_probe_hits(scored, query_id, corpus_id, k)
 
 
+def _probe_assign_mapper(cent_bc, n_probe: int):
+    """mapInPandas function computing BOTH quantizer roles for one side
+    of :func:`margin_mine_ivf`'s bidirectional IVF join in a single
+    executor pass: the row's nearest-cell ASSIGNMENT (corpus role —
+    the exact ``_assign_cells`` call :func:`_cell_assign_mapper` makes)
+    and its ``n_probe`` nearest PROBE cells (query role — the exact
+    stable argsort :func:`_probe_cells_distributed` runs). Emits one
+    row per (input row, cell) with two role flags; the assignment cell
+    is normally ``order[0]`` of the probe set, so the output is
+    ``n_probe`` rows per input row — an extra assignment-only row is
+    emitted only if BLAS last-ulp differences between the argmax and
+    the argsort paths ever diverge (same caveat as documented on
+    ``_probe_cells_distributed``), so neither role can silently change
+    versus the two-pass formulation this replaces (r14: 2 scans per
+    side -> 1)."""
+    import numpy as np
+
+    def _f(batches):
+        import pandas as pd
+
+        cu = cent_bc.value
+        take = min(n_probe, len(cu))
+        for p in batches:
+            if not len(p):
+                continue
+            V = np.stack(p["__v"].to_numpy()).astype(np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(V @ cu.T), axis=1, kind="stable")[:, :take]
+            acell = _assign_cells(V, cu)
+            rep = np.repeat(np.arange(len(p)), take)
+            cells = order.ravel().astype(np.int32)
+            probe = np.ones(len(cells), dtype=bool)
+            assigned = cells == acell[rep].astype(np.int32)
+            missing = np.flatnonzero(~(order == acell[:, None]).any(axis=1))
+            if len(missing):
+                rep = np.concatenate([rep, missing])
+                cells = np.concatenate([cells, acell[missing].astype(np.int32)])
+                probe = np.concatenate([probe, np.zeros(len(missing), dtype=bool)])
+                assigned = np.concatenate([assigned, np.ones(len(missing), dtype=bool)])
+            ids = p["id"].to_numpy()
+            vecs = p["__v"].to_numpy()
+            yield pd.DataFrame({
+                "id": ids[rep],
+                "__v": vecs[rep],
+                "__cell": cells,
+                "__probe": probe,
+                "__assigned": assigned,
+            })
+
+    return _f
+
+
 def margin_mine_ivf(
     left: DataFrame,
     right: DataFrame,
@@ -1906,15 +1975,42 @@ def margin_mine_ivf(
     query_parts: int | None = None,
 ) -> DataFrame:
     """Pool-scale :func:`margin_mine`: identical margin criterion and
-    output contract, but the two kNN passes run through
-    :func:`ivf_knn_join` — no query-side collect/broadcast, so BOTH
-    corpora may exceed ``margin_mine``'s ``max_query_rows`` cap
-    (mining all of a 100 TB left corpus against a 100 TB right one).
+    output contract, but the kNN passes run through the distributed
+    IVF machinery — no query-side collect/broadcast, so BOTH corpora
+    may exceed ``margin_mine``'s ``max_query_rows`` cap (mining all of
+    a 100 TB left corpus against a 100 TB right one).
 
     The coarse quantizer is fitted ONCE on a bounded content-hash
     sample of the UNION of both corpora, so forward and backward
     passes share one cell geometry (a per-side fit would make the two
     probe sets inconsistent near cell borders for no recall gain).
+
+    Execution (r14): forward and backward kNN share ONE cogroup pass.
+    Each side is scanned once by :func:`_probe_assign_mapper`, which
+    emits the row under both quantizer roles (its assignment cell =
+    corpus role, its ``n_probe`` probe cells = query role, exactly the
+    cells the two per-direction :func:`ivf_knn_join` calls would
+    compute); one ``applyInPandas`` per cell then scores the forward
+    block (left probes x right assignments) AND the backward block
+    (right probes x left assignments) with the same chunked
+    ``_fold_matmul`` fold, so per-pair scores stay bit-identical to
+    the per-direction joins. The scored candidates are pinned once
+    (lazy localCheckpoint) and ranked per direction with the exact
+    windows :func:`_rank_probe_hits` uses. Versus two ``ivf_knn_join``
+    calls: 4 full-side scans -> 2, 2 cell cogroups -> 1, one shared
+    candidate materialization instead of two.
+
+    Hot-cell splits: ``cell_parts``/``query_parts`` become per-side
+    lower bounds on a 2D (left-part, right-part) grid per cell — each
+    side sub-splits by a content hash of its id and replicates across
+    the other side's parts, so every (l, r) pair still meets exactly
+    once and the result is digest-identical at ANY parts value (the
+    per-task local top-k threshold is never above the unsplit cell's,
+    so candidates only grow, and the exact global ranking is
+    unchanged — the same argument as ``ivf_knn_join``'s levers).
+    ``None`` sizes parts per cell from the sides' probe fan-in on the
+    already-paid hash samples (probe sets contain the assignment cell,
+    so the probe fan-in bounds both roles' populations).
 
     Approximation scope: the kNN sets (candidates AND the margin's
     kNN-average normalizers) are IVF-approximate; with
@@ -1923,9 +2019,18 @@ def margin_mine_ivf(
     n_probe < n_cells follows the IVF recall curve of
     ``tools/ann_recall.py``."""
     import numpy as np
+    import pandas as pd
+
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators.dedup import _fold_matmul, _fold_norms
 
     if knn_k < 1:
         raise ValueError(f"knn_k must be >= 1, got {knn_k}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if cell_parts is not None and cell_parts < 1:
+        raise ValueError(f"cell_parts must be >= 1, got {cell_parts}")
+    if query_parts is not None and query_parts < 1:
+        raise ValueError(f"query_parts must be >= 1, got {query_parts}")
     union_vecs = left.select(F.col(left_vec).alias("embedding")).unionByName(
         right.select(F.col(right_vec).alias("embedding"))
     )
@@ -1933,9 +2038,13 @@ def margin_mine_ivf(
     # sample serves three consumers that previously paid their own
     # passes: the union quantizer fit (the union's lowest-hash
     # max_train_rows rows are a subset of the two sides' lowest-hash
-    # sets — merge by hash, truncate: bit-identical to sampling the
-    # union), the forward join's corpus/query sizing estimators, and
-    # the backward join's (roles swapped). 5 scans -> 2.
+    # sets — merge by hash, truncate), the forward pass's sizing
+    # estimators, and the backward pass's (roles swapped). The merge
+    # equals sampling the union outright PROVIDED each side's
+    # 1.05x+64-slack hash threshold retained min(n, max_train_rows)
+    # rows — overwhelmingly probable, not guaranteed (ADVICE r13); in
+    # the tail the merged fit sees marginally fewer union rows, which
+    # only steers recall (centroids never affect returned scores).
     def _side_sample(df: DataFrame, vec: str):
         try:
             return _hash_sampled_matrix(
@@ -1945,8 +2054,16 @@ def margin_mine_ivf(
         except ValueError:
             return None, 0, None
 
-    XL, nL, uL = _side_sample(left, left_vec)
-    XR, nR, uR = _side_sample(right, right_vec)
+    # The two sides' sample passes (a count + a capped collect each) are
+    # independent — submit them from two driver threads so the second
+    # side's jobs back-fill the first's stragglers (guide §2.6).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fl = pool.submit(_side_sample, left, left_vec)
+        fr = pool.submit(_side_sample, right, right_vec)
+        XL, nL, uL = fl.result()
+        XR, nR, uR = fr.result()
     if XL is None and XR is None:
         raise ValueError(
             "cannot fit a quantizer on an empty (or fully sampled-out) corpus"
@@ -1959,34 +2076,150 @@ def margin_mine_ivf(
     # Fit on the union: _fit_cells' assignment output is lazy and
     # discarded — only the (driver-side, sample-bounded) centroid fit
     # is paid here, on the merged sample (zero extra scans).
-    _, cent_df = _fit_cells(
+    _, _, cent_raw = _fit_cells(
         union_vecs.withColumn("__uid", F.monotonically_increasing_id()),
         "__uid", "embedding", n_cells, seed, max_train_rows=max_train_rows,
-        _sample=(union_sample, nL + nR),
+        _sample=(union_sample, nL + nR), return_centroids=True,
     )
-    fwd = ivf_knn_join(
-        left, right, left_id, right_id, left_vec, right_vec,
-        k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
-        include_self=True, cent_df=cent_df, cell_parts=cell_parts,
-        query_parts=query_parts,
-        _corpus_sizing=(XR, nR), _query_sizing=(XL, nL),
-    ).select(
-        F.col(left_id + "_q").alias("l"),
-        F.col(right_id + "_c").alias("r"),
-        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    # unit-normalize driver-side — the exact op (and values)
+    # _centroid_matrix would recover from cent_df, without its collect job
+    cent = cent_raw / np.maximum(np.linalg.norm(cent_raw, axis=1, keepdims=True), 1e-12)
+    spark = left.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    lid_type = left.schema[left_id].dataType.simpleString()
+    rid_type = right.schema[right_id].dataType.simpleString()
+    lvec_type = left.schema[left_vec].dataType.simpleString()
+    rvec_type = right.schema[right_vec].dataType.simpleString()
+    lrows = fan_out(
+        left.select(F.col(left_id).alias("id"), F.col(left_vec).alias("__v"))
+    ).mapInPandas(
+        _probe_assign_mapper(bc, n_probe),
+        schema=f"id {lid_type}, __v {lvec_type}, __cell int, "
+               "__probe boolean, __assigned boolean",
     )
-    bwd = ivf_knn_join(
-        right, left, right_id, left_id, right_vec, left_vec,
-        k=knn_k, n_cells=n_cells, n_probe=n_probe, seed=seed,
-        include_self=True, cent_df=cent_df, cell_parts=cell_parts,
-        query_parts=query_parts,
-        _corpus_sizing=(XL, nL), _query_sizing=(XR, nR),
-    ).select(
-        F.col(left_id + "_c").alias("l"),
-        F.col(right_id + "_q").alias("r"),
-        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    rrows = fan_out(
+        right.select(F.col(right_id).alias("id"), F.col(right_vec).alias("__v"))
+    ).mapInPandas(
+        _probe_assign_mapper(bc, n_probe),
+        schema=f"id {rid_type}, __v {rvec_type}, __cell int, "
+               "__probe boolean, __assigned boolean",
     )
-    return _margin_select(fwd, bwd, left_id, right_id)
+
+    # Per-cell per-side part counts for the 2D split grid, estimated on
+    # the already-paid hash samples (sizing is a pure performance lever
+    # — digest-identical at any parts value — so sample error only
+    # moves the straggler threshold). A side's probe fan-in bounds both
+    # its roles per cell: the probe set contains the assignment cell.
+    def _side_parts(X, n_rows, floor: int | None) -> dict[int, int]:
+        parts: dict[int, int] = {}
+        if X is not None:
+            Xu = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            take = min(n_probe, len(cent))
+            order = np.argsort(-(Xu @ cent.T), axis=1, kind="stable")[:, :take]
+            counts = np.bincount(order.ravel(), minlength=len(cent))
+            scale = (n_rows or len(X)) / max(len(X), 1)
+            parts = {
+                c: _auto_cell_parts(int(counts[c] * scale))
+                for c in range(len(cent))
+                if counts[c] > 0
+            }
+        if floor is not None and floor > 1:
+            parts = {c: max(parts.get(c, 1), floor) for c in range(len(cent))}
+        return parts
+
+    explicit = None
+    if cell_parts is not None or query_parts is not None:
+        explicit = max(cell_parts or 1, query_parts or 1)
+    if explicit == 1:
+        pl_map: dict[int, int] = {}
+        pr_map: dict[int, int] = {}
+    else:
+        pl_map = _side_parts(XL, nL, explicit)
+        pr_map = _side_parts(XR, nR, explicit)
+    split = any(p > 1 for p in pl_map.values()) or any(p > 1 for p in pr_map.values())
+    if split:
+        parts_df = spark.createDataFrame(
+            [(c, pl_map.get(c, 1), pr_map.get(c, 1)) for c in range(len(cent))],
+            "__cell int, __pl int, __pr int",
+        )
+        lrows = (
+            lrows.join(F.broadcast(parts_df), "__cell")
+            .withColumn("__lp", F.pmod(F.xxhash64(F.col("id")), F.col("__pl")).cast("int"))
+            .withColumn("__rp", F.explode(F.sequence(F.lit(0), F.col("__pr") - F.lit(1))))
+            .drop("__pl", "__pr")
+        )
+        rrows = (
+            rrows.join(F.broadcast(parts_df), "__cell")
+            .withColumn("__rp", F.pmod(F.xxhash64(F.col("id")), F.col("__pr")).cast("int"))
+            .withColumn("__lp", F.explode(F.sequence(F.lit(0), F.col("__pl") - F.lit(1))))
+            .drop("__pl", "__pr")
+        )
+
+    def _score_bidir(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        frames: list = []
+
+        def one_dir(q: pd.DataFrame, c: pd.DataFrame, swap: bool, d: int) -> None:
+            if not len(q) or not len(c):
+                return
+            Q = np.stack(q["__v"].to_numpy()).astype(np.float64)
+            C = np.stack(c["__v"].to_numpy()).astype(np.float64)
+            ids_q = q["id"].to_numpy()
+            ids_c = c["id"].to_numpy()
+            ncv = _fold_norms(C)[None, :]
+            for qs in range(0, len(Q), _IVF_Q_CHUNK):
+                Qb = Q[qs : qs + _IVF_Q_CHUNK]
+                ib = ids_q[qs : qs + _IVF_Q_CHUNK]
+                cos = _fold_matmul(Qb, C) / (_fold_norms(Qb)[:, None] * ncv)
+                for fr in _local_topk_frames(ib, ids_c, cos, knn_k):
+                    frames.append(pd.DataFrame({
+                        "__dir": d,
+                        "l": fr["cid"] if swap else fr["qid"],
+                        "r": fr["qid"] if swap else fr["cid"],
+                        "cos": fr["cos"],
+                    }))
+
+        one_dir(l[l["__probe"]], r[r["__assigned"]], False, 0)  # forward
+        one_dir(r[r["__probe"]], l[l["__assigned"]], True, 1)   # backward
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame({
+            "__dir": np.array([], dtype=np.int32),
+            "l": l["id"].iloc[:0],
+            "r": r["id"].iloc[:0],
+            "cos": np.array([], dtype=np.float64),
+        })
+
+    keys = ["__cell", "__lp", "__rp"] if split else ["__cell"]
+    scored = (
+        lrows.groupBy(*keys)
+        .cogroup(rrows.groupBy(*keys))
+        .applyInPandas(
+            _score_bidir, schema=f"__dir int, l {lid_type}, r {rid_type}, cos double"
+        )
+        .withColumn("cos", F.round("cos", 6))
+        # ONE materialization of the heavy pass: both directions' rank
+        # windows (and through them _margin_select's normalizers and
+        # candidate union) read this pin instead of re-running the
+        # cogroup per direction. Lazy, like _margin_select's own pins.
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("l").orderBy(F.col("cos").desc(), F.col("r").asc())
+    wb = Window.partitionBy("r").orderBy(F.col("cos").desc(), F.col("l").asc())
+    cos_micro = F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro")
+    fwd = (
+        scored.where(F.col("__dir") == 0)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= knn_k)
+        .select("l", "r", cos_micro)
+    )
+    bwd = (
+        scored.where(F.col("__dir") == 1)
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= knn_k)
+        .select("l", "r", cos_micro)
+    )
+    return _margin_select(fwd, bwd, left_id, right_id, _pinned=True)
 
 
 def ndcg_binary(
