@@ -104,6 +104,18 @@ def assign_clusters(
     )
 
 
+#: Rows above which a cluster's pair stage runs as the exploded SQL
+#: pair join instead of one numpy block in a single Python worker
+#: (ADVICE r13): ``applyInPandas`` loads the whole cluster group —
+#: |cluster| x dim float64 plus the Arrow frame — into one executor, so
+#: a dominant cluster would OOM it where the pair join streams its
+#: pairs. The two formulations produce identical drop sets (the r13
+#: parity test pins block == pair join), so the gate is purely an
+#: execution choice; 64k rows x 1024 dims is ~512 MB of matrix, a safe
+#: single-task bound.
+_SEMANTIC_BLOCK_MAX_ROWS = 65_536
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -120,7 +132,12 @@ def semantic_dedup(
 
     ``max_cluster`` skips pair generation for clusters larger than that
     many rows (rows kept, never dropped) — the adversarial guard for
-    corpora where one cluster swallows everything.
+    corpora where one cluster swallows everything. Independent of the
+    guard, clusters above ``_SEMANTIC_BLOCK_MAX_ROWS`` are scored by
+    the streaming SQL pair join instead of the single-worker numpy
+    block (identical results — see the gate's docstring), so an
+    unguarded dominant cluster degrades to the quadratic join, never
+    to an executor OOM.
     """
     # assigned feeds BOTH pair sides and the final anti-join: pin one
     # materialization (lazy, by RDD identity) or the per-row cosine fold
@@ -136,11 +153,22 @@ def semantic_dedup(
         V.norm(vec_col).alias("__pnrm"),
         "cluster",
     ).localCheckpoint(eager=False)
+    # Per-cluster sizes drive the max_cluster guard and the block-vs-
+    # pair-join routing. There are at most k clusters (the exemplar
+    # count), so the size table is a k-row aggregate over the pinned
+    # pair_src — and the ROUTING decision is made DRIVER-SIDE from its
+    # max (one small job against the checkpoint blocks): the common
+    # case (no oversize cluster) then keeps the r13 plan byte-for-byte.
+    # Plan-side routing was measured first (a count window, then
+    # broadcast semi/anti-joins) and cost ~25% of warm wall for a
+    # branch that virtually never carries rows.
+    sizes = pair_src.groupBy("cluster").agg(F.count(F.lit(1)).alias("__csize"))
     if max_cluster is not None:
-        n = F.count(F.lit(1)).over(Window.partitionBy("cluster"))
-        pair_src = pair_src.withColumn("__csize", n).filter(
-            F.col("__csize") <= max_cluster
-        ).drop("__csize")
+        sizes = sizes.filter(F.col("__csize") <= max_cluster)
+        pair_src = pair_src.join(
+            F.broadcast(sizes.select("cluster")), "cluster", "left_semi"
+        )
+    mx = sizes.agg(F.max("__csize")).head()[0] or 0
 
     # Within-cluster scoring as one numpy block pass per cluster (r13;
     # guide §4.2 — the exploded pair join evaluated an O(dim) SQL fold
@@ -184,15 +212,39 @@ def semantic_dedup(
             return pd.DataFrame({"__did": pdf["__pid"].iloc[:0], "__cos": np.array([], dtype=np.float64)})
         return pd.DataFrame({"__did": np.concatenate(out_ids), "__cos": np.concatenate(out_cos)})
 
-    scored = pair_src.groupBy("cluster").applyInPandas(
+    block_src = pair_src
+    if mx > _SEMANTIC_BLOCK_MAX_ROWS:
+        oversize = F.broadcast(
+            sizes.filter(F.col("__csize") > _SEMANTIC_BLOCK_MAX_ROWS).select("cluster")
+        )
+        block_src = pair_src.join(oversize, "cluster", "left_anti")
+    scored = block_src.groupBy("cluster").applyInPandas(
         _near_pairs, schema=f"__did {id_type}, __cos double"
     )
-    doomed = (
-        scored.filter(F.round(F.col("__cos"), 6) >= threshold)
-        .select(F.col("__did").alias(id_col))
-        .distinct()
+    doomed = scored.filter(F.round(F.col("__cos"), 6) >= threshold).select(
+        F.col("__did").alias(id_col)
     )
-    return assigned.join(doomed, id_col, "left_anti")
+    if mx > _SEMANTIC_BLOCK_MAX_ROWS:
+        # oversize clusters: the streaming pair-join formulation (the
+        # pre-r13 shape — bit-identical scores, see module docstring)
+        big = pair_src.join(oversize, "cluster", "left_semi")
+        a = big.select(
+            F.col("__pid").alias("__id_a"), F.col("__pvec").alias("__va"),
+            F.col("__pnrm").alias("__na"), "cluster",
+        )
+        b = big.select(
+            F.col("__pid").alias("__id_b"), F.col("__pvec").alias("__vb"),
+            F.col("__pnrm").alias("__nb"), "cluster",
+        )
+        cos6 = F.round(V.dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6)
+        doomed_big = (
+            a.join(b, "cluster")
+            .filter(F.col("__id_a") < F.col("__id_b"))
+            .filter(cos6 >= threshold)
+            .select(F.col("__id_b").alias(id_col))
+        )
+        doomed = doomed.unionByName(doomed_big)
+    return assigned.join(doomed.distinct(), id_col, "left_anti")
 
 
 def kmeans_quantized(
@@ -357,20 +409,28 @@ def kcenter_select(
         raise ValueError("kcenter_select on an empty DataFrame")
     centers = [(seed["i"], seed["v"])]
     cur = pts.withColumn("__d2", _d2(seed["v"]))
+    # Re-base (checkpoint) the running-min frame every REBASE rounds,
+    # not every round (r14): a round's argmax can read the prior
+    # checkpoint plus a short exact-integer ``least`` chain — bigint
+    # min is associative, so the values are identical — which drops a
+    # full corpus-frame checkpoint write (and its job) from 3 of every
+    # 4 rounds. The chain is bounded at REBASE re-evaluated d2 folds
+    # per row per round, a constant; the ADVICE-r11 unpersist
+    # discipline is unchanged at the re-base points (two live frames,
+    # never k). df.unpersist() is a no-op for localCheckpoint blocks
+    # (the RDD is persisted outside the cache manager), so reach the
+    # LogicalRDD's checkpointed RDD directly; never applied to
+    # ``pts``, which the final assignment join still reads.
+    REBASE = 4
     prev_ckpt: DataFrame | None = None
+    pending = 0
     for _ in range(1, k):
-        cur = cur.localCheckpoint(eager=True)  # argmax + update both read it
-        # Free the PRIOR round's checkpoint blocks now that this round's
-        # eager checkpoint (built from them) has materialized — without
-        # this, up to k copies of (id, vec, d2) sit in executor storage
-        # until driver GC lets the ContextCleaner reclaim them (ADVICE
-        # r11). df.unpersist() is a no-op for localCheckpoint blocks
-        # (the RDD is persisted outside the cache manager), so reach the
-        # LogicalRDD's checkpointed RDD directly; never applied to
-        # ``pts``, which the final assignment join still reads.
-        if prev_ckpt is not None:
-            _unpersist_local_checkpoint(prev_ckpt)
-        prev_ckpt = cur
+        if pending >= REBASE:
+            cur = cur.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                _unpersist_local_checkpoint(prev_ckpt)
+            prev_ckpt = cur
+            pending = 0
         chosen = [c for c, _ in centers]
         far = (
             cur.where(~F.col(id_col).isin(chosen))
@@ -385,6 +445,7 @@ def kcenter_select(
             break  # k exceeds the corpus: return the full point set as centers
         centers.append((far["i"], far["v"]))
         cur = cur.withColumn("__d2", F.least(F.col("__d2"), _d2(far["v"])))
+        pending += 1
     if prev_ckpt is not None:
         _unpersist_local_checkpoint(prev_ckpt)  # the result reads only pts
     spark = df.sparkSession

@@ -131,3 +131,27 @@ def test_semantic_dedup_block_scoring_matches_pair_join(spark, sf_dir):
         for r in assigned.join(doomed, "vec_id", "left_anti").select("vec_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_oversize_cluster_fallback_matches_block_path(spark, sf_dir, monkeypatch):
+    """r14 (ADVICE r13): clusters above _SEMANTIC_BLOCK_MAX_ROWS are
+    scored by the streaming SQL pair join instead of one single-worker
+    numpy block (OOM guard). Shrink the gate so real clusters cross it
+    and check the drop set is identical to the (default, all-block)
+    path — the routing must be execution-only."""
+    from data_pipeline_evolution_batch_streaming_apache_flink_spark.operators import semantic as sem
+
+    emb = _emb(spark, sf_dir)
+    k, threshold = 3, 0.45
+    want = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, "vec_id", "embedding", k=k, threshold=threshold)
+        .select("vec_id").collect()
+    )
+    monkeypatch.setattr(sem, "_SEMANTIC_BLOCK_MAX_ROWS", 10)
+    got = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, "vec_id", "embedding", k=k, threshold=threshold)
+        .select("vec_id").collect()
+    )
+    assert got == want and len(got) > 0
