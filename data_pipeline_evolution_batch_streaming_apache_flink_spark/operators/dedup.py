@@ -835,28 +835,43 @@ def connected_components(
     # (guide §3.1 — an eager checkpoint scans with an unknown size
     # estimate, so the planner otherwise sort-merge-joins every round).
     small = labels.count() <= BROADCAST_NODES
+    prev_ckpt: DataFrame | None = labels
     for _ in range(max_iter):
         lab = labels.hint("broadcast") if small else labels
-        neighbor_min = (
+        old = labels.alias("o")
+        # ONE job per round (r14): the new label table carries a
+        # per-node changed flag (the convergence join folded into the
+        # round's plan), the round's frame is a LAZY localCheckpoint,
+        # and the changed-count action is what materializes it — the
+        # count reads the concrete checkpoint RDD, so nothing is
+        # column-pruned past it and the next round scans the stored
+        # blocks. Previously the eager checkpoint and the convergence
+        # join were two separate jobs per round, and at sf0.1 the CC
+        # rounds are job-latency-bound (PERF r13 scaling: near_dedup
+        # 8c/32c = 0.85).
+        merged = (
             sym.join(lab, sym["b"] == lab["node"])
             .select(F.col("a").alias("node"), F.col("comp"))
             .union(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-        )
-        neighbor_min = neighbor_min.localCheckpoint(eager=True)
-        old = labels.alias("o")
-        changed = (
-            neighbor_min.alias("n")
+            .alias("n")
             .join(old.hint("broadcast") if small else old, "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+            .select(
+                F.col("node"),
+                F.col("n.comp").alias("comp"),
+                (F.col("n.comp") != F.col("o.comp")).alias("__chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        # neighbor_min is materialized (eager) and the changed-count was
-        # the last read of the old labels frame — free its blocks before
+        changed = merged.filter(F.col("__chg")).count()
+        # merged is materialized (the count ran) and the count was the
+        # last read of the old labels frame — free its blocks before
         # the next round. The returned final labels stays pinned.
-        unpersist_local_checkpoint(labels)
-        labels = neighbor_min
+        if prev_ckpt is not None:
+            unpersist_local_checkpoint(prev_ckpt)
+        prev_ckpt = merged
+        labels = merged.select("node", "comp")
         if changed == 0:
             unpersist_local_checkpoint(sym)
             return labels
@@ -1239,6 +1254,7 @@ def winnow_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    filtered = None
     if max_df is not None:
         keep = (
             fps.groupBy("fp")
@@ -1249,7 +1265,7 @@ def winnow_pairs(
         # or the df-count aggregate + semi-join replay per consumer (r13
         # plan audit: the unpinned suite plan held 4 copies). persist
         # (not localCheckpoint) keeps size stats broadcastable.
-        fps = fps.join(keep.select("fp"), "fp").persist()
+        filtered = fps = fps.join(keep.select("fp"), "fp").persist()
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
     # both self-join sides consume withn — pin one materialization
     withn = fps.join(sizes, "id").persist()
@@ -1259,7 +1275,7 @@ def winnow_pairs(
     b = withn.select(
         F.col("id").alias("id_b"), F.col("__n").alias("fp_b"), "fp"
     )
-    return (
+    out = (
         a.join(b, "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "fp_a", "fp_b")
@@ -1276,6 +1292,18 @@ def winnow_pairs(
             .alias("overlap_micro"),
         )
     )
+    # Bound the pins' lifetime (VERDICT r13 #1): every consumer of the
+    # persisted index runs inside this one eager checkpoint — with the
+    # InMemoryRelation stats (and the broadcasts they enable) intact —
+    # after which the CacheManager entries are freed instead of
+    # accumulating per invocation for the life of the session. The
+    # returned checkpoint (pair-count sized) self-cleans via the
+    # ContextCleaner when the caller drops the frame.
+    out = out.localCheckpoint(eager=True)
+    if filtered is not None:
+        filtered.unpersist()
+    withn.unpersist()
+    return out
 
 
 #: Auto band_parts rule: one band contributes n_docs rows split across
