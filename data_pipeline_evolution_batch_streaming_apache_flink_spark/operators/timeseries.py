@@ -681,26 +681,31 @@ def ts_lagged_topk(
     qdf = _collect_query_vectors(queries, id_col, "__w", max_query_rows)
     Q = np.stack(qdf["__qv"].to_numpy()).astype(np.float64)
     q_ids = qdf["qid"].to_numpy()
-    lags = list(range(-max_lag, max_lag + 1))
-    idx = np.arange(n)
-    rots = [
-        (lag, Q[:, (idx + lag) % n]) for lag in lags
-    ]
-    bc = spark.sparkContext.broadcast(
-        (q_ids, [(lag, Qr, _fold_norms(Qr)) for lag, Qr in rots])
-    )
+    lags = tuple(range(-max_lag, max_lag + 1))
+    # Broadcast Q ONCE (ADVICE r13): each lag's rotated matrix is a
+    # cheap column permutation, so shipping all 2·max_lag+1 copies (plus
+    # per-lag norms) multiplied driver and executor memory by the lag
+    # count for no work saved — the permutation and the norm fold now
+    # run in the executor setup, on the identical arrays in the
+    # identical order, and one rotated copy exists at a time.
+    bc = spark.sparkContext.broadcast((q_ids, Q))
     id_type = mat.schema[id_col].dataType.simpleString()
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_q, lagged_qs = bc.value
+        ids_q, Qbase = bc.value
+        idx = np.arange(n)
+        # per-lag query norms once per task: _fold_norms folds the
+        # ROTATED column order, exactly as the per-lag SQL fold does
+        nQs = {lag: _fold_norms(Qbase[:, (idx + lag) % n]) for lag in lags}
         for p in batches:
             if not len(p):
                 continue
             C = np.stack(p["__cid_vec"].to_numpy()).astype(np.float64)
             ids_c = p["__cid"].to_numpy()
             nc = _fold_norms(C)
-            for lag, Qm, nQ in lagged_qs:
-                cos = _fold_matmul(Qm, C) / (nQ[:, None] * nc[None, :])
+            for lag in lags:
+                Qm = Qbase[:, (idx + lag) % n]
+                cos = _fold_matmul(Qm, C) / (nQs[lag][:, None] * nc[None, :])
                 cos = np.where(ids_q[:, None] == ids_c[None, :], -np.inf, cos)
                 frames = _local_topk_frames(ids_q, ids_c, cos, k)
                 if frames:

@@ -1,8 +1,8 @@
 """Capture ``explain('formatted')`` for suite queries into plans/<tag>/.
 
 Usage: python tools/capture_plans.py <tag_dir_suffix> <query> [query ...]
-Writes plans/r13/<query>_<tag>.txt for each query (tag is e.g.
-``before`` / ``after``). Iterative operators (pagerank/hits/kcore/...)
+Writes plans/$PLANS_ROUND/<query>_<tag>.txt (default round dir: r14)
+for each query (tag is e.g. ``before`` / ``after``). Iterative operators (pagerank/hits/kcore/...)
 execute their driver-side rounds at DataFrame-construction time; for
 those the captured plan is the final-round output plan — the
 per-round shape is documented in OPTIMIZATION_r13.md.
@@ -19,7 +19,11 @@ import data_pipeline_evolution_batch_streaming_apache_flink_spark as eng
 from data_pipeline_evolution_batch_streaming_apache_flink_spark.plans import suite
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r14"),
+)
 
 
 def main() -> None:
