@@ -466,8 +466,10 @@ def minhash_lsh_pairs(
     # The candidate set is materialized once (it feeds the id set AND the
     # verification join; without this the Python signature stage and the
     # bucket shuffle would execute twice) — it is pair-count sized, tiny
-    # relative to the corpus by LSH design.
-    cand = cand.localCheckpoint(eager=True)
+    # relative to the corpus by LSH design. LAZY (r14): every consumer
+    # sits in the caller's one final query, whose first executed
+    # partition materializes the pin — the eager job bought nothing.
+    cand = cand.localCheckpoint(eager=False)
     cand_ids = (
         cand.select(F.col("id_a").alias("__cid"))
         .union(cand.select(F.col("id_b").alias("__cid")))
@@ -1491,9 +1493,12 @@ def lsh_probe_pairs(
             )
         band_parts = int(meta["band_parts"])
     q = banded_rows(new_docs, id_col, text_col, n, num_perm, bands, seed)
+    # probe keys feed pruning AND the join: LAZY checkpoint (r14) — the
+    # pruning collect below is the first action and materializes it, so
+    # the pin costs no job of its own (the CC/count pattern)
     q = cap_buckets(q, ("band", "bhash"), max_bucket).withColumn(
         "__bp", F.pmod(F.col("bhash"), F.lit(band_parts))
-    ).localCheckpoint(eager=True)  # probe keys feed pruning AND the join
+    ).localCheckpoint(eager=False)
     # Bounded driver round-trip: distinct (band, prefix) keys of the probe.
     probed = sorted(
         (r["band"], r["__bp"])
@@ -1509,7 +1514,10 @@ def lsh_probe_pairs(
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id")
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY (r14): all three consumers sit in the caller's single
+        # final query, whose first executed partition materializes the
+        # pin — the former eager job bought nothing
+        .localCheckpoint(eager=False)
     )
     probe_sets = _shingled(
         new_docs.join(
